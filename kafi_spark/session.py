@@ -1,0 +1,86 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test runs use ``local[N]``; the same config block is what we would ship
+to a 1000-executor cluster minus the master/memory lines: AQE on (runtime
+coalescing + skew-join handling), UTC session TZ (oracle comparability),
+Arrow enabled for the pandas-UDF escape hatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def get_spark(
+    app_name: str = "kafi_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``spark.sql.shuffle.partitions`` defaults to the local core count: at
+    local[32] and the test scale factors, 32 post-shuffle partitions keep
+    every partition in memory; on a real cluster AQE coalescing makes the
+    static number mostly irrelevant (it only caps initial parallelism).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("KAFI_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+#: tables whose parquet files carry TIMESTAMP(NANOS) columns, which Spark's
+#: parquet reader rejects; we read them as long (legacy conf) and convert.
+_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table, normalizing nanosecond timestamps.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS,false) which
+    Spark cannot map to TimestampType; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column scans as BIGINT
+    nanos and we convert to a microsecond timestamp JVM-side (exact for the
+    driver's data; still a plain parquet scan, so pushdown survives for all
+    other columns).
+    """
+    ns_cols = _NANOS_TS_COLS.get(name, [])
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read the driver's parquet tables and register temp views.
+
+    Returns a dict name -> DataFrame. Plain ``spark.read.parquet`` so filters
+    and projections push down to the scan.
+    """
+    out = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

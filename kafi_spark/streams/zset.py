@@ -1,0 +1,112 @@
+"""Z-set (weighted multiset) algebra on DataFrames.
+
+The reference's streaming data model is pydbsp's ZSet: a mapping
+``record -> weight`` where +w means w insertions and -w retractions
+(kafi/streams/topologynode.py:23, SURVEY §1.4). The distributed encoding is
+a plain ``weight BIGINT`` column; every operator below is a declarative
+DataFrame plan, so the same algebra runs in batch, in ``foreachBatch``
+micro-batches, and (where Spark's streaming planner allows) directly on
+streaming DataFrames.
+
+Scale notes: ``consolidate`` is one hash aggregation on the record columns
+(map-side partial aggregation collapses most weight pairs before the
+shuffle); the set ops are consolidations of unions — no joins, no windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+#: canonical weight column name
+WEIGHT = "weight"
+
+
+def _record_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c != WEIGHT]
+
+
+def from_records(df: DataFrame) -> DataFrame:
+    """Records -> Z-set with weight 1 each (topologynode.py:1084-1088)."""
+    if WEIGHT in df.columns:
+        return df
+    return df.withColumn(WEIGHT, F.lit(1).cast("long"))
+
+
+def to_records(df: DataFrame) -> DataFrame:
+    """Z-set -> bag of records: keep positive weights, repeat w times
+    (topologynode.py:1138-1146). ``explode(sequence)`` keeps the expansion
+    JVM-side and distributed."""
+    pos = df.filter(F.col(WEIGHT) > 0)
+    return (
+        pos.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col(WEIGHT))))
+        .drop("__i", WEIGHT)
+    )
+
+
+def neg(df: DataFrame) -> DataFrame:
+    """Negate weights (topologynode.py:197-204)."""
+    return df.withColumn(WEIGHT, -F.col(WEIGHT))
+
+
+def consolidate(df: DataFrame, keep_zero: bool = False) -> DataFrame:
+    """Sum weights per distinct record, dropping zeros — pydbsp's
+    consolidation, applied by the reference after flatmap and inside
+    distinct/set ops (topologynode.py:208-229).
+    """
+    cols = _record_cols(df)
+    out = df.groupBy(*cols).agg(F.sum(WEIGHT).alias(WEIGHT))
+    if not keep_zero:
+        out = out.filter(F.col(WEIGHT) != 0)
+    return out
+
+
+def zset_distinct(df: DataFrame) -> DataFrame:
+    """Set-ify: any record with net positive weight gets weight 1
+    (topologynode.py:278-294 via DeltaLiftedDeltaLiftedDistinct)."""
+    cols = _record_cols(df)
+    return (
+        df.groupBy(*cols)
+        .agg(F.sum(WEIGHT).alias("__w"))
+        .filter(F.col("__w") > 0)
+        .drop("__w")
+        .withColumn(WEIGHT, F.lit(1).cast("long"))
+    )
+
+
+def zset_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set union = add + distinct (topologynode.py:298-318)."""
+    return zset_distinct(a.unionByName(b))
+
+
+def zset_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set intersection (topologynode.py:322-326 implements it as an
+    equality theta-join; the aggregate form below is one shuffle instead of
+    a join): records present with positive net weight on BOTH sides."""
+    cols = _record_cols(a)
+    ta = a.groupBy(*cols).agg(F.sum(WEIGHT).alias("__wa"))
+    tb = b.groupBy(*cols).agg(F.sum(WEIGHT).alias("__wb"))
+    return (
+        ta.join(tb, on=cols, how="inner")
+        .filter((F.col("__wa") > 0) & (F.col("__wb") > 0))
+        .drop("__wa", "__wb")
+        .withColumn(WEIGHT, F.lit(1).cast("long"))
+    )
+
+
+def zset_minus(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set difference = a + (-b), distinct over net-positive
+    (topologynode.py:330-350): records with net>0 in ``a`` and net<=0 in
+    ``b``."""
+    # distinct-minus is set-semantics per side (a record 2x in `a` and 1x
+    # in `b` must NOT survive), so presence flags, not bag arithmetic:
+    cols = _record_cols(a)
+    ta = a.groupBy(*cols).agg(F.sum(WEIGHT).alias("__wa"))
+    tb = b.groupBy(*cols).agg(F.sum(WEIGHT).alias("__wb"))
+    return (
+        ta.join(tb, on=cols, how="left")
+        .filter((F.col("__wa") > 0) & (F.coalesce(F.col("__wb"), F.lit(0)) <= 0))
+        .drop("__wa", "__wb")
+        .withColumn(WEIGHT, F.lit(1).cast("long"))
+    )

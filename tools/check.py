@@ -1,0 +1,128 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a given sf dir, runs the
+matching ``oracle_sql()`` in DuckDB over the same parquet tables, and compares
+row count + column names + order-insensitive values. Stricter than the driver
+in one way: values are compared exactly (stringified), so any hash the driver
+uses will also match.
+
+Usage:  python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize_cell(v):
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr round-trips doubles exactly; both engines return Python floats
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{normalize_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["\x01".join(normalize_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from kafi_spark.session import get_spark
+
+    spark = get_spark("kafi_spark_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            n_weak += 1
+            print(f"weak  {name}: rows={len(spark_rows)} (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+        dt = time.time() - t0
+        if sorted(spark_cols) != sorted(duck_cols):
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            continue
+        if len(spark_rows) != len(duck_rows):
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+            continue
+        cs, cd = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+        if cs != cd:
+            n_fail += 1
+            failures.append(name)
+            bad = next(i for i, (a, b) in enumerate(zip(cs, cd)) if a != b)
+            print(f"FAIL  {name}: value mismatch at sorted-row {bad}:")
+            print(f"      spark: {cs[bad][:300]}")
+            print(f"      duck : {cd[bad][:300]}")
+        else:
+            n_pass += 1
+            print(f"pass  {name}: rows={len(spark_rows)} [{dt:.1f}s]")
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    if failures:
+        print("failed:", " ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
