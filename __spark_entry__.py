@@ -647,6 +647,278 @@ SELECT word, COUNT(*) AS n FROM (
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis, dedup, similarity, multimodal
+# (beyond-reference surface, BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+def q_text_token_count(spark, sf_dir):
+    from kafi_spark.functions.text import char_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from kafi_spark.functions.text import fingerprint_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+def q_text_quality(spark, sf_dir):
+    from kafi_spark.functions.text import quality_features, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["avg_word_len"].alias("avg_word_len"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    from kafi_spark.functions.text import langid
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", langid(F.col("text")).alias("lang_guess"))
+
+
+def q_text_stats(spark, sf_dir):
+    from kafi_spark.functions.text import text_stats
+
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+_QUALITY_FEATURES_SQL = """
+  SELECT doc_id, text, trim(text) AS tx,
+         CAST(length(trim(text)) AS BIGINT) AS n_chars_t,
+         CAST(CASE WHEN length(trim(text)) > 0
+              THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(trim(text), '[^.,;:!?''"()-]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(regexp_replace(trim(text), '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(len(regexp_extract_all(trim(text), '\\b(the|and|of|to|in|a|is|it)\\b')) AS BIGINT) AS n_stop
+  FROM documents
+"""
+
+_QUALITY_EXPR_SQL = """
+    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+      + (CAST(n_stop AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)) * 0.3
+      + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars_t, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+      + (1.0 - least((CAST(n_digit AS DOUBLE) / CAST(greatest(n_chars_t, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.1
+"""
+
+_LANG_SCORES_SQL = """
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\b(the|and|of|to|in)\\b')) AS s_en,
+         len(regexp_extract_all(text, '\\b(der|die|das|und|ist)\\b')) AS s_de,
+         len(regexp_extract_all(text, '\\b(el|la|los|que|y)\\b')) AS s_es,
+         len(regexp_extract_all(text, '\\b(le|la|les|et|est)\\b')) AS s_fr,
+         len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+  FROM documents
+"""
+
+_LANG_CASE_SQL = """
+    CASE WHEN s_en = best AND best > 0 THEN 'en'
+         WHEN s_de = best AND best > 0 THEN 'de'
+         WHEN s_es = best AND best > 0 THEN 'es'
+         WHEN s_fr = best AND best > 0 THEN 'fr'
+         WHEN s_zh = best AND best > 0 THEN 'zh'
+         ELSE 'und' END
+"""
+
+_TEXT_SQL = {
+    "text_token_count": """
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) > 0
+                    THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "text_quality": f"""
+        SELECT doc_id,
+               CAST(n_chars_t AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS avg_word_len,
+               CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars_t, 1) AS DOUBLE) AS punct_ratio,
+               CAST(n_stop AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS stopword_ratio,
+               {_QUALITY_EXPR_SQL} AS quality
+        FROM ({_QUALITY_FEATURES_SQL})
+    """,
+    "text_langid": f"""
+        SELECT doc_id, {_LANG_CASE_SQL} AS lang_guess
+        FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best
+              FROM ({_LANG_SCORES_SQL}))
+    """,
+    "text_stats": f"""
+        WITH f AS ({_QUALITY_FEATURES_SQL}),
+             l AS (SELECT doc_id, {_LANG_CASE_SQL} AS lang_guess
+                   FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best
+                         FROM ({_LANG_SCORES_SQL})))
+        SELECT f.doc_id,
+               CAST(CASE WHEN length(tx) > 0
+                    THEN len(string_split_regex(tx, '\\s+')) ELSE 0 END AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS fingerprint,
+               CAST(n_chars_t AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS avg_word_len,
+               CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars_t, 1) AS DOUBLE) AS punct_ratio,
+               CAST(n_stop AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS stopword_ratio,
+               {_QUALITY_EXPR_SQL} AS quality,
+               l.lang_guess AS lang_guess
+        FROM f JOIN l ON f.doc_id = l.doc_id
+    """,
+}
+
+
+def q_dedup_exact(spark, sf_dir):
+    from kafi_spark.functions.dedup import dedup_exact
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d)  # simulate a double-ingested corpus
+    return dedup_exact(doubled, "text", "doc_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from kafi_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.7, max_df=None)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from kafi_spark.functions.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=64, bands=16, threshold=0.7)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from kafi_spark.functions.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=6)
+
+
+_DEDUP_SQL = {
+    "dedup_exact": """
+        SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents)
+        GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": """
+        WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                        range(0, greatest(len(w) - 3, 0) + 1),
+                        x -> array_to_string(w[x+1:x+3], ' ')))) AS shingle
+               FROM ws),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_1, id_2,
+               CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sz na ON na.doc_id = id_1 JOIN sz nb ON nb.doc_id = id_2
+        WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.7
+    """,
+}
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from kafi_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    out = cosine_topk(corpus, queries_df, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+    )
+
+
+def q_ann_cosine_topk_lsh(spark, sf_dir):
+    from kafi_spark.functions.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    out = cosine_topk_lsh(corpus, queries_df, dim=64, k=5, n_planes=10, n_tables=6)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+    )
+
+
+def q_emb_neardup(spark, sf_dir):
+    from kafi_spark.functions.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.4, exact=True)
+    return pairs.select(
+        "id_1", "id_2", F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro")
+    )
+
+
+_SIM_SQL = {
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+             s AS (SELECT query_id, vec_id,
+                          list_dot_product(qe::DOUBLE[], ce::DOUBLE[])
+                            / (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+                               * sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[]))) AS score
+                   FROM q, c)
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+               CAST(ROUND(score * 1000000) AS BIGINT) AS score_micro
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+              FROM s)
+        WHERE rank <= 5
+    """,
+    "emb_neardup": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             s AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS score
+                   FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_1, id_2, CAST(ROUND(score * 1000000) AS BIGINT) AS score_micro
+        FROM s WHERE score >= CAST(0.4 AS DOUBLE)
+    """,
+}
+
+
+def q_multimodal_features(spark, sf_dir):
+    from kafi_spark.functions.multimodal import binary_features
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return binary_features(d, "payload", "doc_id")
+
+
+_MULTIMODAL_SQL = {
+    "multimodal_features": """
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha_hex
+        FROM documents
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -690,6 +962,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
         "wordcount": q_wordcount,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "emb_neardup": q_emb_neardup,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -707,4 +992,12 @@ def oracle_sql() -> dict[str, str]:
     out.update(_ZSET_SQL)
     out.update(_JOIN_SQL)
     out.update(_WINDOW_SQL)
+    out.update(_TEXT_SQL)
+    out.update(_DEDUP_SQL)
+    out.update(_SIM_SQL)
+    out.update(_MULTIMODAL_SQL)
+    # dedup_minhash_lsh / dedup_simhash / ann_cosine_topk_lsh rely on
+    # engine-internal 64-bit hashing (xxhash64) and random hyperplanes —
+    # not expressible in the oracle; the driver records rows-only checks,
+    # and tests/ verify them against the exact operators (recall bounds).
     return out
