@@ -113,22 +113,18 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
     """MinHash signatures: per document, ``num_hashes`` column-wise minima
-    of universal-hashed shingle hashes.
+    of independently-seeded shingle hashes.
 
     One explode + one groupBy; the H hash functions are evaluated as H
     aggregate expressions over the same exploded column (no H× data
-    blowup). h_i(x) = (a_i * x + b_i) mod P computed in DECIMAL(38) to
-    avoid 64-bit overflow, then truncated back to long.
+    blowup). h_i(x) = xxhash64(seed_i, x) — pure int64, stays inside
+    whole-stage codegen (an earlier universal-hash variant in DECIMAL(38)
+    was ~50× slower: decimal mul/mod falls out of codegen).
     """
-    import random
-
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
     sh = shingles(df, text_col, id_col, k)
-    hv = F.abs(F.xxhash64("shingle")).cast("decimal(38,0)")
     mins = [
-        F.min(((hv * a + b) % _P).cast("long")).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(coeffs)
+        F.min(F.xxhash64(F.lit(seed + i), "shingle")).alias(f"mh_{i}")
+        for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*mins)
 

@@ -18,7 +18,10 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -88,13 +91,41 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit i = sign(vec · plane_i), packed into
     a long. Pure Column arithmetic (the planes are literals baked into the
-    plan — fine for ≤64 planes of ≤4k dims)."""
+    plan — fine for a handful of planes; for real plane counts use
+    :func:`lsh_signatures_udf`, the vectorized path)."""
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
         bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig + bit * F.lit(1 << i).cast("long")
     return sig
+
+
+def lsh_signatures_udf(tables: list[list[list[float]]]):
+    """All hash-table signatures in one Arrow-batched pandas UDF.
+
+    One (batch × dim) @ (dim × tables·planes) numpy matmul per Arrow batch,
+    then sign-bit packing — ~3 ops per batch regardless of plane count. The
+    Column-literal variant builds tables·planes·dim expression-tree nodes of
+    interpreted higher-order functions (measured ~20× slower at 60 planes ×
+    64 dims); BLAS does this for free. Returns a UDF: array<float> vec →
+    array<long> of one packed signature per table.
+    """
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    mat = np.asarray(tables, dtype=np.float64).reshape(n_tables * n_planes, -1).T
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack([np.asarray(e, dtype=np.float64) for e in v])
+        bits = (x @ mat) >= 0.0
+        packed = bits.reshape(len(v), n_tables, n_planes) @ weights
+        return pd.Series(list(packed))
+
+    return sigs
 
 
 def cosine_topk_lsh(
@@ -116,12 +147,13 @@ def cosine_topk_lsh(
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
+    sig_udf = lsh_signatures_udf(tables)
+
     def signatures(df: DataFrame, idc: str) -> DataFrame:
-        sigs = F.array(
-            *[lsh_signature(F.col(vec_col), planes) for planes in tables]
-        )
         return df.select(
-            F.col(idc), F.col(vec_col), F.posexplode(sigs).alias("table_id", "sig")
+            F.col(idc),
+            F.col(vec_col),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("table_id", "sig"),
         )
 
     cs = signatures(corpus, id_col)
@@ -162,9 +194,12 @@ def embedding_neardup_pairs(
         if dim is None:
             raise ValueError("dim required for LSH path")
         tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        sig_udf = lsh_signatures_udf(tables)
+
         def sigs(side: DataFrame, idc: str, vc: str) -> DataFrame:
-            arr = F.array(*[lsh_signature(F.col(vc), p) for p in tables])
-            return side.select(idc, vc, F.posexplode(arr).alias("table_id", "sig"))
+            return side.select(
+                idc, vc, F.posexplode(sig_udf(F.col(vc))).alias("table_id", "sig")
+            )
         pairs = (
             sigs(a, "id_1", "__v1")
             .join(sigs(b, "id_2", "__v2"), ["table_id", "sig"])
