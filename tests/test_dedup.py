@@ -1,0 +1,86 @@
+"""Dedup operators on a corpus with planted exact and near duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafi_spark.functions import dedup
+from tests.conftest import rows
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+OTHER = "completely different content about spark query engines and parquet files"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, NEAR),          # near dup of 1 (one word differs)
+        (4, OTHER),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_dedup_exact(docs):
+    out = dedup.dedup_exact(docs, "text", "doc_id")
+    got = {r.doc_id: r.n_copies for r in out.collect()}
+    assert got == {1: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = rows(dedup.shingles(df, "text", "doc_id", k=3), "shingle")
+    assert out == [("a b c",), ("b c d",)]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5)
+    got = {(r.id_1, r.id_2) for r in pairs.collect()}
+    assert (1, 2) in got      # identical -> jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got
+    assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_minhash_identical_signatures(docs):
+    sig = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=16)
+    r = {x["doc_id"]: [x[f"mh_{i}"] for i in range(16)] for x in sig.collect()}
+    assert r[1] == r[2]          # identical docs -> identical signatures
+    assert r[1] != r[4]
+    # near-dup shares most minima
+    shared = sum(a == b for a, b in zip(r[1], r[3]))
+    assert shared >= 10
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.5
+    )
+    got = {(r.id_1, r.id_2): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got
+
+
+def test_simhash_near_dup_small_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert sh[1] == sh[2]
+    ham = bin((sh[1] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16
+    ham_other = bin((sh[1] ^ sh[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_other > ham
+
+
+def test_simhash_pairs(docs):
+    pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=16)
+    got = {(r.id_1, r.id_2) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_keep_representatives(docs, spark):
+    pairs = spark.createDataFrame([(1, 2, 1.0), (1, 3, 0.9)],
+                                  "id_1 long, id_2 long, jaccard double")
+    kept = dedup.keep_representatives(pairs, docs.select("doc_id"), "doc_id")
+    assert rows(kept) == [(1,), (4,), (5,)]

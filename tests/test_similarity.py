@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafi_spark.functions import similarity as sim
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # axis-aligned + diagonal vectors with known cosines
+    data = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 1.0, 0.0, 0.0]),   # cos with 0 = 1/sqrt(2)
+        (3, [2.0, 0.0, 0.0, 0.0]),   # cos with 0 = 1.0
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # cos with 0 = -1.0
+    ]
+    return spark.createDataFrame(data, "vec_id long, embedding array<float>")
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], "a array<float>, b array<float>")
+    r = df.select(
+        sim.dot(F.col("a"), F.col("b")).alias("d"),
+        sim.l2_norm(F.col("a")).alias("n"),
+        sim.cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert r.d == pytest.approx(11.0)
+    assert r.n == pytest.approx(math.sqrt(5))
+    assert r.c == pytest.approx(11.0 / (math.sqrt(5) * 5.0))
+
+
+def test_cosine_topk(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = vectors.filter(F.col("vec_id") != 0)
+    out = sim.cosine_topk(corpus, queries, k=2)
+    got = [(r.vec_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(3, 1), (2, 2)]  # cos: id3=1.0, id2=0.707, id1=0, id4=-1
+
+
+def test_cosine_topk_lsh_recall_on_exact_match(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = vectors.filter(F.col("vec_id") != 0)
+    out = sim.cosine_topk_lsh(corpus, queries, dim=4, k=2, n_planes=4, n_tables=8)
+    got = {r.vec_id for r in out.collect()}
+    # id3 is colinear with the query -> identical signatures in every table
+    assert 3 in got
+
+
+def test_embedding_neardup_exact(vectors):
+    pairs = sim.embedding_neardup_pairs(vectors, threshold=0.99, exact=True)
+    got = {(r.id_1, r.id_2) for r in pairs.collect()}
+    assert got == {(0, 3)}
+
+
+def test_embedding_neardup_lsh(vectors):
+    pairs = sim.embedding_neardup_pairs(
+        vectors, threshold=0.99, exact=False, dim=4, n_planes=4, n_tables=8
+    )
+    got = {(r.id_1, r.id_2) for r in pairs.collect()}
+    assert (0, 3) in got
+
+
+def test_lsh_signatures_udf_deterministic(vectors, spark):
+    tables = [sim._hyperplanes(4, 8, seed=7)]
+    udf = sim.lsh_signatures_udf(tables)
+    a = rows(vectors.select("vec_id", udf(F.col("embedding")).alias("s")))
+    b = rows(vectors.select("vec_id", udf(F.col("embedding")).alias("s")))
+    assert a == b
+    # colinear vectors share signatures; opposite vectors flip every bit
+    sigs = {vid: s[0] for vid, s in a}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[4]

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafi_spark.functions import text
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "der Hund und die Katze ist da"),
+        (3, ""),
+        (4, "12345 67890"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_token_count(docs):
+    out = docs.select("doc_id", text.token_count(F.col("text")).alias("n"))
+    assert rows(out) == [(1, 9), (2, 7), (3, 0), (4, 2)]
+
+
+def test_char_count(docs):
+    out = docs.select("doc_id", text.char_count(F.col("text")).alias("n"))
+    got = dict(rows(out))
+    assert got[1] == len("the quick brown fox jumps over the lazy dog")
+    assert got[3] == 0
+
+
+def test_fingerprint_md5(docs):
+    out = dict(rows(docs.select("doc_id", text.fingerprint_md5(F.col("text")).alias("f"))))
+    expected = hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert out[1] == expected
+
+
+def test_quality_features(docs, spark):
+    f = text.quality_features(F.col("text"))
+    r = {x["doc_id"]: x for x in docs.select(
+        "doc_id", f["n_words"].alias("n_words"), f["stopword_ratio"].alias("sr"),
+        f["digit_ratio"].alias("dr")).collect()}
+    assert r[1]["n_words"] == 9
+    assert r[1]["sr"] == pytest.approx(2 / 9)  # 'the' x2 over 9 words
+    assert r[4]["dr"] == pytest.approx(10 / 11)
+
+
+def test_quality_score_range(docs):
+    out = docs.select(text.quality_score(F.col("text")).alias("q")).collect()
+    for r in out:
+        assert 0.0 <= r.q <= 1.0
+
+
+def test_langid(docs):
+    out = dict(rows(docs.select("doc_id", text.langid(F.col("text")).alias("lang"))))
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_bpe_token_estimate_monotonic(spark):
+    df = spark.createDataFrame([(1, "hi"), (2, "internationalization token")],
+                               "id long, text string")
+    got = dict(rows(df.select("id", text.bpe_token_estimate(F.col("text")).alias("n"))))
+    assert got[2] > got[1] > 0
+
+
+def test_text_stats_shape(docs):
+    out = text.text_stats(docs)
+    assert out.count() == 4
+    assert set(out.columns) == {
+        "doc_id", "n_tokens", "n_chars", "fingerprint", "avg_word_len",
+        "punct_ratio", "stopword_ratio", "quality", "lang_guess",
+    }

@@ -1,0 +1,57 @@
+"""Z-set algebra vs hand-computed weighted-multiset semantics
+(reference behavior: kafi/streams/topologynode.py, pydbsp ZSet)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafi_spark.streams import zset
+from tests.conftest import rows
+
+
+def zs(spark, *pairs):
+    return spark.createDataFrame(list(pairs), "v string, weight long")
+
+
+def test_from_to_records(spark):
+    recs = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    z = zset.from_records(recs)
+    assert rows(z) == [("a", 1), ("a", 1), ("b", 1)]
+    back = zset.to_records(zset.consolidate(z))
+    assert rows(back) == [("a",), ("a",), ("b",)]
+
+
+def test_to_records_drops_retractions(spark):
+    z = zs(spark, ("a", 2), ("b", -1), ("c", 0))
+    assert rows(zset.to_records(z)) == [("a",), ("a",)]
+
+
+def test_neg_and_consolidate(spark):
+    z = zs(spark, ("a", 1), ("a", 1), ("a", -2), ("b", 3))
+    assert rows(zset.consolidate(z)) == [("b", 3)]
+    assert rows(zset.consolidate(zset.neg(z))) == [("b", -3)]
+    assert rows(zset.consolidate(z, keep_zero=True)) == [("a", 0), ("b", 3)]
+
+
+def test_distinct(spark):
+    z = zs(spark, ("a", 5), ("b", 1), ("c", -1), ("d", 1), ("d", -1))
+    assert rows(zset.zset_distinct(z)) == [("a", 1), ("b", 1)]
+
+
+def test_union(spark):
+    a = zs(spark, ("x", 2), ("y", 1))
+    b = zs(spark, ("y", 1), ("z", 1), ("w", -1))
+    assert rows(zset.zset_union(a, b)) == [("x", 1), ("y", 1), ("z", 1)]
+
+
+def test_intersect(spark):
+    a = zs(spark, ("x", 2), ("y", 1), ("z", -1))
+    b = zs(spark, ("y", 3), ("z", 1), ("w", 1))
+    assert rows(zset.zset_intersect(a, b)) == [("y", 1)]
+
+
+def test_minus_set_semantics(spark):
+    # 'a' twice in left, once in right -> must NOT survive (set difference)
+    a = zs(spark, ("a", 2), ("b", 1), ("c", 1))
+    b = zs(spark, ("a", 1), ("c", -1))
+    assert rows(zset.zset_minus(a, b)) == [("b", 1), ("c", 1)]
