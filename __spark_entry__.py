@@ -919,6 +919,57 @@ _MULTIMODAL_SQL = {
 
 
 # ---------------------------------------------------------------------------
+# Scalar-helper & storage-plane queries (explode_normalize, chunking)
+# ---------------------------------------------------------------------------
+
+def q_helper_explode_normalize(spark, sf_dir):
+    """Nested struct+array flattening (kafi/helpers.py:283-303) — build a
+    nested row from documents, flatten, verify against UNNEST."""
+    from kafi_spark.functions.helpers import explode_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    nested = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.struct(F.length("text").cast("long").alias("len")).alias("meta"),
+        F.split(F.trim("text"), r"\s+").alias("words"),
+    )
+    flat = explode_normalize(nested)
+    return flat.select(
+        "doc_id",
+        F.col("`meta.len`").alias("meta_len"),
+        F.col("words").alias("word"),
+    )
+
+
+def q_chunk_roundtrip(spark, sf_dir):
+    """Chunk every document into 128-byte segments and reassemble
+    (kafi/chunker.py:25-63, kafi/dechunker.py:15-75): the md5 multiset of
+    reassembled payloads must equal the md5 multiset of the originals."""
+    from kafi_spark.sources.chunker import chunk, dechunk
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.encode("text", "utf-8").alias("value"),
+    )
+    rt = dechunk(chunk(d, chunk_size=128))
+    return rt.select(F.md5("value").alias("fingerprint"))
+
+
+_HELPER_SQL = {
+    "helper_explode_normalize": r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS meta_len,
+               unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+        WHERE length(trim(text)) > 0
+    """,
+    "chunk_roundtrip": """
+        SELECT md5(text) AS fingerprint FROM documents
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -975,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "emb_neardup": q_emb_neardup,
         "multimodal_features": q_multimodal_features,
+        "helper_explode_normalize": q_helper_explode_normalize,
+        "chunk_roundtrip": q_chunk_roundtrip,
     }
 
 
@@ -996,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_DEDUP_SQL)
     out.update(_SIM_SQL)
     out.update(_MULTIMODAL_SQL)
+    out.update(_HELPER_SQL)
     # dedup_minhash_lsh / dedup_simhash / ann_cosine_topk_lsh rely on
     # engine-internal 64-bit hashing (xxhash64) and random hyperplanes —
     # not expressible in the oracle; the driver records rows-only checks,

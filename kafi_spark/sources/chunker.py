@@ -1,0 +1,72 @@
+"""Oversized-message chunking (reference: kafi/chunker.py:25-63,
+kafi/dechunker.py:15-75).
+
+Values larger than ``chunk_size`` split into N messages linked by headers
+``kafi_chunked_message_id`` / ``kafi_number_of_chunks`` /
+``kafi_chunk_number`` and a ``_NNNNNN`` key suffix (kafi/helpers.py:356-376).
+Here the link columns are first-class; converting them to Kafka headers is a
+projection. Both directions are single JVM-side plans: chunk = sequence +
+explode + substring; dechunk = groupBy + sort + concat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def chunk(df: DataFrame, value_col: str = "value", id_col: str = "key",
+          chunk_size: int = 1000) -> DataFrame:
+    """Split oversized binary values into numbered chunks.
+
+    Output: (chunk_key, chunked_message_id, chunk_number, number_of_chunks,
+    value). Single-chunk messages pass through with n_chunks=1 (the
+    reference only chunks when needed, kafi/chunker.py:29-34).
+    """
+    size = F.octet_length(F.col(value_col))
+    n_chunks = F.greatest(F.ceil(size / chunk_size), F.lit(1)).cast("int")
+    msg_id = F.md5(F.concat(F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                            F.md5(F.col(value_col).cast("string"))))
+    return (
+        df.withColumn("__n", n_chunks)
+        .withColumn("chunked_message_id", msg_id)
+        .withColumn("chunk_number", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .select(
+            # key suffix _NNNNNN (kafi/helpers.py:356-376)
+            F.concat(
+                F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                F.lit("_"),
+                F.lpad(F.col("chunk_number").cast("string"), 6, "0"),
+            ).alias("chunk_key"),
+            "chunked_message_id",
+            "chunk_number",
+            F.col("__n").alias("number_of_chunks"),
+            F.substring(
+                F.col(value_col), F.col("chunk_number") * chunk_size + 1, chunk_size
+            ).alias(value_col),
+        )
+    )
+
+
+def dechunk(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Reassemble chunked messages (kafi/dechunker.py:15-75): group by
+    message id, order chunks, concatenate; incomplete groups are dropped
+    (the reference buffers until all chunks arrive)."""
+    return (
+        df.groupBy("chunked_message_id")
+        .agg(
+            F.max("number_of_chunks").alias("__expect"),
+            F.count(F.lit(1)).alias("__got"),
+            F.array_sort(
+                F.collect_list(F.struct("chunk_number", F.col(value_col).alias("v")))
+            ).alias("__parts"),
+        )
+        .filter(F.col("__got") == F.col("__expect"))
+        .select(
+            "chunked_message_id",
+            F.aggregate(
+                "__parts",
+                F.lit(b""),
+                lambda acc, p: F.concat(acc, p["v"]),
+            ).alias(value_col),
+        )
+    )

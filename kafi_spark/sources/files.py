@@ -1,0 +1,82 @@
+"""File interchange: topic/table <-> csv/json/parquet/xlsx/xml.
+
+Reference: ``kafi/files.py`` (topic_to_file 15-56, file_to_topic 58-85)
+routes through pandas for every format. Spark-first: csv/json/parquet are
+native distributed readers/writers; xlsx/xml fall back to pandas at the
+driver (they are driver-side in the reference too) gated behind import-try.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SPARK_FORMATS = {"csv", "json", "parquet"}
+
+
+def _fmt_of(path: str, fmt: str | None) -> str:
+    return fmt or os.path.splitext(path)[1].lstrip(".").lower()
+
+
+def table_to_file(df: DataFrame, path: str, fmt: str | None = None, header: bool = True) -> None:
+    """Export (kafi/files.py:15-56). Distributed for csv/json/parquet —
+    writes a directory of part files (the scalable contract); xlsx/xml
+    collect to the driver via pandas (small-result paths)."""
+    fmt = _fmt_of(path, fmt)
+    if fmt in _SPARK_FORMATS:
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", str(header).lower()).csv(path)
+        elif fmt == "json":
+            w.json(path)
+        else:
+            w.parquet(path)
+        return
+    if fmt in ("xlsx", "xml"):
+        pdf = df.toPandas()
+        try:
+            if fmt == "xlsx":
+                pdf.to_excel(path, index=False)
+            else:
+                pdf.to_xml(path, index=False)
+        except ImportError as e:  # openpyxl / lxml not in this container
+            raise NotImplementedError(f"{fmt} export needs an optional library: {e}") from e
+        return
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def file_to_table(spark: SparkSession, path: str, fmt: str | None = None,
+                  schema=None, header: bool = True) -> DataFrame:
+    """Import (kafi/files.py:58-85)."""
+    fmt = _fmt_of(path, fmt)
+    if fmt == "csv":
+        r = spark.read.option("header", str(header).lower())
+        return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(path)
+    if fmt == "json":
+        r = spark.read
+        return (r.schema(schema) if schema else r).json(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt in ("xlsx", "xml"):
+        import pandas as pd
+
+        try:
+            pdf = pd.read_excel(path) if fmt == "xlsx" else pd.read_xml(path)
+        except ImportError as e:
+            raise NotImplementedError(f"{fmt} import needs an optional library: {e}") from e
+        return spark.createDataFrame(pdf)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+# -- pandas bridge (kafi/pandas.py:13-46) -----------------------------------
+
+def table_to_pandas(df: DataFrame, n: int | None = None):
+    """topic -> pd.DataFrame (kafi/pandas.py:13-28). Arrow-accelerated
+    ``toPandas``; ``n`` caps the driver transfer."""
+    return (df.limit(n) if n is not None else df).toPandas()
+
+
+def pandas_to_table(spark: SparkSession, pdf) -> DataFrame:
+    """pd.DataFrame -> topic-able DataFrame (kafi/pandas.py:30-46)."""
+    return spark.createDataFrame(pdf)

@@ -1,0 +1,352 @@
+"""Filesystem topics: Kafka emulated as partitioned parquet tables.
+
+The reference emulates Kafka on any filesystem with a directory layout —
+``root/topics/<topic>/metadata`` + per-partition segment files whose names
+carry offset/timestamp min-max for pruning, and ``root/groups/<group>``
+consumer-group state (kafi/fs/fs_admin.py:66-67, 206-261, 380-415; SURVEY
+§1.3). The Spark-native rendering:
+
+* topic data  = ``root/topics/<topic>/data`` parquet, directory-partitioned
+  by ``partition`` (partition pruning) — offset/timestamp min-max pruning
+  comes from parquet footers instead of filenames;
+* topic meta  = ``root/topics/<topic>/metadata.json`` (partitions, config);
+* group state = ``root/groups/<group>.json`` (committed offsets per
+  topic-partition, kafi/fs/fs_admin.py:380-415).
+
+Offset assignment happens at write time, per partition, exactly like a
+broker: new offset = high watermark + row_number within the appended batch
+(one shuffle on ``partition`` — the same shuffle the write layout needs
+anyway). Works on any Hadoop-FS URI (file://, s3a://, abfss://), which is
+how the reference's S3/Azure backends (kafi/fs/s3/s3_admin.py,
+kafi/fs/azureblob/azureblob_admin.py) collapse into path schemes.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from kafi_spark.sources.schema import MESSAGE_SCHEMA
+
+
+class FSTopicStorage:
+    """A topic store rooted at a directory (local path or Hadoop-FS URI).
+
+    Mirrors the reference's admin surface (kafi/storage.py:222-292): topics
+    list/create/delete/exists/partitions/watermarks, consumer groups with
+    committed offsets and lags, plus produce/consume. ``ls``-style aliases
+    included for shell parity (kafi/storage.py:225-289).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        os.makedirs(os.path.join(self.root, "topics"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "groups"), exist_ok=True)
+
+    # -- paths --------------------------------------------------------------
+
+    def _topic_dir(self, topic: str) -> str:
+        return os.path.join(self.root, "topics", topic)
+
+    def _data_dir(self, topic: str) -> str:
+        return os.path.join(self._topic_dir(topic), "data")
+
+    def _meta_path(self, topic: str) -> str:
+        return os.path.join(self._topic_dir(topic), "metadata.json")
+
+    def _group_path(self, group: str) -> str:
+        return os.path.join(self.root, "groups", f"{group}.json")
+
+    # -- topic admin (kafi/fs/fs_admin.py:16-183) ---------------------------
+
+    def create(self, topic: str, partitions: int = 1, config: dict | None = None) -> None:
+        if self.exists(topic):
+            raise ValueError(f"topic exists: {topic}")
+        os.makedirs(self._data_dir(topic), exist_ok=True)
+        with open(self._meta_path(topic), "w") as f:
+            json.dump({"topic": topic, "partitions": partitions, "config": config or {}}, f)
+
+    touch = create  # shell alias (kafi/storage.py:262)
+
+    def delete(self, topic: str) -> None:
+        import shutil
+
+        if self.exists(topic):
+            shutil.rmtree(self._topic_dir(topic))
+
+    rm = delete  # shell alias (kafi/storage.py:266)
+
+    def exists(self, topic: str) -> bool:
+        return os.path.exists(self._meta_path(topic))
+
+    def metadata(self, topic: str) -> dict:
+        with open(self._meta_path(topic)) as f:
+            return json.load(f)
+
+    def partitions(self, topic: str) -> int:
+        return self.metadata(topic)["partitions"]
+
+    def topics(self, pattern: str = "*", size: bool = False):
+        """List topics by glob (kafi/helpers.py:270-280 fnmatch semantics);
+        with ``size=True``, message counts from watermarks
+        (kafi/storage_admin.py:11-54)."""
+        base = os.path.join(self.root, "topics")
+        names = sorted(
+            t for t in os.listdir(base)
+            if fnmatch.fnmatch(t, pattern) and os.path.exists(self._meta_path(t))
+        )
+        if not size:
+            return names
+        out = {}
+        for t in names:
+            wm = self.watermarks(t)
+            out[t] = sum(hi - lo for lo, hi in wm.values())
+        return out
+
+    ls = topics  # shell alias (kafi/storage.py:225-238)
+
+    def recreate(self, topic: str) -> None:
+        """Delete + create preserving partitions/config (kafi/addons.py:69-108)."""
+        meta = self.metadata(topic)
+        self.delete(topic)
+        self.create(topic, meta["partitions"], meta.get("config"))
+
+    def watermarks(self, topic: str) -> dict[int, tuple[int, int]]:
+        """Per-partition (low, high) offsets; high = next offset to assign,
+        Kafka convention (kafi/fs/fs_admin.py:206-261). One metadata-cheap
+        aggregate over the parquet footer min/max."""
+        n = self.partitions(topic)
+        wm = {p: (0, 0) for p in range(n)}
+        df = self._read_raw(topic)
+        if df is None:
+            return wm
+        for r in df.groupBy("partition").agg(
+            F.min("offset").alias("lo"), F.max("offset").alias("hi")
+        ).collect():
+            wm[r["partition"]] = (r["lo"], r["hi"] + 1)
+        return wm
+
+    # -- consumer groups (kafi/fs/fs_admin.py:380-415) ----------------------
+
+    def groups(self):
+        return sorted(
+            g[:-5] for g in os.listdir(os.path.join(self.root, "groups"))
+            if g.endswith(".json")
+        )
+
+    gls = groups
+
+    def group_offsets(self, group: str) -> dict:
+        path = self._group_path(group)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)["offsets"]
+
+    def commit(self, group: str, topic: str, offsets: dict[int, int]) -> None:
+        path = self._group_path(group)
+        state = {"offsets": {}, "last_update": time.time()}
+        if os.path.exists(path):
+            with open(path) as f:
+                state = json.load(f)
+        state.setdefault("offsets", {}).setdefault(topic, {}).update(
+            {str(p): o for p, o in offsets.items()}
+        )
+        state["last_update"] = time.time()
+        with open(path, "w") as f:
+            json.dump(state, f)
+
+    def delete_group(self, group: str) -> None:
+        path = self._group_path(group)
+        if os.path.exists(path):
+            os.remove(path)
+
+    grm = delete_group
+
+    def lags(self, group: str) -> dict[str, dict[int, int]]:
+        """Consumer lag = high watermark − committed, per topic/partition
+        (kafi/storage.py:245-255)."""
+        out: dict[str, dict[int, int]] = {}
+        for topic, offs in self.group_offsets(group).items():
+            wm = self.watermarks(topic)
+            out[topic] = {
+                int(p): wm[int(p)][1] - committed for p, committed in offs.items()
+            }
+        return out
+
+    def cp_group_offsets(self, group: str, target: "FSTopicStorage", target_group: str | None = None) -> None:
+        """Clone committed offsets to another storage (kafi/addons.py:112-129)."""
+        for topic, offs in self.group_offsets(group).items():
+            target.commit(target_group or group, topic, {int(p): o for p, o in offs.items()})
+
+    # -- produce (kafi/fs/fs_producer.py:26-70) -----------------------------
+
+    def produce(
+        self,
+        topic: str,
+        df: DataFrame,
+        keep_partitions: bool = False,
+        keep_timestamps: bool = False,
+    ) -> None:
+        """Append messages; assign partition and offset broker-style.
+
+        Input columns: ``value`` (binary) required; ``key``, ``headers``,
+        ``timestamp``, ``partition`` optional. Partitioning follows the
+        reference's default partitioner — hash(key) % n for keyed rows,
+        round-robin-ish spread for null keys (kafi/helpers.py:338-352) —
+        unless ``keep_partitions`` (kafi/storage_producer.py:18-22).
+
+        Offsets: per partition, high-watermark + row_number over the batch —
+        one shuffle on ``partition`` (which the partitioned write needs
+        anyway). Timestamps default to the write time (timestampType=1,
+        kafi/fs/fs_producer.py:36-37).
+        """
+        n = self.partitions(topic)
+        cols = df.columns
+        out = df
+        if "key" not in cols:
+            out = out.withColumn("key", F.lit(None).cast("binary"))
+        if "headers" not in cols:
+            out = out.withColumn("headers", F.lit(None).cast(MESSAGE_SCHEMA["headers"].dataType))
+        if not (keep_partitions and "partition" in cols):
+            # hash-partition keyed rows; spread null keys uniformly
+            out = out.withColumn(
+                "partition",
+                F.when(
+                    F.col("key").isNotNull(), F.pmod(F.xxhash64("key"), F.lit(n))
+                )
+                .otherwise(F.pmod(F.abs(F.monotonically_increasing_id()), F.lit(n)))
+                .cast("int"),
+            )
+        if not (keep_timestamps and "timestamp" in cols):
+            out = out.withColumn("timestamp", F.current_timestamp())
+        out = out.withColumn("timestampType", F.lit(1))
+        wm = self.watermarks(topic)
+        hwm = F.create_map(
+            *[x for p in range(n) for x in (F.lit(p), F.lit(wm[p][1]))]
+        )
+        w = W.partitionBy("partition").orderBy(F.monotonically_increasing_id())
+        out = (
+            out.withColumn("offset", hwm[F.col("partition")] + F.row_number().over(w) - 1)
+            .withColumn("topic", F.lit(topic))
+            .select([f.name for f in MESSAGE_SCHEMA.fields])
+        )
+        out.write.mode("append").partitionBy("partition").parquet(self._data_dir(topic))
+
+    # -- consume (kafi/fs/fs_consumer.py:39-144) ----------------------------
+
+    def _read_raw(self, topic: str) -> DataFrame | None:
+        d = self._data_dir(topic)
+        try:
+            df = self.spark.read.schema(MESSAGE_SCHEMA).parquet(d)
+            return df.withColumn("topic", F.coalesce("topic", F.lit(topic)))
+        except Exception:  # noqa: BLE001 — empty topic: no parquet yet
+            return None
+
+    def consume(
+        self,
+        topic: str,
+        group: str | None = None,
+        offsets: dict[int, int] | None = None,
+        end_offsets: dict[int, int] | None = None,
+        ts_start=None,
+        ts_end=None,
+        partitions: list[int] | None = None,
+        last_n: int | None = None,
+        commit: bool = False,
+    ) -> DataFrame:
+        """Bounded scan with the reference consumer's knobs
+        (kafi/storage_consumer.py:16-66: start/end offsets, start/end ts,
+        partition filter, group resume, last_n).
+
+        Every bound is a Column predicate, so partition pruning (directory)
+        and offset/ts pruning (parquet min/max) happen at the scan.
+        Negative start offsets count from the high watermark
+        (kafi/storage_consumer.py:199-208). ``commit=True`` advances the
+        group to the end of what this call returned (the reference commits
+        after processing, kafi/storage_consumer.py:156-157).
+        """
+        df = self._read_raw(topic)
+        if df is None:
+            return self.spark.createDataFrame([], MESSAGE_SCHEMA)
+        if partitions is not None:
+            df = df.filter(F.col("partition").isin(partitions))
+        start = dict(offsets or {})
+        if group is not None and not start:
+            committed = self.group_offsets(group).get(topic, {})
+            start = {int(p): o for p, o in committed.items()}
+        if start:
+            wm = self.watermarks(topic)
+            resolved = {
+                p: (o if o >= 0 else max(wm[p][1] + o, wm[p][0])) for p, o in start.items()
+            }
+            cond = None
+            for p, o in resolved.items():
+                this = (F.col("partition") == p) & (F.col("offset") >= o)
+                cond = this if cond is None else (cond | this)
+            other = ~F.col("partition").isin(list(resolved))
+            df = df.filter(cond | other)
+        if end_offsets:
+            cond = None
+            for p, o in end_offsets.items():
+                this = (F.col("partition") == p) & (F.col("offset") <= o)
+                cond = this if cond is None else (cond | this)
+            other = ~F.col("partition").isin(list(end_offsets))
+            df = df.filter(cond | other)
+        if ts_start is not None:
+            df = df.filter(F.col("timestamp") >= ts_start)
+        if ts_end is not None:
+            df = df.filter(F.col("timestamp") < ts_end)
+        if last_n is not None:
+            w = W.partitionBy("partition").orderBy(F.col("offset").desc())
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= last_n)
+                .drop("__rn")
+            )
+        if commit and group is not None:
+            ends = {
+                r["partition"]: r["hi"] + 1
+                for r in df.groupBy("partition").agg(F.max("offset").alias("hi")).collect()
+            }
+            if ends:
+                self.commit(group, topic, ends)
+        return df
+
+    # -- pipes (kafi/shell.py:38-42 cp; kafi/addons.py:57-65 repeat) --------
+
+    def cp(
+        self,
+        topic: str,
+        target: "FSTopicStorage",
+        target_topic: str,
+        transform=None,
+        keep_partitions: bool = False,
+        keep_timestamps: bool = False,
+        **consume_kwargs,
+    ) -> None:
+        """Cross-storage topic copy with optional transform
+        (kafi/shell.py:38-42 → kafi/functional.py:71-126 foldl_to). One
+        read → transform → write; no driver materialization."""
+        df = self.consume(topic, **consume_kwargs)
+        if transform is not None:
+            df = transform(df)
+        if not target.exists(target_topic):
+            target.create(target_topic, self.partitions(topic))
+        target.produce(
+            target_topic,
+            df.drop("topic", "offset", "timestampType"),
+            keep_partitions=keep_partitions,
+            keep_timestamps=keep_timestamps,
+        )
+
+    def repeat(self, topic: str, n: int) -> None:
+        """Re-produce the last n messages to the same topic
+        (kafi/addons.py:57-65)."""
+        last = self.consume(topic, last_n=n).drop("topic", "offset", "timestampType")
+        self.produce(topic, last, keep_partitions=True, keep_timestamps=True)

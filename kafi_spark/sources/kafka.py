@@ -1,0 +1,88 @@
+"""Kafka source/sink wrappers — the reference's consumer/producer knobs
+mapped onto Spark's built-in Kafka connector.
+
+Reference: batched pull with start/end offsets, start/end timestamps,
+partition filter, consumer group (kafi/storage_consumer.py:16-66); batched
+produce (kafi/storage_producer.py:42-90). Spark's connector implements all
+of it as data-source options; these helpers translate the reference's
+calling convention. Untestable in this environment (no broker) — the logic
+is option construction only.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _offsets_json(topic: str, offsets: dict[int, int] | None, default: str) -> str:
+    if offsets is None:
+        return default
+    return json.dumps({topic: {str(p): o for p, o in offsets.items()}})
+
+
+def read_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    offsets: dict[int, int] | None = None,
+    end_offsets: dict[int, int] | None = None,
+    ts_start_ms: int | None = None,
+    ts_end_ms: int | None = None,
+    streaming: bool = False,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Batch or streaming Kafka scan with the reference's bounds.
+
+    Negative offsets follow Kafka semantics via startingOffsets=earliest
+    resolution; timestamp bounds use startingTimestamp/endingTimestamp
+    (per-partition maps also supported by the connector).
+    """
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    reader = reader.option("kafka.bootstrap.servers", bootstrap_servers)
+    reader = reader.option("subscribe", topic)
+    if ts_start_ms is not None:
+        reader = reader.option("startingTimestamp", str(ts_start_ms))
+    else:
+        reader = reader.option(
+            "startingOffsets", _offsets_json(topic, offsets, "earliest")
+        )
+    if not streaming:
+        if ts_end_ms is not None:
+            reader = reader.option("endingTimestamp", str(ts_end_ms))
+        else:
+            reader = reader.option(
+                "endingOffsets", _offsets_json(topic, end_offsets, "latest")
+            )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    options: dict[str, str] | None = None,
+    checkpoint: str | None = None,
+):
+    """Batch or streaming Kafka sink. ``df`` needs ``value`` (binary/str),
+    optional ``key``/``headers``/``partition`` — the connector's contract,
+    which matches MESSAGE_SCHEMA."""
+    if df.isStreaming:
+        w = df.writeStream.format("kafka").option(
+            "kafka.bootstrap.servers", bootstrap_servers
+        ).option("topic", topic)
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
+        return w.start()
+    w = df.write.format("kafka").option(
+        "kafka.bootstrap.servers", bootstrap_servers
+    ).option("topic", topic)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save()
+    return None

@@ -1,0 +1,200 @@
+"""FS topic storage: produce/consume/admin/groups/cp round-trips
+(reference behavior: kafi/fs/*, test/test_single_storage_base.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafi_spark.sources import FSTopicStorage
+from kafi_spark.sources.chunker import chunk, dechunk
+from kafi_spark.sources.files import (
+    file_to_table,
+    pandas_to_table,
+    table_to_file,
+    table_to_pandas,
+)
+from kafi_spark.sources.schema import decode_col, encode_col
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def storage(spark, tmp_path):
+    return FSTopicStorage(spark, str(tmp_path / "store"))
+
+
+def msgs(spark, *kv):
+    data = [(k.encode() if k else None, v.encode()) for k, v in kv]
+    return spark.createDataFrame(data, "key binary, value binary")
+
+
+def test_create_exists_delete(storage):
+    storage.create("t1", partitions=3)
+    assert storage.exists("t1")
+    assert storage.partitions("t1") == 3
+    assert storage.topics() == ["t1"]
+    storage.delete("t1")
+    assert not storage.exists("t1")
+
+
+def test_topics_glob_and_size(storage, spark):
+    storage.create("snacks", partitions=1)
+    storage.create("other", partitions=1)
+    storage.produce("snacks", msgs(spark, ("a", "v1"), ("b", "v2")))
+    assert storage.topics("sn*") == ["snacks"]
+    assert storage.topics(size=True) == {"snacks": 2, "other": 0}
+
+
+def test_produce_consume_roundtrip(storage, spark):
+    storage.create("t", partitions=2)
+    storage.produce("t", msgs(spark, ("k1", "v1"), ("k2", "v2"), (None, "v3")))
+    out = storage.consume("t")
+    assert out.count() == 3
+    got = sorted(bytes(r.value).decode() for r in out.collect())
+    assert got == ["v1", "v2", "v3"]
+    # offsets contiguous from 0 within each partition
+    for p, grp in [(r.partition, r.offsets) for r in out.groupBy("partition")
+                   .agg(F.sort_array(F.collect_list("offset")).alias("offsets")).collect()]:
+        assert grp == list(range(len(grp)))
+
+
+def test_same_key_same_partition(storage, spark):
+    storage.create("t", partitions=4)
+    storage.produce("t", msgs(spark, ("x", "v1")))
+    storage.produce("t", msgs(spark, ("x", "v2")))
+    parts = {r.partition for r in storage.consume("t").collect()}
+    assert len(parts) == 1
+
+
+def test_offsets_continue_across_batches(storage, spark):
+    storage.create("t", partitions=1)
+    storage.produce("t", msgs(spark, ("a", "v1"), ("a", "v2")))
+    storage.produce("t", msgs(spark, ("a", "v3")))
+    offs = sorted(r.offset for r in storage.consume("t").collect())
+    assert offs == [0, 1, 2]
+    assert storage.watermarks("t") == {0: (0, 3)}
+
+
+def test_consume_offset_bounds(storage, spark):
+    storage.create("t", partitions=1)
+    storage.produce("t", msgs(spark, *[("k", f"v{i}") for i in range(10)]))
+    got = storage.consume("t", offsets={0: 4}, end_offsets={0: 6})
+    assert sorted(r.offset for r in got.collect()) == [4, 5, 6]
+    # negative start offset: last 2
+    got = storage.consume("t", offsets={0: -2})
+    assert sorted(r.offset for r in got.collect()) == [8, 9]
+
+
+def test_consume_last_n(storage, spark):
+    storage.create("t", partitions=2)
+    storage.produce("t", msgs(spark, *[(f"k{i % 2}", f"v{i}") for i in range(8)]))
+    got = storage.consume("t", last_n=1)
+    assert got.count() == 2  # one per partition
+
+
+def test_group_commit_resume_and_lag(storage, spark):
+    storage.create("t", partitions=1)
+    storage.produce("t", msgs(spark, ("k", "v0"), ("k", "v1"), ("k", "v2")))
+    first = storage.consume("t", group="g1", end_offsets={0: 1}, commit=True)
+    assert first.count() == 2
+    assert storage.group_offsets("g1") == {"t": {"0": 2}}
+    assert storage.lags("g1") == {"t": {0: 1}}
+    rest = storage.consume("t", group="g1")
+    assert sorted(r.offset for r in rest.collect()) == [2]
+    assert "g1" in storage.groups()
+
+
+def test_cp_with_transform(storage, spark, tmp_path):
+    target = FSTopicStorage(spark, str(tmp_path / "store2"))
+    storage.create("src", partitions=1)
+    storage.produce("src", msgs(spark, ("a", "hello"), ("b", "world")))
+    storage.cp(
+        "src", target, "dst",
+        transform=lambda df: df.withColumn(
+            "value", F.encode(F.upper(F.col("value").cast("string")), "utf-8")),
+    )
+    got = sorted(bytes(r.value).decode() for r in target.consume("dst").collect())
+    assert got == ["HELLO", "WORLD"]
+
+
+def test_repeat(storage, spark):
+    storage.create("t", partitions=1)
+    storage.produce("t", msgs(spark, ("k", "v1"), ("k", "v2")))
+    storage.repeat("t", 1)
+    assert storage.consume("t").count() == 3
+    assert storage.watermarks("t")[0] == (0, 3)
+
+
+def test_recreate_preserves_partitions(storage, spark):
+    storage.create("t", partitions=5)
+    storage.produce("t", msgs(spark, ("k", "v")))
+    storage.recreate("t")
+    assert storage.partitions("t") == 5
+    assert storage.consume("t").count() == 0
+
+
+def test_cp_group_offsets(storage, spark, tmp_path):
+    target = FSTopicStorage(spark, str(tmp_path / "s2"))
+    storage.create("t", partitions=1)
+    storage.produce("t", msgs(spark, ("k", "v")))
+    storage.consume("t", group="g", commit=True)
+    storage.cp_group_offsets("g", target)
+    assert target.group_offsets("g") == {"t": {"0": 1}}
+
+
+# -- serde -------------------------------------------------------------------
+
+def test_encode_decode_json(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    bin_df = df.select(encode_col(F.struct("id", "name"), "json").alias("value"))
+    back = bin_df.select(
+        decode_col(F.col("value"), "json", "id long, name string").alias("v")
+    ).select("v.*")
+    assert rows(back) == [(1, "a")]
+
+
+def test_decode_str_bytes(spark):
+    df = spark.createDataFrame([(b"abc",)], "value binary")
+    assert rows(df.select(decode_col(F.col("value"), "str").alias("s"))) == [("abc",)]
+    assert rows(df.select(decode_col(F.col("value"), "bytes").alias("b"))) == [(bytearray(b"abc"),)]
+
+
+# -- files -------------------------------------------------------------------
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+def test_file_roundtrip(spark, tmp_path, fmt):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    path = str(tmp_path / f"out_{fmt}")
+    table_to_file(df, path, fmt=fmt)
+    back = file_to_table(spark, path, fmt=fmt, schema="id long, name string")
+    assert rows(back) == [(1, "a"), (2, "b")]
+
+
+def test_pandas_bridge(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    pdf = table_to_pandas(df)
+    assert list(pdf.columns) == ["id", "name"]
+    back = pandas_to_table(spark, pdf)
+    assert rows(back) == [(1, "a")]
+
+
+# -- chunker -----------------------------------------------------------------
+
+def test_chunk_dechunk_roundtrip(spark):
+    payload = bytes(range(256)) * 10  # 2560 bytes -> 3 chunks of 1000
+    df = spark.createDataFrame([("k1", payload), ("k2", b"small")],
+                               "key string, value binary")
+    chunked = chunk(df, chunk_size=1000)
+    per_msg = {r.chunked_message_id: r.number_of_chunks for r in chunked.collect()}
+    assert sorted(per_msg.values()) == [1, 3]
+    back = dechunk(chunked)
+    got = sorted(bytes(r.value) for r in back.collect())
+    assert got == sorted([payload, b"small"])
+
+
+def test_dechunk_drops_incomplete(spark):
+    df = spark.createDataFrame(
+        [("m1", 0, 2, b"half")],
+        "chunked_message_id string, chunk_number int, number_of_chunks int, value binary",
+    )
+    assert dechunk(df).count() == 0
