@@ -919,6 +919,78 @@ _MULTIMODAL_SQL = {
 
 
 # ---------------------------------------------------------------------------
+# Topology-builder queries (the Streams DSL compiled to DataFrame plans)
+# ---------------------------------------------------------------------------
+
+def q_topology_wordcount(spark, sf_dir):
+    """Reference wordcount topology (test/streams/wc/topologies.py:5-26:
+    flatmap → distinct → group_by_count) through the fluent builder."""
+    from kafi_spark.streaming import Topology
+
+    t = Topology()
+    (
+        t.source("docs")
+        .flatmap(F.split(F.col("text"), " "), "word", keep=["doc_id"])
+        .distinct()
+        .group_by_count(["word"], alias="n")
+        .sink("counts")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = t.build_batch({"docs": docs})["counts"]
+    return out.select("word", F.col("n").cast("long").alias("n"))
+
+
+def q_topology_join_agg(spark, sf_dir):
+    """orders ⋈ customer → revenue per nation via the builder (shoe-shop
+    revenue topology shape, test/streams/datagen/topologies.py:183-199)."""
+    from kafi_spark.streaming import Topology
+    from kafi_spark.streaming.topology import wcount, wsum
+
+    t = Topology()
+    orders = t.source("orders")
+    custs = t.source("customer")
+    (
+        orders.join_equi(custs, ["o_custkey"], ["c_nationkey", "o_totalprice"])
+        .group_by_agg(
+            ["c_nationkey"],
+            _dsum(F.col("o_totalprice") * F.col("weight"), 2, "revenue"),
+            wcount().alias("n_orders"),
+        )
+        .sink("by_nation")
+    )
+    out = t.build_batch({
+        "orders": _t(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("o_custkey"), "o_totalprice"),
+        "customer": _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+    })["by_nation"]
+    return out.select(
+        "c_nationkey",
+        "revenue",
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+_TOPOLOGY_SQL = {
+    "topology_wordcount": """
+        SELECT word, COUNT(*) AS n FROM (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+          )
+        ) GROUP BY word
+    """,
+    "topology_join_agg": f"""
+        SELECT c_nationkey,
+               {_dsum_sql("o_totalprice")} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
 # Scalar-helper & storage-plane queries (explode_normalize, chunking)
 # ---------------------------------------------------------------------------
 
@@ -1028,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "helper_explode_normalize": q_helper_explode_normalize,
         "chunk_roundtrip": q_chunk_roundtrip,
+        "topology_wordcount": q_topology_wordcount,
+        "topology_join_agg": q_topology_join_agg,
     }
 
 
@@ -1050,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_SIM_SQL)
     out.update(_MULTIMODAL_SQL)
     out.update(_HELPER_SQL)
+    out.update(_TOPOLOGY_SQL)
     # dedup_minhash_lsh / dedup_simhash / ann_cosine_topk_lsh rely on
     # engine-internal 64-bit hashing (xxhash64) and random hyperplanes —
     # not expressible in the oracle; the driver records rows-only checks,

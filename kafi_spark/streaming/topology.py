@@ -1,0 +1,300 @@
+"""Fluent topology builder (reference: kafi/streams/topologynode.py).
+
+A ``Topology`` holds named sources and sinks; ``TNode`` is the fluent
+vertex. Where the reference's ``_build_fun`` wires pydbsp circuit nodes at
+build time (topologynode.py:37-57, 1035-1051), here each node's build
+function composes a *DataFrame plan* from its parents' plans — the DAG is
+the IR, Catalyst is the optimizer, and the same topology runs:
+
+* ``build_batch(sources)`` — one-shot over batch DataFrames (weights
+  consolidate at the sinks);
+* through :class:`kafi_spark.streaming.incremental.IncrementalRunner` —
+  the reference's push/step/latest delta loop;
+* through :mod:`kafi_spark.streaming.runner` — Structured Streaming for
+  the natively-supported subset.
+
+All data flows as Z-sets: DataFrames with a ``weight BIGINT`` column
+(SURVEY §1.4). Stateless ops thread the weight; joins multiply it
+(bilinearity); aggregates weight their inputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kafi_spark.streams.zset import (
+    WEIGHT,
+    consolidate,
+    from_records,
+    zset_distinct,
+    zset_intersect,
+    zset_minus,
+    zset_union,
+)
+
+
+class Topology:
+    """Builder container: tracks sources and sinks by name
+    (kafi/streams/streams.py:33-51)."""
+
+    def __init__(self):
+        self.source_names: list[str] = []
+        self.sinks: dict[str, TNode] = {}
+
+    def source(self, name: str) -> "TNode":
+        """Declare a named source (streams.py:33-42, topologynode.py:977-989)."""
+        self.source_names.append(name)
+        return TNode(self, lambda env: from_records(env[name]))
+
+    def build_batch(self, sources: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        """Evaluate every sink over batch inputs; outputs are consolidated
+        Z-sets (record columns + weight)."""
+        return {name: consolidate(node._plan(sources)) for name, node in self.sinks.items()}
+
+
+class TNode:
+    """Fluent vertex. ``_build`` maps {source_name: zset DataFrame} to this
+    node's zset DataFrame; parents recorded for DAG walks
+    (topologynode.py:37-57 _daughter_tn_set)."""
+
+    def __init__(self, topology: Topology, build: Callable[[dict], DataFrame],
+                 parents: Sequence["TNode"] = ()):
+        self.topology = topology
+        self._build = build
+        self.parents = list(parents)
+
+    def _plan(self, env: dict[str, DataFrame]) -> DataFrame:
+        return self._build(env)
+
+    def _derive(self, f: Callable[[DataFrame], DataFrame]) -> "TNode":
+        return TNode(self.topology, lambda env: f(self._build(env)), [self])
+
+    def _derive2(self, other: "TNode", f: Callable[[DataFrame, DataFrame], DataFrame]) -> "TNode":
+        return TNode(
+            self.topology,
+            lambda env: f(self._build(env), other._build(env)),
+            [self, other],
+        )
+
+    # -- stateless (topologynode.py:120-274) --------------------------------
+
+    def map(self, *cols: Column | str) -> "TNode":
+        """Projection; weight threads through (topologynode.py:146-155)."""
+        return self._derive(lambda df: df.select(*cols, F.col(WEIGHT)))
+
+    def map_py(self, f: Callable[[dict], dict], schema: str) -> "TNode":
+        """Arbitrary Python record transform (map_fun parity) — the weight
+        rides along outside the lambda."""
+        from kafi_spark.functional import fmap_py
+
+        def op(df: DataFrame) -> DataFrame:
+            recs = [c for c in df.columns if c != WEIGHT]
+            wrapped = lambda r: {**f({k: r[k] for k in recs}), WEIGHT: r[WEIGHT]}  # noqa: E731
+            return fmap_py(df, wrapped, f"{schema}, {WEIGHT} long")
+
+        return self._derive(op)
+
+    def filter(self, predicate: Column) -> "TNode":
+        """Weight-blind predicate (topologynode.py:267-274)."""
+        return self._derive(lambda df: df.filter(predicate))
+
+    def filter_w(self, predicate: Column) -> "TNode":
+        """Weight-aware filter (``_filter`` topologynode.py:244-265; used to
+        keep only inserts via ``weight > 0``, e.g. T:664, T:938)."""
+        return self._derive(lambda df: df.filter(predicate))
+
+    def flatmap(self, array_col: Column, alias: str, keep: Sequence[str] = ()) -> "TNode":
+        """1:N expansion; weights of identical outputs consolidate
+        (topologynode.py:231-240: flatmap re-consolidates). On streaming
+        frames consolidation is deferred to the next aggregate — same bag
+        semantics, and it keeps the plan to one stateful operator."""
+        def op(df: DataFrame) -> DataFrame:
+            out = df.select(*keep, F.explode(array_col).alias(alias), F.col(WEIGHT))
+            return out if df.isStreaming else consolidate(out)
+
+        return self._derive(op)
+
+    def neg(self) -> "TNode":
+        """Negate weights (topologynode.py:197-204)."""
+        return self._derive(lambda df: df.withColumn(WEIGHT, -F.col(WEIGHT)))
+
+    def merge(self, other: "TNode") -> "TNode":
+        """Bag union, no dedup (topologynode.py:549-567)."""
+        return self._derive2(other, lambda a, b: a.unionByName(b))
+
+    # -- set ops (topologynode.py:278-350) ----------------------------------
+
+    def distinct(self) -> "TNode":
+        return self._derive(zset_distinct)
+
+    def union(self, other: "TNode") -> "TNode":
+        return self._derive2(other, zset_union)
+
+    def intersect(self, other: "TNode") -> "TNode":
+        return self._derive2(other, zset_intersect)
+
+    def minus(self, other: "TNode") -> "TNode":
+        return self._derive2(other, zset_minus)
+
+    # -- joins (topologynode.py:354-430) ------------------------------------
+
+    def join(self, other: "TNode", predicate: Column, select: Sequence[Column | str]) -> "TNode":
+        """Theta join with arbitrary predicate; output weight = w_l * w_r
+        (bilinear, topologynode.py:354-388). Catalyst picks BNLJ/cartesian.
+        Column name collisions are the caller's to alias (as in the
+        reference's projection_fun)."""
+        def op(l: DataFrame, r: DataFrame) -> DataFrame:
+            lw = l.withColumnRenamed(WEIGHT, "__wl")
+            rw = r.withColumnRenamed(WEIGHT, "__wr")
+            return (
+                lw.join(rw, predicate, "inner")
+                .select(*select, (F.col("__wl") * F.col("__wr")).alias(WEIGHT))
+            )
+
+        return self._derive2(other, op)
+
+    def join_equi(self, other: "TNode", on: Sequence[str] | Column,
+                  select: Sequence[Column | str]) -> "TNode":
+        """Equi join — indexed state in the reference (topologynode.py:
+        390-430); here Catalyst picks broadcast/hash/SMJ."""
+        def op(l: DataFrame, r: DataFrame) -> DataFrame:
+            lw = l.withColumnRenamed(WEIGHT, "__wl")
+            rw = r.withColumnRenamed(WEIGHT, "__wr")
+            return (
+                lw.join(rw, on, "inner")
+                .select(*select, (F.col("__wl") * F.col("__wr")).alias(WEIGHT))
+            )
+
+        return self._derive2(other, op)
+
+    # -- aggregates (topologynode.py:434-543) -------------------------------
+
+    def group_by_agg(self, keys: Sequence[str], *aggs: Column) -> "TNode":
+        """Keyed aggregate over the weighted multiset (topologynode.py:
+        434-487). ``aggs`` must be weight-correct expressions — use the
+        ``w*``  helpers below (wsum/wcount/wmin/wmax). Output is a Z-set of
+        (keys, aggs) rows with weight 1 per present group."""
+        def op(df: DataFrame) -> DataFrame:
+            out = (
+                df.groupBy(*keys)
+                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
+                .filter(F.col("__net") > 0)
+                .drop("__net")
+                .withColumn(WEIGHT, F.lit(1).cast("long"))
+            )
+            return out
+
+        return self._derive(op)
+
+    def group_by_sum(self, keys: Sequence[str], col: str, alias: str | None = None) -> "TNode":
+        return self.group_by_agg(keys, wsum(col).alias(alias or f"sum_{col}"))
+
+    def group_by_count(self, keys: Sequence[str], alias: str = "count") -> "TNode":
+        return self.group_by_agg(keys, wcount().alias(alias))
+
+    def group_by_max(self, keys: Sequence[str], col: str, alias: str | None = None) -> "TNode":
+        return self.group_by_agg(keys, wmax(col).alias(alias or f"max_{col}"))
+
+    def group_by_min(self, keys: Sequence[str], col: str, alias: str | None = None) -> "TNode":
+        return self.group_by_agg(keys, wmin(col).alias(alias or f"min_{col}"))
+
+    def agg(self, *aggs: Column) -> "TNode":
+        """Global aggregate = constant-key group (topologynode.py:515-519)."""
+        def op(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("__g", F.lit(0))
+                .groupBy("__g")
+                .agg(*aggs)
+                .drop("__g")
+                .withColumn(WEIGHT, F.lit(1).cast("long"))
+            )
+
+        return self._derive(op)
+
+    # -- windows (topologynode.py:672-714, 865-944) -------------------------
+
+    def window_tumbling(self, ts_col: str, size_ms: int, keys: Sequence[str],
+                        *aggs: Column) -> "TNode":
+        """Tumbling-window aggregate: assign + group by (key, window_start)
+        (topologynode.py:888-898 via _window_aligned 865-884)."""
+        from kafi_spark.streams.windows import tumbling
+
+        def op(df: DataFrame) -> DataFrame:
+            win = tumbling(df, ts_col, size_ms)
+            return (
+                win.groupBy(*keys, "w_start")
+                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
+                .filter(F.col("__net") > 0)
+                .drop("__net")
+                .withColumn(WEIGHT, F.lit(1).cast("long"))
+            )
+
+        return self._derive(op)
+
+    def window_hopping(self, ts_col: str, size_ms: int, hop_ms: int,
+                       keys: Sequence[str], *aggs: Column) -> "TNode":
+        from kafi_spark.streams.windows import hopping
+
+        def op(df: DataFrame) -> DataFrame:
+            win = hopping(df, ts_col, size_ms, hop_ms)
+            return (
+                win.groupBy(*keys, "w_start")
+                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
+                .filter(F.col("__net") > 0)
+                .drop("__net")
+                .withColumn(WEIGHT, F.lit(1).cast("long"))
+            )
+
+        return self._derive(op)
+
+    def window_session(self, ts_col: str, gap_ms: int, keys: Sequence[str],
+                       *aggs: Column) -> "TNode":
+        from kafi_spark.streams.windows import sessionize
+
+        def op(df: DataFrame) -> DataFrame:
+            s = sessionize(df, ts_col, gap_ms, list(keys))
+            return (
+                s.groupBy(*keys, "session_id")
+                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
+                .filter(F.col("__net") > 0)
+                .drop("__net")
+                .withColumn(WEIGHT, F.lit(1).cast("long"))
+            )
+
+        return self._derive(op)
+
+    # -- sinks --------------------------------------------------------------
+
+    def sink(self, name: str) -> "TNode":
+        """Register as a named sink (streams.py:44-51). Returns self for
+        further chaining (multi-sink DAGs, topologynode.py:991-1024)."""
+        self.topology.sinks[name] = self
+        return self
+
+
+# -- weight-correct aggregate helpers ---------------------------------------
+
+def wsum(col: str | Column) -> Column:
+    """Weighted sum: Σ value·weight — retraction-correct."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c * F.col(WEIGHT))
+
+
+def wcount() -> Column:
+    """Weighted count: Σ weight."""
+    return F.sum(F.col(WEIGHT))
+
+
+def wmax(col: str | Column) -> Column:
+    """Max over present records. NOTE: correct when the group's current
+    members all have net-positive weight (the reference recomputes per
+    group each step, topologynode.py:495-505 — same caveat)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.max(F.when(F.col(WEIGHT) > 0, c))
+
+
+def wmin(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.min(F.when(F.col(WEIGHT) > 0, c))

@@ -1,0 +1,221 @@
+"""Topology builder: batch semantics vs hand oracles, incremental runner
+vs batch recompute (the reference's differential pattern,
+test/streams/test_base.py:69-87), streaming wordcount end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafi_spark.streaming import Topology
+from kafi_spark.streaming.incremental import IncrementalRunner
+from kafi_spark.streaming.topology import wcount, wmax, wsum
+from tests.conftest import rows
+
+
+def test_wordcount_batch(spark):
+    """flatmap → group_by_count (reference test/streams/wc/topologies.py:5-26)."""
+    t = Topology()
+    lines = t.source("lines")
+    (
+        lines.flatmap(F.split(F.lower(F.col("line")), r"\s+"), "word")
+        .filter(F.length("word") > 0)
+        .group_by_count(["word"], alias="n")
+        .sink("counts")
+    )
+    df = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("dogs ran",)], "line string"
+    )
+    out = t.build_batch({"lines": df})["counts"]
+    assert rows(out, "word", "n") == [
+        ("cat", 2), ("dogs", 1), ("ran", 2), ("sat", 1), ("the", 2)]
+
+
+def test_join_equi_and_agg_batch(spark):
+    """orders ⋈ customers → revenue per nation (shoe-shop shape,
+    test/streams/datagen/topologies.py)."""
+    t = Topology()
+    orders = t.source("orders")
+    custs = t.source("customers")
+    (
+        orders.join_equi(custs, ["cust_id"], ["nation", "amount"])
+        .group_by_agg(["nation"], wsum("amount").alias("revenue"), wcount().alias("n"))
+        .sink("by_nation")
+    )
+    odf = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "cust_id long, amount double")
+    cdf = spark.createDataFrame(
+        [(1, "DE"), (2, "FR")], "cust_id long, nation string")
+    out = t.build_batch({"orders": odf, "customers": cdf})["by_nation"]
+    assert rows(out, "nation", "revenue", "n") == [("DE", 15.0, 2), ("FR", 7.0, 1)]
+
+
+def test_theta_join_batch(spark):
+    t = Topology()
+    a = t.source("a")
+    b = t.source("b")
+    a.join(
+        b,
+        F.col("x") < F.col("y"),
+        [F.col("x"), F.col("y")],
+    ).sink("pairs")
+    adf = spark.createDataFrame([(1,), (3,)], "x long")
+    bdf = spark.createDataFrame([(2,), (4,)], "y long")
+    out = t.build_batch({"a": adf, "b": bdf})["pairs"]
+    assert rows(out, "x", "y") == [(1, 2), (1, 4), (3, 4)]
+
+
+def test_set_ops_batch(spark):
+    t = Topology()
+    a = t.source("a")
+    b = t.source("b")
+    a.union(b).sink("u")
+    a.intersect(b).sink("i")
+    a.minus(b).sink("m")
+    adf = spark.createDataFrame([("x",), ("x",), ("y",)], "v string")
+    bdf = spark.createDataFrame([("y",), ("z",)], "v string")
+    outs = t.build_batch({"a": adf, "b": bdf})
+    assert rows(outs["u"], "v") == [("x",), ("y",), ("z",)]
+    assert rows(outs["i"], "v") == [("y",)]
+    assert rows(outs["m"], "v") == [("x",)]
+
+
+def test_multi_sink_shares_dag(spark):
+    t = Topology()
+    src = t.source("s")
+    filtered = src.filter(F.col("v") > 1)
+    filtered.group_by_count([], alias="n").sink("count")
+    filtered.map((F.col("v") * 10).alias("v10")).sink("scaled")
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    outs = t.build_batch({"s": df})
+    assert rows(outs["count"], "n") == [(2,)]
+    assert rows(outs["scaled"], "v10") == [(20,), (30,)]
+
+
+def test_window_tumbling_batch(spark):
+    import datetime as dt
+
+    t = Topology()
+    ev = t.source("ev")
+    ev.window_tumbling("ts", 1000, ["k"], wcount().alias("n")).sink("w")
+    data = [("a", dt.datetime(2021, 1, 1, 0, 0, 0)),
+            ("a", dt.datetime(2021, 1, 1, 0, 0, 0, 500000)),
+            ("a", dt.datetime(2021, 1, 1, 0, 0, 1))]
+    df = spark.createDataFrame(data, "k string, ts timestamp")
+    out = t.build_batch({"ev": df})["w"]
+    got = rows(out, "k", "n")
+    assert got == [("a", 1), ("a", 2)]
+
+
+# -- incremental: differential vs batch recompute ---------------------------
+
+def _wordcount_topology():
+    t = Topology()
+    (
+        t.source("lines")
+        .flatmap(F.split(F.lower(F.col("line")), r"\s+"), "word")
+        .filter(F.length("word") > 0)
+        .group_by_count(["word"], alias="n")
+        .sink("counts")
+    )
+    return t
+
+
+def test_incremental_matches_batch_recompute(spark):
+    """Reference oracle pattern: after each step, integrated output ==
+    batch recompute over all input so far (test/streams/test_base.py:155-174)."""
+    batches = [
+        [("the cat sat",), ("a dog ran",)],
+        [("the cat ran",)],
+        [("cats and dogs",), ("the end",)],
+    ]
+    t = _wordcount_topology()
+    runner = IncrementalRunner(t, spark)
+    seen: list[tuple] = []
+    for batch in batches:
+        df = spark.createDataFrame(batch, "line string")
+        runner.step({"lines": df})
+        seen.extend(batch)
+        t2 = _wordcount_topology()
+        expect = t2.build_batch(
+            {"lines": spark.createDataFrame(seen, "line string")})["counts"]
+        assert rows(runner.latest("counts")) == rows(expect)
+
+
+def test_incremental_deltas_retract_old_aggregates(spark):
+    """Changed groups emit retraction + insert (reference topologynode.py:
+    469-478 re-diff); untouched groups emit nothing."""
+    t = _wordcount_topology()
+    runner = IncrementalRunner(t, spark)
+    runner.step({"lines": spark.createDataFrame([("cat dog",)], "line string")})
+    d2 = runner.step({"lines": spark.createDataFrame([("cat",)], "line string")})["counts"]
+    got = rows(d2, "word", "n", "weight")
+    # cat: 1 -> retracted, cat: 2 inserted; dog unchanged -> absent
+    assert got == [("cat", 1, -1), ("cat", 2, 1)]
+
+
+def test_incremental_join_with_retractions(spark):
+    """CDC-style: a retraction on one side retracts downstream join rows."""
+    t = Topology()
+    orders = t.source("orders")
+    custs = t.source("customers")
+    orders.join_equi(custs, ["cid"], ["nation", "amount"]).group_by_agg(
+        ["nation"], wsum("amount").alias("rev")).sink("rev")
+    runner = IncrementalRunner(t, spark)
+    runner.step({
+        "orders": spark.createDataFrame([(1, 10.0), (2, 5.0)], "cid long, amount double"),
+        "customers": spark.createDataFrame([(1, "DE"), (2, "FR")], "cid long, nation string"),
+    })
+    assert rows(runner.latest("rev"), "nation", "rev") == [("DE", 10.0), ("FR", 5.0)]
+    # retract the DE order via weight -1
+    retract = spark.createDataFrame([(1, 10.0, -1)], "cid long, amount double, weight long")
+    delta = runner.step({"orders": retract})["rev"]
+    assert rows(delta, "nation", "rev", "weight") == [("DE", 10.0, -1)]
+    assert rows(runner.latest("rev"), "nation", "rev") == [("FR", 5.0)]
+
+
+def test_incremental_expire_bounds_state(spark):
+    """State eviction keeps integrated source bounded (reference bounded-
+    state assertion, test/streams/test_base.py:132-139)."""
+    t = Topology()
+    t.source("ev").group_by_count(["k"], alias="n").sink("c")
+    runner = IncrementalRunner(
+        t, spark,
+        expire={"ev": lambda df: df.filter(F.col("seq") >= F.lit(2))},
+    )
+    for seq in range(4):
+        runner.step({"ev": spark.createDataFrame([(seq, "a")], "seq long, k string")})
+    assert runner.state_rows()["ev"] == 2  # seq 2,3 survive
+    # count now reflects only surviving records (expiry retracted the rest)
+    assert rows(runner.latest("c"), "k", "n") == [("a", 2)]
+
+
+# -- native Structured Streaming --------------------------------------------
+
+def test_streaming_wordcount_availablenow(spark, tmp_path):
+    import json
+    import os
+
+    from kafi_spark.streaming.runner import run_streaming
+
+    src_dir = tmp_path / "in"
+    os.makedirs(src_dir)
+    with open(src_dir / "a.json", "w") as f:
+        for line in ["the cat sat", "the cat ran"]:
+            f.write(json.dumps({"line": line}) + "\n")
+
+    t = _wordcount_topology()
+    stream = spark.readStream.schema("line string").json(str(src_dir))
+    collected = []
+    qs = run_streaming(
+        t,
+        {"lines": stream},
+        {"counts": lambda df, epoch: collected.extend(df.collect())},
+        checkpoint_root=str(tmp_path / "ckpt"),
+        output_mode="update",
+        trigger_available_now=True,
+    )
+    for q in qs.values():
+        q.awaitTermination(60)
+    got = sorted((r.word, r.n) for r in collected)
+    assert got == [("cat", 2), ("ran", 1), ("sat", 1), ("the", 2)]
