@@ -43,6 +43,19 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned input before an explode-heavy stage.
+
+    A small parquet file scans as ONE partition (maxPartitionBytes), which
+    serializes everything downstream of the explode; round-robin to the
+    cluster's parallelism first. No-op (and no shuffle) for inputs that are
+    already parallel — the 100 TB case."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle).
 
@@ -54,9 +67,35 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
         lambda i: F.array_join(F.slice(words, i + 1, k), " "),
     )
     # documents shorter than k words produce their full text as one shingle
-    return df.select(
+    return _parallelize(df).select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
+
+
+def _minhash_long(df: DataFrame, text_col: str, id_col: str, k: int,
+                  num_hashes: int, seed: int) -> DataFrame:
+    """Long-format minima: (id, i, mh) for i in [0, num_hashes).
+
+    Shape matters for codegen here, twice over:
+
+    * H separate ``min(xxhash64(lit(i), col))`` aggregates inline H copies
+      of the string-hash body, blow past the JIT method limit, and run
+      interpreted (measured 18s vs <1s at H=64 on 260k shingles);
+    * ``posexplode(transform(seq, s -> xxhash64(s, shingle)))`` re-
+      evaluates the whole H-element array per OUTPUT element (H² hashes
+      per shingle — measured 16s for the explode alone).
+
+    So: explode a constant seed array (foldable, re-eval is free), then
+    hash once per (shingle, seed) row. One explode, one hash per output
+    row, one map-side-partial groupBy whose shuffle carries ≤ docs×H rows.
+    """
+    sh = shingles(df, text_col, id_col, k)
+    seeds = F.lit([seed + i for i in range(num_hashes)])
+    pairs = (
+        sh.select(F.col(id_col), "shingle", F.posexplode(seeds).alias("i", "s"))
+        .select(F.col(id_col), "i", F.xxhash64("s", "shingle").alias("hv"))
+    )
+    return pairs.groupBy(id_col, "i").agg(F.min("hv").alias("mh"))
 
 
 def ngram_jaccard_pairs(
@@ -113,20 +152,17 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
     """MinHash signatures: per document, ``num_hashes`` column-wise minima
-    of independently-seeded shingle hashes.
+    of independently-seeded shingle hashes, h_i(x) = xxhash64(seed+i, x).
 
-    One explode + one groupBy; the H hash functions are evaluated as H
-    aggregate expressions over the same exploded column (no H× data
-    blowup). h_i(x) = xxhash64(seed_i, x) — pure int64, stays inside
-    whole-stage codegen (an earlier universal-hash variant in DECIMAL(38)
-    was ~50× slower: decimal mul/mod falls out of codegen).
+    Computed in long format (see :func:`_minhash_long`), then pivoted to
+    the wide ``mh_0..mh_{H-1}`` layout — the pivot aggregates are trivial
+    ``min(when(i=k, mh))`` longs, JIT-friendly at any H.
     """
-    sh = shingles(df, text_col, id_col, k)
-    mins = [
-        F.min(F.xxhash64(F.lit(seed + i), "shingle")).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*mins)
+    long_ = _minhash_long(df, text_col, id_col, k, num_hashes, seed)
+    wide = long_.groupBy(id_col).pivot("i", list(range(num_hashes))).agg(F.min("mh"))
+    return wide.select(
+        F.col(id_col), *[F.col(str(i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -147,19 +183,18 @@ def minhash_lsh_pairs(
     bucket sizes are O(collisions), never O(corpus).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
+    # band signatures straight from the long-format minima: band hash =
+    # xxhash64 of the band's (i, mh) rows in i-order — no pivot needed,
+    # and equal bands ⇔ equal minima sequences.
+    long_ = _minhash_long(df, text_col, id_col, k, num_hashes, seed)
+    stacked = (
+        long_.withColumn("band_id", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band_id")
+        .agg(
+            F.xxhash64(
+                F.array_sort(F.collect_list(F.struct("i", "mh")))
+            ).alias("band_hash")
         )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
-            "band_id", "band_hash"
-        ),
     )
     l = stacked.select(F.col(id_col).alias("id_1"), "band_id", "band_hash")
     r = stacked.select(F.col(id_col).alias("id_2"), "band_id", "band_hash")
@@ -170,7 +205,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification on the (small) candidate set: count shared shingles
-    sh = shingles(df, text_col, id_col, k)
+    # (cached: the shingle set feeds sizes and both join sides)
+    sh = shingles(df, text_col, id_col, k).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_1"), "shingle")
     b = sh.select(F.col(id_col).alias("id_2"), "shingle")
@@ -201,7 +237,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     One explode + one groupBy with 64 conditional-sum aggregates + bit
     assembly — all integer Column arithmetic.
     """
-    tokens = df.select(
+    tokens = _parallelize(df).select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).withColumn("hv", F.xxhash64("tok"))
     bit_sums = [

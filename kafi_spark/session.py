@@ -40,6 +40,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KAFI_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # wide-aggregate plans generate large classes; with the JVM default
+        # 240m code cache the JIT shuts off mid-session and later queries
+        # run interpreted (observed 10-30x slowdowns). 1g + flushing keeps
+        # compilation alive for long-lived sessions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
