@@ -1045,6 +1045,134 @@ _HELPER_SQL = {
 # Driver contract
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Z-set distinct & CDC encode (SURVEY §2.6, §2.1), analytic extras (§2.7 note:
+# ranking/rollup absent from the reference; the engine exposes them)
+# ---------------------------------------------------------------------------
+
+def q_zset_distinct(spark, sf_dir):
+    from kafi_spark.streams.zset import from_records, neg, to_records, zset_distinct
+
+    c = from_records(_t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")))
+    s = neg(from_records(_t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))))
+    # bag of +customers and -suppliers: distinct keeps net-positive keys
+    return to_records(zset_distinct(c.unionByName(s)))
+
+
+def q_cdc_debezium_encode(spark, sf_dir):
+    from kafi_spark.streams.cdc import to_debezium
+    from kafi_spark.streams.zset import WEIGHT
+
+    orders = _t(spark, sf_dir, "orders")
+    deltas = orders.select(
+        F.col("o_orderkey").alias("value"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(-1))
+        .otherwise(F.lit(1)).cast("long").alias(WEIGHT),
+    )
+    return to_debezium(deltas)
+
+
+def q_analytic_topn(spark, sf_dir):
+    from kafi_spark.functions.analytic import topn_per_group
+
+    orders = _t(spark, sf_dir, "orders")
+    out = topn_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return out.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_analytic_lag(spark, sf_dir):
+    from kafi_spark.functions.analytic import with_lag
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    out = with_lag(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        "o_totalprice",
+        lag_alias="prev_price",
+        lead_alias="next_price",
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price")
+
+
+def q_rollup_agg(spark, sf_dir):
+    from kafi_spark.functions.analytic import rollup_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), 2, "sum_qty"),
+    )
+    return out.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+        "n",
+        "sum_qty",
+    )
+
+
+def q_shell_cat(spark, sf_dir):
+    from kafi_spark.shell import cat
+
+    events = _t(spark, sf_dir, "events")
+    return cat(
+        events,
+        map_fun=lambda df: [
+            df["event_id"], df["user_id"], df["event_type"], df["value"]
+        ],
+    )
+
+
+_EXTRA_SQL = {
+    "zset_distinct": """
+        SELECT nationkey FROM (
+          SELECT c_nationkey AS nationkey, 1 AS w FROM customer
+          UNION ALL
+          SELECT s_nationkey, -1 FROM supplier
+        ) GROUP BY nationkey HAVING SUM(w) > 0
+    """,
+    "cdc_debezium_encode": """
+        SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey END AS before,
+               CASE WHEN o_orderkey % 10 <> 0 THEN o_orderkey END AS after,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'd' ELSE 'c' END AS op
+        FROM orders
+    """,
+    "analytic_topn": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders)
+        WHERE rank <= 3
+    """,
+    "analytic_lag": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "rollup_agg": f"""
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               COUNT(*) AS n, {_dsum_sql("l_quantity", 2)} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "shell_cat": """
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -1102,6 +1230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_roundtrip": q_chunk_roundtrip,
         "topology_wordcount": q_topology_wordcount,
         "topology_join_agg": q_topology_join_agg,
+        "zset_distinct": q_zset_distinct,
+        "cdc_debezium_encode": q_cdc_debezium_encode,
+        "analytic_topn": q_analytic_topn,
+        "analytic_lag": q_analytic_lag,
+        "rollup_agg": q_rollup_agg,
+        "shell_cat": q_shell_cat,
     }
 
 
@@ -1125,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_MULTIMODAL_SQL)
     out.update(_HELPER_SQL)
     out.update(_TOPOLOGY_SQL)
+    out.update(_EXTRA_SQL)
     # dedup_minhash_lsh / dedup_simhash / ann_cosine_topk_lsh rely on
     # engine-internal 64-bit hashing (xxhash64) and random hyperplanes —
     # not expressible in the oracle; the driver records rows-only checks,

@@ -1,0 +1,69 @@
+"""Analytic / OLAP operators the reference lacks but Spark gives free.
+
+SURVEY.md §2.7 notes the reference has "no grouping sets / cube / rollup;
+no ranking or analytic window functions; no sort or top-k operator" and
+that the new engine should expose them. These are thin, declarative
+wrappers — Catalyst plans ranking as one shuffle on the partition keys
+with in-partition sort, and rollup/cube as expanded grouping sets with
+map-side partial aggregation.
+
+Scale notes: ``topn_per_group`` is the rank-window top-k — at high group
+cardinality the shuffle is hash-partitioned by group (no global sort);
+for tiny k over huge groups prefer the aggregate form
+``F.max_by``/``F.min_by`` or a pre-filter on an approximate threshold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def topn_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-n rows per group by ``order_by`` (deterministic if the ordering
+    is total). One shuffle on the group keys."""
+    w = W.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
+def with_lag(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_by: Sequence[Column],
+    col: str,
+    lag_alias: str | None = None,
+    lead_alias: str | None = None,
+) -> DataFrame:
+    """Attach lag/lead of ``col`` within each partition."""
+    w = W.partitionBy(*partition_cols).orderBy(*order_by)
+    out = df
+    if lag_alias:
+        out = out.withColumn(lag_alias, F.lag(col).over(w))
+    if lead_alias:
+        out = out.withColumn(lead_alias, F.lead(col).over(w))
+    return out
+
+
+def rollup_agg(
+    df: DataFrame, group_cols: Sequence[str], *aggs: Column
+) -> DataFrame:
+    """ROLLUP aggregate over ``group_cols`` — subtotals at every prefix
+    level plus the grand total. Null grouping keys from the rollup are
+    left as-is (callers wanting engine-portable output should coalesce
+    them to a sentinel)."""
+    return df.rollup(*group_cols).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, group_cols: Sequence[str], *aggs: Column) -> DataFrame:
+    """CUBE aggregate — subtotals for every subset of ``group_cols``."""
+    return df.cube(*group_cols).agg(*aggs)

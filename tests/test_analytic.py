@@ -1,0 +1,84 @@
+"""Analytic operators (ranking windows, lag/lead, rollup/cube) — the
+SURVEY §2.7 "Spark gets these free" surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, 30.0),
+            ("a", 3, 20.0),
+            ("b", 4, 5.0),
+            ("b", 5, 15.0),
+        ],
+        "grp string, id int, v double",
+    )
+
+
+def test_topn_per_group(people):
+    from kafi_spark.functions.analytic import topn_per_group
+
+    out = topn_per_group(people, ["grp"], [F.col("v").desc(), F.col("id")], 2)
+    assert rows(out, "grp", "id", "rank") == [
+        ("a", 2, 1),
+        ("a", 3, 2),
+        ("b", 4, 2),
+        ("b", 5, 1),
+    ]
+
+
+def test_with_lag_lead(people):
+    from kafi_spark.functions.analytic import with_lag
+
+    out = with_lag(people, ["grp"], [F.col("id")], "v",
+                   lag_alias="prev", lead_alias="next")
+    got = {r["id"]: (r["prev"], r["next"]) for r in out.collect()}
+    assert got[1] == (None, 30.0)
+    assert got[2] == (10.0, 20.0)
+    assert got[3] == (30.0, None)
+    assert got[4] == (None, 15.0)
+    assert got[5] == (5.0, None)
+
+
+def test_rollup_and_cube(people):
+    from kafi_spark.functions.analytic import cube_agg, rollup_agg
+
+    def norm(df):
+        return sorted((r["grp"] or "<all>", r["n"]) for r in df.collect())
+
+    r = rollup_agg(people, ["grp"], F.count(F.lit(1)).alias("n"))
+    assert norm(r) == [("<all>", 5), ("a", 3), ("b", 2)]
+    c = cube_agg(people, ["grp"], F.count(F.lit(1)).alias("n"))
+    assert norm(c) == [("<all>", 5), ("a", 3), ("b", 2)]
+
+
+def test_zset_distinct_retraction(spark):
+    from kafi_spark.streams.zset import to_records, zset_distinct
+
+    z = spark.createDataFrame(
+        [(1, 3), (2, 1), (2, -1), (3, -2), (3, 1)], "k int, weight long"
+    )
+    out = to_records(zset_distinct(z))
+    # k=1 net +3 -> kept once; k=2 net 0 -> dropped; k=3 net -1 -> dropped
+    assert rows(out, "k") == [(1,)]
+
+
+def test_to_debezium_roundtrip(spark):
+    from kafi_spark.streams.cdc import from_debezium, to_debezium
+
+    z = spark.createDataFrame([(10, 2), (20, -1)], "value int, weight long")
+    env = to_debezium(z)
+    assert rows(env, "op", "before", "after") == [
+        ("c", None, 10),
+        ("c", None, 10),
+        ("d", 20, None),
+    ]
+    back = from_debezium(env)
+    got = sorted((r["value"], r["weight"]) for r in back.collect())
+    assert got == [(10, 1), (10, 1), (20, -1)]
