@@ -62,6 +62,9 @@ def main() -> None:
         t0 = time.time()
         run(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # drop cache entries a query pinned (dedup ops cache their shingle
+        # sets for intra-query reuse); keeps per-query timings independent
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
