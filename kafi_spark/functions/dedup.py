@@ -126,7 +126,11 @@ def ngram_jaccard_pairs(
 
     Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard ≥ threshold.
     """
-    sh = shingles(df, text_col, id_col, k).cache()
+    # deliberately NOT cached: the shingle set is recomputed per consumer.
+    # Caching would pin storage blocks for the session (a leak the caller
+    # can't release from a lazy plan) and is impossible at 100 TB anyway;
+    # the bound-words shingle stage is cheap enough to recompute.
+    sh = shingles(df, text_col, id_col, k)
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") > max_df
@@ -229,9 +233,10 @@ def minhash_lsh_pairs(
         .select(F.col("p.id_1"), F.col("p.id_2"))
         .distinct()
     )
-    # exact verification on the (small) candidate set: count shared shingles
-    # (cached: the shingle set feeds sizes and both join sides)
-    sh = shingles(df, text_col, id_col, k).cache()
+    # exact verification on the (small) candidate set: count shared
+    # shingles. The shingle set feeds sizes and both join sides; it is
+    # recomputed per consumer rather than cached (see ngram_jaccard_pairs).
+    sh = shingles(df, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_1"), "shingle")
     b = sh.select(F.col(id_col).alias("id_2"), "shingle")

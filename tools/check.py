@@ -78,6 +78,9 @@ def main():
             df = fn(spark, sf_dir)
             spark_cols = df.columns
             spark_rows = [tuple(r) for r in df.collect()]
+            # drop caches a query pinned (see bench.py): keeps queries
+            # independent and avoids storage-memory buildup over the run
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             failures.append(name)
