@@ -38,6 +38,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "analytic_topn",
+    "rollup_agg",
+    "zset_distinct",
+    "cdc_debezium_encode",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Custom stateful streaming operators — ``applyInPandasWithState``.
+
+The two §2.9 shapes Spark's native windows cannot express (SURVEY
+"what's hard" watch-list):
+
+* **per-record sliding windows** — the reference assigns each record one
+  window ``[ts, ts+size)`` anchored at its own event time
+  (kafi/streams/topologynode.py:702-707) and aggregates the key's records
+  falling inside it (topologynode.py:739-753);
+* **custom trigger policies** — emission is gated by an arbitrary
+  ``trigger_fun(window_end, watermark)`` over the running max event time
+  (topologynode.py:654-666), not by Spark's fixed append-mode rule.
+
+Both are implemented here on one primitive: per-key state =
+(pending events, max event time). Each micro-batch appends the key's new
+events, advances the per-key watermark ``wm = max_ts - lateness``, emits
+every window whose anchor passes ``trigger_fun(anchor_ts + size, wm)``
+with a caller-supplied pandas aggregate over the window's events, then
+evicts events with ``ts + size <= wm`` (no window can contain them any
+more). Emission happens before eviction in the same trigger, so a
+window's members are always still in state when it fires; each window
+fires exactly once (its anchor is evicted by the same threshold that
+fired it).
+
+Deviation from the reference, documented: the reference's watermark is
+the *global* max event time of the driving stream; per-key state gives a
+*per-key* watermark. For keyed workloads this only delays emission of
+quiet keys — contents are identical. Bounded state is the same
+invariant the reference asserts (pickled-state-size tests): state per
+key is O(events inside one ``size + lateness`` horizon).
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Callable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_STATE_SCHEMA = "events binary, max_ts long, fired binary"
+
+
+def sliding_window_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    size_ms: int,
+    agg_fn: Callable[[pd.DataFrame], dict],
+    agg_schema: str,
+    payload_cols: Sequence[str] = (),
+    lateness_ms: int = 0,
+    trigger_fun: Callable[[int, int], bool] | None = None,
+) -> DataFrame:
+    """Per-record sliding-window aggregate over a (streaming) DataFrame.
+
+    ``agg_fn`` receives the window's events as a pandas DataFrame with
+    columns ``[ts_col, *payload_cols]`` (ts as int64 epoch-ms) and
+    returns a dict matching ``agg_schema``. Output rows are
+    ``(*key_cols, window_end, *agg_schema)`` — one per closed window.
+
+    ``trigger_fun(window_end_ms, watermark_ms)`` decides emission
+    (default: ``window_end <= watermark``, the reference's policy).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fire = trigger_fun or (lambda end, wm: end <= wm)
+    key_cols = list(key_cols)
+    payload_cols = list(payload_cols)
+    ev_cols = [ts_col, *payload_cols]
+
+    key_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {key_fields[c]}" for c in key_cols]
+        + ["window_end long", agg_schema]
+    )
+    agg_names = [part.strip().split()[0] for part in agg_schema.split(",")]
+
+    def proc(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            raw, max_ts, fired_raw = state.get
+            events, fired = pickle.loads(raw), pickle.loads(fired_raw)
+        else:
+            events, max_ts, fired = pd.DataFrame(columns=ev_cols), -(1 << 62), set()
+
+        new = pd.concat([p[ev_cols] for p in pdfs], ignore_index=True)
+        if len(new):
+            new[ts_col] = new[ts_col].astype("int64")
+            # drop events late relative to the PREVIOUS trigger's watermark
+            # — their windows already fired/evicted, and re-admitting them
+            # would re-open a closed window with partial contents. Events
+            # that are merely old within THIS batch are fine: the whole
+            # batch lands before the watermark advances, exactly like the
+            # reference pushing a full batch through the circuit per step.
+            wm_prev = max_ts - lateness_ms
+            new = new[new[ts_col] + size_ms > wm_prev]
+            if len(new):
+                max_ts = max(max_ts, int(new[ts_col].max()))
+                events = pd.concat(
+                    [events, new] if len(events) else [new], ignore_index=True
+                )
+        wm = max_ts - lateness_ms
+
+        ts = events[ts_col]
+        # fire closed, not-yet-fired windows whose gate passes; emission
+        # precedes eviction, so a window's members are still in state
+        closed = sorted(int(t) for t in ts[ts + size_ms <= wm].unique()) \
+            if len(events) else []
+        rows = []
+        for a in closed:
+            if a in fired:
+                continue
+            end = a + size_ms
+            if not fire(end, wm):
+                continue
+            inside = events[(ts >= a) & (ts < end)]
+            rows.append({**dict(zip(key_cols, key)), "window_end": end,
+                         **agg_fn(inside)})
+            fired.add(a)
+        # evict events no window can need: past the horizon AND below the
+        # earliest closed-but-unfired anchor (a custom gate may hold a
+        # window open past its close; its members must stay resident)
+        unfired = [a for a in closed if a not in fired]
+        cut = min(unfired) if unfired else None
+        keep = ts + size_ms > wm
+        if cut is not None:
+            keep = keep | (ts >= cut)
+        events = events[keep]
+        fired = {a for a in fired if a in set(int(t) for t in events[ts_col])}
+        state.update((pickle.dumps(events), max_ts, pickle.dumps(fired)))
+        if rows:
+            yield pd.DataFrame(rows, columns=[*key_cols, "window_end", *agg_names])
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(
+            proc, out_schema, _STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
