@@ -89,6 +89,45 @@ def decode_image(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     return binary_features(df, binary_col, id_col, extract, "width long, height long, mode string")
 
 
+def decode_audio(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Decode audio to (sample_rate, n_channels, duration_ms) — STUB (no
+    audio library in this container); the distributed plumbing is
+    ``binary_features`` with a soundfile/librosa-based extractor."""
+    raise NotImplementedError(
+        "audio decoding requires an audio library (not in this container); "
+        "contract: binary_features(df, binary_col, id_col, decoder, "
+        "'sample_rate long, n_channels long, duration_ms long')"
+    )
+
+
+def resize_image(
+    df: DataFrame, binary_col: str, id_col: str, width: int, height: int
+) -> DataFrame:
+    """Image resize — STUB unless PIL is present; contract: one output row
+    per asset with the re-encoded binary payload (same id), via the same
+    Arrow-batched mapInPandas path as :func:`binary_features`."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image resize requires PIL/pillow (not in this container); "
+            "contract: mapInPandas emitting (id, resized binary) rows"
+        )
+    import io
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_bytes = []
+            for b in pdf[binary_col]:
+                img = PIL.Image.open(io.BytesIO(b)).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format=img.format or "PNG")
+                out_bytes.append(buf.getvalue())
+            yield pd.DataFrame({id_col: pdf[id_col].values, binary_col: out_bytes})
+
+    return df.select(id_col, binary_col).mapInPandas(
+        op, f"{id_col} long, {binary_col} binary"
+    )
+
+
 def frame_sample(df: DataFrame, binary_col: str, id_col: str, every_n: int = 10) -> DataFrame:
     """Video frame sampling — STUB (no video lib); contract: one output row
     per sampled frame with a frame_idx column and a binary frame payload."""
