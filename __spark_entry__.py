@@ -164,6 +164,57 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join shape (EXISTS): orders with at least one returned lineitem
+    (q4's late-lineitem predicate adapted to the synthetic schema)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join shape: distribution of order counts per customer,
+    including zero-order customers."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("4")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_TPCH_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '4%'
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
 # ---------------------------------------------------------------------------
 # Shell verbs (SURVEY §2.3)
 # ---------------------------------------------------------------------------
@@ -1184,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
         "shell_head": q_shell_head,
         "shell_tail": q_shell_tail,
         "shell_grep": q_shell_grep,
@@ -1245,6 +1298,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": _TPCH_Q3_SQL,
         "tpch_q5": _TPCH_Q5_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
+        "tpch_q4": _TPCH_Q4_SQL,
+        "tpch_q13": _TPCH_Q13_SQL,
         "wordcount": _WORDCOUNT_SQL,
     }
     out.update(_SHELL_SQL)

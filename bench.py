@@ -20,8 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q13",
     "shell_grep",
     "addon_compact",
     "join_equi_agg",
@@ -38,6 +40,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "emb_neardup",
     "analytic_topn",
     "rollup_agg",
     "zset_distinct",
