@@ -318,6 +318,25 @@ class FSTopicStorage:
                 self.commit(group, topic, ends)
         return df
 
+    def offsets_for_times(self, topic: str, ts) -> dict[int, int | None]:
+        """Earliest offset at-or-after ``ts`` per partition
+        (kafi/fs/fs_admin.py:91-130; Kafka impl
+        kafi/kafka/cluster/cluster_admin.py:210-238). Partitions with no
+        message at/after ``ts`` map to None. One aggregate over the
+        topic's parquet — timestamp min/max footer pruning applies."""
+        df = self._read_raw(topic)
+        out: dict[int, int | None] = {p: None for p in range(self.partitions(topic))}
+        if df is None:
+            return out
+        rows = (
+            df.filter(F.col("timestamp") >= ts)
+            .groupBy("partition")
+            .agg(F.min("offset").alias("o"))
+            .collect()
+        )
+        out.update({r["partition"]: r["o"] for r in rows})
+        return out
+
     # -- pipes (kafi/shell.py:38-42 cp; kafi/addons.py:57-65 repeat) --------
 
     def cp(

@@ -198,3 +198,16 @@ def test_dechunk_drops_incomplete(spark):
         "chunked_message_id string, chunk_number int, number_of_chunks int, value binary",
     )
     assert dechunk(df).count() == 0
+
+
+def test_offsets_for_times(storage, spark):
+    import datetime
+
+    storage.create("t", partitions=1)
+    storage.produce("t", msgs(spark, *[("k", f"v{i}") for i in range(6)]))
+    # all messages share a produce-time timestamp; a ts in the past
+    # resolves to the first offset, far future to None
+    past = datetime.datetime(2000, 1, 1)
+    future = datetime.datetime(2100, 1, 1)
+    assert storage.offsets_for_times("t", past) == {0: 0}
+    assert storage.offsets_for_times("t", future) == {0: None}
