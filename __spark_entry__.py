@@ -1171,6 +1171,16 @@ def q_rollup_agg(spark, sf_dir):
     )
 
 
+def q_join_anti(spark, sf_dir):
+    """Anti-join shape (NOT EXISTS): customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
 def q_shell_cat(spark, sf_dir):
     from kafi_spark.shell import cat
 
@@ -1220,6 +1230,10 @@ _EXTRA_SQL = {
     """,
     "shell_cat": """
         SELECT event_id, user_id, event_type, value FROM events
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 }
 
@@ -1289,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytic_lag": q_analytic_lag,
         "rollup_agg": q_rollup_agg,
         "shell_cat": q_shell_cat,
+        "join_anti": q_join_anti,
     }
 
 
