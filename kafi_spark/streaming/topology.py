@@ -120,6 +120,34 @@ class TNode:
         """Negate weights (topologynode.py:197-204)."""
         return self._derive(lambda df: df.withColumn(WEIGHT, -F.col(WEIGHT)))
 
+    def peek(self, label: str = "peek") -> "TNode":
+        """Debug pass-through (topologynode.py:157-183). The reference
+        prints each record; the distributed rendering is an ``observe``
+        metric (row count under ``label``, readable from the query's
+        observed-metrics listener) — per-row driver printing doesn't exist
+        on a cluster."""
+        return self._derive(
+            lambda df: df.observe(label, F.count(F.lit(1)).alias("rows"))
+        )
+
+    def from_value(self, value_col: str = "value") -> "TNode":
+        """Project to the payload: record -> r[value] (topologynode.py:185-189).
+        Struct payloads flatten to their fields; scalars keep the column."""
+        def op(df: DataFrame) -> DataFrame:
+            dt = df.schema[value_col].dataType.typeName()
+            inner = [f"{value_col}.*"] if dt == "struct" else [value_col]
+            return df.select(*inner, F.col(WEIGHT))
+
+        return self._derive(op)
+
+    def to_value(self, value_col: str = "value") -> "TNode":
+        """Wrap the record as {value: r} (topologynode.py:191-195)."""
+        def op(df: DataFrame) -> DataFrame:
+            rec = [c for c in df.columns if c != WEIGHT]
+            return df.select(F.struct(*rec).alias(value_col), F.col(WEIGHT))
+
+        return self._derive(op)
+
     def merge(self, other: "TNode") -> "TNode":
         """Bag union, no dedup (topologynode.py:549-567)."""
         return self._derive2(other, lambda a, b: a.unionByName(b))

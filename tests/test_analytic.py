@@ -82,3 +82,14 @@ def test_to_debezium_roundtrip(spark):
     back = from_debezium(env)
     got = sorted((r["value"], r["weight"]) for r in back.collect())
     assert got == [(10, 1), (10, 1), (20, -1)]
+
+
+def test_topology_peek_from_to_value(spark):
+    from kafi_spark.streaming.topology import Topology
+    from kafi_spark.streams.zset import from_records
+
+    t = Topology()
+    t.source("src").to_value().peek("mid").from_value().map("k", "v").sink("out")
+    src = from_records(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    res = t.build_batch({"src": src})["out"]
+    assert rows(res, "k", "v", "weight") == [(1, "a", 1), (2, "b", 1)]
