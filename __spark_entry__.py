@@ -1172,11 +1172,13 @@ def q_rollup_agg(spark, sf_dir):
 
 
 def q_join_anti(spark, sf_dir):
-    """Anti-join shape (NOT EXISTS): customers with no orders."""
+    """Anti-join shape (NOT EXISTS): customers with no URGENT order."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").startswith("1")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
     )
 
@@ -1233,7 +1235,9 @@ _EXTRA_SQL = {
     """,
     "join_anti": """
         SELECT c_custkey, c_mktsegment FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority LIKE '1%')
     """,
 }
 
