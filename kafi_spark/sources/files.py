@@ -43,6 +43,17 @@ def table_to_file(df: DataFrame, path: str, fmt: str | None = None, header: bool
         except ImportError as e:  # openpyxl / lxml not in this container
             raise NotImplementedError(f"{fmt} export needs an optional library: {e}") from e
         return
+    if fmt == "bytes":
+        # kafi/files.py bytes export: concatenated raw message values
+        # (small-result driver path, like xlsx/xml)
+        col = "value" if "value" in df.columns else df.columns[0]
+        with open(path, "wb") as f:
+            for r in df.select(col).toLocalIterator():
+                v = r[0]
+                if v is None:
+                    continue
+                f.write(v if isinstance(v, (bytes, bytearray)) else str(v).encode())
+        return
     raise ValueError(f"unsupported format: {fmt}")
 
 
@@ -66,6 +77,9 @@ def file_to_table(spark: SparkSession, path: str, fmt: str | None = None,
         except ImportError as e:
             raise NotImplementedError(f"{fmt} import needs an optional library: {e}") from e
         return spark.createDataFrame(pdf)
+    if fmt == "bytes":
+        with open(path, "rb") as f:
+            return spark.createDataFrame([(f.read(),)], "value binary")
     raise ValueError(f"unsupported format: {fmt}")
 
 

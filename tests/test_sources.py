@@ -211,3 +211,11 @@ def test_offsets_for_times(storage, spark):
     future = datetime.datetime(2100, 1, 1)
     assert storage.offsets_for_times("t", past) == {0: 0}
     assert storage.offsets_for_times("t", future) == {0: None}
+
+
+def test_bytes_file_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(b"abc",), (b"def",)], "value binary")
+    path = str(tmp_path / "out.bytes")
+    table_to_file(df, path)
+    back = file_to_table(spark, path)
+    assert back.collect()[0]["value"] == b"abcdef"
