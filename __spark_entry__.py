@@ -848,6 +848,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=64, bands=16, threshold=0.7)
 
 
+def q_dedup_minhash_portable(spark, sf_dir):
+    from kafi_spark.functions.dedup import minhash_lsh_pairs_portable
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(
+        d, "text", "doc_id", k=3, num_hashes=24, bands=6, threshold=0.7
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from kafi_spark.functions.dedup import simhash_pairs
 
@@ -871,6 +880,37 @@ _DEDUP_SQL = {
         sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_1, id_2,
+               CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sz na ON na.doc_id = id_1 JOIN sz nb ON nb.doc_id = id_2
+        WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.7
+    """,
+    # full MinHash+LSH in portable SQL: md5-prefix hashes (fixed-width hex
+    # minima == numeric minima), band digests, bucket candidates, exact
+    # Jaccard verification — bit-for-bit the same sketch both engines
+    "dedup_minhash_portable": """
+        WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                        range(0, greatest(len(w) - 3, 0) + 1),
+                        x -> array_to_string(w[x+1:x+3], ' ')))) AS shingle
+               FROM ws),
+        hs AS (SELECT doc_id, r.i AS i,
+                      substring(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 15) AS hv
+               FROM sh CROSS JOIN (SELECT unnest(range(24)) AS i) r),
+        mins AS (SELECT doc_id, i, MIN(hv) AS mh FROM hs GROUP BY doc_id, i),
+        bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                         md5(string_agg(mh, '|' ORDER BY i)) AS bh
+                  FROM mins GROUP BY doc_id, i // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                 WHERE a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.id_1, c.id_2, COUNT(*) AS n_inter
+                  FROM cand c
+                  JOIN sh a ON a.doc_id = c.id_1
+                  JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
                   GROUP BY 1, 2)
         SELECT id_1, id_2,
                CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
@@ -1292,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,

@@ -261,6 +261,98 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 24,
+    bands: int = 6,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH with ENGINE-PORTABLE hashing: h_i(x) = the first 15 hex
+    chars of md5(i || ':' || x). Fixed-width hex strings order
+    lexicographically = numerically, so the per-seed MIN is a plain string
+    min and any SQL engine with md5 reproduces the sketch bit-for-bit —
+    this variant has a full DuckDB oracle (unlike the xxhash64 fast path
+    :func:`minhash_lsh_pairs`, which is rows-only checkable). Use the fast
+    path in production; this one exists to prove the algorithm against an
+    independent engine. Same plan shape: long-format minima, band digest,
+    bucket-collect candidates, exact Jaccard verification.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, text_col, id_col, k)
+    seeds = F.lit(list(range(num_hashes)))
+    long_ = (
+        sh.select(F.col(id_col), "shingle", F.explode(seeds).alias("i"))
+        .select(
+            F.col(id_col),
+            "i",
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))), 1, 15
+            ).alias("hv"),
+        )
+        .groupBy(id_col, "i")
+        .agg(F.min("hv").alias("mh"))
+    )
+    banded = (
+        long_.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                    "|",
+                )
+            ).alias("bh")
+        )
+    )
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+            ),
+        )
+    )
+    candidates = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_1"), F.col("p.id_2"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        a.join(candidates, "id_1")
+        .join(b, ["id_2", "shingle"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
+    nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
+    return (
+        inter.join(na, "id_1")
+        .join(nb, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_1") + F.col("n_2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: sign-sum of token-hash bits.
 
