@@ -864,6 +864,13 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(d, "text", "doc_id", max_hamming=6)
 
 
+def q_dedup_simhash_portable(spark, sf_dir):
+    from kafi_spark.functions.dedup import simhash_pairs_portable
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs_portable(d, "text", "doc_id", max_hamming=6, chunks=8)
+
+
 _DEDUP_SQL = {
     "dedup_exact": """
         SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -916,6 +923,35 @@ _DEDUP_SQL = {
                CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
         FROM inter JOIN sz na ON na.doc_id = id_1 JOIN sz nb ON nb.doc_id = id_2
         WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.7
+    """,
+    # portable SimHash: token bits from md5 hex nibbles; 8-bit chunk
+    # digests (pigeonhole-exact for hamming <= 7); hamming verified as a
+    # per-bit sign-mismatch count
+    "dedup_simhash_portable": """
+        WITH toks AS (SELECT doc_id, md5(t) AS h
+                      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+                            FROM documents)),
+        contrib AS (SELECT doc_id, r.b AS b,
+                           CASE WHEN ((strpos('0123456789abcdef',
+                                              substring(h, CAST(FLOOR(r.b/4) AS INT) + 1, 1)) - 1)
+                                      >> (3 - CAST(r.b % 4 AS INT))) & 1 = 1
+                                THEN 1 ELSE -1 END AS c
+                    FROM toks CROSS JOIN (SELECT unnest(range(64)) AS b) r),
+        sign AS (SELECT doc_id, b, CASE WHEN SUM(c) > 0 THEN 1 ELSE 0 END AS sgn
+                 FROM contrib GROUP BY doc_id, b),
+        digests AS (SELECT doc_id, CAST(FLOOR(b/8) AS INT) AS chunk,
+                           md5(string_agg(CAST(sgn AS VARCHAR), '' ORDER BY b)) AS ch
+                    FROM sign GROUP BY doc_id, CAST(FLOOR(b/8) AS INT)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                 FROM digests a JOIN digests b ON a.chunk = b.chunk AND a.ch = b.ch
+                 WHERE a.doc_id < b.doc_id),
+        ham AS (SELECT c.id_1, c.id_2,
+                       SUM(CASE WHEN sa.sgn <> sb.sgn THEN 1 ELSE 0 END) AS hamming
+                FROM cand c
+                JOIN sign sa ON sa.doc_id = c.id_1
+                JOIN sign sb ON sb.doc_id = c.id_2 AND sb.b = sa.b
+                GROUP BY 1, 2)
+        SELECT id_1, id_2, hamming FROM ham WHERE hamming <= 6
     """,
 }
 
@@ -1334,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_portable": q_dedup_simhash_portable,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "emb_neardup": q_emb_neardup,

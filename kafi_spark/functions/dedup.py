@@ -424,6 +424,100 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    chunks: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with ENGINE-PORTABLE hashing: token bits come
+    from md5 hex nibbles, so a SQL oracle reproduces the sketch exactly
+    (the xxhash64 fast path :func:`simhash_pairs` is rows-only checkable).
+
+    With ``chunks=8`` (8 bits each) the pigeonhole guarantee covers
+    ``max_hamming <= 7``: any pair within the threshold shares at least
+    one identical chunk, so banding loses nothing — this variant is EXACT
+    over the simhash metric, not just deterministic.
+
+    Long-format plan: (doc, bit) sign sums → chunk digests → bucket
+    candidates → hamming verification as a count of sign mismatches.
+    Output: (id_1, id_2, hamming), id_1 < id_2, hamming ≤ max_hamming.
+    """
+    bits_per_chunk = 64 // chunks
+    tokens = _parallelize(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select(F.col(id_col), F.md5("tok").alias("h"))
+    bits = F.lit(list(range(64)))
+    contrib = (
+        tokens.select(F.col(id_col), "h", F.explode(bits).alias("b"))
+        .select(
+            F.col(id_col),
+            "b",
+            # bit b = bit (3 - b%4) of hex nibble b//4 of the md5 digest
+            F.when(
+                F.expr(
+                    "shiftright(CAST(conv(substring(h, CAST(FLOOR(b/4) AS INT) + 1, 1), 16, 10) AS INT),"
+                    " 3 - CAST(b % 4 AS INT)) & 1"
+                ) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)).alias("c"),
+        )
+    )
+    sign = (
+        contrib.groupBy(id_col, "b")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            F.col(id_col), "b",
+            F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("sgn"),
+        )
+    )
+    digests = (
+        sign.withColumn("chunk", F.floor(F.col("b") / bits_per_chunk).cast("int"))
+        .groupBy(id_col, "chunk")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("b", "sgn"))),
+                        lambda x: x["sgn"].cast("string"),
+                    ),
+                    "",
+                )
+            ).alias("ch")
+        )
+    )
+    buckets = (
+        digests.groupBy("chunk", "ch")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+            ),
+        )
+    )
+    candidates = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_1"), F.col("p.id_2"))
+        .distinct()
+    )
+    sa = sign.select(F.col(id_col).alias("id_1"), "b", F.col("sgn").alias("s1"))
+    sb = sign.select(F.col(id_col).alias("id_2"), "b", F.col("sgn").alias("s2"))
+    return (
+        candidates.join(sa, "id_1")
+        .join(sb, ["id_2", "b"])
+        .groupBy("id_1", "id_2")
+        .agg(F.sum((F.col("s1") != F.col("s2")).cast("long")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def keep_representatives(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
     """Greedy dedup policy: from near-dup ``pairs`` (id_1 < id_2), drop
     every id that appears as the larger member of a pair; keep the rest.
