@@ -1000,6 +1000,49 @@ def q_emb_neardup(spark, sf_dir):
     )
 
 
+def _ann_lsh_oracle_sql(dim=64, k=5, n_planes=10, n_tables=6, seed=42) -> str:
+    """DuckDB oracle for the LSH ANN query: the random hyperplanes are
+    deterministic from the seed, so they are inlined as literal arrays and
+    the whole pipeline (sign-bit signatures, bucket join, exact cosine,
+    rank) is reproduced in SQL. Mirrors cosine_topk_lsh exactly."""
+    from kafi_spark.functions.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            vec = ", ".join(repr(x) for x in plane)
+            rows.append(f"({t}, {p}, [{vec}]::DOUBLE[])")
+    planes_values = ",\n              ".join(rows)
+    return f"""
+        WITH planes(tbl, p, pv) AS (VALUES {planes_values}),
+        c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+        q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+        csig AS (SELECT vec_id, tbl,
+                        SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+                                 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+                 FROM c CROSS JOIN planes GROUP BY vec_id, tbl),
+        qsig AS (SELECT query_id, tbl,
+                        SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+                                 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+                 FROM q CROSS JOIN planes GROUP BY query_id, tbl),
+        cand AS (SELECT DISTINCT qs.query_id, cs.vec_id
+                 FROM qsig qs JOIN csig cs ON qs.tbl = cs.tbl AND qs.sig = cs.sig),
+        scored AS (SELECT cand.query_id, cand.vec_id,
+                          list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[])
+                            / (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+                               * sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))) AS score
+                   FROM cand
+                   JOIN q qe ON qe.query_id = cand.query_id
+                   JOIN c ce ON ce.vec_id = cand.vec_id)
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+               CAST(ROUND(score * 1000000) AS BIGINT) AS score_micro
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, vec_id) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """
+
+
 _SIM_SQL = {
     "ann_cosine_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
@@ -1412,8 +1455,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(_HELPER_SQL)
     out.update(_TOPOLOGY_SQL)
     out.update(_EXTRA_SQL)
-    # dedup_minhash_lsh / dedup_simhash / ann_cosine_topk_lsh rely on
-    # engine-internal 64-bit hashing (xxhash64) and random hyperplanes —
-    # not expressible in the oracle; the driver records rows-only checks,
-    # and tests/ verify them against the exact operators (recall bounds).
+    out["ann_cosine_topk_lsh"] = _ann_lsh_oracle_sql()
+    # dedup_minhash_lsh / dedup_simhash rely on engine-internal xxhash64 —
+    # not expressible in the oracle (rows-only checks); their md5-based
+    # portable siblings (dedup_minhash_portable / dedup_simhash_portable)
+    # carry full value-hash oracles for the same algorithms, and tests/
+    # assert recall of the fast paths against the exact operators.
     return out
