@@ -84,3 +84,26 @@ def test_keep_representatives(docs, spark):
                                   "id_1 long, id_2 long, jaccard double")
     kept = dedup.keep_representatives(pairs, docs.select("doc_id"), "doc_id")
     assert rows(kept) == [(1,), (4,), (5,)]
+
+
+def test_lsh_precision_and_recall_vs_exact(spark, sf_dir):
+    """LSH outputs verify candidates with exact Jaccard, so precision is 1
+    by construction (subset of the exact pairs); recall on the real
+    documents corpus must be high."""
+    from kafi_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_1, r.id_2)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.7, max_df=None
+        ).collect()
+    }
+    assert exact, "corpus should contain planted near-duplicates"
+    for fn in (
+        lambda: dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7),
+        lambda: dedup.minhash_lsh_pairs_portable(docs, "text", "doc_id", threshold=0.7),
+    ):
+        got = {(r.id_1, r.id_2) for r in fn().collect()}
+        assert got <= exact  # exact verification => no false positives
+        assert len(got) / len(exact) >= 0.9  # banding recall
