@@ -71,6 +71,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     driver's data; still a plain parquet scan, so pushdown survives for all
     other columns).
     """
+    # defensive: queries may run under a caller-owned session (the round
+    # driver passes its own). Epoch conversions (unix_millis on event ts)
+    # must agree with the UTC-naive oracle regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _NANOS_TS_COLS.get(name, [])
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
