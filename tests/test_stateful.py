@@ -114,3 +114,47 @@ def test_late_event_beyond_lateness_dropped(spark, tmp_path):
     # must not re-open it (no (a, 110, ...) row either)
     assert ("a", 100, 1, 1.0) in got
     assert not any(w == 110 for (_, w, _, _) in got)
+
+
+def test_checkpoint_restart_carries_state(spark, tmp_path):
+    """Stop after batch 1, restart the query on the same checkpoint with a
+    new batch: processed files must not be re-read (their events would
+    double the counts) and per-key state must be restored (the window
+    anchored in run 1 fires in run 2 with run-1 members)."""
+    from kafi_spark.streaming.stateful import sliding_window_stream
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    collected = []
+
+    def start():
+        stream = spark.readStream.schema("k string, ts long, v double").json(src_dir)
+        out = sliding_window_stream(
+            stream, ["k"], "ts", 100,
+            lambda w: {"n": int(len(w)), "total": float(w["v"].sum())},
+            "n long, total double", payload_cols=["v"],
+        )
+        return (
+            out.writeStream.foreachBatch(
+                lambda df, epoch: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _write_batch(src_dir, "b0.json", [
+        {"k": "a", "ts": 0, "v": 1.0},
+        {"k": "a", "ts": 50, "v": 2.0},
+    ])
+    q = start()
+    q.awaitTermination(120)
+    assert collected == []  # watermark at 50: nothing closed yet
+
+    _write_batch(src_dir, "b1.json", [{"k": "a", "ts": 300, "v": 4.0}])
+    q = start()
+    q.awaitTermination(120)
+    got = sorted((r.k, r.window_end, r.n, r.total) for r in collected)
+    # run-1 events survived the restart exactly once
+    assert got == [("a", 100, 2, 3.0), ("a", 150, 1, 2.0)]
