@@ -1290,6 +1290,52 @@ def q_rollup_agg(spark, sf_dir):
     )
 
 
+def q_pipeline_curate(spark, sf_dir):
+    from kafi_spark.functions.pipeline import curate_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_documents(
+        d, "text", "doc_id", lang="en", min_quality=0.5,
+        jaccard_threshold=0.7, near_dup="ngram",
+    )
+
+
+_PIPELINE_SQL = f"""
+    WITH f AS ({_QUALITY_FEATURES_SQL}),
+    l AS (SELECT doc_id, {_LANG_CASE_SQL} AS lang_guess
+          FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best
+                FROM ({_LANG_SCORES_SQL}))),
+    stats AS (SELECT f.doc_id, f.text,
+                     CAST(CASE WHEN length(tx) > 0
+                          THEN len(string_split_regex(tx, '\\s+')) ELSE 0 END AS BIGINT) AS n_tokens,
+                     md5(text) AS fingerprint,
+                     {_QUALITY_EXPR_SQL} AS quality,
+                     l.lang_guess AS lang_guess
+              FROM f JOIN l ON f.doc_id = l.doc_id),
+    kept AS (SELECT * FROM stats
+             WHERE lang_guess = 'en' AND quality >= CAST(0.5 AS DOUBLE)),
+    keep1 AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fingerprint),
+    s1 AS (SELECT kept.* FROM kept JOIN keep1 ON kept.doc_id = keep1.doc_id),
+    ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM s1),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(0, greatest(len(w) - 3, 0) + 1),
+                    x -> array_to_string(w[x+1:x+3], ' ')))) AS shingle
+           FROM ws),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    losers AS (SELECT DISTINCT id_2
+               FROM inter JOIN sz na ON na.doc_id = id_1
+                          JOIN sz nb ON nb.doc_id = id_2
+               WHERE CAST(n_inter AS DOUBLE)
+                     / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= CAST(0.7 AS DOUBLE))
+    SELECT doc_id, n_tokens, quality FROM s1
+    WHERE NOT EXISTS (SELECT 1 FROM losers WHERE losers.id_2 = s1.doc_id)
+"""
+
+
 def q_join_anti(spark, sf_dir):
     """Anti-join shape (NOT EXISTS): customers with no URGENT order."""
     cust = _t(spark, sf_dir, "customer")
@@ -1429,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "shell_cat": q_shell_cat,
         "join_anti": q_join_anti,
+        "pipeline_curate": q_pipeline_curate,
     }
 
 
@@ -1456,6 +1503,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_TOPOLOGY_SQL)
     out.update(_EXTRA_SQL)
     out["ann_cosine_topk_lsh"] = _ann_lsh_oracle_sql()
+    out["pipeline_curate"] = _PIPELINE_SQL
     # dedup_minhash_lsh / dedup_simhash rely on engine-internal xxhash64 —
     # not expressible in the oracle (rows-only checks); their md5-based
     # portable siblings (dedup_minhash_portable / dedup_simhash_portable)

@@ -46,6 +46,7 @@ HEADLINE = [
     "rollup_agg",
     "zset_distinct",
     "cdc_debezium_encode",
+    "pipeline_curate",
 ]
 
 

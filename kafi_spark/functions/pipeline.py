@@ -1,0 +1,65 @@
+"""End-to-end training-data curation pipeline — operator composition.
+
+The flagship composition the LLM-pipeline operators exist for: one
+declarative DataFrame job that language-filters, quality-gates, exact-
+dedups, then near-dedups a document corpus. Every stage is one of the
+engine's first-class operators (text_stats, dedup_exact semantics,
+ngram/minhash near-dup, keep_representatives), so the whole pipeline is
+a single Catalyst plan — filters push into the scan, the dedup shuffles
+key on 32-byte fingerprints, and nothing touches the driver.
+
+At 100 TB the near-dup stage should be the MinHash path
+(`near_dup="minhash"`); the exact n-gram inverted index
+(`near_dup="ngram"`) is the oracle-verifiable default at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafi_spark.functions.dedup import (
+    keep_representatives,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from kafi_spark.functions.text import text_stats
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.7,
+    k: int = 3,
+    near_dup: str = "ngram",
+) -> DataFrame:
+    """Curated corpus: (id, n_tokens, quality) for documents that
+    (1) are identified as ``lang``, (2) clear the quality gate, (3) are
+    the lowest-id representative of their exact-duplicate group, and
+    (4) are not the higher-id member of any near-duplicate pair among
+    the survivors."""
+    stats = text_stats(df, text_col, id_col)
+    kept = stats.filter(
+        (F.col("lang_guess") == lang) & (F.col("quality") >= min_quality)
+    )
+    # exact dedup: lowest id per identical text wins
+    exact_keepers = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    s1 = kept.join(exact_keepers.select(id_col), id_col, "left_semi")
+    # near-dup among the survivors
+    docs1 = df.select(id_col, text_col).join(
+        s1.select(id_col), id_col, "left_semi"
+    )
+    if near_dup == "minhash":
+        pairs = minhash_lsh_pairs(
+            docs1, text_col, id_col, k=k, threshold=jaccard_threshold
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            docs1, text_col, id_col, k=k, threshold=jaccard_threshold, max_df=None
+        )
+    final_ids = keep_representatives(pairs, s1.select(id_col), id_col)
+    return s1.join(final_ids, id_col, "left_semi").select(
+        id_col, "n_tokens", "quality"
+    )

@@ -107,3 +107,19 @@ def test_lsh_precision_and_recall_vs_exact(spark, sf_dir):
         got = {(r.id_1, r.id_2) for r in fn().collect()}
         assert got <= exact  # exact verification => no false positives
         assert len(got) / len(exact) >= 0.9  # banding recall
+
+
+def test_pipeline_curate(spark, sf_dir):
+    from kafi_spark.functions.pipeline import curate_documents
+    from kafi_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = curate_documents(docs).collect()
+    assert out, "pipeline should keep some documents"
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))
+    assert len(ids) < docs.count()  # something was filtered or deduped
+    # the minhash path can only MISS near-dup pairs (lower recall), so it
+    # keeps a superset of the exact path's survivors
+    out_mh = curate_documents(docs, near_dup="minhash").collect()
+    assert set(ids) <= {r.doc_id for r in out_mh}
