@@ -990,6 +990,26 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_cosine_topk_ivf(spark, sf_dir):
+    from kafi_spark.functions.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    # rows-only check: k-means centroids are seed-dependent and iterative,
+    # not SQL-reproducible; recall vs the exact operator is tested in
+    # tests/test_similarity.py
+    out = cosine_topk_ivf(corpus, queries_df, k=5, n_cells=16, n_probe=4)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     from kafi_spark.functions.similarity import embedding_neardup_pairs
 
@@ -1462,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "emb_neardup": q_emb_neardup,
         "multimodal_features": q_multimodal_features,
         "helper_explode_normalize": q_helper_explode_normalize,

@@ -273,6 +273,73 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the
+    corpus into ``n_cells`` cells; each query probes its ``n_probe``
+    nearest centroids and scores only those cells' vectors exactly.
+
+    Scale shape: training samples the corpus (KMeans on a capped sample),
+    assignment is one vectorized pass, and the probe join is
+    (cell → candidates) — the corpus is scanned once at build and only
+    probed cells are rescored per query. Recall tunes with n_probe/n_cells.
+    Centroids depend on the KMeans seed → rows-only checkable (like the
+    hyperplane seeds, but k-means is iterative so not SQL-reproducible).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    C = np.vstack([np.asarray(c) for c in km.clusterCenters()])
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = _mat(v)
+        # nearest centroid by euclidean distance (KMeans' metric)
+        d = ((X[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = _mat(v)
+        d = ((X[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("cell")
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cos = cosine_pairs_udf()
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cos(F.col("__qvec"), F.col(vec_col)).alias("score"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _block_pairs_exact(
     df: DataFrame, id_col: str, vec_col: str, threshold: float, n_blocks: int
 ) -> DataFrame:

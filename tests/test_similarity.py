@@ -77,3 +77,28 @@ def test_lsh_signatures_udf_deterministic(vectors, spark):
     sigs = {vid: s[0] for vid, s in a}
     assert sigs[0] == sigs[3]
     assert sigs[0] != sigs[4]
+
+
+def test_cosine_topk_ivf_recall(spark, sf_dir):
+    from kafi_spark.functions.similarity import cosine_topk, cosine_topk_ivf
+    from kafi_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_ivf(corpus, queries, k=5, n_cells=8, n_probe=4).collect()
+    }
+    # candidate pruning can only drop, never invent, neighbors — and with
+    # half the cells probed recall should be high
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.7
+    assert len(ivf) == len(exact)
