@@ -4,6 +4,8 @@ policies via applyInPandasWithState (SURVEY §2.9b hard-parity items)."""
 import json
 import os
 
+from pyspark.sql import functions as F
+
 import pytest
 
 
@@ -158,3 +160,41 @@ def test_checkpoint_restart_carries_state(spark, tmp_path):
     got = sorted((r.k, r.window_end, r.n, r.total) for r in collected)
     # run-1 events survived the restart exactly once
     assert got == [("a", 100, 2, 3.0), ("a", 150, 1, 2.0)]
+
+
+def test_stream_stream_equi_join(spark, tmp_path):
+    """SURVEY §2.7: join_equi in streaming = Spark stream-stream equi-join
+    with watermarks bounding both sides' state."""
+    import datetime
+
+    src_a = str(tmp_path / "a"); os.makedirs(src_a)
+    src_b = str(tmp_path / "b"); os.makedirs(src_b)
+
+    def ev(k, ts_s, v):
+        return {"k": k, "ts": f"2026-01-01 00:00:{ts_s:02d}", "v": v}
+
+    _write_batch(src_a, "a0.json", [ev(1, 1, "a1"), ev(2, 2, "a2")])
+    _write_batch(src_b, "b0.json", [ev(1, 3, "b1"), ev(3, 4, "b3")])
+
+    sa = (spark.readStream.schema("k int, ts string, v string").json(src_a)
+          .withColumn("ts", F.to_timestamp("ts")).withWatermark("ts", "10 seconds")
+          .selectExpr("k AS ka", "ts AS tsa", "v AS va"))
+    sb = (spark.readStream.schema("k int, ts string, v string").json(src_b)
+          .withColumn("ts", F.to_timestamp("ts")).withWatermark("ts", "10 seconds")
+          .selectExpr("k AS kb", "ts AS tsb", "v AS vb"))
+    joined = sa.join(
+        sb,
+        (F.col("ka") == F.col("kb"))
+        & (F.col("tsb") >= F.col("tsa"))
+        & (F.col("tsb") <= F.col("tsa") + F.expr("INTERVAL 30 seconds")),
+    )
+    collected = []
+    q = (joined.writeStream
+         .foreachBatch(lambda df, e: collected.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    got = sorted((r.ka, r.va, r.vb) for r in collected)
+    assert got == [(1, "a1", "b1")]
