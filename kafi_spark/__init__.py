@@ -10,7 +10,8 @@ reference file that defines the behavior being matched.
 """
 
 from kafi_spark.session import get_spark
+from kafi_spark.storage import Local
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "Local", "__version__"]

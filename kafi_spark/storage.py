@@ -1,0 +1,86 @@
+"""Topic-level façade — the reference's calling convention on Spark.
+
+kafi users write ``c = Local("local"); c.cat("topic"); c.grep("t", ".*x")``
+(kafi/shell.py verbs bound to a storage object). ``Local`` composes the
+FS-topic storage plane with the shell/addon/functional verbs so every
+batch verb works on a *topic name*; results are lazy DataFrames (call
+``.show()``/``.collect()``/``.toPandas()`` to materialize — the
+Spark-first replacement for the reference's eager lists).
+
+Kafka-backed storage gets the same surface by swapping the scan/sink
+(``sources/kafka.py``); the verbs themselves are storage-agnostic
+DataFrame transforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafi_spark import addons, shell
+from kafi_spark.sources.fs_topic import FSTopicStorage
+
+_ORDER = ["partition", "offset"]
+
+
+class Local(FSTopicStorage):
+    """FS-backed storage with kafi's shell verbs on topic names
+    (reference: kafi/kafi.py Local + kafi/shell.py)."""
+
+    # -- shell verbs (kafi/shell.py:14-104) ---------------------------------
+
+    def cat(self, topic: str, n: int | None = None, **kw) -> DataFrame:
+        return shell.cat(self.consume(topic, **kw), n=n)
+
+    def head(self, topic: str, n: int = 10, **kw) -> DataFrame:
+        return shell.head(self.consume(topic, **kw), _ORDER, n)
+
+    def tail(self, topic: str, n: int = 10, **kw) -> DataFrame:
+        return shell.tail(self.consume(topic, **kw), _ORDER, n)
+
+    def grep(self, topic: str, pattern: str, **kw) -> DataFrame:
+        df = self.consume(topic, **kw)
+        return shell.grep(
+            df.select(
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("string").alias("value"),
+                *[c for c in df.columns if c not in ("key", "value")],
+            ),
+            pattern,
+            ["key", "value"],
+        )
+
+    def wc(self, topic: str, **kw) -> DataFrame:
+        df = self.consume(topic, **kw)
+        return shell.wc(
+            df.select(
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("string").alias("value"),
+            ),
+            ["key", "value"],
+        )
+
+    def stat(self, topic: str, **kw) -> DataFrame:
+        return shell.stat(self.consume(topic, **kw))
+
+    # -- addons (kafi/addons.py) --------------------------------------------
+
+    def compact(self, topic: str, **kw) -> DataFrame:
+        return addons.compact(self.consume(topic, **kw), ["key"], _ORDER, "value")
+
+    def diff(self, topic1: str, other: "Local", topic2: str, **kw) -> DataFrame:
+        return addons.diff(
+            self.consume(topic1, **kw), other.consume(topic2, **kw),
+            on=_ORDER, compare_cols=["key", "value"],
+        )
+
+    def message_size_stats(self, topic: str, **kw) -> DataFrame:
+        size = F.coalesce(F.octet_length("key"), F.lit(0)) + F.coalesce(
+            F.octet_length("value"), F.lit(0)
+        )
+        return addons.message_size_stats(self.consume(topic, **kw), size, _ORDER)
+
+    def collect_value_set(self, topic: str, **kw) -> DataFrame:
+        return addons.collect_value_set(self.consume(topic, **kw), "value")
+
+    def offsets_diff(self, topic: str, ts1, ts2) -> DataFrame:
+        return addons.offsets_diff(self.consume(topic), "timestamp", ts1, ts2)

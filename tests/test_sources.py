@@ -219,3 +219,22 @@ def test_bytes_file_roundtrip(spark, tmp_path):
     table_to_file(df, path)
     back = file_to_table(spark, path)
     assert back.collect()[0]["value"] == b"abcdef"
+
+
+def test_local_facade_verbs(spark, tmp_path):
+    from kafi_spark.storage import Local
+
+    c = Local(spark, str(tmp_path / "store"))
+    c.create("snacks", partitions=2)
+    c.produce("snacks", msgs(spark, ("k1", "cake pie"), ("k2", "tea"), ("k1", "cake")))
+    assert c.stat("snacks").collect()[0]["n_messages"] == 3
+    assert c.cat("snacks").count() == 3
+    assert c.head("snacks", n=2).count() == 2
+    assert c.tail("snacks", n=1).count() == 1
+    assert c.grep("snacks", "cake").count() == 2
+    wc_row = c.wc("snacks").collect()[0]
+    assert wc_row["n_messages"] == 3
+    compacted = c.compact("snacks")
+    assert compacted.count() == 2  # k1 last-write-wins
+    assert c.collect_value_set("snacks").count() == 3
+    assert c.message_size_stats("snacks").count() == 1
