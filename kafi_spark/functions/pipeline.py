@@ -44,6 +44,12 @@ def curate_documents(
     kept = stats.filter(
         (F.col("lang_guess") == lang) & (F.col("quality") >= min_quality)
     )
+    # the filtered-stats subtree feeds three consumers (exact keepers, the
+    # near-dup doc set, the final projection); an explicit repartition puts
+    # an identical Exchange under each so Spark's ReuseExchange computes
+    # the regex-heavy stats scan ONCE — shuffle-as-materialization, the
+    # cache-free way to share a subplan at any scale
+    kept = kept.repartition(id_col)
     # exact dedup: lowest id per identical text wins
     exact_keepers = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     s1 = kept.join(exact_keepers.select(id_col), id_col, "left_semi")
