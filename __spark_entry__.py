@@ -946,7 +946,7 @@ _DEDUP_SQL = {
                  FROM digests a JOIN digests b ON a.chunk = b.chunk AND a.ch = b.ch
                  WHERE a.doc_id < b.doc_id),
         ham AS (SELECT c.id_1, c.id_2,
-                       SUM(CASE WHEN sa.sgn <> sb.sgn THEN 1 ELSE 0 END) AS hamming
+                       CAST(SUM(CASE WHEN sa.sgn <> sb.sgn THEN 1 ELSE 0 END) AS BIGINT) AS hamming
                 FROM cand c
                 JOIN sign sa ON sa.doc_id = c.id_1
                 JOIN sign sb ON sb.doc_id = c.id_2 AND sb.b = sa.b

@@ -24,8 +24,12 @@ def chunk(df: DataFrame, value_col: str = "value", id_col: str = "key",
     """
     size = F.octet_length(F.col(value_col))
     n_chunks = F.greatest(F.ceil(size / chunk_size), F.lit(1)).cast("int")
-    msg_id = F.md5(F.concat(F.coalesce(F.col(id_col).cast("string"), F.lit("")),
-                            F.md5(F.col(value_col).cast("string"))))
+    # Per-row unique id, like the reference's uuid4 (kafi/chunker.py:37).
+    # A content hash would alias identical (key, value) rows: dechunk's
+    # completeness filter then sees 2n chunks vs n expected and drops both.
+    # uuid() is nondeterministic, so Catalyst won't push it through the
+    # Generate below — one id per source row, shared by its chunks.
+    msg_id = F.expr("uuid()")
     return (
         df.withColumn("__n", n_chunks)
         .withColumn("chunked_message_id", msg_id)

@@ -192,6 +192,22 @@ def test_chunk_dechunk_roundtrip(spark):
     assert got == sorted([payload, b"small"])
 
 
+def test_chunk_identical_messages_roundtrip(spark):
+    # Regression: ids must be per-row unique (reference uses uuid4,
+    # kafi/chunker.py:37). A content-derived id aliased identical rows, so
+    # dechunk's completeness filter (__got == __expect) dropped BOTH copies.
+    payload = bytes(range(250)) * 10  # 2500 bytes -> 3 chunks of 1000
+    df = spark.createDataFrame([("k", payload), ("k", payload)],
+                               "key string, value binary")
+    chunked = chunk(df, chunk_size=1000)
+    # one id per source row, shared across that row's chunks
+    per_msg = {r.chunked_message_id: r.number_of_chunks for r in chunked.collect()}
+    assert sorted(per_msg.values()) == [3, 3]
+    back = dechunk(chunked)
+    got = [bytes(r.value) for r in back.collect()]
+    assert got == [payload, payload]
+
+
 def test_dechunk_drops_incomplete(spark):
     df = spark.createDataFrame(
         [("m1", 0, 2, b"half")],
@@ -238,3 +254,40 @@ def test_local_facade_verbs(spark, tmp_path):
     assert compacted.count() == 2  # k1 last-write-wins
     assert c.collect_value_set("snacks").count() == 3
     assert c.message_size_stats("snacks").count() == 1
+
+
+def test_file_uri_root(spark, tmp_path):
+    # Remote-FS path: a ``scheme://`` root routes metadata/group IO through
+    # the Hadoop FileSystem API (fsio.HadoopIO) — file:// exercises the same
+    # code path s3a://, abfss://, hdfs:// take. Full admin + data round-trip.
+    store = FSTopicStorage(spark, f"file://{tmp_path}/uri_store")
+    store.create("t", partitions=2)
+    assert store.exists("t")
+    assert store.topics() == ["t"]
+    store.produce("t", msgs(spark, ("k1", "v1"), ("k2", "v2")))
+    out = store.consume("t", commit=True, group="g1")
+    assert sorted(bytes(r.value).decode() for r in out.collect()) == ["v1", "v2"]
+    assert store.groups() == ["g1"]
+    lag = store.lags("g1")["t"]
+    assert all(v == 0 for v in lag.values())
+    store.delete_group("g1")
+    assert store.groups() == []
+    store.delete("t")
+    assert not store.exists("t")
+
+
+def test_produce_rejects_out_of_range_partition(storage, spark):
+    # ADVICE: keep_partitions=True used to write NULL offsets silently for
+    # partitions outside [0, n). Now it fails the write.
+    storage.create("t", partitions=2)
+    df = spark.createDataFrame(
+        [(b"k", b"v", 5)], "key binary, value binary, partition int"
+    )
+    with pytest.raises(Exception, match="partition out of range"):
+        storage.produce("t", df, keep_partitions=True)
+    # valid partitions still pass through unchanged
+    ok = spark.createDataFrame(
+        [(b"k", b"v", 1)], "key binary, value binary, partition int"
+    )
+    storage.produce("t", ok, keep_partitions=True)
+    assert [r.partition for r in storage.consume("t").collect()] == [1]
