@@ -18,18 +18,20 @@ broker: new offset = high watermark + row_number within the appended batch
 (one shuffle on ``partition`` — the same shuffle the write layout needs
 anyway). Works on any Hadoop-FS URI (file://, s3a://, abfss://), which is
 how the reference's S3/Azure backends (kafi/fs/s3/s3_admin.py,
-kafi/fs/azureblob/azureblob_admin.py) collapse into path schemes.
+kafi/fs/azureblob/azureblob_admin.py) collapse into path schemes: bulk
+data goes through Spark's parquet reader/writer, and the metadata/group
+plane goes through the same Hadoop FileSystem API (sources/fsio.py).
 """
 
 from __future__ import annotations
 
 import fnmatch
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from kafi_spark.sources.fsio import io_for
 from kafi_spark.sources.schema import MESSAGE_SCHEMA
 
 
@@ -45,48 +47,48 @@ class FSTopicStorage:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
-        os.makedirs(os.path.join(self.root, "topics"), exist_ok=True)
-        os.makedirs(os.path.join(self.root, "groups"), exist_ok=True)
+        self._io = io_for(spark, self.root)
+        self._io.mkdirs(self._io.join(self.root, "topics"))
+        self._io.mkdirs(self._io.join(self.root, "groups"))
 
     # -- paths --------------------------------------------------------------
 
     def _topic_dir(self, topic: str) -> str:
-        return os.path.join(self.root, "topics", topic)
+        return self._io.join(self.root, "topics", topic)
 
     def _data_dir(self, topic: str) -> str:
-        return os.path.join(self._topic_dir(topic), "data")
+        return self._io.join(self._topic_dir(topic), "data")
 
     def _meta_path(self, topic: str) -> str:
-        return os.path.join(self._topic_dir(topic), "metadata.json")
+        return self._io.join(self._topic_dir(topic), "metadata.json")
 
     def _group_path(self, group: str) -> str:
-        return os.path.join(self.root, "groups", f"{group}.json")
+        return self._io.join(self.root, "groups", f"{group}.json")
 
     # -- topic admin (kafi/fs/fs_admin.py:16-183) ---------------------------
 
     def create(self, topic: str, partitions: int = 1, config: dict | None = None) -> None:
         if self.exists(topic):
             raise ValueError(f"topic exists: {topic}")
-        os.makedirs(self._data_dir(topic), exist_ok=True)
-        with open(self._meta_path(topic), "w") as f:
-            json.dump({"topic": topic, "partitions": partitions, "config": config or {}}, f)
+        self._io.mkdirs(self._data_dir(topic))
+        self._io.write_bytes(
+            self._meta_path(topic),
+            json.dumps({"topic": topic, "partitions": partitions, "config": config or {}}).encode(),
+        )
 
     touch = create  # shell alias (kafi/storage.py:262)
 
     def delete(self, topic: str) -> None:
-        import shutil
-
         if self.exists(topic):
-            shutil.rmtree(self._topic_dir(topic))
+            self._io.delete(self._topic_dir(topic))
 
     rm = delete  # shell alias (kafi/storage.py:266)
 
     def exists(self, topic: str) -> bool:
-        return os.path.exists(self._meta_path(topic))
+        return self._io.exists(self._meta_path(topic))
 
     def metadata(self, topic: str) -> dict:
-        with open(self._meta_path(topic)) as f:
-            return json.load(f)
+        return json.loads(self._io.read_bytes(self._meta_path(topic)))
 
     def partitions(self, topic: str) -> int:
         return self.metadata(topic)["partitions"]
@@ -95,10 +97,10 @@ class FSTopicStorage:
         """List topics by glob (kafi/helpers.py:270-280 fnmatch semantics);
         with ``size=True``, message counts from watermarks
         (kafi/storage_admin.py:11-54)."""
-        base = os.path.join(self.root, "topics")
+        base = self._io.join(self.root, "topics")
         names = sorted(
-            t for t in os.listdir(base)
-            if fnmatch.fnmatch(t, pattern) and os.path.exists(self._meta_path(t))
+            t for t in self._io.listdir(base)
+            if fnmatch.fnmatch(t, pattern) and self._io.exists(self._meta_path(t))
         )
         if not size:
             return names
@@ -135,7 +137,7 @@ class FSTopicStorage:
 
     def groups(self):
         return sorted(
-            g[:-5] for g in os.listdir(os.path.join(self.root, "groups"))
+            g[:-5] for g in self._io.listdir(self._io.join(self.root, "groups"))
             if g.endswith(".json")
         )
 
@@ -143,28 +145,25 @@ class FSTopicStorage:
 
     def group_offsets(self, group: str) -> dict:
         path = self._group_path(group)
-        if not os.path.exists(path):
+        if not self._io.exists(path):
             return {}
-        with open(path) as f:
-            return json.load(f)["offsets"]
+        return json.loads(self._io.read_bytes(path))["offsets"]
 
     def commit(self, group: str, topic: str, offsets: dict[int, int]) -> None:
         path = self._group_path(group)
         state = {"offsets": {}, "last_update": time.time()}
-        if os.path.exists(path):
-            with open(path) as f:
-                state = json.load(f)
+        if self._io.exists(path):
+            state = json.loads(self._io.read_bytes(path))
         state.setdefault("offsets", {}).setdefault(topic, {}).update(
             {str(p): o for p, o in offsets.items()}
         )
         state["last_update"] = time.time()
-        with open(path, "w") as f:
-            json.dump(state, f)
+        self._io.write_bytes(path, json.dumps(state).encode())
 
     def delete_group(self, group: str) -> None:
         path = self._group_path(group)
-        if os.path.exists(path):
-            os.remove(path)
+        if self._io.exists(path):
+            self._io.delete(path)
 
     grm = delete_group
 
@@ -213,7 +212,25 @@ class FSTopicStorage:
             out = out.withColumn("key", F.lit(None).cast("binary"))
         if "headers" not in cols:
             out = out.withColumn("headers", F.lit(None).cast(MESSAGE_SCHEMA["headers"].dataType))
-        if not (keep_partitions and "partition" in cols):
+        if keep_partitions and "partition" in cols:
+            # Reject out-of-range partitions at write time instead of writing
+            # NULL offsets (the hwm map lookup below misses silently). The
+            # check rides the write pass — no extra job.
+            out = out.withColumn(
+                "partition",
+                F.when(
+                    (F.col("partition") >= 0) & (F.col("partition") < n),
+                    F.col("partition"),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(f"partition out of range [0, {n}): "),
+                            F.col("partition").cast("string"),
+                        )
+                    ).cast("int")
+                ),
+            )
+        else:
             # hash-partition keyed rows; spread null keys uniformly
             out = out.withColumn(
                 "partition",
