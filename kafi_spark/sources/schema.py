@@ -75,11 +75,22 @@ def decode_col(col: Column, wire_type: str, schema: str | None = None) -> Column
     if wire_type == "json":
         s = col.cast("string")
         return F.from_json(s, schema) if schema else s
-    if wire_type in ("avro", "jsonschema", "json_sr", "protobuf", "pb"):
+    if wire_type == "avro":
         raise NotImplementedError(
-            f"wire type {wire_type!r} needs the spark-{wire_type} package "
-            "(not bundled in this environment); strip the Confluent header "
-            "with confluent_strip_header() and use from_avro/from_protobuf"
+            "avro decode is DataFrame-level (Arrow-batched pandas UDF), not "
+            "a Column expr — use kafi_spark.sources.avro.from_avro_df / "
+            "to_avro_df (plain or Confluent-framed via SchemaRegistryClient)"
+        )
+    if wire_type in ("jsonschema", "json_sr"):
+        raise NotImplementedError(
+            "jsonschema decode validates DataFrame-level — use "
+            "kafi_spark.sources.jsonschema_wire.validate_json_df"
+        )
+    if wire_type in ("protobuf", "pb"):
+        raise NotImplementedError(
+            "protobuf needs the spark-protobuf package or grpc_tools, "
+            "neither bundled in this environment (documented gate; "
+            "ref kafi/deserializer.py:133-148)"
         )
     raise ValueError(f"unknown wire type: {wire_type}")
 

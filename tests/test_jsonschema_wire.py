@@ -1,0 +1,58 @@
+"""JSONSchema wire type: validate-on-read/write semantics
+(reference: kafi/deserializer.py:71-80, kafi/serializer.py:90-105)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafi_spark.sources.jsonschema_wire import validate_json_df
+from kafi_spark.sources.schema import decode_col
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "name": {"type": "string"},
+        "calories": {"type": "number", "minimum": 0},
+    },
+    "required": ["name"],
+    "additionalProperties": True,
+}
+
+
+def _df(spark):
+    rows = [
+        (b'{"name": "timtam", "calories": 80}',),
+        (b'{"name": "oreo"}',),
+        (b'{"calories": 53}',),          # missing required name
+        (b'{"name": "x", "calories": -1}',),  # minimum violated
+        (b'not json',),
+    ]
+    return spark.createDataFrame(rows, "value binary")
+
+
+def test_flag_mode(spark):
+    out = validate_json_df(_df(spark), "value", SCHEMA, mode="flag")
+    flags = [r.value_valid for r in out.collect()]
+    assert flags == [True, True, False, False, False]
+
+
+def test_filter_mode_then_decode(spark):
+    out = validate_json_df(_df(spark), "value", SCHEMA, mode="filter")
+    typed = out.select(
+        decode_col(F.col("value"), "json", "name string, calories long").alias("v")
+    )
+    got = sorted((r.v.name, r.v.calories) for r in typed.collect())
+    assert got == [("oreo", None), ("timtam", 80)]
+
+
+def test_error_mode(spark):
+    ok = _df(spark).limit(2)
+    assert validate_json_df(ok, "value", SCHEMA, mode="error").count() == 2
+    with pytest.raises(Exception, match="jsonschema validation failed"):
+        validate_json_df(_df(spark), "value", SCHEMA, mode="error").collect()
+
+
+def test_bad_schema_rejected(spark):
+    with pytest.raises(Exception):
+        validate_json_df(_df(spark), "value", {"type": 12}, mode="flag")
