@@ -1314,9 +1314,24 @@ def q_pipeline_curate(spark, sf_dir):
     from kafi_spark.functions.pipeline import curate_documents
 
     d = _t(spark, sf_dir, "documents")
+    # exact ngram config (max_df off) so the DuckDB oracle matches bit-exact;
+    # the production default is minhash (benched as pipeline_curate_minhash)
     return curate_documents(
         d, "text", "doc_id", lang="en", min_quality=0.5,
-        jaccard_threshold=0.7, near_dup="ngram",
+        jaccard_threshold=0.7, near_dup="ngram", ngram_max_df=None,
+    )
+
+
+def q_pipeline_curate_minhash(spark, sf_dir):
+    """Scale-default curation config (minhash near-dup) — bench-only twin
+    of pipeline_curate; not in queries() (LSH pair set is approximate, no
+    SQL oracle; recall asserted in tests/test_pipeline.py)."""
+    from kafi_spark.functions.pipeline import curate_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_documents(
+        d, "text", "doc_id", lang="en", min_quality=0.5,
+        jaccard_threshold=0.7,
     )
 
 
@@ -1427,12 +1442,190 @@ _EXTRA_SQL = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Merged driver queries. The round-1 driver recorded exactly the first 50
+# queries() entries, so the contract is consolidated to <=50 rows without
+# dropping verified surface: single-row stats cross-join into one wide row,
+# same-schema z-set ops and aligned windows union with an op tag, and the
+# four per-doc text queries fold into text_stats (their exact superset).
+# Per-op granularity lives on in tests/; COVERAGE.md maps op -> query.
+# ---------------------------------------------------------------------------
+
+def q_scalar_stats(spark, sf_dir):
+    """shell wc/stat/grep_stats + message_size_stats + foldl + global agg —
+    six single-row aggregates, one row of prefixed columns."""
+    parts = [
+        ("wc_", q_shell_wc(spark, sf_dir)),
+        ("st_", q_shell_stat(spark, sf_dir)),
+        ("gr_", q_shell_grep_stats(spark, sf_dir)),
+        ("msz_", q_addon_message_size_stats(spark, sf_dir)),
+        ("fold_", q_fn_foldl_agg(spark, sf_dir)),
+        ("agg_", q_global_agg(spark, sf_dir)),
+    ]
+    out = None
+    for prefix, df in parts:
+        renamed = df.select([F.col(c).alias(f"{prefix}{c}") for c in df.columns])
+        out = renamed if out is None else out.crossJoin(renamed)
+    return out
+
+
+def _prefix_sql(prefix: str, sql: str, cols: list[str]) -> str:
+    aliased = ", ".join(f"{c} AS {prefix}{c}" for c in cols)
+    return f"(SELECT {aliased} FROM ({sql}))"
+
+
+def q_window_aligned(spark, sf_dir):
+    """Tumbling + hopping + cumulative window aggs, tag-unioned (the three
+    share the aligned-window assign->group_by shape, SURVEY §2.9b)."""
+    t = q_window_tumbling(spark, sf_dir).select(
+        F.lit("tumbling").alias("wkind"), "w_start",
+        F.lit(None).cast("long").alias("w_end"), "n", "total")
+    h = q_window_hopping(spark, sf_dir).select(
+        F.lit("hopping").alias("wkind"), "w_start",
+        F.lit(None).cast("long").alias("w_end"), "n",
+        F.lit(None).cast("double").alias("total"))
+    c = q_window_cumulative(spark, sf_dir).select(
+        F.lit("cumulative").alias("wkind"), "w_start", "w_end", "n",
+        F.lit(None).cast("double").alias("total"))
+    return t.unionByName(h).unionByName(c)
+
+
+def q_zset_ops(spark, sf_dir):
+    """union / intersect / minus / distinct over the same Z-sets,
+    tag-unioned (all project a single nationkey column)."""
+    parts = [
+        ("union", q_zset_union(spark, sf_dir)),
+        ("intersect", q_zset_intersect(spark, sf_dir)),
+        ("minus", q_zset_minus(spark, sf_dir)),
+        ("distinct", q_zset_distinct(spark, sf_dir)),
+    ]
+    out = None
+    for tag, df in parts:
+        tagged = df.select(F.lit(tag).alias("op"), "nationkey")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+_AVRO_DOC_SCHEMA = """
+{"type": "record", "name": "doc", "fields": [
+  {"name": "id", "type": "long"},
+  {"name": "lang", "type": ["null", "string"]},
+  {"name": "text", "type": "string"}]}
+"""
+
+
+def q_avro_roundtrip(spark, sf_dir):
+    """documents -> Avro binary -> back, through the engine's own codec
+    (sources/avro.py; reference path kafi/serializer.py:63-87 +
+    kafi/deserializer.py:60-69). The oracle is the identity on documents,
+    so any encode/decode asymmetry shows up as a value mismatch."""
+    from kafi_spark.sources.avro import from_avro_df, to_avro_df
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.struct(
+            F.col("doc_id").alias("id"), F.col("lang"), F.col("text")
+        ).alias("v")
+    )
+    enc = to_avro_df(d, "v", _AVRO_DOC_SCHEMA)
+    dec = from_avro_df(enc, "v", _AVRO_DOC_SCHEMA)
+    return dec.select(
+        F.col("v.id").alias("doc_id"),
+        F.col("v.lang").alias("lang"),
+        F.col("v.text").alias("text"),
+    )
+
+
+_JSONSCHEMA_EVENT = {
+    "type": "object",
+    "required": ["id", "value"],
+    "properties": {
+        "id": {"type": "integer"},
+        "value": {"type": "number", "maximum": 0.5},
+    },
+}
+
+
+def q_jsonschema_filter(spark, sf_dir):
+    """JSON payloads validated against a JSON Schema, invalid dropped,
+    valid decoded back to columns (jsonschema wire type,
+    kafi/deserializer.py:71-80)."""
+    from kafi_spark.sources.jsonschema_wire import validate_json_df
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_json(F.struct(F.col("event_id").alias("id"), F.col("value"))).alias("payload")
+    )
+    valid = validate_json_df(ev, "payload", _JSONSCHEMA_EVENT, mode="filter")
+    typed = valid.select(
+        F.from_json("payload", "id long, value double").alias("v")
+    )
+    return typed.select(F.col("v.id").alias("event_id"), F.col("v.value").alias("value"))
+
+
+_MERGED_SQL = {}
+
+
+def _build_merged_sql():
+    scalar = " CROSS JOIN ".join([
+        _prefix_sql("wc_", _SHELL_SQL["shell_wc"], ["n_messages", "n_words", "n_bytes"]),
+        _prefix_sql("st_", _SHELL_SQL["shell_stat"], ["n_messages"]),
+        _prefix_sql("gr_", _SHELL_SQL["shell_grep_stats"], ["n_matches", "n_scanned"]),
+        _prefix_sql("msz_", _ADDON_SQL["addon_message_size_stats"],
+                    ["total_bytes", "avg_bytes", "max_bytes", "min_bytes",
+                     "argmax_loc", "argmin_loc"]),
+        _prefix_sql("fold_", _FN_SQL["fn_foldl_agg"], ["n", "total_value", "min_ts", "max_ts"]),
+        _prefix_sql("agg_", _JOIN_SQL["global_agg"], ["n", "sum_qty", "min_ship", "max_ship"]),
+    ])
+    _MERGED_SQL["scalar_stats"] = f"SELECT * FROM {scalar}"
+    _MERGED_SQL["window_aligned"] = f"""
+        SELECT 'tumbling' AS wkind, w_start, CAST(NULL AS BIGINT) AS w_end, n, total
+        FROM ({_WINDOW_SQL["window_tumbling"]})
+        UNION ALL
+        SELECT 'hopping', w_start, CAST(NULL AS BIGINT), n, CAST(NULL AS DOUBLE)
+        FROM ({_WINDOW_SQL["window_hopping"]})
+        UNION ALL
+        SELECT 'cumulative', w_start, w_end, n, CAST(NULL AS DOUBLE)
+        FROM ({_WINDOW_SQL["window_cumulative"]})
+    """
+    _MERGED_SQL["zset_ops"] = " UNION ALL ".join(
+        f"SELECT '{tag}' AS op, nationkey FROM ({sql})"
+        for tag, sql in [
+            ("union", _ZSET_SQL["zset_union"]),
+            ("intersect", _ZSET_SQL["zset_intersect"]),
+            ("minus", _ZSET_SQL["zset_minus"]),
+            ("distinct", _EXTRA_SQL["zset_distinct"]),
+        ]
+    )
+    _MERGED_SQL["avro_roundtrip"] = "SELECT doc_id, lang, text FROM documents"
+    _MERGED_SQL["jsonschema_filter"] = """
+        SELECT event_id, value FROM events
+        WHERE value IS NOT NULL AND value <= 0.5
+    """
+
+
+_build_merged_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
+#: ops folded into a merged query (still defined + tested individually);
+#: their standalone oracle SQL feeds the merged SQL via _build_merged_sql.
+_MERGED_AWAY = (
+    "shell_wc", "shell_stat", "shell_grep_stats", "addon_message_size_stats",
+    "fn_foldl_agg", "global_agg",                       # -> scalar_stats
+    "window_tumbling", "window_hopping", "window_cumulative",  # -> window_aligned
+    "zset_union", "zset_intersect", "zset_minus", "zset_distinct",  # -> zset_ops
+    "text_token_count", "text_fingerprint", "text_quality", "text_langid",
+    # ^ exact column subsets of text_stats
+    "shell_cat",  # SELECT * shape; shell_head/tail/grep cover the verb family
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Exactly 50 entries: the driver records the first 50, so every query
+    # here gets a CORRECTNESS row. tools/check.py asserts the cap.
     return {
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1443,36 +1636,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shell_head": q_shell_head,
         "shell_tail": q_shell_tail,
         "shell_grep": q_shell_grep,
-        "shell_grep_stats": q_shell_grep_stats,
-        "shell_wc": q_shell_wc,
-        "shell_stat": q_shell_stat,
+        "scalar_stats": q_scalar_stats,
         "addon_compact": q_addon_compact,
-        "addon_message_size_stats": q_addon_message_size_stats,
         "addon_value_set": q_addon_value_set,
         "addon_offsets_diff": q_addon_offsets_diff,
         "addon_diff": q_addon_diff,
         "fn_map": q_fn_map,
         "fn_filter": q_fn_filter,
         "fn_flatmap": q_fn_flatmap,
-        "fn_foldl_agg": q_fn_foldl_agg,
-        "zset_union": q_zset_union,
-        "zset_intersect": q_zset_intersect,
-        "zset_minus": q_zset_minus,
+        "zset_ops": q_zset_ops,
         "cdc_debezium_apply": q_cdc_debezium_apply,
+        "cdc_debezium_encode": q_cdc_debezium_encode,
         "join_equi_agg": q_join_equi_agg,
         "join_theta_pairs": q_join_theta_pairs,
+        "join_anti": q_join_anti,
         "group_by_agg": q_group_by_agg,
-        "global_agg": q_global_agg,
-        "window_tumbling": q_window_tumbling,
-        "window_hopping": q_window_hopping,
-        "window_cumulative": q_window_cumulative,
+        "window_aligned": q_window_aligned,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
         "wordcount": q_wordcount,
-        "text_token_count": q_text_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1489,13 +1671,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_roundtrip": q_chunk_roundtrip,
         "topology_wordcount": q_topology_wordcount,
         "topology_join_agg": q_topology_join_agg,
-        "zset_distinct": q_zset_distinct,
-        "cdc_debezium_encode": q_cdc_debezium_encode,
         "analytic_topn": q_analytic_topn,
         "analytic_lag": q_analytic_lag,
         "rollup_agg": q_rollup_agg,
-        "shell_cat": q_shell_cat,
-        "join_anti": q_join_anti,
+        "avro_roundtrip": q_avro_roundtrip,
+        "jsonschema_filter": q_jsonschema_filter,
         "pipeline_curate": q_pipeline_curate,
     }
 
@@ -1523,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_HELPER_SQL)
     out.update(_TOPOLOGY_SQL)
     out.update(_EXTRA_SQL)
+    out.update(_MERGED_SQL)
     out["ann_cosine_topk_lsh"] = _ann_lsh_oracle_sql()
     out["pipeline_curate"] = _PIPELINE_SQL
     # dedup_minhash_lsh / dedup_simhash rely on engine-internal xxhash64 —
@@ -1530,4 +1711,6 @@ def oracle_sql() -> dict[str, str]:
     # portable siblings (dedup_minhash_portable / dedup_simhash_portable)
     # carry full value-hash oracles for the same algorithms, and tests/
     # assert recall of the fast paths against the exact operators.
+    for merged in _MERGED_AWAY:
+        out.pop(merged, None)
     return out

@@ -28,7 +28,7 @@ HEADLINE = [
     "addon_compact",
     "join_equi_agg",
     "group_by_agg",
-    "window_tumbling",
+    "window_aligned",
     "window_sliding",
     "window_session",
     "wordcount",
@@ -44,9 +44,11 @@ HEADLINE = [
     "emb_neardup",
     "analytic_topn",
     "rollup_agg",
-    "zset_distinct",
+    "zset_ops",
     "cdc_debezium_encode",
+    "avro_roundtrip",
     "pipeline_curate",
+    "pipeline_curate_minhash",
 ]
 
 
@@ -57,6 +59,9 @@ def main() -> None:
 
     spark = get_spark("kafi_spark_bench")
     qs = entry_mod.queries()
+    # bench-only twin: scale-default curation config (no oracle, so not
+    # part of the 50-query driver contract)
+    qs["pipeline_curate_minhash"] = entry_mod.q_pipeline_curate_minhash
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
