@@ -186,6 +186,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash + LSH banding, then exact
     Jaccard verification of the candidates.
@@ -218,6 +219,13 @@ def minhash_lsh_pairs(
         stacked.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
+        # bucket guard: a degenerate bucket (one signature shared by a huge
+        # doc subset, i.e. mass-duplicates the exact-dedup stage should have
+        # removed) would otherwise build an O(corpus) array and a C(m,2)
+        # pair explosion in one task. Truncating to max_bucket ids keeps the
+        # bucket's pair fan-out bounded; every surviving doc still meets the
+        # others through its remaining bands with overwhelming probability.
+        .withColumn("ids", F.slice("ids", 1, max_bucket))
     )
     combos = F.flatten(
         F.transform(
@@ -269,6 +277,7 @@ def minhash_lsh_pairs_portable(
     num_hashes: int = 24,
     bands: int = 6,
     threshold: float = 0.7,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """MinHash+LSH with ENGINE-PORTABLE hashing: h_i(x) = the first 15 hex
     chars of md5(i || ':' || x). Fixed-width hex strings order
@@ -314,6 +323,13 @@ def minhash_lsh_pairs_portable(
         banded.groupBy("band", "bh")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
+        # bucket guard: a degenerate bucket (one signature shared by a huge
+        # doc subset, i.e. mass-duplicates the exact-dedup stage should have
+        # removed) would otherwise build an O(corpus) array and a C(m,2)
+        # pair explosion in one task. Truncating to max_bucket ids keeps the
+        # bucket's pair fan-out bounded; every surviving doc still meets the
+        # others through its remaining bands with overwhelming probability.
+        .withColumn("ids", F.slice("ids", 1, max_bucket))
     )
     combos = F.flatten(
         F.transform(
@@ -430,6 +446,7 @@ def simhash_pairs_portable(
     id_col: str,
     max_hamming: int = 6,
     chunks: int = 8,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs with ENGINE-PORTABLE hashing: token bits come
     from md5 hex nibbles, so a SQL oracle reproduces the sketch exactly
@@ -492,6 +509,13 @@ def simhash_pairs_portable(
         digests.groupBy("chunk", "ch")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
+        # bucket guard: a degenerate bucket (one signature shared by a huge
+        # doc subset, i.e. mass-duplicates the exact-dedup stage should have
+        # removed) would otherwise build an O(corpus) array and a C(m,2)
+        # pair explosion in one task. Truncating to max_bucket ids keeps the
+        # bucket's pair fan-out bounded; every surviving doc still meets the
+        # others through its remaining bands with overwhelming probability.
+        .withColumn("ids", F.slice("ids", 1, max_bucket))
     )
     combos = F.flatten(
         F.transform(

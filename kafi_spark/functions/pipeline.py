@@ -8,9 +8,12 @@ ngram/minhash near-dup, keep_representatives), so the whole pipeline is
 a single Catalyst plan — filters push into the scan, the dedup shuffles
 key on 32-byte fingerprints, and nothing touches the driver.
 
-At 100 TB the near-dup stage should be the MinHash path
-(`near_dup="minhash"`); the exact n-gram inverted index
-(`near_dup="ngram"`) is the oracle-verifiable default at test scale.
+The near-dup stage defaults to the MinHash+LSH path — the one whose
+shuffle volume stays bounded at 100 TB. The exact n-gram inverted index
+(`near_dup="ngram"`) exists for oracle verification; even there,
+``ngram_max_df`` keeps the stop-shingle cap on unless explicitly
+disabled (the oracle query passes ``ngram_max_df=None`` to stay
+bit-exact against DuckDB).
 """
 
 from __future__ import annotations
@@ -33,7 +36,8 @@ def curate_documents(
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.7,
     k: int = 3,
-    near_dup: str = "ngram",
+    near_dup: str = "minhash",
+    ngram_max_df: int | None = 1000,
 ) -> DataFrame:
     """Curated corpus: (id, n_tokens, quality) for documents that
     (1) are identified as ``lang``, (2) clear the quality gate, (3) are
@@ -63,7 +67,8 @@ def curate_documents(
         )
     else:
         pairs = ngram_jaccard_pairs(
-            docs1, text_col, id_col, k=k, threshold=jaccard_threshold, max_df=None
+            docs1, text_col, id_col, k=k, threshold=jaccard_threshold,
+            max_df=ngram_max_df,
         )
     final_ids = keep_representatives(pairs, s1.select(id_col), id_col)
     return s1.join(final_ids, id_col, "left_semi").select(

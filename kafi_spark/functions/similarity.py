@@ -283,6 +283,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    train_cap: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means partitions the
     corpus into ``n_cells`` cells; each query probes its ``n_probe``
@@ -298,7 +299,16 @@ def cosine_topk_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    # KMeans on a capped sample: 20 iterations over the FULL corpus would
+    # dominate build cost at scale, and centroid quality saturates long
+    # before train_cap vectors. The deterministic per-row filter keeps the
+    # sample reproducible (no Sample operator reshuffle); cells stay
+    # seeded/stable for the rows-only driver check.
+    n = corpus.count()
+    train = corpus
+    if n > train_cap:
+        train = corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), n // train_cap) == 0)
+    train = train.select(array_to_vector(F.col(vec_col)).alias("features"))
     km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     C = np.vstack([np.asarray(c) for c in km.clusterCenters()])
     spark = corpus.sparkSession
