@@ -58,7 +58,8 @@ def binary_features(
     extractor = extractor or (
         lambda b: {"n_bytes": len(b), "sha_hex": hashlib.sha256(b).hexdigest()}
     )
-    out_schema = f"{id_col} long, {feature_schema}"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {feature_schema}"
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -123,8 +124,9 @@ def resize_image(
                 out_bytes.append(buf.getvalue())
             yield pd.DataFrame({id_col: pdf[id_col].values, binary_col: out_bytes})
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, binary_col).mapInPandas(
-        op, f"{id_col} long, {binary_col} binary"
+        op, f"{id_col} {id_type}, {binary_col} binary"
     )
 
 

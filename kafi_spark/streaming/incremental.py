@@ -39,6 +39,18 @@ from kafi_spark.streams.zset import WEIGHT, consolidate, from_records, neg
 from kafi_spark.streaming.topology import Topology
 
 
+class _SourceEnv(dict):
+    """Plan environment whose misses explain themselves: a sink referenced a
+    source that has no delta yet and declared no schema."""
+
+    def __missing__(self, name):
+        raise ValueError(
+            f"source {name!r} has received no delta and declares no schema; "
+            f"pass Topology.source({name!r}, schema=...) to allow evaluation "
+            "before its first delta"
+        )
+
+
 class IncrementalRunner:
     """Drive a :class:`Topology` in steps (reference run loop,
     kafi/streams/streams.py:229-280).
@@ -88,7 +100,14 @@ class IncrementalRunner:
             # truncate lineage so step cost doesn't grow with step count
             self._state[name] = merged.localCheckpoint(eager=True)
 
-        env = dict(self._state)
+        # Seed delta-less sources as empty Z-sets so sinks referencing them
+        # evaluate instead of KeyError-ing. Needs the declared schema; a
+        # schema-less delta-less source only errors if actually referenced.
+        env = _SourceEnv(self._state)
+        for name in self.topology.source_names:
+            schema = self.topology.source_schemas.get(name)
+            if name not in env and schema is not None:
+                env[name] = self.spark.createDataFrame([], f"{schema}, {WEIGHT} long")
         out: dict[str, DataFrame] = {}
         for sink, node in self.topology.sinks.items():
             cur = consolidate(node._plan(env)).localCheckpoint(eager=True)

@@ -41,11 +41,17 @@ class Topology:
 
     def __init__(self):
         self.source_names: list[str] = []
+        self.source_schemas: dict[str, str | None] = {}
         self.sinks: dict[str, TNode] = {}
 
-    def source(self, name: str) -> "TNode":
-        """Declare a named source (streams.py:33-42, topologynode.py:977-989)."""
+    def source(self, name: str, schema: str | None = None) -> "TNode":
+        """Declare a named source (streams.py:33-42, topologynode.py:977-989).
+
+        ``schema`` (DDL string, e.g. ``"word string, n long"``) is optional;
+        when given, step runners can evaluate sinks before this source has
+        received any delta by treating it as an empty Z-set."""
         self.source_names.append(name)
+        self.source_schemas[name] = schema
         return TNode(self, lambda env: from_records(env[name]))
 
     def build_batch(self, sources: dict[str, DataFrame]) -> dict[str, DataFrame]:

@@ -40,6 +40,17 @@ def test_binary_features_custom_extractor(assets):
     assert got[1] == 0x89 and got[3] == -1
 
 
+def test_binary_features_string_id(spark):
+    """Non-long id columns pass through with their own type (the output
+    schema is derived from the input, not hardcoded)."""
+    df = spark.createDataFrame(
+        [("doc-a", b"xy"), ("doc-b", b"z")], "asset_id string, payload binary")
+    out = mm.binary_features(df, "payload", "asset_id")
+    assert out.schema["asset_id"].dataType.simpleString() == "string"
+    r = {x.asset_id: x.n_bytes for x in out.collect()}
+    assert r == {"doc-a": 2, "doc-b": 1}
+
+
 def test_decode_image_stub_raises(assets):
     if mm._HAVE_PIL:
         pytest.skip("PIL present; stub not active")

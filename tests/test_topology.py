@@ -174,6 +174,35 @@ def test_incremental_join_with_retractions(spark):
     assert rows(runner.latest("rev"), "nation", "rev") == [("FR", 5.0)]
 
 
+def test_incremental_deltaless_source_with_schema_is_empty_zset(spark):
+    """A declared-schema source with no delta yet acts as an empty Z-set
+    instead of KeyError-ing inside the sink plan."""
+    t = Topology()
+    orders = t.source("orders")
+    custs = t.source("customers", schema="cid long, nation string")
+    orders.join_equi(custs, ["cid"], ["nation", "amount"]).sink("j")
+    runner = IncrementalRunner(t, spark)
+    out = runner.step({
+        "orders": spark.createDataFrame([(1, 10.0)], "cid long, amount double"),
+    })["j"]
+    assert out.count() == 0
+    # once the customer arrives, the join emits
+    d2 = runner.step({
+        "customers": spark.createDataFrame([(1, "DE")], "cid long, nation string"),
+    })["j"]
+    assert rows(d2, "nation", "amount", "weight") == [("DE", 10.0, 1)]
+
+
+def test_incremental_deltaless_source_without_schema_errors_clearly(spark):
+    t = Topology()
+    a = t.source("a")
+    b = t.source("b")  # no schema, never fed
+    a.union(b).sink("u")
+    runner = IncrementalRunner(t, spark)
+    with pytest.raises(ValueError, match="source 'b' has received no delta"):
+        runner.step({"a": spark.createDataFrame([(1,)], "x long")})
+
+
 def test_incremental_expire_bounds_state(spark):
     """State eviction keeps integrated source bounded (reference bounded-
     state assertion, test/streams/test_base.py:132-139)."""

@@ -68,6 +68,15 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # driver contract: CORRECTNESS records only the first 50 queries() entries;
+    # keep the registry at exactly 50 so every query gets a driver row
+    if len(qs) != 50:
+        print(f"FAIL  contract: queries() has {len(qs)} entries, driver records 50")
+        sys.exit(1)
+    stray = sorted(set(oracles) - set(qs))
+    if stray:
+        print(f"FAIL  contract: oracle_sql() keys missing from queries(): {stray}")
+        sys.exit(1)
     n_pass = n_fail = n_weak = 0
     failures = []
     for name, fn in qs.items():
