@@ -482,7 +482,17 @@ def q_cdc_debezium_apply(spark, sf_dir):
 _ZSET_SQL = {
     "zset_union": "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
     "zset_intersect": "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
-    "zset_minus": "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+    # reference minus = distinct(a + neg(b)): net weight > 0 survives
+    # (kafi/streams/topologynode.py:330-350), NOT SQL EXCEPT
+    "zset_minus": """
+        SELECT nationkey FROM (
+            SELECT nationkey, SUM(w) AS net FROM (
+                SELECT c_nationkey AS nationkey, 1 AS w FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey, -1 AS w FROM supplier
+            ) GROUP BY nationkey
+        ) WHERE net > 0
+    """,
     "cdc_debezium_apply": "SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 0",
 }
 

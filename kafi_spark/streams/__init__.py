@@ -18,6 +18,7 @@ from kafi_spark.streams.zset import (
     neg,
     to_records,
     zset_distinct,
+    zset_except,
     zset_intersect,
     zset_minus,
     zset_union,

@@ -96,11 +96,20 @@ def zset_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def zset_minus(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Set difference = a + (-b), distinct over net-positive
-    (topologynode.py:330-350): records with net>0 in ``a`` and net<=0 in
-    ``b``."""
-    # distinct-minus is set-semantics per side (a record 2x in `a` and 1x
-    # in `b` must NOT survive), so presence flags, not bag arithmetic:
+    """Reference minus = distinct(a + neg(b)) (topologynode.py:330-350):
+    a record survives iff its NET weight across both sides is positive,
+    so weight 2 in ``a`` vs 1 in ``b`` survives (net +1). This is bag
+    arithmetic, not SQL ``EXCEPT`` — for presence-based difference use
+    :func:`zset_except`. One union + one hash aggregation (map-side
+    partial), no join."""
+    return zset_distinct(a.unionByName(neg(b)))
+
+
+def zset_except(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SQL ``EXCEPT`` semantics: records net-present in ``a`` and not
+    net-present in ``b`` — a record 2x in ``a`` and 1x in ``b`` does NOT
+    survive. Deviates from the reference's minus (see :func:`zset_minus`);
+    kept because it is the difference most SQL users expect."""
     cols = _record_cols(a)
     ta = a.groupBy(*cols).agg(F.sum(WEIGHT).alias("__wa"))
     tb = b.groupBy(*cols).agg(F.sum(WEIGHT).alias("__wb"))

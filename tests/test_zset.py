@@ -50,8 +50,18 @@ def test_intersect(spark):
     assert rows(zset.zset_intersect(a, b)) == [("y", 1)]
 
 
-def test_minus_set_semantics(spark):
-    # 'a' twice in left, once in right -> must NOT survive (set difference)
+def test_minus_reference_net_semantics(spark):
+    # reference minus = distinct(a + neg(b)) (topologynode.py:330-350):
+    # 'a' twice in left, once in right -> net +1 -> SURVIVES
     a = zs(spark, ("a", 2), ("b", 1), ("c", 1))
     b = zs(spark, ("a", 1), ("c", -1))
-    assert rows(zset.zset_minus(a, b)) == [("b", 1), ("c", 1)]
+    assert rows(zset.zset_minus(a, b)) == [("a", 1), ("b", 1), ("c", 1)]
+    # 'd' equal weight both sides -> net 0 -> gone
+    assert rows(zset.zset_minus(zs(spark, ("d", 1)), zs(spark, ("d", 1)))) == []
+
+
+def test_except_sql_semantics(spark):
+    # SQL EXCEPT: presence flags — 'a' present in both sides -> dropped
+    a = zs(spark, ("a", 2), ("b", 1), ("c", 1))
+    b = zs(spark, ("a", 1), ("c", -1))
+    assert rows(zset.zset_except(a, b)) == [("b", 1), ("c", 1)]

@@ -82,6 +82,7 @@ def test_union_commutative_and_set_laws(spark, a, b):
         k for k in set(na) | set(nb) if na.get(k, 0) + nb.get(k, 0) > 0
     }
     assert {k for k, _ in _collect(zset_intersect(da, db))} == pa & pb
+    # reference minus: net(a) - net(b) > 0 survives (topologynode.py:330-350)
     assert {k for k, _ in _collect(zset_minus(da, db))} == {
-        k for k in pa if nb.get(k, 0) <= 0
+        k for k in set(na) | set(nb) if na.get(k, 0) - nb.get(k, 0) > 0
     }
