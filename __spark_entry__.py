@@ -1524,21 +1524,30 @@ _AVRO_DOC_SCHEMA = """
 """
 
 
-def q_avro_roundtrip(spark, sf_dir):
-    """documents -> Avro binary -> back, through the engine's own codec
-    (sources/avro.py; reference path kafi/serializer.py:63-87 +
-    kafi/deserializer.py:60-69). The oracle is the identity on documents,
-    so any encode/decode asymmetry shows up as a value mismatch."""
+_PROTO_DOC_SCHEMA = """
+    syntax = "proto3";
+    message Doc { int64 id = 1; string lang = 2; string text = 3; }
+"""
+
+
+def q_wire_roundtrip(spark, sf_dir):
+    """documents -> Avro binary -> back -> protobuf binary -> back, through
+    the engine's own codecs (sources/avro.py, sources/protobuf_wire.py;
+    reference paths kafi/serializer.py:63-123 + kafi/deserializer.py:
+    60-69,133-148). The oracle is the identity on documents, so any
+    encode/decode asymmetry in either codec shows up as a value mismatch."""
     from kafi_spark.sources.avro import from_avro_df, to_avro_df
+    from kafi_spark.sources.protobuf_wire import from_protobuf_df, to_protobuf_df
 
     d = _t(spark, sf_dir, "documents").select(
         F.struct(
             F.col("doc_id").alias("id"), F.col("lang"), F.col("text")
         ).alias("v")
     )
-    enc = to_avro_df(d, "v", _AVRO_DOC_SCHEMA)
-    dec = from_avro_df(enc, "v", _AVRO_DOC_SCHEMA)
-    return dec.select(
+    dec = from_avro_df(to_avro_df(d, "v", _AVRO_DOC_SCHEMA), "v", _AVRO_DOC_SCHEMA)
+    dec2 = from_protobuf_df(
+        to_protobuf_df(dec, "v", _PROTO_DOC_SCHEMA), "v", _PROTO_DOC_SCHEMA)
+    return dec2.select(
         F.col("v.id").alias("doc_id"),
         F.col("v.lang").alias("lang"),
         F.col("v.text").alias("text"),
@@ -1605,7 +1614,7 @@ def _build_merged_sql():
             ("distinct", _EXTRA_SQL["zset_distinct"]),
         ]
     )
-    _MERGED_SQL["avro_roundtrip"] = "SELECT doc_id, lang, text FROM documents"
+    _MERGED_SQL["wire_roundtrip"] = "SELECT doc_id, lang, text FROM documents"
     _MERGED_SQL["jsonschema_filter"] = """
         SELECT event_id, value FROM events
         WHERE value IS NOT NULL AND value <= 0.5
@@ -1684,7 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytic_topn": q_analytic_topn,
         "analytic_lag": q_analytic_lag,
         "rollup_agg": q_rollup_agg,
-        "avro_roundtrip": q_avro_roundtrip,
+        "wire_roundtrip": q_wire_roundtrip,
         "jsonschema_filter": q_jsonschema_filter,
         "pipeline_curate": q_pipeline_curate,
     }

@@ -46,7 +46,7 @@ HEADLINE = [
     "rollup_agg",
     "zset_ops",
     "cdc_debezium_encode",
-    "avro_roundtrip",
+    "wire_roundtrip",
     "pipeline_curate",
     "pipeline_curate_minhash",
 ]

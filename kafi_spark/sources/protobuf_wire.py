@@ -1,0 +1,710 @@
+"""Protobuf wire type: dependency-free proto3 codec + Spark column bridge.
+
+The reference's protobuf path deserializes Confluent-framed protobuf
+through grpc_tools + the Schema Registry (kafi/deserializer.py:133-148,
+kafi/serializer.py:108-123). This environment bundles neither a Python
+protobuf runtime nor the spark-protobuf connector, so — like
+:mod:`kafi_spark.sources.avro` — the codec is implemented here against
+the public protobuf wire-format spec (varints, zigzag sints, 32/64-bit
+fixed, length-delimited, packed repeated, map entries as repeated
+key/value messages) plus a proto3-subset ``.proto`` parser covering
+messages (nested), enums, oneof (wire-transparent), map fields, repeated
+fields, and comments. Conformance is pytest-checked against the byte
+examples published in the protobuf encoding documentation.
+
+Spark integration mirrors the Avro bridge: ``from_protobuf_df`` /
+``to_protobuf_df`` cross into Python once per Arrow batch, with the
+parsed schema riding in the closure — executor-side decode, nothing on
+the driver. Confluent framing for protobuf carries a message-index list
+after the schema id (zigzag varints; the common single-``[0]`` case is
+one zero byte), per the public Confluent wire-format docs.
+
+Deliberate scope limits (documented, not silent): proto2 groups and
+extensions are not parsed; ``uint64``/``fixed64`` values above 2^63-1
+wrap to negative when surfaced as Spark LongType (Spark has no unsigned
+integral type — same caveat as spark-protobuf).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from io import BytesIO
+
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Schema model + .proto subset parser
+# ---------------------------------------------------------------------------
+
+_SCALARS = {
+    "double", "float", "int32", "int64", "uint32", "uint64", "sint32",
+    "sint64", "fixed32", "fixed64", "sfixed32", "sfixed64", "bool",
+    "string", "bytes",
+}
+
+#: wire type per scalar: 0 varint, 1 64-bit, 2 length-delimited, 5 32-bit
+_WIRE = {
+    "double": 1, "float": 5, "int32": 0, "int64": 0, "uint32": 0,
+    "uint64": 0, "sint32": 0, "sint64": 0, "fixed32": 5, "fixed64": 1,
+    "sfixed32": 5, "sfixed64": 1, "bool": 0, "string": 2, "bytes": 2,
+}
+
+
+class ProtoEnum:
+    def __init__(self, name: str, values: dict[str, int]):
+        self.name = name
+        self.by_name = dict(values)
+        self.by_number = {n: k for k, n in values.items()}
+
+
+class ProtoField:
+    def __init__(self, number: int, name: str, ftype: str, repeated: bool = False,
+                 message: "ProtoMessage | None" = None, enum: ProtoEnum | None = None,
+                 map_entry: "tuple[str, ProtoField] | None" = None):
+        self.number = number
+        self.name = name
+        self.type = ftype            # scalar name | 'message' | 'enum' | 'map'
+        self.repeated = repeated
+        self.message = message
+        self.enum = enum
+        self.map_entry = map_entry   # (key scalar type, value ProtoField)
+
+    @property
+    def wire_type(self) -> int:
+        if self.type in ("message", "map"):
+            return 2
+        if self.type == "enum":
+            return 0
+        return _WIRE[self.type]
+
+    @property
+    def packable(self) -> bool:
+        return self.repeated and self.type not in ("string", "bytes", "message", "map") \
+            and (self.type == "enum" or _WIRE[self.type] in (0, 1, 5))
+
+
+class ProtoMessage:
+    def __init__(self, name: str):
+        self.name = name
+        self.fields: list[ProtoField] = []
+        self.by_number: dict[int, ProtoField] = {}
+        self.by_name: dict[str, ProtoField] = {}
+        self.nested_messages: dict[str, "ProtoMessage"] = {}
+        self.nested_enums: dict[str, ProtoEnum] = {}
+
+    def add(self, f: ProtoField) -> None:
+        self.fields.append(f)
+        self.by_number[f.number] = f
+        self.by_name[f.name] = f
+
+
+_TOKEN = re.compile(r"[A-Za-z_][\w.]*|<|>|[{}=;,]|-?\d+|\"[^\"]*\"")
+
+
+def _tokenize(text: str) -> list[str]:
+    text = re.sub(r"//[^\n]*", " ", text)
+    text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+    return _TOKEN.findall(text)
+
+
+def parse_proto(text: str, message: str | None = None):
+    """Parse a proto3 ``.proto`` source (subset, see module docstring).
+
+    Returns the named top-level message, or the sole message if ``message``
+    is None and exactly one is defined; otherwise a name->ProtoMessage dict.
+    """
+    toks = _tokenize(text)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = toks[pos[0]]
+        pos[0] += 1
+        return t
+
+    def expect(t):
+        got = take()
+        if got != t:
+            raise ValueError(f"proto parse: expected {t!r}, got {got!r}")
+
+    def skip_statement():
+        while peek() not in (";", None):
+            take()
+        if peek() == ";":
+            take()
+
+    def parse_enum() -> ProtoEnum:
+        name = take()
+        expect("{")
+        values: dict[str, int] = {}
+        while peek() != "}":
+            t = take()
+            if t in ("option", "reserved"):
+                skip_statement()
+                continue
+            expect("=")
+            values[t] = int(take())
+            if peek() == "[":  # value options, e.g. [deprecated = true]
+                while take() != "]":
+                    pass
+            if peek() == ";":
+                take()
+        take()  # }
+        return ProtoEnum(name, values)
+
+    def parse_message() -> ProtoMessage:
+        msg = ProtoMessage(take())
+        expect("{")
+        pending: list[tuple] = []  # (number, fname, type_name, repeated, map_kv)
+        while peek() != "}":
+            t = take()
+            if t in ("option", "reserved"):
+                skip_statement()
+            elif t == "message":
+                m = parse_message()
+                msg.nested_messages[m.name] = m
+            elif t == "enum":
+                e = parse_enum()
+                msg.nested_enums[e.name] = e
+            elif t == "oneof":
+                take()  # oneof name — fields are wire-transparent
+                expect("{")
+                while peek() != "}":
+                    tn = take()
+                    fname = take()
+                    expect("=")
+                    num = int(take())
+                    if peek() == ";":
+                        take()
+                    pending.append((num, fname, tn, False, None))
+                take()
+            elif t == "map":
+                expect("<")
+                kt = take()
+                expect(",")
+                vt = take()
+                expect(">")
+                fname = take()
+                expect("=")
+                num = int(take())
+                if peek() == "[":
+                    while take() != "]":
+                        pass
+                if peek() == ";":
+                    take()
+                pending.append((num, fname, vt, False, kt))
+            else:
+                repeated = t == "repeated"
+                tn = take() if repeated else t
+                if tn == "optional":  # proto3 optional — wire-transparent here
+                    tn = take()
+                fname = take()
+                expect("=")
+                num = int(take())
+                if peek() == "[":  # field options, e.g. [packed = true]
+                    while take() != "]":
+                        pass
+                if peek() == ";":
+                    take()
+                pending.append((num, fname, tn, repeated, None))
+        take()  # }
+        msg._pending = pending  # resolved once all types are known
+        return msg
+
+    top_messages: dict[str, ProtoMessage] = {}
+    top_enums: dict[str, ProtoEnum] = {}
+    while peek() is not None:
+        t = take()
+        if t in ("syntax", "package", "import", "option"):
+            skip_statement()
+        elif t == "message":
+            m = parse_message()
+            top_messages[m.name] = m
+        elif t == "enum":
+            e = parse_enum()
+            top_enums[e.name] = e
+        elif t == ";":
+            pass
+        else:
+            raise ValueError(f"proto parse: unexpected top-level token {t!r}")
+
+    def _lookup(msgs: dict, enums: dict, parts: list[str]):
+        for p in parts[:-1]:
+            m = msgs.get(p)
+            if m is None:
+                return None
+            msgs, enums = m.nested_messages, m.nested_enums
+        last = parts[-1]
+        if last in msgs:
+            return ("message", msgs[last])
+        if last in enums:
+            return ("enum", enums[last])
+        return None
+
+    def resolve_type(name: str, scope: list[ProtoMessage]):
+        """Protobuf name resolution: innermost scope outward, then the
+        file level; dotted names navigate nested messages (Outer.Inner)."""
+        parts = name.split(".")
+        for lvl in reversed(scope):
+            r = _lookup(lvl.nested_messages, lvl.nested_enums, parts)
+            if r is not None:
+                return r
+        r = _lookup(top_messages, top_enums, parts)
+        if r is not None:
+            return r
+        raise ValueError(f"proto parse: unknown type {name!r}")
+
+    def resolve(msg: ProtoMessage, scope: list[ProtoMessage]):
+        inner_scope = scope + [msg]
+        for m in msg.nested_messages.values():
+            resolve(m, inner_scope)
+        for number, fname, tn, repeated, map_key in msg._pending:
+            if map_key is not None:
+                if tn in _SCALARS:
+                    vf = ProtoField(2, "value", tn)
+                else:
+                    kind, d = resolve_type(tn, inner_scope)
+                    vf = ProtoField(2, "value", kind,
+                                    message=d if kind == "message" else None,
+                                    enum=d if kind == "enum" else None)
+                msg.add(ProtoField(number, fname, "map", map_entry=(map_key, vf)))
+            elif tn in _SCALARS:
+                msg.add(ProtoField(number, fname, tn, repeated))
+            else:
+                kind, d = resolve_type(tn, inner_scope)
+                msg.add(ProtoField(number, fname, kind, repeated,
+                                   message=d if kind == "message" else None,
+                                   enum=d if kind == "enum" else None))
+        del msg._pending
+
+    for m in top_messages.values():
+        resolve(m, [])
+
+    if message is not None:
+        parts = message.split(".")
+        node = top_messages[parts[0]]
+        for p in parts[1:]:
+            node = node.nested_messages[p]
+        return node
+    if len(top_messages) == 1:
+        return next(iter(top_messages.values()))
+    return top_messages
+
+
+# ---------------------------------------------------------------------------
+# Wire codec
+# ---------------------------------------------------------------------------
+
+def _uvarint(out: BytesIO, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            return
+
+
+def _varint64(out: BytesIO, v: int) -> None:
+    """Signed int32/int64/enum: negative values use the 64-bit two's
+    complement, always 10 bytes on the wire (spec)."""
+    _uvarint(out, v & 0xFFFFFFFFFFFFFFFF)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _tag(out: BytesIO, number: int, wire: int) -> None:
+    _uvarint(out, (number << 3) | wire)
+
+
+def _enc_scalar(out: BytesIO, t: str, v, enum: ProtoEnum | None = None) -> None:
+    if t in ("int32", "int64"):
+        _varint64(out, int(v))
+    elif t in ("uint32", "uint64"):
+        _uvarint(out, int(v))
+    elif t in ("sint32", "sint64"):
+        _uvarint(out, _zigzag(int(v)) & 0xFFFFFFFFFFFFFFFF)
+    elif t == "bool":
+        _uvarint(out, 1 if v else 0)
+    elif t == "enum":
+        n = enum.by_name[v] if isinstance(v, str) else int(v)
+        _varint64(out, n)
+    elif t == "double":
+        out.write(struct.pack("<d", float(v)))
+    elif t == "float":
+        out.write(struct.pack("<f", float(v)))
+    elif t == "fixed64":
+        out.write(struct.pack("<Q", int(v) & 0xFFFFFFFFFFFFFFFF))
+    elif t == "sfixed64":
+        out.write(struct.pack("<q", int(v)))
+    elif t == "fixed32":
+        out.write(struct.pack("<I", int(v) & 0xFFFFFFFF))
+    elif t == "sfixed32":
+        out.write(struct.pack("<i", int(v)))
+    elif t == "string":
+        b = str(v).encode("utf-8")
+        _uvarint(out, len(b))
+        out.write(b)
+    elif t == "bytes":
+        b = bytes(v)
+        _uvarint(out, len(b))
+        out.write(b)
+    else:  # pragma: no cover
+        raise ValueError(f"unencodable scalar {t!r}")
+
+
+_DEFAULTS = {"string": "", "bytes": b"", "bool": False, "double": 0.0, "float": 0.0}
+
+
+def _is_default(f: ProtoField, v) -> bool:
+    if v is None:
+        return True
+    if f.repeated or f.type == "map":
+        return len(v) == 0
+    if f.type == "message":
+        return False  # presence-tracked: an empty dict still serializes
+    if f.type == "enum":
+        return (f.enum.by_name.get(v) if isinstance(v, str) else v) == 0
+    return v == _DEFAULTS.get(f.type, 0)
+
+
+def encode(value: dict, mdef: ProtoMessage) -> bytes:
+    """dict -> proto3 bytes. Default-valued singular fields are omitted
+    (spec behavior); packed encoding for repeated numeric fields."""
+    out = BytesIO()
+    for f in mdef.fields:
+        v = value.get(f.name)
+        if _is_default(f, v):
+            continue
+        if f.type == "map":
+            kt, vf = f.map_entry
+            for k, mv in v.items():
+                entry = BytesIO()
+                _tag(entry, 1, _WIRE[kt])
+                _enc_scalar(entry, kt, k)
+                if mv is not None or vf.type == "message":
+                    _tag(entry, 2, vf.wire_type)
+                    if vf.type == "message":
+                        b = encode(mv or {}, vf.message)
+                        _uvarint(entry, len(b))
+                        entry.write(b)
+                    else:
+                        _enc_scalar(entry, vf.type, mv, vf.enum)
+                eb = entry.getvalue()
+                _tag(out, f.number, 2)
+                _uvarint(out, len(eb))
+                out.write(eb)
+        elif f.packable:
+            packed = BytesIO()
+            for item in v:
+                _enc_scalar(packed, f.type, item, f.enum)
+            pb = packed.getvalue()
+            _tag(out, f.number, 2)
+            _uvarint(out, len(pb))
+            out.write(pb)
+        elif f.repeated:
+            for item in v:
+                _tag(out, f.number, f.wire_type)
+                if f.type == "message":
+                    b = encode(item, f.message)
+                    _uvarint(out, len(b))
+                    out.write(b)
+                else:
+                    _enc_scalar(out, f.type, item, f.enum)
+        elif f.type == "message":
+            b = encode(v, f.message)
+            _tag(out, f.number, 2)
+            _uvarint(out, len(b))
+            out.write(b)
+        else:
+            _tag(out, f.number, f.wire_type)
+            _enc_scalar(out, f.type, v, f.enum)
+    return out.getvalue()
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.data)
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise ValueError("protobuf: truncated payload")
+        b = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+    def uvarint(self) -> int:
+        shift = v = 0
+        while True:
+            b = self.read(1)[0]
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+            if shift > 63:
+                raise ValueError("protobuf: varint too long")
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _dec_scalar(rd: _Reader, t: str, enum: ProtoEnum | None = None):
+    if t in ("int32", "int64"):
+        return _signed64(rd.uvarint())
+    if t in ("uint32", "uint64"):
+        return rd.uvarint()
+    if t in ("sint32", "sint64"):
+        return _unzigzag(rd.uvarint())
+    if t == "bool":
+        return rd.uvarint() != 0
+    if t == "enum":
+        n = _signed64(rd.uvarint())
+        return enum.by_number.get(n, n)
+    if t == "double":
+        return struct.unpack("<d", rd.read(8))[0]
+    if t == "float":
+        return struct.unpack("<f", rd.read(4))[0]
+    if t == "fixed64":
+        return struct.unpack("<Q", rd.read(8))[0]
+    if t == "sfixed64":
+        return struct.unpack("<q", rd.read(8))[0]
+    if t == "fixed32":
+        return struct.unpack("<I", rd.read(4))[0]
+    if t == "sfixed32":
+        return struct.unpack("<i", rd.read(4))[0]
+    if t == "string":
+        return rd.read(rd.uvarint()).decode("utf-8")
+    if t == "bytes":
+        return rd.read(rd.uvarint())
+    raise ValueError(f"undecodable scalar {t!r}")  # pragma: no cover
+
+
+def _skip(rd: _Reader, wire: int) -> None:
+    if wire == 0:
+        rd.uvarint()
+    elif wire == 1:
+        rd.read(8)
+    elif wire == 2:
+        rd.read(rd.uvarint())
+    elif wire == 5:
+        rd.read(4)
+    else:
+        raise ValueError(f"protobuf: cannot skip wire type {wire}")
+
+
+def decode(data: bytes, mdef: ProtoMessage) -> dict:
+    """proto3 bytes -> dict with proto3 defaults filled for absent
+    singular fields (0 / '' / b'' / False / [] / {}; absent sub-messages
+    stay None — presence is meaningful for them). Unknown fields are
+    skipped; last-wins for repeated occurrences of a singular field."""
+    rd = _Reader(bytes(data))
+    out: dict = {}
+    while not rd.eof():
+        key = rd.uvarint()
+        number, wire = key >> 3, key & 7
+        f = mdef.by_number.get(number)
+        if f is None:
+            _skip(rd, wire)
+            continue
+        if f.type == "map":
+            kt, vf = f.map_entry
+            entry = _Reader(rd.read(rd.uvarint()))
+            k = 0 if kt != "string" else ""
+            mv = None if vf.type == "message" else _map_default(vf)
+            while not entry.eof():
+                ek = entry.uvarint()
+                if ek >> 3 == 1:
+                    k = _dec_scalar(entry, kt)
+                elif ek >> 3 == 2:
+                    if vf.type == "message":
+                        mv = decode(entry.read(entry.uvarint()), vf.message)
+                    else:
+                        mv = _dec_scalar(entry, vf.type, vf.enum)
+                else:
+                    _skip(entry, ek & 7)
+            out.setdefault(f.name, {})[k] = mv
+        elif f.packable and wire == 2:
+            packed = _Reader(rd.read(rd.uvarint()))
+            lst = out.setdefault(f.name, [])
+            while not packed.eof():
+                lst.append(_dec_scalar(packed, f.type, f.enum))
+        elif f.repeated:
+            item = decode(rd.read(rd.uvarint()), f.message) if f.type == "message" \
+                else _dec_scalar(rd, f.type, f.enum)
+            out.setdefault(f.name, []).append(item)
+        elif f.type == "message":
+            out[f.name] = decode(rd.read(rd.uvarint()), f.message)
+        else:
+            out[f.name] = _dec_scalar(rd, f.type, f.enum)
+    for f in mdef.fields:
+        if f.name not in out:
+            out[f.name] = _field_default(f)
+    return out
+
+
+def _map_default(vf: ProtoField):
+    if vf.type == "enum":
+        return vf.enum.by_number.get(0, 0)
+    return _DEFAULTS.get(vf.type, 0)
+
+
+def _field_default(f: ProtoField):
+    if f.repeated:
+        return []
+    if f.type == "map":
+        return {}
+    if f.type == "message":
+        return None
+    if f.type == "enum":
+        return f.enum.by_number.get(0, 0)
+    return _DEFAULTS.get(f.type, 0)
+
+
+# ---------------------------------------------------------------------------
+# Spark bridge
+# ---------------------------------------------------------------------------
+
+def proto_to_spark(mdef: ProtoMessage):
+    """Map a message definition to the Spark type spark-protobuf would
+    produce: enums as strings, uint64/fixed64 as (sign-wrapping) longs."""
+    from pyspark.sql import types as T
+
+    prim = {
+        "double": T.DoubleType(), "float": T.FloatType(),
+        "int32": T.IntegerType(), "sint32": T.IntegerType(),
+        "sfixed32": T.IntegerType(), "uint32": T.LongType(),
+        "int64": T.LongType(), "sint64": T.LongType(),
+        "sfixed64": T.LongType(), "uint64": T.LongType(),
+        "fixed32": T.LongType(), "fixed64": T.LongType(),
+        "bool": T.BooleanType(), "string": T.StringType(),
+        "bytes": T.BinaryType(),
+    }
+
+    def field_t(f: ProtoField, seen: frozenset):
+        if f.type == "map":
+            kt, vf = f.map_entry
+            return T.MapType(prim[kt] if kt != "bool" else T.BooleanType(),
+                             field_t(vf, seen))
+        if f.type == "enum":
+            base = T.StringType()
+        elif f.type == "message":
+            if f.message.name in seen:
+                raise ValueError(
+                    f"recursive message {f.message.name} has no Spark analogue")
+            base = msg_t(f.message, seen | {f.message.name})
+        else:
+            base = prim[f.type]
+        return T.ArrayType(base) if f.repeated else base
+
+    def msg_t(m: ProtoMessage, seen: frozenset):
+        return T.StructType(
+            [T.StructField(f.name, field_t(f, seen), True) for f in m.fields])
+
+    return msg_t(mdef, frozenset({mdef.name}))
+
+
+def _as_mdef(schema, message: str | None = None) -> ProtoMessage:
+    if isinstance(schema, ProtoMessage):
+        return schema
+    parsed = parse_proto(schema, message)
+    if isinstance(parsed, dict):
+        raise ValueError(
+            f"multiple top-level messages {sorted(parsed)}; pass message=...")
+    return parsed
+
+
+def message_indexes_bytes(indexes: list[int] | None = None) -> bytes:
+    """Confluent protobuf framing: message-index list after the schema id —
+    count + indexes as zigzag varints, with the common [0] collapsed to a
+    single zero byte (public Confluent wire-format docs)."""
+    if not indexes or indexes == [0]:
+        return b"\x00"
+    out = BytesIO()
+    for v in [len(indexes), *indexes]:
+        _uvarint(out, _zigzag(v) & 0xFFFFFFFFFFFFFFFF)
+    return out.getvalue()
+
+
+def read_message_indexes(data: bytes) -> tuple[list[int], int]:
+    """Parse the message-index list; returns (indexes, bytes consumed)."""
+    rd = _Reader(bytes(data))
+    n = _unzigzag(rd.uvarint())
+    if n == 0:
+        return [0], rd.pos
+    return [_unzigzag(rd.uvarint()) for _ in range(n)], rd.pos
+
+
+def from_protobuf_df(df, col: str, schema, message: str | None = None,
+                     out: str | None = None, confluent: bool = False):
+    """Decode a binary protobuf column into a typed struct column (one
+    Arrow crossing; parsed schema in the closure). ``confluent=True``
+    strips the 5-byte header + message-index list per row — the writer
+    schema itself must still be supplied (unlike Avro, a protobuf payload
+    is not self-describing and this engine compiles one schema per call)."""
+    from pyspark.sql import functions as F
+
+    from kafi_spark.sources.avro import _decode_udf
+
+    mdef = _as_mdef(schema, message)
+    spark_t = proto_to_spark(mdef)
+    out = out or col
+
+    def one(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        if confluent:
+            if not b or b[0] != 0:
+                raise ValueError("not Confluent-framed protobuf")
+            _, skip = read_message_indexes(b[5:])
+            b = b[5 + skip:]
+        return decode(b, mdef)
+
+    return df.withColumn(out, _decode_udf(one, spark_t)(F.col(col)))
+
+
+def to_protobuf_df(df, col: str, schema, message: str | None = None,
+                   out: str | None = None, confluent_id: int | None = None,
+                   message_indexes: list[int] | None = None):
+    """Encode a struct column to protobuf binary; with ``confluent_id``,
+    prepend magic + schema id + message-index list."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    mdef = _as_mdef(schema, message)
+    out = out or col
+    prefix = b"" if confluent_id is None else \
+        b"\x00" + int(confluent_id).to_bytes(4, "big") + message_indexes_bytes(message_indexes)
+
+    @F.pandas_udf(BinaryType())
+    def _enc_udf(s: pd.Series) -> pd.Series:
+        if isinstance(s, pd.DataFrame):
+            vals = s.astype(object).where(pd.notna(s), None).to_dict("records")
+        else:
+            vals = list(s)
+        return pd.Series(
+            [None if v is None else prefix + encode(_clean(v), mdef) for v in vals])
+
+    def _clean(v):
+        if isinstance(v, dict):
+            return {k: _clean(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_clean(x) for x in v]
+        return v
+
+    return df.withColumn(out, _enc_udf(F.col(col)))

@@ -88,8 +88,9 @@ def decode_col(col: Column, wire_type: str, schema: str | None = None) -> Column
         )
     if wire_type in ("protobuf", "pb"):
         raise NotImplementedError(
-            "protobuf needs the spark-protobuf package or grpc_tools, "
-            "neither bundled in this environment (documented gate; "
+            "protobuf decode is DataFrame-level (Arrow-batched pandas UDF), "
+            "not a Column expr — use kafi_spark.sources.protobuf_wire."
+            "from_protobuf_df / to_protobuf_df (plain or Confluent-framed; "
             "ref kafi/deserializer.py:133-148)"
         )
     raise ValueError(f"unknown wire type: {wire_type}")
