@@ -121,17 +121,91 @@ class FSTopicStorage:
     def watermarks(self, topic: str) -> dict[int, tuple[int, int]]:
         """Per-partition (low, high) offsets; high = next offset to assign,
         Kafka convention (kafi/fs/fs_admin.py:206-261). One metadata-cheap
-        aggregate over the parquet footer min/max."""
+        aggregate over the parquet footer min/max. ``delete_records``
+        advances the persisted log-start / next-offset floors in topic
+        metadata, which dominate when a partition's data is fully purged
+        (the high watermark must survive a full truncation, like a broker's
+        log start offset does)."""
         n = self.partitions(topic)
-        wm = {p: (0, 0) for p in range(n)}
+        meta = self.metadata(topic)
+        log_start = {int(p): o for p, o in meta.get("log_start", {}).items()}
+        next_off = {int(p): o for p, o in meta.get("next_offset", {}).items()}
+        wm = {
+            p: (log_start.get(p, 0), max(log_start.get(p, 0), next_off.get(p, 0)))
+            for p in range(n)
+        }
         df = self._read_raw(topic)
         if df is None:
             return wm
         for r in df.groupBy("partition").agg(
             F.min("offset").alias("lo"), F.max("offset").alias("hi")
         ).collect():
-            wm[r["partition"]] = (r["lo"], r["hi"] + 1)
+            p = r["partition"]
+            wm[p] = (max(r["lo"], log_start.get(p, 0)),
+                     max(r["hi"] + 1, next_off.get(p, 0)))
         return wm
+
+    #: sentinel accepted by delete_records: purge up to the high watermark
+    OFFSET_END = -1
+
+    def delete_records(self, pattern_or_offsets="*") -> dict[str, dict[int, int]]:
+        """Truncate partition prefixes, Kafka ``delete_records`` semantics
+        (kafi/kafka/cluster/cluster_admin.py:292-315): records with offset
+        below the cut are removed, the log start offset advances, and the
+        high watermark is preserved even on full truncation.
+
+        ``pattern_or_offsets``: topic glob (every partition purged to its
+        high watermark, the reference's pattern form) or
+        ``{topic: {partition: offset}}`` with ``OFFSET_END`` (-1) meaning
+        "up to high watermark".
+
+        Only affected partition directories are rewritten (survivors are
+        materialized, the directory swapped, untouched partitions never
+        read) — at scale this is one pruned scan + write per truncated
+        partition, not a topic rewrite. Returns the applied cuts.
+        """
+        if isinstance(pattern_or_offsets, dict):
+            plan = {t: {int(p): o for p, o in offs.items()}
+                    for t, offs in pattern_or_offsets.items()}
+        else:
+            plan = {t: {p: self.OFFSET_END for p in range(self.partitions(t))}
+                    for t in self.topics(pattern_or_offsets)}
+        applied: dict[str, dict[int, int]] = {}
+        for topic, offs in plan.items():
+            wm = self.watermarks(topic)
+            cut = {}
+            for p, o in offs.items():
+                if p not in wm:
+                    raise ValueError(f"partition {p} out of range for {topic}")
+                hi = wm[p][1]
+                c = hi if o in (self.OFFSET_END, None) else min(int(o), hi)
+                cut[p] = max(c, wm[p][0])
+            affected = sorted(p for p, c in cut.items() if c > wm[p][0])
+            df = self._read_raw(topic)
+            if affected and df is not None:
+                cutmap = F.create_map(
+                    *[x for p in affected for x in (F.lit(p), F.lit(cut[p]))])
+                kept = (
+                    df.filter(F.col("partition").isin(affected))
+                    .filter(F.col("offset") >= cutmap[F.col("partition")])
+                    .select([f.name for f in MESSAGE_SCHEMA.fields])
+                    .localCheckpoint(eager=True)  # materialize before the swap
+                )
+                for p in affected:
+                    self._io.delete(
+                        self._io.join(self._data_dir(topic), f"partition={p}"))
+                if kept.take(1):
+                    kept.write.mode("append").partitionBy("partition").parquet(
+                        self._data_dir(topic))
+            meta = self.metadata(topic)
+            log_start = meta.setdefault("log_start", {})
+            next_off = meta.setdefault("next_offset", {})
+            for p, c in cut.items():
+                log_start[str(p)] = max(c, int(log_start.get(str(p), 0)))
+                next_off[str(p)] = max(int(next_off.get(str(p), 0)), wm[p][1])
+            self._io.write_bytes(self._meta_path(topic), json.dumps(meta).encode())
+            applied[topic] = cut
+        return applied
 
     # -- consumer groups (kafi/fs/fs_admin.py:380-415) ----------------------
 
