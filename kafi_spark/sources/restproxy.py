@@ -1,0 +1,323 @@
+"""Confluent REST Proxy backend: admin transport + consumer scan + sink.
+
+Mirrors the reference's RestProxy storage (kafi/kafka/restproxy/
+restproxy.py:8-62, restproxy_admin.py, restproxy_consumer.py,
+restproxy_producer.py) over the public REST Proxy v2/v3 HTTP API with
+stdlib HTTP only (same approach as sources/schemaregistry.py).
+
+Division of labor:
+
+* The admin plane does NOT re-implement ACL/broker/group logic — it
+  plugs :func:`rest_transport` into
+  :class:`kafi_spark.sources.kafka_admin.KafkaClusterAdmin`, so the same
+  normalized requests drive confluent_kafka, the REST proxy, or a test
+  fake. Request → endpoint mapping follows the reference
+  (restproxy_admin.py:18-113,232-335).
+* The consumer scan is driver-side by construction: a REST proxy
+  consumer instance is sticky to one HTTP client (v2 instance
+  lifecycle, restproxy_consumer.py:30-129), so records arrive through
+  one socket no matter the engine. The scan materializes into a
+  DataFrame for downstream distributed work; it is an ingress for
+  modest volumes, not a parallel source — use the direct Kafka
+  connector (sources/kafka.py) for bulk.
+* The producer sink IS distributed: each partition posts its own
+  batches to the v3 records endpoint from the executor
+  (``foreachPartition``), which the reference's single-process loop
+  (restproxy_producer.py:31-125) cannot do.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from kafi_spark.sources.kafka_admin import KafkaClusterAdmin
+
+_V2 = "application/vnd.kafka.v2+json"
+_BINARY_V2 = "application/vnd.kafka.binary.v2+json"
+
+
+class RestProxyError(RuntimeError):
+    def __init__(self, status: int, body: str):
+        super().__init__(f"rest proxy HTTP {status}: {body}")
+        self.status = status
+
+
+def _http(method: str, url: str, payload: dict | None = None,
+          headers: dict | None = None, auth: tuple[str, str] | None = None,
+          timeout: float = 10.0):
+    data = None if payload is None else json.dumps(payload).encode()
+    req = urllib.request.Request(url, data=data, method=method)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    if payload is not None and "Content-Type" not in (headers or {}):
+        req.add_header("Content-Type", _V2)
+    if auth is not None:
+        tok = base64.b64encode(f"{auth[0]}:{auth[1]}".encode()).decode()
+        req.add_header("Authorization", f"Basic {tok}")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read()
+    except urllib.error.HTTPError as e:
+        raise RestProxyError(e.code, e.read().decode(errors="replace")) from e
+    return json.loads(body) if body else None
+
+
+class RestProxyClient:
+    """One REST proxy endpoint + auth; caches the v3 cluster id
+    (restproxy.py:40-49)."""
+
+    def __init__(self, url: str, auth: tuple[str, str] | None = None,
+                 timeout: float = 10.0):
+        self.url = url.rstrip("/")
+        self.auth = auth
+        self.timeout = timeout
+        self._cluster_id: str | None = None
+
+    def request(self, method: str, path: str, payload: dict | None = None,
+                headers: dict | None = None):
+        return _http(method, f"{self.url}{path}", payload, headers,
+                     self.auth, self.timeout)
+
+    def cluster_id(self) -> str:
+        if self._cluster_id is None:
+            resp = self.request("GET", "/v3/clusters")
+            self._cluster_id = resp["data"][0]["cluster_id"]
+        return self._cluster_id
+
+    # -- topic admin (restproxy_admin.py:268-391) ---------------------------
+
+    def create_topic(self, topic: str, partitions: int = 1,
+                     config: dict | None = None) -> None:
+        self.request(
+            "POST", f"/v3/clusters/{self.cluster_id()}/topics",
+            {
+                "topic_name": topic, "partitions_count": partitions,
+                "configs": [{"name": k, "value": str(v)}
+                            for k, v in (config or {}).items()],
+            },
+        )
+
+    def delete_topic(self, topic: str) -> None:
+        self.request("DELETE", f"/v3/clusters/{self.cluster_id()}/topics/{topic}")
+
+    def topics(self) -> list[str]:
+        resp = self.request("GET", f"/v3/clusters/{self.cluster_id()}/topics")
+        return [t["topic_name"] for t in resp["data"]]
+
+    def partitions(self, topic: str) -> int:
+        resp = self.request(
+            "GET",
+            f"/v3/clusters/{self.cluster_id()}/topics/{topic}/partitions")
+        return len(resp["data"])
+
+    def watermarks(self, topic: str) -> dict[int, tuple[int, int]]:
+        """v2 per-partition offsets endpoint (restproxy_admin.py:377-391)."""
+        out = {}
+        for p in range(self.partitions(topic)):
+            resp = self.request("GET", f"/topics/{topic}/partitions/{p}/offsets")
+            out[p] = (resp["beginning_offset"], resp["end_offset"])
+        return out
+
+    def admin(self) -> KafkaClusterAdmin:
+        """The shared cluster-admin verbs over this proxy."""
+        return KafkaClusterAdmin(rest_transport(self))
+
+
+def rest_transport(client: RestProxyClient):
+    """Map kafka_admin's normalized requests onto REST Proxy v3 endpoints
+    (the same translation the reference hand-writes per method,
+    restproxy_admin.py:18-113,147-186,232-263,299-335)."""
+
+    def _acl_params(f: dict) -> str:
+        pairs = [
+            ("resource_type", (f.get("resource_type") or "any").upper()),
+            ("resource_name", f.get("name")),
+            ("pattern_type", (f.get("pattern_type") or "any").upper()),
+            ("principal", f.get("principal")),
+            ("host", f.get("host")),
+            ("operation", (f.get("operation") or "any").upper()),
+            ("permission", (f.get("permission_type") or "any").upper()),
+        ]
+        return urllib.parse.urlencode([(k, v) for k, v in pairs if v is not None])
+
+    def transport(request: dict):
+        op = request["op"]
+        cid = client.cluster_id()
+        if op == "describe_acls":
+            resp = client.request(
+                "GET", f"/v3/clusters/{cid}/acls?{_acl_params(request['filter'])}")
+            return [_kafka_acl_to_dict(a) for a in resp["data"]]
+        if op == "create_acls":
+            for a in request["acls"]:
+                client.request("POST", f"/v3/clusters/{cid}/acls", {
+                    "resource_type": a["resource_type"].upper(),
+                    "resource_name": a["name"],
+                    "pattern_type": a["pattern_type"].upper(),
+                    "principal": a["principal"],
+                    "host": a["host"],
+                    "operation": a["operation"].upper(),
+                    "permission": a["permission_type"].upper(),
+                })
+            return None
+        if op == "delete_acls":
+            resp = client.request(
+                "DELETE",
+                f"/v3/clusters/{cid}/acls?{_acl_params(request['filter'])}")
+            return [_kafka_acl_to_dict(a) for a in resp["data"]]
+        if op == "list_brokers":
+            resp = client.request("GET", f"/v3/clusters/{cid}/brokers")
+            return {b["broker_id"]: f"{b.get('host')}:{b.get('port')}"
+                    for b in resp["data"]}
+        if op == "describe_config":
+            path = (f"/v3/clusters/{cid}/brokers/{request['resource']}/configs"
+                    if request["resource_type"] == "broker"
+                    else f"/v3/clusters/{cid}/topics/{request['resource']}/configs")
+            resp = client.request("GET", path)
+            return {c["name"]: c["value"] for c in resp["data"]}
+        if op == "alter_config":
+            path = (f"/v3/clusters/{cid}/broker-configs:alter"
+                    if request["resource_type"] == "broker"
+                    else f"/v3/clusters/{cid}/topics/{request['resource']}/configs:alter")
+            if request.get("validate_only"):
+                return None  # the proxy has no validate_only; reference skips too
+            client.request("POST", path, {
+                "data": [{"name": k, "value": v, "operation": "SET"}
+                         for k, v in request["config"].items()],
+            })
+            return None
+        if op == "list_topics":
+            import fnmatch
+
+            pat = request.get("pattern") or "*"
+            return [t for t in client.topics() if fnmatch.fnmatch(t, pat)]
+        if op == "partitions":
+            return client.partitions(request["topic"])
+        if op == "list_groups":
+            resp = client.request("GET", f"/v3/clusters/{cid}/consumer-groups")
+            return {g["consumer_group_id"]: g.get("state", "UNKNOWN")
+                    for g in resp["data"]}
+        if op == "describe_groups":
+            out = {}
+            for g in request["groups"]:
+                resp = client.request(
+                    "GET", f"/v3/clusters/{cid}/consumer-groups/{g}/consumers")
+                out[g] = [c["consumer_id"] for c in resp["data"]]
+            return out
+        raise NotImplementedError(
+            f"REST proxy has no public endpoint for {op!r} (the reference's "
+            "RestProxyAdmin does not expose it either)")
+
+    return transport
+
+
+def _kafka_acl_to_dict(a: dict) -> dict:
+    """restproxy_admin.py:413-421 field mapping, lowercased enums."""
+    return {
+        "resource_type": a["resource_type"].lower(),
+        "name": a["resource_name"],
+        "pattern_type": a["pattern_type"].lower(),
+        "principal": a["principal"],
+        "host": a["host"],
+        "operation": a["operation"].lower(),
+        "permission_type": a["permission"].lower(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Consumer scan (v2 instance lifecycle, restproxy_consumer.py:30-174)
+# ---------------------------------------------------------------------------
+
+def read_restproxy(spark, url: str, topic: str, group: str = "kafi_spark",
+                   auth: tuple[str, str] | None = None,
+                   num_attempts: int = 1, timeout_ms: int = 1000,
+                   max_bytes: int = 67108864,
+                   instance_config: dict | None = None,
+                   commit: bool = False):
+    """Consume a topic through the proxy into a DataFrame (binary format;
+    key/value base64-decoded like restproxy_consumer.py:132-146).
+
+    Driver-side ingress by construction — the consumer instance is bound
+    to this HTTP session. The result lands in MESSAGE_SCHEMA columns so
+    everything downstream (shell verbs, functional layer, dedup) applies.
+    """
+    from kafi_spark.sources.schema import MESSAGE_SCHEMA
+
+    client = RestProxyClient(url, auth)
+    inst = client.request(
+        "POST", f"/consumers/{group}",
+        {"format": "binary", **(instance_config or {})})
+    instance_id = inst["instance_id"]
+    base = f"/consumers/{group}/instances/{instance_id}"
+    try:
+        client.request("POST", f"{base}/subscription", {"topics": [topic]})
+        rows = []
+        for _ in range(num_attempts):
+            recs = client.request(
+                "GET", f"{base}/records?timeout={timeout_ms}&max_bytes={max_bytes}",
+                headers={"Accept": _BINARY_V2}) or []
+            for m in recs:
+                rows.append((
+                    None if m["key"] is None else base64.b64decode(m["key"]),
+                    None if m["value"] is None else base64.b64decode(m["value"]),
+                    m["topic"], m["partition"], m["offset"], None, 0, None,
+                ))
+        if commit and rows:
+            client.request("POST", f"{base}/offsets", {"offsets": [
+                {"topic": t, "partition": p, "offset": o}
+                for (_, _, t, p, o, _, _, _) in rows
+            ]})
+    finally:
+        client.request("DELETE", base)
+    return spark.createDataFrame(rows, MESSAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Producer sink (v3 records endpoint, restproxy_producer.py:31-125)
+# ---------------------------------------------------------------------------
+
+def write_restproxy(df, url: str, topic: str,
+                    auth: tuple[str, str] | None = None,
+                    batch_size: int = 500) -> None:
+    """Produce ``key``/``value`` binary columns through the proxy.
+
+    Executor-parallel: every partition posts its own record batches, so
+    throughput scales with partitions instead of one driver socket. The
+    v3 records endpoint accepts BINARY type with base64 data; partition
+    assignment stays with the broker (default partitioner)."""
+    client = RestProxyClient(url, auth)
+    cid = client.cluster_id()  # resolved once, shipped in the closure
+    path = f"{url.rstrip('/')}/v3/clusters/{cid}/topics/{topic}/records"
+    auth_t = auth
+
+    def post_partition(it):
+        def b64(b):
+            return None if b is None else \
+                {"type": "BINARY", "data": base64.b64encode(bytes(b)).decode()}
+
+        batch = []
+
+        def flush():
+            # the v3 records endpoint is one-record-per-request JSON; batch
+            # by reusing the connection via sequential posts
+            for payload in batch:
+                _http("POST", path, payload,
+                      {"Content-Type": "application/json"}, auth_t)
+            batch.clear()
+
+        for row in it:
+            rec = {}
+            if row["value"] is not None:
+                rec["value"] = b64(row["value"])
+            if "key" in row.__fields__ and row["key"] is not None:
+                rec["key"] = b64(row["key"])
+            batch.append(rec)
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+
+    df.select(*(c for c in ("key", "value") if c in df.columns)) \
+      .foreachPartition(post_partition)
