@@ -3,26 +3,32 @@
 Design: a multimodal asset is a ``binary`` payload column + a typed
 metadata struct (format, n_bytes, dims/duration when known). All heavy
 per-asset work (decode, resize, frame-sample, feature-extract) runs as
-Arrow-batched ``mapInPandas`` stages — partition-parallel, no driver
-involvement, batch-shaped for vectorized decoders.
+Arrow-batched ``mapInPandas``/pandas-UDF stages — partition-parallel, no
+driver involvement, batch-shaped for vectorized decoders.
 
-The decode step itself is STUBBED in this environment (no image/audio
-libraries in the container): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless the optional library import succeeds, while
-``binary_features`` demonstrates the full real plumbing (schema contract,
-Arrow binary transfer, batched Python compute) with a deterministic
-extractor (byte length + sha256) that any SQL engine can verify.
+No media libraries ship in this container, but the curation-relevant
+subset of "decode" doesn't need them: container formats put their
+metadata in fixed headers. ``detect_format`` sniffs magic bytes as pure
+Column expressions (JVM-side, zero Python), ``decode_image`` reads
+dimensions from PNG/GIF/BMP headers and the JPEG SOF segment walk, and
+``decode_audio`` parses WAV RIFF chunks for sample rate / channels /
+duration — all against the public format specs. Full pixel/sample
+decoding and video frame extraction genuinely need codecs:
+``resize_image`` gates on PIL and ``frame_sample`` stays a declared
+stub with a documented contract. Malformed payloads yield null fields,
+not task failures — at 10^9 assets some WILL be corrupt.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-try:  # optional: real decoders if ever present
+try:  # optional: real pixel codecs if ever present (resize path)
     import PIL.Image  # type: ignore  # noqa: F401
 
     _HAVE_PIL = True
@@ -30,12 +36,34 @@ except Exception:  # noqa: BLE001
     _HAVE_PIL = False
 
 
-def attach_metadata(df: DataFrame, binary_col: str, fmt: str = "unknown") -> DataFrame:
-    """Add the typed metadata struct for an opaque binary column."""
+def detect_format(col: Column | str) -> Column:
+    """Container format from magic bytes, as a pure Column expression —
+    whole-stage-codegen'd prefix compares, no Python crossing. Covers the
+    formats a curation pipeline meets: png/jpeg/gif/bmp/webp/wav/mp3/mp4.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pre = lambda off, n: F.substring(c, off, n)  # noqa: E731  1-based
+    return (
+        F.when(pre(1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
+        .when(pre(1, 3) == F.lit(b"\xff\xd8\xff"), "jpeg")
+        .when((pre(1, 6) == F.lit(b"GIF87a")) | (pre(1, 6) == F.lit(b"GIF89a")), "gif")
+        .when((pre(1, 4) == F.lit(b"RIFF")) & (pre(9, 4) == F.lit(b"WAVE")), "wav")
+        .when((pre(1, 4) == F.lit(b"RIFF")) & (pre(9, 4) == F.lit(b"WEBP")), "webp")
+        .when(pre(1, 2) == F.lit(b"BM"), "bmp")
+        .when((pre(1, 3) == F.lit(b"ID3")) | (pre(1, 2) == F.lit(b"\xff\xfb")), "mp3")
+        .when(pre(5, 4) == F.lit(b"ftyp"), "mp4")
+        .otherwise("unknown")
+    )
+
+
+def attach_metadata(df: DataFrame, binary_col: str, fmt: str | None = None) -> DataFrame:
+    """Add the typed metadata struct for an opaque binary column; format
+    is sniffed from magic bytes unless pinned by the caller."""
+    fmt_col = F.lit(fmt) if fmt is not None else detect_format(binary_col)
     return df.withColumn(
         f"{binary_col}_meta",
         F.struct(
-            F.lit(fmt).alias("format"),
+            fmt_col.alias("format"),
             F.octet_length(F.col(binary_col)).cast("long").alias("n_bytes"),
         ),
     )
@@ -71,33 +99,85 @@ def binary_features(
     return df.select(id_col, binary_col).mapInPandas(op, out_schema)
 
 
+#: JPEG start-of-frame markers carrying dimensions (baseline, progressive,
+#: lossless, arithmetic variants — the public marker table)
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def image_dims(b: bytes) -> dict:
+    """(format, width, height) from container headers: PNG IHDR, GIF
+    logical screen descriptor, BMP info header, JPEG SOFn segment walk.
+    Unknown/corrupt input -> null fields (never raises)."""
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            w, h = struct.unpack(">II", b[16:24])
+            return {"format": "png", "width": w, "height": h}
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return {"format": "gif", "width": w, "height": h}
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return {"format": "bmp", "width": w, "height": abs(h)}  # h<0 = top-down rows
+        if b[:3] == b"\xff\xd8\xff":
+            i = 2
+            while i + 9 <= len(b) and b[i] == 0xFF:
+                marker = b[i + 1]
+                if marker in _JPEG_SOF:
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return {"format": "jpeg", "width": w, "height": h}
+                if 0xD0 <= marker <= 0xD9:  # standalone RSTn/SOI/EOI
+                    i += 2
+                    continue
+                i += 2 + struct.unpack(">H", b[i + 2:i + 4])[0]
+            return {"format": "jpeg", "width": None, "height": None}
+    except Exception:  # noqa: BLE001 — corrupt header
+        pass
+    return {"format": None, "width": None, "height": None}
+
+
+def wav_info(b: bytes) -> dict:
+    """(sample_rate, n_channels, duration_ms) from the WAV RIFF chunk
+    list (fmt + data chunks, public WAVE spec). Non-WAV/corrupt -> nulls."""
+    out = {"sample_rate": None, "n_channels": None, "duration_ms": None}
+    try:
+        if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+            return out
+        i, byte_rate, data_size = 12, None, None
+        while i + 8 <= len(b):
+            cid, size = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"fmt " and size >= 16:
+                n_ch, rate, brate = struct.unpack("<HII", b[i + 10:i + 20])
+                out["n_channels"], out["sample_rate"] = n_ch, rate
+                byte_rate = brate or None
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if byte_rate and data_size is not None:
+            out["duration_ms"] = data_size * 1000 // byte_rate
+    except Exception:  # noqa: BLE001
+        pass
+    return out
+
+
 def decode_image(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
-    """Decode images to (width, height, mode). Requires an image library —
-    STUB in this environment (the Spark plumbing is ``binary_features``
-    with a PIL-based extractor)."""
-    if not _HAVE_PIL:
-        raise NotImplementedError(
-            "image decoding requires PIL/pillow (not in this container); "
-            "the distributed plumbing is binary_features(), which this "
-            "function wraps with a real decoder when available"
-        )
-    import io
-
-    def extract(b: bytes) -> dict:
-        img = PIL.Image.open(io.BytesIO(b))
-        return {"width": img.width, "height": img.height, "mode": img.mode}
-
-    return binary_features(df, binary_col, id_col, extract, "width long, height long, mode string")
+    """Image metadata decode — real, dependency-free: dimensions parsed
+    from PNG/GIF/BMP/JPEG headers executor-side through the
+    ``binary_features`` Arrow path. Pixel data stays untouched (that's
+    ``resize_image``'s codec-gated job)."""
+    return binary_features(
+        df, binary_col, id_col, image_dims,
+        "format string, width long, height long",
+    )
 
 
 def decode_audio(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
-    """Decode audio to (sample_rate, n_channels, duration_ms) — STUB (no
-    audio library in this container); the distributed plumbing is
-    ``binary_features`` with a soundfile/librosa-based extractor."""
-    raise NotImplementedError(
-        "audio decoding requires an audio library (not in this container); "
-        "contract: binary_features(df, binary_col, id_col, decoder, "
-        "'sample_rate long, n_channels long, duration_ms long')"
+    """Audio metadata decode — real for WAV (RIFF chunk parse); compressed
+    codecs (mp3/aac) would need an audio library and surface as nulls."""
+    return binary_features(
+        df, binary_col, id_col, wav_info,
+        "sample_rate long, n_channels long, duration_ms long",
     )
 
 

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pytest
 from pyspark.sql import functions as F
@@ -55,9 +56,85 @@ def test_decode_image_stub_raises(assets):
     if mm._HAVE_PIL:
         pytest.skip("PIL present; stub not active")
     with pytest.raises(NotImplementedError):
-        mm.decode_image(assets, "payload", "asset_id")
+        mm.resize_image(assets, "payload", "asset_id", 8, 8)
 
 
 def test_frame_sample_stub_raises(assets):
     with pytest.raises(NotImplementedError):
         mm.frame_sample(assets, "payload", "asset_id")
+
+
+# -- header-based decoders (dependency-free, public format specs) ------------
+
+def _png(w, h):
+    ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _bmp(w, h, topdown=False):
+    return (b"BM" + b"\x00" * 16
+            + struct.pack("<ii", w, -h if topdown else h) + b"\x00" * 8)
+
+
+def _jpeg(w, h):
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav(rate=44100, channels=2, seconds=2, bits=16):
+    byte_rate = rate * channels * bits // 8
+    data = b"\x00" * (byte_rate * seconds)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                      channels * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_detect_format_column_expr(spark):
+    payloads = [(1, _png(2, 3)), (2, _jpeg(4, 5)), (3, _gif(6, 7)),
+                (4, _bmp(8, 9)), (5, _wav()), (6, b"garbage!!")]
+    df = spark.createDataFrame(payloads, "id long, payload binary")
+    got = dict(rows(df.select("id", mm.detect_format("payload").alias("f"))))
+    assert got == {1: "png", 2: "jpeg", 3: "gif", 4: "bmp", 5: "wav", 6: "unknown"}
+
+
+def test_decode_image_header_parsers(spark):
+    df = spark.createDataFrame(
+        [(1, _png(640, 480)), (2, _jpeg(1920, 1080)), (3, _gif(16, 8)),
+         (4, _bmp(32, 64, topdown=True)), (5, b"\x89PNG truncated"),
+         (6, b"not an image")],
+        "asset_id long, payload binary")
+    out = {r.asset_id: (r.format, r.width, r.height)
+           for r in mm.decode_image(df, "payload", "asset_id").collect()}
+    assert out[1] == ("png", 640, 480)
+    assert out[2] == ("jpeg", 1920, 1080)
+    assert out[3] == ("gif", 16, 8)
+    assert out[4] == ("bmp", 32, 64)  # top-down height normalized
+    assert out[5] == (None, None, None)  # corrupt -> nulls, no task failure
+    assert out[6] == (None, None, None)
+
+
+def test_decode_audio_wav(spark):
+    df = spark.createDataFrame(
+        [(1, _wav(rate=8000, channels=1, seconds=3)), (2, b"RIFFxxxx????"),
+         (3, _png(2, 2))],
+        "asset_id long, payload binary")
+    out = {r.asset_id: (r.sample_rate, r.n_channels, r.duration_ms)
+           for r in mm.decode_audio(df, "payload", "asset_id").collect()}
+    assert out[1] == (8000, 1, 3000)
+    assert out[2] == (None, None, None)
+    assert out[3] == (None, None, None)
+
+
+def test_attach_metadata_sniffs_format(spark):
+    df = spark.createDataFrame([(1, _gif(2, 2)), (2, b"??")],
+                               "id long, payload binary")
+    got = {r.id: r.payload_meta.format
+           for r in mm.attach_metadata(df, "payload").collect()}
+    assert got == {1: "gif", 2: "unknown"}
