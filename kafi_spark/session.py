@@ -56,31 +56,42 @@ def get_spark(
     return spark
 
 
-#: tables whose parquet files carry TIMESTAMP(NANOS) columns, which Spark's
-#: parquet reader rejects; we read them as long (legacy conf) and convert.
-_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+#: tables whose parquet files may carry TIMESTAMP(NANOS) columns, which
+#: Spark's parquet reader rejects; we read them as long (legacy conf) and
+#: convert. Driver data has shipped both nanos and plain micros variants, so
+#: the conversion is keyed off the *scanned* type, not assumed.
+_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver parquet table, normalizing nanosecond timestamps.
+    """Read one driver parquet table, normalizing timestamp columns.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS,false) which
-    Spark cannot map to TimestampType; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column scans as BIGINT
-    nanos and we convert to a microsecond timestamp JVM-side (exact for the
-    driver's data; still a plain parquet scan, so pushdown survives for all
-    other columns).
+    Timestamp columns normalize to session-TZ ``TIMESTAMP`` whatever the
+    physical parquet encoding:
+
+    - TIMESTAMP(NANOS): Spark cannot map it to TimestampType, so with
+      ``spark.sql.legacy.parquet.nanosAsLong`` the column scans as BIGINT
+      nanos and we convert JVM-side (exact for the driver's data).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): scans as TIMESTAMP_NTZ; we
+      cast to TIMESTAMP, identity under the UTC session TZ pinned below.
+
+    Either way it's still a plain parquet scan, so pushdown survives for all
+    other columns.
     """
     # defensive: queries may run under a caller-owned session (the round
     # driver passes its own). Epoch conversions (unix_millis on event ts)
     # must agree with the UTC-naive oracle regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ns_cols = _NANOS_TS_COLS.get(name, [])
-    if ns_cols:
+    ts_cols = _TS_COLS.get(name, [])
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    for c in ts_cols:
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":  # nanos scanned as long
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
