@@ -67,16 +67,17 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # warm-up: exercise scan + shuffle + codegen paths once
-    run(qs["global_agg"](spark, sf_dir))
+    run(qs["scalar_stats"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        # best of 2: the box shows hypervisor steal-time spikes (noisy
-        # neighbors); the min is the engine's time, the max is the host's
+        # best of 3: the box shows hypervisor steal-time spikes (noisy
+        # neighbors, 2-3x swings on identical plans); the min is the
+        # engine's time, the max is the host's
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             run(qs[name](spark, sf_dir))
             dt = time.time() - t0

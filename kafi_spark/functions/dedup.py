@@ -177,6 +177,56 @@ def minhash_signatures(
     )
 
 
+def _jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs, touching ONLY the
+    candidate documents.
+
+    The corpus is semi-joined to the candidate id set before shingling, so
+    the three shingle consumers (sizes and both join sides) explode the
+    few-in-a-million candidate docs rather than the whole corpus — at
+    100 TB the full-corpus variant would re-shingle everything three times
+    just to verify a handful of pairs. The candidate subtree ends in
+    shuffles, so AQE's ReuseExchange computes it once across its uses.
+
+    Output: (id_1, id_2, jaccard) with jaccard >= threshold.
+    """
+    cand_ids = (
+        candidates.select(F.col("id_1").alias(id_col))
+        .union(candidates.select(F.col("id_2").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(df.join(cand_ids, id_col, "semi"), text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        a.join(candidates, "id_1")
+        .join(b, ["id_2", "shingle"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
+    nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
+    return (
+        inter.join(na, "id_1")
+        .join(nb, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_1") + F.col("n_2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -241,32 +291,7 @@ def minhash_lsh_pairs(
         .select(F.col("p.id_1"), F.col("p.id_2"))
         .distinct()
     )
-    # exact verification on the (small) candidate set: count shared
-    # shingles. The shingle set feeds sizes and both join sides; it is
-    # recomputed per consumer rather than cached (see ngram_jaccard_pairs).
-    sh = shingles(df, text_col, id_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
-    inter = (
-        a.join(candidates, "id_1")
-        .join(b, ["id_2", "shingle"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
-    nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
-    return (
-        inter.join(na, "id_1")
-        .join(nb, "id_2")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_1") + F.col("n_2") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", "jaccard")
-    )
+    return _jaccard_verify(df, candidates, text_col, id_col, k, threshold)
 
 
 def minhash_lsh_pairs_portable(
@@ -345,28 +370,7 @@ def minhash_lsh_pairs_portable(
         .select(F.col("p.id_1"), F.col("p.id_2"))
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
-    inter = (
-        a.join(candidates, "id_1")
-        .join(b, ["id_2", "shingle"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
-    nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
-    return (
-        inter.join(na, "id_1")
-        .join(nb, "id_2")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_1") + F.col("n_2") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", "jaccard")
-    )
+    return _jaccard_verify(df, candidates, text_col, id_col, k, threshold)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
