@@ -231,6 +231,16 @@ def q_shell_tail(spark, sf_dir):
     return tail(_t(spark, sf_dir, "events"), ["event_id"], 10)
 
 
+def q_shell_head_tail(spark, sf_dir):
+    """head + tail folded into one driver row (same schema, tagged)."""
+    from kafi_spark.shell import head, tail
+
+    ev = _t(spark, sf_dir, "events")
+    h = head(ev, ["event_id"], 10).withColumn("part", F.lit("head"))
+    t = tail(ev, ["event_id"], 10).withColumn("part", F.lit("tail"))
+    return h.unionByName(t)
+
+
 def q_shell_grep(spark, sf_dir):
     from kafi_spark.shell import grep
 
@@ -262,6 +272,11 @@ def q_shell_stat(spark, sf_dir):
 _SHELL_SQL = {
     "shell_head": "SELECT * FROM events ORDER BY event_id LIMIT 10",
     "shell_tail": "SELECT * FROM events ORDER BY event_id DESC LIMIT 10",
+    "shell_head_tail": """
+        SELECT *, 'head' AS part FROM (SELECT * FROM events ORDER BY event_id LIMIT 10)
+        UNION ALL
+        SELECT *, 'tail' AS part FROM (SELECT * FROM events ORDER BY event_id DESC LIMIT 10)
+    """,
     "shell_grep": """
         SELECT event_id, event_type, props FROM events
         WHERE regexp_matches(event_type, '"k": 4[2-5]')
@@ -415,8 +430,63 @@ def q_fn_foldl_agg(spark, sf_dir):
     )
 
 
+def q_fn_ops(spark, sf_dir):
+    """map + filter + flatmap folded into one driver row: each op runs its
+    real operator path, then projects to a common (tag, k, v) shape so the
+    three result sets union. Doubles are pinned as exact integer cents."""
+    from kafi_spark.functional import ffilter, fflatmap, fmap
+
+    ev = _t(spark, sf_dir, "events")
+    m = fmap(
+        ev,
+        F.col("event_id"),
+        F.upper(F.col("event_type")).alias("etype"),
+        (F.col("value") * 2).alias("value2"),
+    ).select(
+        F.lit("map").alias("tag"),
+        F.col("event_id").cast("string").alias("k"),
+        F.concat_ws(
+            "|", F.col("etype"), F.round(F.col("value2") * 100).cast("long")
+        ).alias("v"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    f = ffilter(
+        o, (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)
+    ).select(
+        F.lit("filter").alias("tag"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ).alias("v"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    fm = fflatmap(docs, F.split(F.col("text"), " "), "word", keep=["doc_id"]).select(
+        F.lit("flatmap").alias("tag"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("word").alias("v"),
+    )
+    return m.unionByName(f).unionByName(fm)
+
+
 _FN_SQL = {
     "fn_map": "SELECT event_id, upper(event_type) AS etype, value * 2 AS value2 FROM events",
+    "fn_ops": """
+        SELECT 'map' AS tag, CAST(event_id AS VARCHAR) AS k,
+               upper(event_type) || '|' ||
+               CAST(CAST(ROUND(value * 2 * 100) AS BIGINT) AS VARCHAR) AS v
+        FROM events
+        UNION ALL
+        SELECT 'filter', CAST(o_orderkey AS VARCHAR),
+               o_orderstatus || '|' ||
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+        UNION ALL
+        SELECT 'flatmap', CAST(doc_id AS VARCHAR),
+               unnest(string_split(text, ' '))
+        FROM documents
+    """,
     "fn_filter": "SELECT * FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000",
     "fn_flatmap": "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
     "fn_foldl_agg": f"""
@@ -544,7 +614,73 @@ def q_global_agg(spark, sf_dir):
     )
 
 
+def q_join_asof(spark, sf_dir):
+    """As-of join: each click gets the user's latest prior-or-equal
+    purchase (value + its timestamp). Backward semantics match DuckDB's
+    ASOF JOIN, which is the oracle."""
+    from kafi_spark.functions.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts", how="inner"
+    )
+
+
+def q_join_range(spark, sf_dir):
+    """Range join: clicks by the same user within an hour after each
+    error event, aggregated per anchor. The bucketized equi-join plan is
+    verified against DuckDB's plain inequality join."""
+    from kafi_spark.functions.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_us=0,
+        upper_us=3_600_000_000,
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        _dsum(F.col("value"), 2, "sum_value"),
+    )
+
+
 _JOIN_SQL = {
+    "join_asof": """
+        SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_asof,
+               r.purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF JOIN (SELECT user_id, ts, value AS purchase_value FROM events
+                   WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "join_range": f"""
+        SELECT l.event_id, COUNT(*) AS n_clicks,
+               {_dsum_sql("r.value", 2)} AS sum_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error') l
+        JOIN (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'click') r
+        ON l.user_id = r.user_id
+           AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE
+        GROUP BY l.event_id
+    """,
     "join_equi_agg": f"""
         SELECT c_mktsegment, COUNT(*) AS n_orders,
                {_dsum_sql("o_totalprice", 2)} AS revenue
@@ -881,13 +1017,17 @@ def q_dedup_simhash_portable(spark, sf_dir):
     return simhash_pairs_portable(d, "text", "doc_id", max_hamming=6, chunks=8)
 
 
-_DEDUP_SQL = {
-    "dedup_exact": """
-        SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents)
-        GROUP BY md5(text)
-    """,
-    "dedup_ngram_jaccard": """
+def q_dedup_keep(spark, sf_dir):
+    """End-to-end near-dup dedup policy: which documents survive after
+    dropping the larger member of every exact-Jaccard near-dup pair."""
+    from kafi_spark.functions.dedup import keep_representatives, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.7, max_df=None)
+    return keep_representatives(pairs, d.select("doc_id"), "doc_id")
+
+
+_NGRAM_PAIRS_SQL = """
         WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
         sh AS (SELECT doc_id,
                       unnest(list_distinct(list_transform(
@@ -902,7 +1042,20 @@ _DEDUP_SQL = {
                CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
         FROM inter JOIN sz na ON na.doc_id = id_1 JOIN sz nb ON nb.doc_id = id_2
         WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.7
+    """
+
+
+_DEDUP_SQL = {
+    "dedup_keep": f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_2 FROM ({_NGRAM_PAIRS_SQL}))
     """,
+    "dedup_exact": """
+        SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents)
+        GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": _NGRAM_PAIRS_SQL,
     # full MinHash+LSH in portable SQL: md5-prefix hashes (fixed-width hex
     # minima == numeric minima), band digests, bucket candidates, exact
     # Jaccard verification — bit-for-bit the same sketch both engines
@@ -1639,6 +1792,8 @@ _MERGED_AWAY = (
     "text_token_count", "text_fingerprint", "text_quality", "text_langid",
     # ^ exact column subsets of text_stats
     "shell_cat",  # SELECT * shape; shell_head/tail/grep cover the verb family
+    "shell_head", "shell_tail",            # -> shell_head_tail (tagged union)
+    "fn_map", "fn_filter", "fn_flatmap",   # -> fn_ops (tagged common shape)
 )
 
 
@@ -1652,23 +1807,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
-        "shell_head": q_shell_head,
-        "shell_tail": q_shell_tail,
+        "shell_head_tail": q_shell_head_tail,
         "shell_grep": q_shell_grep,
         "scalar_stats": q_scalar_stats,
         "addon_compact": q_addon_compact,
         "addon_value_set": q_addon_value_set,
         "addon_offsets_diff": q_addon_offsets_diff,
         "addon_diff": q_addon_diff,
-        "fn_map": q_fn_map,
-        "fn_filter": q_fn_filter,
-        "fn_flatmap": q_fn_flatmap,
+        "fn_ops": q_fn_ops,
         "zset_ops": q_zset_ops,
         "cdc_debezium_apply": q_cdc_debezium_apply,
         "cdc_debezium_encode": q_cdc_debezium_encode,
         "join_equi_agg": q_join_equi_agg,
         "join_theta_pairs": q_join_theta_pairs,
         "join_anti": q_join_anti,
+        "join_asof": q_join_asof,
+        "join_range": q_join_range,
         "group_by_agg": q_group_by_agg,
         "window_aligned": q_window_aligned,
         "window_sliding": q_window_sliding,
@@ -1681,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_portable": q_dedup_simhash_portable,
+        "dedup_keep": q_dedup_keep,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,

@@ -27,6 +27,8 @@ HEADLINE = [
     "shell_grep",
     "addon_compact",
     "join_equi_agg",
+    "join_asof",
+    "join_range",
     "group_by_agg",
     "window_aligned",
     "window_sliding",

@@ -1,0 +1,159 @@
+"""Temporal joins: as-of and range, the two joins time-series and
+training-data pipelines need that plain equi/theta joins express badly.
+
+Beyond the reference surface (kafi has only theta/equi joins,
+``kafi/streams/topologynode.py:354-430``) — these cover the "attach the
+latest dimension state to each fact" and "events within a window of an
+anchor" shapes that otherwise tempt users into cartesian-ish theta joins.
+
+Scale notes:
+
+* :func:`asof_join` is the union + keyed-window plan — ONE shuffle on the
+  join key, no inequality join, no per-row range explosion. State per key
+  is a running "last right row seen", so skew only matters where key
+  cardinality is degenerate (same place any keyed shuffle hurts).
+* :func:`range_join` buckets time so the inequality condition becomes an
+  equi-join on (key, bucket) plus an exact residual filter — Catalyst
+  gets a hash join instead of a broadcast-nested-loop. Each right row
+  lands in exactly one bucket and each left anchor explodes to the
+  O((upper-lower)/bucket + 1) buckets its window covers, so no pair is
+  produced twice and the fan-out is bounded by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+    tolerance_us: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the LATEST right row of the same key with
+    ``right_ts <= left_ts`` (ties at equal timestamps match).
+
+    Matches DuckDB/pandas ``ASOF JOIN`` backward semantics. Right payload
+    columns (everything but key + timestamp) are attached, renamed with
+    ``suffix`` where they collide with a left column; the matched right
+    timestamp is attached as ``{right_ts}{suffix}``.
+
+    Plan: tag both sides, union, and take per key a running
+    ``last(right_payload, ignorenulls)`` over ``(ts, tag)`` order — right
+    rows sort before left rows at equal timestamps, so the window's last
+    seen right-struct at a left row IS the as-of match. One exchange on
+    the key, one sort, zero joins.
+
+    ``how='inner'`` drops unmatched left rows (DuckDB default);
+    ``'left'`` keeps them with nulls. ``tolerance_us`` additionally
+    requires ``left_ts - right_ts <= tolerance`` (microseconds), like
+    pandas ``merge_asof(tolerance=...)``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys + [right_ts]]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in payload
+    }
+    ts_out = right_ts + suffix if right_ts in left.columns else right_ts
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(out_names[c]) for c in payload],
+        ).alias("__r"),
+    )
+    l = left.withColumn("__t", F.col(left_ts)).withColumn("__tag", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("__t", "__tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
+        F.col("__tag") == 1
+    )
+    if tolerance_us is not None:
+        in_tol = (
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__m.__rts"))
+        ) <= F.lit(tolerance_us)
+        matched = matched.withColumn(
+            "__m", F.when(in_tol, F.col("__m"))
+        )
+    if how == "inner":
+        matched = matched.filter(F.col("__m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return matched.select(
+        *left.columns,
+        F.col("__m.__rts").alias(ts_out),
+        *[F.col(f"__m.{out_names[c]}").alias(out_names[c]) for c in payload],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    bucket_us: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Pairs (left, right) with the same key and
+    ``left_ts + lower <= right_ts <= left_ts + upper`` (inclusive,
+    microsecond offsets; ``lower_us`` may be negative for windows that
+    open before the anchor).
+
+    Returns left columns + right columns (right renamed with ``suffix``
+    on collision). Aggregate on top for "N events within the window of
+    each anchor" rollups.
+
+    Plan: right rows key into exactly one time bucket; left anchors
+    explode to the buckets their window spans (``(upper-lower)/bucket+1``
+    of them, default bucket = window width ⇒ ≤ 2). Equi-join on
+    (key, bucket), then the exact range residual. No pair meets twice, so
+    no distinct is needed.
+    """
+    if upper_us < lower_us:
+        raise ValueError("upper_us must be >= lower_us")
+    keys = [on] if isinstance(on, str) else list(on)
+    width = max(upper_us - lower_us, 1)
+    bucket = bucket_us or width
+
+    lo = (F.unix_micros(F.col(left_ts)) + F.lit(lower_us))
+    hi = (F.unix_micros(F.col(left_ts)) + F.lit(upper_us))
+    l = left.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(F.floor(lo / F.lit(bucket)), F.floor(hi / F.lit(bucket)))
+        ),
+    )
+    rename = {
+        c: (c + suffix if c in left.columns else c)
+        for c in right.columns
+        if c not in keys
+    }
+    r = right.select(
+        *keys,
+        *[F.col(c).alias(rename[c]) for c in rename],
+    ).withColumn(
+        "__b", F.floor(F.unix_micros(F.col(rename[right_ts])) / F.lit(bucket))
+    )
+    rts = F.unix_micros(F.col(rename[right_ts]))
+    return (
+        l.join(r, keys + ["__b"])
+        .filter((rts >= lo) & (rts <= hi))
+        .drop("__b")
+    )

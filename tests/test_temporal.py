@@ -1,0 +1,171 @@
+"""Temporal joins (as-of, range) — differential-tested against DuckDB,
+which has native ASOF JOIN and exact inequality joins.
+
+Beyond the reference surface (kafi joins are theta/equi only,
+kafi/streams/topologynode.py:354-430); these are the time-series shapes
+the SURVEY §2.7 note says Spark should expose.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:00"), 100.0),
+            (2, "A", _ts("2024-01-01 10:00:05"), 101.0),
+            (3, "A", _ts("2024-01-01 10:01:00"), 102.0),
+            (4, "B", _ts("2024-01-01 10:00:03"), 50.0),
+            (5, "C", _ts("2024-01-01 10:00:00"), 7.0),
+        ],
+        "trade_id long, sym string, ts timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:59:58"), 99.5),
+            ("A", _ts("2024-01-01 10:00:05"), 100.5),  # tie with trade 2
+            ("A", _ts("2024-01-01 10:00:30"), 101.5),
+            ("B", _ts("2024-01-01 10:00:10"), 49.5),  # after B's only trade
+        ],
+        "sym string, ts timestamp, bid double",
+    )
+
+
+def test_asof_backward_with_ties(trades, quotes):
+    from kafi_spark.functions.temporal import asof_join
+
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts")
+    got = rows(out, "trade_id", "bid")
+    # trade 1: quote@09:59:58; trade 2: tie matches 10:00:05; trade 3:
+    # latest <= 10:01 is 10:00:30; B and C have no prior quote -> dropped
+    assert got == [(1, 99.5), (2, 100.5), (3, 101.5)]
+
+
+def test_asof_left_keeps_unmatched(trades, quotes):
+    from kafi_spark.functions.temporal import asof_join
+
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts", how="left")
+    got = rows(out, "trade_id", "bid")
+    assert got == [(1, 99.5), (2, 100.5), (3, 101.5), (4, None), (5, None)]
+
+
+def test_asof_tolerance(trades, quotes):
+    from kafi_spark.functions.temporal import asof_join
+
+    # 10 s tolerance: trade 3's nearest quote (10:00:30) is 30 s stale
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="ts",
+        tolerance_us=10_000_000,
+    )
+    assert rows(out, "trade_id", "bid") == [(1, 99.5), (2, 100.5)]
+
+
+def test_asof_renames_colliding_payload(trades, quotes):
+    from kafi_spark.functions.temporal import asof_join
+
+    q = quotes.withColumnRenamed("bid", "px")  # collides with trades.px
+    out = asof_join(trades, q, on="sym", left_ts="ts", right_ts="ts")
+    assert "px_asof" in out.columns and "ts_asof" in out.columns
+
+
+def test_asof_matches_duckdb_on_events(spark, sf_dir):
+    from kafi_spark.functions.temporal import asof_join
+    from kafi_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    got = rows(
+        asof_join(clicks, purch, on="user_id", left_ts="ts", right_ts="ts"),
+        "event_id", "pv",
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT l.event_id, r.pv
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
+            ASOF JOIN (SELECT user_id, ts, value AS pv FROM events
+                       WHERE event_type='purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_range_join_matches_duckdb(spark, sf_dir):
+    from kafi_spark.functions.temporal import range_join
+    from kafi_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    pairs = range_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        lower_us=0, upper_us=600_000_000,
+    )
+    got = rows(pairs.select("event_id", F.col("ts_r")))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT l.event_id, r.ts
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='error') l
+            JOIN (SELECT user_id, ts FROM events WHERE event_type='click') r
+            ON l.user_id = r.user_id AND r.ts >= l.ts
+               AND r.ts <= l.ts + INTERVAL 10 MINUTE
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_range_join_negative_lower_and_small_bucket(spark, trades, quotes):
+    from kafi_spark.functions.temporal import range_join
+
+    # window [-5s, +5s] around each trade; force multi-bucket explode
+    out = range_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="ts",
+        lower_us=-5_000_000, upper_us=5_000_000, bucket_us=2_000_000,
+    )
+    got = rows(out, "trade_id", "bid")
+    # trade 1 sees both A-quotes within +/-5s; trade 2 only the tie quote
+    assert got == [(1, 99.5), (1, 100.5), (2, 100.5)]
+    # bucket width must not change results, only the plan
+    out2 = range_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="ts",
+        lower_us=-5_000_000, upper_us=5_000_000,
+    )
+    assert rows(out2, "trade_id", "bid") == got
+
+
+def test_range_join_rejects_inverted_bounds(trades, quotes):
+    from kafi_spark.functions.temporal import range_join
+
+    with pytest.raises(ValueError):
+        range_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts",
+                   lower_us=5, upper_us=-5)
