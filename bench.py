@@ -39,6 +39,7 @@ HEADLINE = [
     "text_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
@@ -61,9 +62,20 @@ def main() -> None:
 
     spark = get_spark("kafi_spark_bench")
     qs = entry_mod.queries()
-    # bench-only twin: scale-default curation config (no oracle, so not
-    # part of the 50-query driver contract)
+    # bench-only twins: scale-default configs (no oracle, so not part of
+    # the 50-query driver contract). The driver queries run the exact
+    # (oracle-checkable) configs; these time the 100 TB-safe defaults.
     qs["pipeline_curate_minhash"] = entry_mod.q_pipeline_curate_minhash
+
+    def q_dedup_ngram_capped(spark, sf_dir):
+        from kafi_spark.functions.dedup import ngram_jaccard_pairs
+        from kafi_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        return ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.7,
+                                   max_df=1000)
+
+    qs["dedup_ngram_capped"] = q_dedup_ngram_capped
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()

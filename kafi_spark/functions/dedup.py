@@ -21,7 +21,7 @@ aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # a large 61-bit Mersenne prime: (a*h + b) mod P stays in int64*-safe range
 # when computed in decimal; we use Spark's 64-bit xxhash64 then mix.
@@ -177,6 +177,16 @@ def minhash_signatures(
     )
 
 
+def _shingle_set_col(k: int) -> Column:
+    """Shingle-set Column over a pre-bound ``__words`` array column —
+    same k-gram definition as :func:`shingles`, as one in-row array."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__words") - k, F.lit(0))),
+        lambda i: F.array_join(F.slice("__words", i + 1, k), " "),
+    )
+    return F.array_distinct(grams)
+
+
 def _jaccard_verify(
     df: DataFrame,
     candidates: DataFrame,
@@ -185,42 +195,42 @@ def _jaccard_verify(
     k: int,
     threshold: float,
 ) -> DataFrame:
-    """Exact Jaccard verification of candidate pairs, touching ONLY the
-    candidate documents.
+    """Exact Jaccard verification of candidate pairs as per-pair set
+    arithmetic: join each pair to its two texts, build both shingle sets
+    in-row, and take ``array_intersect`` sizes — no explode, no groupBy,
+    and the (expensive) candidate subtree appears in the plan exactly
+    ONCE.
 
-    The corpus is semi-joined to the candidate id set before shingling, so
-    the three shingle consumers (sizes and both join sides) explode the
-    few-in-a-million candidate docs rather than the whole corpus — at
-    100 TB the full-corpus variant would re-shingle everything three times
-    just to verify a handful of pairs. The candidate subtree ends in
-    shuffles, so AQE's ReuseExchange computes it once across its uses.
+    An earlier shape re-shingled the corpus into long format and joined
+    per shingle; that embedded the candidate/signature subtree several
+    times over (the plan grew combinatorially) and shuffled corpus-scale
+    shingle rows to verify a handful of pairs. Here verification work is
+    O(candidates): two joins against the corpus scan (broadcast-able —
+    candidates are few by LSH construction) and a per-row set op over
+    ~doc-length arrays.
 
     Output: (id_1, id_2, jaccard) with jaccard >= threshold.
     """
-    cand_ids = (
-        candidates.select(F.col("id_1").alias(id_col))
-        .union(candidates.select(F.col("id_2").alias(id_col)))
-        .distinct()
+    # bind the split ONCE as its own projected column: a raw split(text)
+    # referenced inside the transform lambda is re-evaluated per output
+    # element (the O(W²) hazard documented on shingles())
+    bound = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
     )
-    sh = shingles(df.join(cand_ids, id_col, "semi"), text_col, id_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
-    inter = (
-        a.join(candidates, "id_1")
-        .join(b, ["id_2", "shingle"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    t1 = bound.select(
+        F.col(id_col).alias("id_1"), _shingle_set_col(k).alias("sh_1")
     )
-    na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
-    nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
+    t2 = bound.select(
+        F.col(id_col).alias("id_2"), _shingle_set_col(k).alias("sh_2")
+    )
+    n_inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
     return (
-        inter.join(na, "id_1")
-        .join(nb, "id_2")
+        candidates.join(t1, "id_1")
+        .join(t2, "id_2")
         .withColumn(
             "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_1") + F.col("n_2") - F.col("n_inter")).cast("double"),
+            n_inter.cast("double")
+            / (F.size("sh_1") + F.size("sh_2") - n_inter).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
@@ -237,6 +247,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket: int = 10_000,
+    verify_df: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash + LSH banding, then exact
     Jaccard verification of the candidates.
@@ -244,6 +255,14 @@ def minhash_lsh_pairs(
     bands=16 × rows=4 over 64 hashes ⇒ P(candidate) = 1-(1-s⁴)¹⁶ —
     ≈0.98 at s=0.7. The band join shuffles (band_id, band_hash) pairs;
     bucket sizes are O(collisions), never O(corpus).
+
+    ``verify_df``: alternative (id, text) source for the verification
+    stage. When ``df`` is itself an expensive subplan (e.g. the filtered
+    survivor set inside a curation pipeline) and a cheaper frame holds
+    the same texts for the candidate ids (the raw corpus scan), passing
+    it here keeps verification from re-executing the expensive subplan.
+    Results are identical whenever both frames agree on text per id over
+    the candidate ids.
     """
     rows_per_band = num_hashes // bands
     # band signatures straight from the long-format minima: band hash =
@@ -291,7 +310,10 @@ def minhash_lsh_pairs(
         .select(F.col("p.id_1"), F.col("p.id_2"))
         .distinct()
     )
-    return _jaccard_verify(df, candidates, text_col, id_col, k, threshold)
+    return _jaccard_verify(
+        verify_df if verify_df is not None else df,
+        candidates, text_col, id_col, k, threshold,
+    )
 
 
 def minhash_lsh_pairs_portable(
@@ -461,8 +483,9 @@ def simhash_pairs_portable(
     one identical chunk, so banding loses nothing — this variant is EXACT
     over the simhash metric, not just deterministic.
 
-    Long-format plan: (doc, bit) sign sums → chunk digests → bucket
-    candidates → hamming verification as a count of sign mismatches.
+    Long-format plan: (doc, bit) sign sums → packed 64-bit signature →
+    byte-chunk bucket candidates → hamming verification as
+    bit_count(xor) of the packed signatures.
     Output: (id_1, id_2, hamming), id_1 < id_2, hamming ≤ max_hamming.
     """
     bits_per_chunk = 64 // chunks
@@ -470,17 +493,27 @@ def simhash_pairs_portable(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).select(F.col(id_col), F.md5("tok").alias("h"))
+    # parse the first 16 hex chars ONCE per token into two 32-bit words;
+    # bit b of the 64-bit prefix is then a numeric shift (identical to
+    # "bit (3 - b%4) of hex nibble b//4" — nibble n sits at global shift
+    # 28-4n within its word, so bit b = word >> (31 - b%32)). The earlier
+    # per-(token, bit) conv(substring(...)) form parsed hex 64× per token
+    # and was ~20× slower through codegen.
+    words = tokens.select(
+        F.col(id_col),
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("w1"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("w2"),
+    )
     bits = F.lit(list(range(64)))
     contrib = (
-        tokens.select(F.col(id_col), "h", F.explode(bits).alias("b"))
+        words.select(F.col(id_col), "w1", "w2", F.explode(bits).alias("b"))
         .select(
             F.col(id_col),
             "b",
-            # bit b = bit (3 - b%4) of hex nibble b//4 of the md5 digest
             F.when(
                 F.expr(
-                    "shiftright(CAST(conv(substring(h, CAST(FLOOR(b/4) AS INT) + 1, 1), 16, 10) AS INT),"
-                    " 3 - CAST(b % 4 AS INT)) & 1"
+                    "CASE WHEN b < 32 THEN shiftright(w1, 31 - b)"
+                    " ELSE shiftright(w2, 63 - b) END & 1"
                 ) == 1,
                 F.lit(1),
             ).otherwise(F.lit(-1)).alias("c"),
@@ -494,23 +527,32 @@ def simhash_pairs_portable(
             F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("sgn"),
         )
     )
-    digests = (
-        sign.withColumn("chunk", F.floor(F.col("b") / bits_per_chunk).cast("int"))
-        .groupBy(id_col, "chunk")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("b", "sgn"))),
-                        lambda x: x["sgn"].cast("string"),
-                    ),
-                    "",
-                )
-            ).alias("ch")
-        )
+    # pack the 64 sign bits into one long per doc; chunks for pigeonhole
+    # banding are byte-slices OF the packed value (an injective encoding
+    # of the same chunk bit pattern the earlier per-chunk md5 digest
+    # hashed — identical bucket membership, two fewer corpus-wide
+    # aggregates and no string digests)
+    packed = sign.groupBy(id_col).agg(
+        F.bit_or(
+            F.when(F.col("sgn") == 1, F.expr("shiftleft(1L, b)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("ph")
+    )
+    mask = (1 << bits_per_chunk) - 1
+    chunk_vals = packed.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("ph"), bits_per_chunk * c)
+                    .bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "ch"),
     )
     buckets = (
-        digests.groupBy("chunk", "ch")
+        chunk_vals.groupBy("chunk", "ch")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
         # bucket guard: a degenerate bucket (one signature shared by a huge
@@ -535,13 +577,21 @@ def simhash_pairs_portable(
         .select(F.col("p.id_1"), F.col("p.id_2"))
         .distinct()
     )
-    sa = sign.select(F.col(id_col).alias("id_1"), "b", F.col("sgn").alias("s1"))
-    sb = sign.select(F.col(id_col).alias("id_2"), "b", F.col("sgn").alias("s2"))
+    # verification on PACKED signatures: one 64-bit long per doc, hamming
+    # = bit_count(xor). Joins carry (id, long) rows instead of (id, bit,
+    # sgn) × 64, and the candidate subtree appears in the plan once.
+    p1 = packed.select(F.col(id_col).alias("id_1"), F.col("ph").alias("ph_1"))
+    p2 = packed.select(F.col(id_col).alias("id_2"), F.col("ph").alias("ph_2"))
     return (
-        candidates.join(sa, "id_1")
-        .join(sb, ["id_2", "b"])
-        .groupBy("id_1", "id_2")
-        .agg(F.sum((F.col("s1") != F.col("s2")).cast("long")).alias("hamming"))
+        candidates.join(p1, "id_1")
+        .join(p2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.bit_count(F.col("ph_1").bitwiseXOR(F.col("ph_2")))
+            .cast("long")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -62,8 +62,13 @@ def curate_documents(
         s1.select(id_col), id_col, "left_semi"
     )
     if near_dup == "minhash":
+        # verification reads texts from the RAW corpus scan: candidate
+        # ids are survivors by construction, and re-reading their text
+        # from df avoids re-executing the filter/dedup chain three more
+        # times under the verification stage
         pairs = minhash_lsh_pairs(
-            docs1, text_col, id_col, k=k, threshold=jaccard_threshold
+            docs1, text_col, id_col, k=k, threshold=jaccard_threshold,
+            verify_df=df.select(id_col, text_col),
         )
     else:
         pairs = ngram_jaccard_pairs(
