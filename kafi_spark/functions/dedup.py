@@ -124,6 +124,12 @@ def ngram_jaccard_pairs(
     rarer shingles almost always also cover at high thresholds). Pass
     ``None`` for fully exact behavior at any threshold.
 
+    Unlike the LSH paths (few candidates → per-pair set arithmetic, see
+    :func:`_jaccard_verify`), the candidate set here is every pair
+    sharing a shingle, so intersections are counted FUSED with the
+    inverted-index join (one shuffle with map-side combine) instead of
+    joining each pair back to its shingle arrays.
+
     Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard ≥ threshold.
     """
     # deliberately NOT cached: the shingle set is recomputed per consumer.
