@@ -67,3 +67,47 @@ def rollup_agg(
 def cube_agg(df: DataFrame, group_cols: Sequence[str], *aggs: Column) -> DataFrame:
     """CUBE aggregate — subtotals for every subset of ``group_cols``."""
     return df.cube(*group_cols).agg(*aggs)
+
+
+#: granularity name -> date_trunc unit (ordered coarse -> fine)
+_TRUNC_UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    granularities: Sequence[str],
+    group_cols: Sequence[str] = (),
+    *aggs: Column,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same aggregates
+    at SEVERAL time granularities in one pass.
+
+    Output columns: ``grain`` (the granularity name), ``bucket`` (the
+    truncated timestamp), any ``group_cols``, then the aggregates.
+
+    Plan: one scan; the row set is expanded to one (grain, bucket) pair
+    per requested granularity via an inline array (posexplode of a
+    k-element array — k = len(granularities), a constant), then a single
+    hash aggregate with map-side partial combine. This beats k separate
+    scans+aggregates whenever the scan dominates — the 100 TB case —
+    and the shuffle carries only (grain, bucket, groups) keyed partials.
+    """
+    bad = [g for g in granularities if g not in _TRUNC_UNITS]
+    if bad:
+        raise ValueError(f"unsupported granularities {bad}; pick from {_TRUNC_UNITS}")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("grain"),
+                F.date_trunc(g, F.col(ts_col)).alias("bucket"),
+            )
+            for g in granularities
+        ]
+    )
+    exploded = df.select(F.explode(pairs).alias("__gb"), "*").select(
+        F.col("__gb.grain").alias("grain"),
+        F.col("__gb.bucket").alias("bucket"),
+        *df.columns,
+    )
+    return exploded.groupBy("grain", "bucket", *group_cols).agg(*aggs)

@@ -93,3 +93,45 @@ def test_topology_peek_from_to_value(spark):
     src = from_records(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
     res = t.build_batch({"src": src})["out"]
     assert rows(res, "k", "v", "weight") == [(1, "a", 1), (2, "b", 1)]
+
+
+def test_time_rollup_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from kafi_spark.functions.analytic import time_rollup
+    from kafi_spark.session import read_table
+    from tests.conftest import rows
+
+    ev = read_table(spark, sf_dir, "events")
+    out = time_rollup(
+        ev, "ts", ["day", "hour"], ["event_type"],
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    got = rows(out, "grain", "bucket", "event_type", "n", "cents")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT grain, CASE grain WHEN 'day' THEN date_trunc('day', ts)
+                                     ELSE date_trunc('hour', ts) END AS bucket,
+                   event_type, COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events, (SELECT unnest(['day', 'hour']) AS grain)
+            GROUP BY 1, 2, 3
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_time_rollup_rejects_unknown_grain(spark):
+    from kafi_spark.functions.analytic import time_rollup
+
+    df = spark.range(1).select(F.current_timestamp().alias("ts"))
+    with pytest.raises(ValueError):
+        time_rollup(df, "ts", ["fortnight"], [], F.count(F.lit(1)).alias("n"))
