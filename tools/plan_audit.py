@@ -1,0 +1,93 @@
+"""Physical-plan audit across the driver contract.
+
+For every queries() entry, compiles the plan at the given sf_dir and
+counts scale-relevant physical operators:
+
+* Exchange / Generate / Scan — plan-size blow-ups (an expensive subtree
+  embedded many times shows up as dozens of each; see the round-2 LSH
+  verification incident)
+* CartesianProduct / BroadcastNestedLoopJoin — quadratic joins
+* BatchEvalPython — row-at-a-time Python UDFs (forbidden in hot paths;
+  ArrowEvalPython / MapInPandas are the sanctioned crossings)
+* WholeStageCodegen span count — codegen coverage
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.01)
+Exits non-zero if any query trips a hard flag (cartesian, BatchEval,
+or plan-size runaway), so it can gate commits.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: hard ceilings — far above any sane plan here; a trip means a subtree
+#: is being re-embedded combinatorially, not that the query is "big"
+MAX_EXCHANGES = 60
+MAX_GENERATES = 30
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry_mod
+    from kafi_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    print(f"{'query':28s} {'exch':>4} {'gen':>4} {'scan':>4} {'wsc':>4} "
+          f"{'smj':>4} {'bhj':>4} {'bnlj':>4} {'cart':>4} {'pyUDF':>5}")
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            p = buf.getvalue()
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name:28s} ERROR: {ex}")
+            failures.append((name, str(ex)))
+            continue
+        c = {
+            "exch": len(re.findall(r"\bExchange\b", p)),
+            "gen": len(re.findall(r"\bGenerate\b", p)),
+            "scan": len(re.findall(r"Scan parquet|Scan ExistingRDD", p)),
+            "wsc": len(re.findall(r"WholeStageCodegen", p)),
+            "smj": len(re.findall(r"SortMergeJoin", p)),
+            "bhj": len(re.findall(r"BroadcastHashJoin", p)),
+            "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", p)),
+            "cart": len(re.findall(r"CartesianProduct", p)),
+            "pyUDF": len(re.findall(r"BatchEvalPython", p)),
+        }
+        flags = []
+        if c["cart"]:
+            flags.append("CARTESIAN")
+        if c["pyUDF"]:
+            flags.append("ROW_PYTHON_UDF")
+        if c["exch"] > MAX_EXCHANGES:
+            flags.append(f"EXCHANGES>{MAX_EXCHANGES}")
+        if c["gen"] > MAX_GENERATES:
+            flags.append(f"GENERATES>{MAX_GENERATES}")
+        line = (f"{name:28s} {c['exch']:>4} {c['gen']:>4} {c['scan']:>4} "
+                f"{c['wsc']:>4} {c['smj']:>4} {c['bhj']:>4} {c['bnlj']:>4} "
+                f"{c['cart']:>4} {c['pyUDF']:>5}")
+        if flags:
+            line += "   FLAG: " + ",".join(flags)
+            failures.append((name, ",".join(flags)))
+        print(line)
+
+    if failures:
+        print(f"\n{len(failures)} flagged: {[n for n, _ in failures]}")
+        return 1
+    print("\nall plans clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
