@@ -14,6 +14,8 @@ DataFrame transforms.
 
 from __future__ import annotations
 
+import fnmatch
+
 from pyspark.sql import DataFrame, functions as F
 
 from kafi_spark import addons, shell
@@ -24,7 +26,55 @@ _ORDER = ["partition", "offset"]
 
 class Local(FSTopicStorage):
     """FS-backed storage with kafi's shell verbs on topic names
-    (reference: kafi/kafi.py Local + kafi/shell.py)."""
+    (reference: kafi/kafi.py Local + kafi/shell.py).
+
+    Construct directly with a root path, or resolve a named YAML config
+    through the KAFI_HOME search path like the reference
+    (``Local.from_config(spark, "local")`` ⇒ ``local.yaml`` with a
+    mandatory ``local:`` section holding ``root.dir``,
+    kafi/storage.py:140-163 + kafi/fs/local/local_admin.py)."""
+
+    #: engine knobs (config ``kafi`` section, defaulted) — populated by
+    #: from_config; plain constructions get the defaults
+    kafi_config: dict
+
+    def __init__(self, spark, root: str):
+        super().__init__(spark, root)
+        from kafi_spark.config import KAFI_DEFAULTS
+
+        self.kafi_config = dict(KAFI_DEFAULTS)
+
+    @classmethod
+    def from_config(cls, spark, name: str) -> "Local":
+        from kafi_spark.config import load_config
+
+        cfg = load_config(name, "locals", mandatory=["local"])
+        root = cfg["local"]["root.dir"]
+        store = cls(spark, root)
+        store.kafi_config = cfg["kafi"]
+        return store
+
+    @staticmethod
+    def configs(pattern: str = "*") -> list[str]:
+        from kafi_spark.config import list_configs
+
+        return list_configs("locals", pattern)
+
+    def topics(self, pattern: str = "*", size: bool = False):
+        """Topic listing with the config's internal-topic filter applied
+        (``topic.ignore.patterns``, kafi/storage.py:325-330)."""
+        out = super().topics(pattern, size=size)
+        ignore = self.kafi_config.get("topic.ignore.patterns") or []
+        if size:
+            return {
+                t: n for t, n in out.items()
+                if not any(fnmatch.fnmatch(t, p) for p in ignore)
+            }
+        return [
+            t for t in out if not any(fnmatch.fnmatch(t, p) for p in ignore)
+        ]
+
+    ls = topics
 
     # -- shell verbs (kafi/shell.py:14-104) ---------------------------------
 
