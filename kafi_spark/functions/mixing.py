@@ -1,0 +1,64 @@
+"""Corpus mixing — sample sources to target mixture proportions.
+
+Training corpora are blended from sources with prescribed weights
+("data mixing"). ``mix_sources`` computes per-source Bernoulli sampling
+fractions that realize the requested proportions at the largest feasible
+scale (or a requested total) and applies them in one ``sampleBy`` pass.
+
+Scale notes: the only driver-side materialization is the per-source
+count (one hash aggregate, #sources rows — admin-small by definition);
+the sampling itself is a stateless per-row Bernoulli draw, no shuffle at
+all. Sampling is seed-deterministic per (row, seed) and approximate in
+count (binomial), which is the standard trade at corpus scale — exact-n
+sampling would need a global sort or reservoir pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def mix_fractions(
+    counts: dict[str, int],
+    targets: dict[str, float],
+    total: int | None = None,
+) -> dict[str, float]:
+    """Per-source sampling fractions hitting ``targets`` proportions.
+
+    ``targets`` are relative weights (normalized internally). The
+    feasible scale is capped by the scarcest source (no oversampling —
+    fractions never exceed 1.0) and optionally by ``total`` rows.
+    Sources absent from ``targets`` get fraction 0 (dropped).
+    """
+    weight_sum = sum(targets.values())
+    if weight_sum <= 0:
+        raise ValueError("targets must contain positive weights")
+    norm = {s: w / weight_sum for s, w in targets.items() if w > 0}
+    missing = [s for s in norm if s not in counts or counts[s] == 0]
+    if missing:
+        raise ValueError(f"no rows for target sources {missing}")
+    # largest total T with T * norm_s <= count_s for every source
+    scale = min(counts[s] / f for s, f in norm.items())
+    if total is not None:
+        scale = min(scale, float(total))
+    return {s: min(1.0, scale * f / counts[s]) for s, f in norm.items()}
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    targets: dict[str, float],
+    total: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample ``df`` so sources appear in ``targets`` proportions.
+
+    Returns the sampled frame (schema unchanged). Proportions are
+    approximate (per-row Bernoulli; relative error shrinks as 1/√n).
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+    }
+    fractions = mix_fractions(counts, targets, total)
+    return df.sampleBy(source_col, fractions, seed=seed)

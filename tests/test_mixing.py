@@ -1,0 +1,47 @@
+"""Corpus mixing — fraction math exactly, sampling statistically."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_fractions_exact_math():
+    from kafi_spark.functions.mixing import mix_fractions
+
+    counts = {"web": 8000, "books": 1000, "code": 1000}
+    # want 50/25/25 — books is scarcest: T = 1000/0.25 = 4000
+    f = mix_fractions(counts, {"web": 2, "books": 1, "code": 1})
+    assert f == {"web": 4000 * 0.5 / 8000, "books": 1.0, "code": 1.0}
+
+
+def test_fractions_total_cap_and_validation():
+    from kafi_spark.functions.mixing import mix_fractions
+
+    counts = {"a": 100, "b": 100}
+    f = mix_fractions(counts, {"a": 1, "b": 1}, total=50)
+    assert f == {"a": 0.25, "b": 0.25}
+    with pytest.raises(ValueError):
+        mix_fractions(counts, {"a": 0})
+    with pytest.raises(ValueError):
+        mix_fractions(counts, {"a": 1, "zzz": 1})
+
+
+def test_mix_sources_proportions(spark, sf_dir):
+    from kafi_spark.functions.mixing import mix_sources
+    from kafi_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    if len(srcs) < 2:
+        pytest.skip("need >= 2 sources")
+    targets = {srcs[0]: 3.0, srcs[1]: 1.0}
+    out = mix_sources(docs, "source", targets, seed=7)
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert set(got) <= set(targets)
+    ratio = got[srcs[0]] / max(got[srcs[1]], 1)
+    assert 1.8 <= ratio <= 5.0  # 3:1 within binomial noise at sf0.001
+
+    # determinism for a fixed seed
+    again = mix_sources(docs, "source", targets, seed=7)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
