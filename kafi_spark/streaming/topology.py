@@ -203,6 +203,25 @@ class TNode:
 
         return self._derive2(other, op)
 
+    def asof_join(self, other: "TNode", on: Sequence[str] | str,
+                  left_ts: str, right_ts: str, how: str = "inner",
+                  tolerance_us: int | None = None) -> "TNode":
+        """As-of join (beyond-reference; see functions/temporal.py) for
+        INSERT-ONLY inputs: "latest prior right row" is not linear in the
+        right multiset, so retractions (negative weights) do not
+        distribute over it — weights must be +1 on both sides. The left
+        weight travels through; the right row contributes its payload
+        only."""
+        def op(l: DataFrame, r: DataFrame) -> DataFrame:
+            from kafi_spark.functions.temporal import asof_join as _asof
+
+            return _asof(
+                l, r.drop(WEIGHT), on=on, left_ts=left_ts,
+                right_ts=right_ts, how=how, tolerance_us=tolerance_us,
+            )
+
+        return self._derive2(other, op)
+
     # -- aggregates (topologynode.py:434-543) -------------------------------
 
     def group_by_agg(self, keys: Sequence[str], *aggs: Column) -> "TNode":

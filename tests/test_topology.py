@@ -248,3 +248,25 @@ def test_streaming_wordcount_availablenow(spark, tmp_path):
         q.awaitTermination(60)
     got = sorted((r.word, r.n) for r in collected)
     assert got == [("cat", 2), ("ran", 1), ("sat", 1), ("the", 2)]
+
+
+def test_asof_join_batch(spark):
+    """Insert-only as-of through the DSL: each trade gets the latest
+    prior quote of its symbol (beyond-reference temporal join)."""
+    import datetime as dt
+
+    t = Topology()
+    trades = t.source("trades")
+    quotes = t.source("quotes")
+    trades.asof_join(quotes, "sym", "ts", "qts").sink("priced")
+    ts = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    tdf = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:10"), 1), ("A", ts("2024-01-01 09:00:00"), 2)],
+        "sym string, ts timestamp, trade_id long",
+    )
+    qdf = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:00"), 99.0), ("A", ts("2024-01-01 10:00:05"), 98.0)],
+        "sym string, qts timestamp, bid double",
+    )
+    out = t.build_batch({"trades": tdf, "quotes": qdf})["priced"]
+    assert rows(out, "trade_id", "bid") == [(1, 98.0)]  # 09:00 trade unmatched
