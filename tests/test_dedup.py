@@ -123,3 +123,29 @@ def test_pipeline_curate(spark, sf_dir):
     # keeps a superset of the exact path's survivors
     out_mh = curate_documents(docs, near_dup="minhash").collect()
     assert set(ids) <= {r.doc_id for r in out_mh}
+
+
+def test_degenerate_inputs_null_empty_text(spark):
+    """Null/empty texts and empty corpora flow through every dedup
+    family without errors; nulls never form pairs."""
+    from kafi_spark.functions.dedup import (
+        dedup_exact,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs_portable,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    assert dedup_exact(df, "text", "doc_id").count() == 3
+    for fn in (ngram_jaccard_pairs, minhash_lsh_pairs):
+        pairs = fn(df, "text", "doc_id").collect()
+        assert [(r["id_1"], r["id_2"]) for r in pairs] == [(3, 4)]
+    sim = simhash_pairs_portable(df, "text", "doc_id").collect()
+    assert [(r["id_1"], r["id_2"], r["hamming"]) for r in sim] == [(3, 4, 0)]
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_jaccard_pairs(empty, "text", "doc_id").count() == 0
+    assert minhash_lsh_pairs(empty, "text", "doc_id").count() == 0
