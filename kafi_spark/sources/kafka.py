@@ -22,6 +22,39 @@ def _offsets_json(topic: str, offsets: dict[int, int] | None, default: str) -> s
     return json.dumps({topic: {str(p): o for p, o in offsets.items()}})
 
 
+def scan_options(
+    bootstrap_servers: str,
+    topic: str,
+    offsets: dict[int, int] | None = None,
+    end_offsets: dict[int, int] | None = None,
+    ts_start_ms: int | None = None,
+    ts_end_ms: int | None = None,
+    streaming: bool = False,
+    options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The connector option map for a scan — pure translation of the
+    reference's consumer knobs (unit-testable without a broker).
+
+    Timestamp bounds take precedence over offset bounds on each end
+    (matching kafi/storage_consumer.py:16-66 resolution order); streaming
+    scans get no ending bound (the connector rejects them)."""
+    out = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+    }
+    if ts_start_ms is not None:
+        out["startingTimestamp"] = str(ts_start_ms)
+    else:
+        out["startingOffsets"] = _offsets_json(topic, offsets, "earliest")
+    if not streaming:
+        if ts_end_ms is not None:
+            out["endingTimestamp"] = str(ts_end_ms)
+        else:
+            out["endingOffsets"] = _offsets_json(topic, end_offsets, "latest")
+    out.update(options or {})
+    return out
+
+
 def read_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -40,22 +73,11 @@ def read_kafka(
     (per-partition maps also supported by the connector).
     """
     reader = (spark.readStream if streaming else spark.read).format("kafka")
-    reader = reader.option("kafka.bootstrap.servers", bootstrap_servers)
-    reader = reader.option("subscribe", topic)
-    if ts_start_ms is not None:
-        reader = reader.option("startingTimestamp", str(ts_start_ms))
-    else:
-        reader = reader.option(
-            "startingOffsets", _offsets_json(topic, offsets, "earliest")
-        )
-    if not streaming:
-        if ts_end_ms is not None:
-            reader = reader.option("endingTimestamp", str(ts_end_ms))
-        else:
-            reader = reader.option(
-                "endingOffsets", _offsets_json(topic, end_offsets, "latest")
-            )
-    for k, v in (options or {}).items():
+    opts = scan_options(
+        bootstrap_servers, topic, offsets, end_offsets,
+        ts_start_ms, ts_end_ms, streaming, options,
+    )
+    for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()
 
