@@ -102,3 +102,50 @@ def test_cosine_topk_ivf_recall(spark, sf_dir):
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.7
     assert len(ivf) == len(exact)
+
+
+def test_quantize_embeddings_roundtrip(spark, sf_dir):
+    import numpy as np
+
+    from kafi_spark.functions.similarity import quantize_embeddings
+    from kafi_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(20)
+    q8 = quantize_embeddings(emb).collect()
+    orig = {r.vec_id: np.asarray(r.embedding) for r in emb.collect()}
+    assert len(q8) == len(orig)
+    for r in q8:
+        x = orig[r.vec_id]
+        q = np.frombuffer(r.qvec, dtype=np.int8).astype(np.float64)
+        assert len(q) == len(x)
+        m = np.abs(x).max() or 1.0
+        # dequantized cosine error is tiny: int8 rounding only
+        num = float(q @ x)
+        den = float(np.linalg.norm(q) * np.linalg.norm(x)) or 1.0
+        assert num / den > 0.995
+
+
+def test_cosine_topk_quantized_recall(spark, sf_dir):
+    from kafi_spark.functions.similarity import cosine_topk, cosine_topk_quantized
+    from kafi_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    quant = cosine_topk_quantized(corpus, queries, k=5, rescore_factor=4).collect()
+    got = {(r.query_id, r.vec_id) for r in quant}
+    assert len(got) == len(exact)
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9  # int8 stage-1 + exact rescore: near-lossless
+    # ranks are 1..5 per query after exact rescoring
+    per_q = {}
+    for r in quant:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
