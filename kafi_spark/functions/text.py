@@ -10,6 +10,8 @@ matches bit-for-bit).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # marker words per language for the n-gram/stopword language-ID heuristic.
@@ -149,3 +151,40 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         quality_score(t).alias("quality"),
         langid(t).alias("lang_guess"),
     )
+
+
+# -- PII redaction -----------------------------------------------------------
+
+#: redaction patterns, applied in order (JVM regexp_replace — stays in
+#: whole-stage codegen; order matters: credit cards before generic number
+#: runs, emails before bare domains)
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("credit_card", r"\b\d(?:[ -]?\d){12,15}\b", "<CC>"),
+    ("phone", r"(?<!\w)\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}(?!\w)", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    text: Column, kinds: "Sequence[str] | None" = None
+) -> Column:
+    """Replace common PII (emails, credit-card-ish digit runs, phone
+    numbers, IPv4 addresses) with typed placeholder tokens.
+
+    Pure chained ``regexp_replace`` — JVM-side, no Python crossing, scans
+    the document a constant number of times. ``kinds`` selects a subset
+    of :data:`PII_PATTERNS` by name (default: all, in declaration
+    order — the order is load-bearing, see the tuple's comment)."""
+    selected = [
+        (n, p, r) for (n, p, r) in PII_PATTERNS
+        if kinds is None or n in set(kinds)
+    ]
+    if kinds is not None:
+        unknown = set(kinds) - {n for n, _, _ in PII_PATTERNS}
+        if unknown:
+            raise ValueError(f"unknown PII kinds {sorted(unknown)}")
+    out = text
+    for _, pat, repl in selected:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -75,3 +75,36 @@ def test_text_stats_shape(docs):
         "doc_id", "n_tokens", "n_chars", "fingerprint", "avg_word_len",
         "punct_ratio", "stopword_ratio", "quality", "lang_guess",
     }
+
+
+def test_redact_pii_all_kinds(spark):
+    from kafi_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at jo.doe+x@example.co.uk please",),
+            ("card 4111 1111 1111 1111 expires soon",),
+            ("call +1 (555) 123-4567 or 030-1234-5678",),
+            ("server at 192.168.0.1 port 80",),
+            ("clean text stays clean",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(redact_pii(F.col("text"))).collect()]
+    assert out[0] == "mail me at <EMAIL> please"
+    assert out[1] == "card <CC> expires soon"
+    assert "<PHONE>" in out[2] and "555" not in out[2]
+    assert out[3] == "server at <IP> port 80"
+    assert out[4] == "clean text stays clean"
+
+
+def test_redact_pii_subset_and_validation(spark):
+    import pytest as _pytest
+
+    from kafi_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame([("a@b.com at 10.0.0.1",)], "text string")
+    only_email = df.select(redact_pii(F.col("text"), kinds=["email"])).first()[0]
+    assert only_email == "<EMAIL> at 10.0.0.1"
+    with _pytest.raises(ValueError):
+        redact_pii(F.col("text"), kinds=["ssn"])
