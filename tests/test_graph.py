@@ -1,0 +1,83 @@
+"""Connected components vs a union-find oracle (fixed + hypothesis)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+def _uf_components(edges):
+    """Union-find oracle: {node: min-id-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_chain_and_clique(spark):
+    from kafi_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 22), (20, 22)],
+        "id_1 long, id_2 long",
+    )
+    got = rows(connected_components(edges), "id", "component")
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    ]
+
+
+def test_keep_representatives_cc_vs_single_pass(spark):
+    from kafi_spark.functions.dedup import keep_representatives
+    from kafi_spark.functions.graph import keep_representatives_cc
+
+    # (2,3) drops 3; (3,4) would drop 4 even though 3 is already gone —
+    # the closure keeps exactly one per component instead
+    pairs = spark.createDataFrame([(2, 3), (3, 4)], "id_1 long, id_2 long")
+    ids = spark.range(1, 6).select(F.col("id").alias("doc_id"))
+    single = {r[0] for r in keep_representatives(pairs, ids, "doc_id").collect()}
+    closure = {r[0] for r in keep_representatives_cc(pairs, ids, "doc_id").collect()}
+    assert single == {1, 2, 5}          # both 3 and 4 dropped
+    assert closure == {1, 2, 5}         # same here (one component {2,3,4})
+    # a case where they differ: two separate pairs sharing no overlap
+    pairs2 = spark.createDataFrame([(1, 3), (2, 3)], "id_1 long, id_2 long")
+    single2 = {r[0] for r in keep_representatives(pairs2, ids, "doc_id").collect()}
+    closure2 = {r[0] for r in keep_representatives_cc(pairs2, ids, "doc_id").collect()}
+    assert closure2 == {1, 4, 5}        # component {1,2,3} -> keep 1
+    assert single2 == {1, 2, 4, 5}      # single-pass keeps 2 as well
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),
+              st.integers(min_value=0, max_value=9)),
+    max_size=12,
+).map(lambda es: [(a, b) for a, b in es if a != b])
+
+
+@pytest.mark.slow
+@given(edges=edge_lists)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_components_match_union_find(spark, edges):
+    from kafi_spark.functions.graph import connected_components
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_1 long, id_2 long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
