@@ -93,6 +93,45 @@ class FSTopicStorage:
     def partitions(self, topic: str) -> int:
         return self.metadata(topic)["partitions"]
 
+    def _set_meta(self, topic: str, meta: dict) -> None:
+        self._io.write_bytes(self._meta_path(topic), json.dumps(meta).encode())
+
+    def set_partitions(self, pattern: str, partitions: int) -> dict[str, int]:
+        """Set the partition count of every topic matching the glob and
+        return {topic: partitions} (reference ``partitions(pattern,
+        partitions=n)``, kafi/fs/fs_admin.py:134-152). Increases take
+        effect for subsequent produces; decreases are rejected here
+        (the reference silently orphans data in removed partitions —
+        offsets and watermarks would dangle)."""
+        out = {}
+        # base-class listing on purpose: admin setters reach internal
+        # topics too (subclasses filter topics() by ignore patterns)
+        for t in FSTopicStorage.topics(self, pattern):
+            meta = self.metadata(t)
+            if partitions < meta["partitions"]:
+                raise ValueError(
+                    f"cannot shrink {t} from {meta['partitions']} to "
+                    f"{partitions} partitions (data would be orphaned)"
+                )
+            meta["partitions"] = partitions
+            self._set_meta(t, meta)
+            out[t] = partitions
+        return out
+
+    def config(self, pattern: str, config: dict | None = None) -> dict[str, dict]:
+        """Get — and with ``config`` given, replace — the config dict of
+        every topic matching the glob; returns {topic: config}
+        (reference ``config(pattern, config=...)``,
+        kafi/fs/fs_admin.py:40-54)."""
+        out = {}
+        for t in FSTopicStorage.topics(self, pattern):
+            if config is not None:
+                meta = self.metadata(t)
+                meta["config"] = dict(config)
+                self._set_meta(t, meta)
+            out[t] = self.metadata(t).get("config", {})
+        return out
+
     def topics(self, pattern: str = "*", size: bool = False):
         """List topics by glob (kafi/helpers.py:270-280 fnmatch semantics);
         with ``size=True``, message counts from watermarks

@@ -291,3 +291,29 @@ def test_produce_rejects_out_of_range_partition(storage, spark):
     )
     storage.produce("t", ok, keep_partitions=True)
     assert [r.partition for r in storage.consume("t").collect()] == [1]
+
+
+def test_set_partitions_and_config(spark, tmp_path):
+    from kafi_spark.sources.fs_topic import FSTopicStorage
+
+    s = FSTopicStorage(spark, str(tmp_path / "padmin"))
+    s.create("t1", partitions=2, config={"retention.ms": "1000"})
+    s.create("t2", partitions=2)
+    # glob setter + getter return shape (reference fs_admin.py:134-152)
+    assert s.set_partitions("t*", 4) == {"t1": 4, "t2": 4}
+    assert s.partitions("t1") == 4
+    # produce lands in the new partition range
+    s.produce("t1", msgs(spark, *[(str(i), f"v{i}") for i in range(20)]))
+    parts = {r["partition"] for r in s.consume("t1").select("partition").collect()}
+    assert parts <= set(range(4)) and len(parts) > 2
+    # shrink refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        s.set_partitions("t1", 1)
+    # config get/replace (reference fs_admin.py:40-54)
+    assert s.config("t1") == {"t1": {"retention.ms": "1000"}}
+    assert s.config("t*", {"cleanup.policy": "compact"}) == {
+        "t1": {"cleanup.policy": "compact"},
+        "t2": {"cleanup.policy": "compact"},
+    }
+    assert s.metadata("t2")["config"] == {"cleanup.policy": "compact"}
