@@ -248,13 +248,40 @@ class FSTopicStorage:
 
     # -- consumer groups (kafi/fs/fs_admin.py:380-415) ----------------------
 
-    def groups(self):
-        return sorted(
+    def groups(self, pattern: str = "*", state_pattern: str = "*", state: bool = False):
+        """Consumer groups by glob, optionally filtered by state glob;
+        ``state=True`` returns {group: state} (reference
+        kafi/fs/fs_admin.py:297-313)."""
+        names = sorted(
             g[:-5] for g in self._io.listdir(self._io.join(self.root, "groups"))
-            if g.endswith(".json")
+            if g.endswith(".json") and fnmatch.fnmatch(g[:-5], pattern)
         )
+        pairs = [(g, self._group_state(g)) for g in names]
+        pairs = [(g, s) for g, s in pairs if fnmatch.fnmatch(s, state_pattern)]
+        if state:
+            return dict(pairs)
+        return [g for g, _ in pairs]
 
     gls = groups
+
+    def _group_state(self, group: str) -> str:
+        path = self._group_path(group)
+        if not self._io.exists(path):
+            return "empty"
+        return json.loads(self._io.read_bytes(path)).get("state", "empty")
+
+    def describe_groups(self, pattern: str = "*", state_pattern: str = "*") -> dict:
+        """Group descriptions in the reference's shape
+        (kafi/fs/fs_admin.py:289-295)."""
+        return {
+            g: {
+                "group_id": g,
+                "is_simple_consumer_group": False,
+                "partition_assignor": "range",
+                "state": s,
+            }
+            for g, s in self.groups(pattern, state_pattern, state=True).items()
+        }
 
     def group_offsets(self, group: str) -> dict:
         path = self._group_path(group)
@@ -270,6 +297,7 @@ class FSTopicStorage:
         state.setdefault("offsets", {}).setdefault(topic, {}).update(
             {str(p): o for p, o in offsets.items()}
         )
+        state["state"] = "stable"
         state["last_update"] = time.time()
         self._io.write_bytes(path, json.dumps(state).encode())
 

@@ -317,3 +317,22 @@ def test_set_partitions_and_config(spark, tmp_path):
         "t2": {"cleanup.policy": "compact"},
     }
     assert s.metadata("t2")["config"] == {"cleanup.policy": "compact"}
+
+
+def test_describe_groups_and_state_filter(spark, tmp_path):
+    from kafi_spark.sources.fs_topic import FSTopicStorage
+
+    s = FSTopicStorage(spark, str(tmp_path / "gadmin"))
+    s.create("t", partitions=1)
+    s.produce("t", msgs(spark, ("a", "1"), ("b", "2")))
+    s.commit("g1", "t", {0: 1})
+    d = s.describe_groups("g1")["g1"]
+    assert d == {
+        "group_id": "g1",
+        "is_simple_consumer_group": False,
+        "partition_assignor": "range",
+        "state": "stable",
+    }
+    assert s.groups(state=True) == {"g1": "stable"}
+    assert s.groups(state_pattern="emp*") == []
+    assert s.groups("g*") == ["g1"]
