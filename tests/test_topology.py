@@ -270,3 +270,49 @@ def test_asof_join_batch(spark):
     )
     out = t.build_batch({"trades": tdf, "quotes": qdf})["priced"]
     assert rows(out, "trade_id", "bid") == [(1, 98.0)]  # 09:00 trade unmatched
+
+
+def test_window_expiry_bounds_state_and_retracts(spark):
+    """Tumbling expiry: state stays bounded as event time advances, and
+    closed windows' aggregates are retracted from the output (reference
+    expire_tumbling, topologynode.py:832 + bounded-state assertion,
+    test/streams/test_base.py:132-139)."""
+    from kafi_spark.streaming.expiry import expire_tumbling
+
+    t = Topology()
+    (
+        t.source("ev")
+        .group_by_count(["w"], alias="n")
+        .sink("per_window")
+    )
+    runner = IncrementalRunner(
+        t, spark, expire={"ev": expire_tumbling("ts", size_ms=100)},
+    )
+    sizes = []
+    for step in range(5):
+        # two events per step, event time advances one window per step
+        ts0 = step * 100
+        batch = spark.createDataFrame(
+            [(ts0 + 10, f"w{step}"), (ts0 + 20, f"w{step}")], "ts long, w string"
+        )
+        runner.step({"ev": batch})
+        sizes.append(runner.state_rows()["ev"])
+    # only the current (open) window's records survive each step
+    assert sizes == [2, 2, 2, 2, 2]
+    out = rows(runner.latest("per_window"), "w", "n")
+    assert out == [("w4", 2)]  # earlier windows retracted on expiry
+
+
+def test_sliding_expiry_keeps_recent_only(spark):
+    from kafi_spark.streaming.expiry import expire_sliding
+
+    t = Topology()
+    t.source("ev").group_by_count(["k"], alias="n").sink("c")
+    runner = IncrementalRunner(
+        t, spark, expire={"ev": expire_sliding("ts", size_ms=150)},
+    )
+    runner.step({"ev": spark.createDataFrame([(0, "a"), (100, "a")], "ts long, k string")})
+    runner.step({"ev": spark.createDataFrame([(200, "a")], "ts long, k string")})
+    # watermark 200: record at ts=0 expired (0+150 <= 200); 100 and 200 live
+    assert runner.state_rows()["ev"] == 2
+    assert rows(runner.latest("c"), "k", "n") == [("a", 2)]
