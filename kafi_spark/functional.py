@@ -22,7 +22,6 @@ collection (→ ``collect``). A truly order-dependent fold is available via
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator, Sequence
-from functools import reduce as _reduce
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
@@ -108,13 +107,34 @@ def fflatmap_py(df: DataFrame, f: Callable[[dict], list], schema: str) -> DataFr
     return df.mapInPandas(op, s)
 
 
-def foldl_sequential(df: DataFrame, f: Callable, acc0, order_by: Sequence[str] = ()):
+def foldl_sequential(
+    df: DataFrame,
+    f: Callable,
+    acc0,
+    order_by: Sequence[str] = (),
+    n: int | None = None,
+    break_fun: Callable | None = None,
+):
     """True order-dependent sequential fold — the only faithful rendering of
-    kafi's foldl contract (kafi/functional.py:12: sequential accumulate).
+    kafi's foldl contract (kafi/functional.py:12: sequential accumulate,
+    with ``n`` row cap and ``break_fun`` early exit checked BEFORE the
+    fold, kafi/storage_consumer.py:88,140-154).
 
     ANTI-PATTERN at scale: streams every row through the driver
-    (``toLocalIterator``). Exists for parity with genuinely sequential
-    accumulators; every aggregate-shaped use belongs in :func:`foldl`.
+    (``toLocalIterator``) — though with a cap the stream stops after
+    ``n`` rows (Spark fetches partitions incrementally). Exists for
+    parity with genuinely sequential accumulators; every
+    aggregate-shaped use belongs in :func:`foldl`.
     """
     it = (df.orderBy(*order_by) if order_by else df).toLocalIterator()
-    return _reduce(lambda acc, row: f(acc, row.asDict(recursive=True)), it, acc0)
+    acc = acc0
+    seen = 0
+    for row in it:
+        d = row.asDict(recursive=True)
+        if break_fun is not None and break_fun(d):
+            break
+        acc = f(acc, d)
+        seen += 1
+        if n is not None and seen >= n:
+            break
+    return acc

@@ -61,3 +61,16 @@ def test_foldl_sequential(df):
         df, lambda acc, r: acc + [r["id"]], [], order_by=["id"]
     )
     assert acc == [1, 2, 3]
+
+
+def test_foldl_sequential_break_and_cap(df):
+    # break_fun checks BEFORE folding (reference storage_consumer.py:140-154)
+    acc = fn.foldl_sequential(
+        df, lambda a, r: a + [r["id"]], [],
+        order_by=["id"], break_fun=lambda r: r["id"] >= 3,
+    )
+    assert acc == [1, 2]
+    acc = fn.foldl_sequential(
+        df, lambda a, r: a + [r["id"]], [], order_by=["id"], n=2,
+    )
+    assert acc == [1, 2]
