@@ -69,6 +69,39 @@ def cube_agg(df: DataFrame, group_cols: Sequence[str], *aggs: Column) -> DataFra
     return df.cube(*group_cols).agg(*aggs)
 
 
+def percentiles(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    approx: bool = False,
+) -> DataFrame:
+    """Percentiles of ``col`` (optionally per group), long format
+    (group_cols..., prob, value).
+
+    Exact mode uses ``F.percentile`` — continuous interpolation matching
+    DuckDB's ``quantile_cont`` (differential-tested); it needs the
+    group's values together (sort-based aggregate buffer), which holds
+    to large-but-bounded group sizes. ``approx=True`` switches to
+    ``percentile_approx`` — the constant-memory sketch for 100 TB
+    groups, at bounded rank error.
+    """
+    fn = F.percentile_approx if approx else F.percentile
+    agged = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(
+        *[
+            fn(F.col(col), F.lit(p)).alias(f"__p{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    entries = [
+        F.struct(F.lit(float(p)).alias("prob"), F.col(f"__p{i}").alias("value"))
+        for i, p in enumerate(probs)
+    ]
+    return agged.select(
+        *group_cols, F.explode(F.array(*entries)).alias("__e")
+    ).select(*group_cols, "__e.prob", "__e.value")
+
+
 #: granularity name -> date_trunc unit (ordered coarse -> fine)
 _TRUNC_UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute")
 

@@ -135,3 +135,36 @@ def test_time_rollup_rejects_unknown_grain(spark):
     df = spark.range(1).select(F.current_timestamp().alias("ts"))
     with pytest.raises(ValueError):
         time_rollup(df, "ts", ["fortnight"], [], F.count(F.lit(1)).alias("n"))
+
+
+def test_percentiles_match_duckdb(spark, sf_dir):
+    import duckdb
+
+    from kafi_spark.functions.analytic import percentiles
+    from kafi_spark.session import read_table
+    from tests.conftest import rows
+
+    ev = read_table(spark, sf_dir, "events")
+    got = rows(
+        percentiles(ev, "value", [0.25, 0.5, 0.9], ["event_type"]),
+        "event_type", "prob", "value",
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT event_type, 0.25 AS prob, quantile_cont("value", 0.25) AS v FROM events GROUP BY 1
+            UNION ALL
+            SELECT event_type, 0.5, quantile_cont("value", 0.5) FROM events GROUP BY 1
+            UNION ALL
+            SELECT event_type, 0.9, quantile_cont("value", 0.9) FROM events GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert [(t, float(p), round(v, 9)) for t, p, v in got] == [
+        (t, float(p), round(v, 9)) for t, p, v in want
+    ]
