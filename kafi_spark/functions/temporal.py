@@ -100,6 +100,51 @@ def asof_join(
     )
 
 
+def range_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    watermark: str = "10 seconds",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Streaming twin of :func:`range_join`: stream-stream inner join
+    with watermarks on BOTH sides and the range predicate in the join
+    condition — exactly the shape Structured Streaming uses to bound
+    and GC join state (each side's state is dropped once the other
+    side's watermark passes the window).
+
+    The batch variant's bucket trick is unnecessary here: the range
+    condition itself is the state bound. Inner join only (matches emit
+    immediately; outer temporal joins need watermark-delayed emission).
+    Right columns are renamed with ``suffix`` on collision, matching
+    :func:`range_join` output naming.
+    """
+    if upper_us < lower_us:
+        raise ValueError("upper_us must be >= lower_us")
+    keys = [on] if isinstance(on, str) else list(on)
+    rename = {
+        c: (c + suffix if c in left.columns else c)
+        for c in right.columns
+        if c not in keys
+    }
+    r = right.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        *[F.col(c).alias(rename[c]) for c in rename],
+    ).withWatermark(rename[right_ts], watermark)
+    l = left.withWatermark(left_ts, watermark)
+    lo = F.unix_micros(F.col(left_ts)) + F.lit(lower_us)
+    hi = F.unix_micros(F.col(left_ts)) + F.lit(upper_us)
+    rts = F.unix_micros(F.col(rename[right_ts]))
+    cond = (rts >= lo) & (rts <= hi)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__rk_{k}"))
+    return l.join(r, cond, "inner").drop(*[f"__rk_{k}" for k in keys])
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -169,3 +169,59 @@ def test_range_join_rejects_inverted_bounds(trades, quotes):
     with pytest.raises(ValueError):
         range_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts",
                    lower_us=5, upper_us=-5)
+
+
+def test_range_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream range join (availableNow) emits exactly the batch
+    range_join pairs; watermark + range condition bound the state."""
+    import json
+    import os
+
+    from kafi_spark.functions.temporal import range_join, range_join_stream
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    os.makedirs(ldir), os.makedirs(rdir)
+    lrows = [("A", "2024-01-01 10:00:00", 1), ("A", "2024-01-01 10:01:00", 2),
+             ("B", "2024-01-01 10:00:30", 3)]
+    rrows = [("A", "2024-01-01 10:00:02", 9.0), ("A", "2024-01-01 10:00:59", 8.0),
+             ("B", "2024-01-01 10:02:00", 7.0)]
+    with open(ldir / "a.json", "w") as f:
+        for sym, ts, i in lrows:
+            f.write(json.dumps({"sym": sym, "ts": ts, "lid": i}) + "\n")
+    with open(rdir / "a.json", "w") as f:
+        for sym, ts, v in rrows:
+            f.write(json.dumps({"sym": sym, "ts": ts, "bid": v}) + "\n")
+
+    lschema = "sym string, ts timestamp, lid long"
+    rschema = "sym string, ts timestamp, bid double"
+    ls = spark.readStream.schema(lschema).json(str(ldir))
+    rs = spark.readStream.schema(rschema).json(str(rdir))
+    out = range_join_stream(
+        ls, rs, on="sym", left_ts="ts", right_ts="ts",
+        lower_us=0, upper_us=5_000_000,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("rjs")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r["lid"], r["bid"]) for r in spark.sql("SELECT * FROM rjs").collect()
+    )
+    lb = spark.createDataFrame(
+        [(s, __import__("datetime").datetime.fromisoformat(t), i) for s, t, i in lrows],
+        lschema,
+    )
+    rb = spark.createDataFrame(
+        [(s, __import__("datetime").datetime.fromisoformat(t), v) for s, t, v in rrows],
+        rschema,
+    )
+    want = sorted(
+        (r["lid"], r["bid"])
+        for r in range_join(
+            lb, rb, on="sym", left_ts="ts", right_ts="ts",
+            lower_us=0, upper_us=5_000_000,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
