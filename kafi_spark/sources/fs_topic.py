@@ -25,6 +25,7 @@ plane goes through the same Hadoop FileSystem API (sources/fsio.py).
 
 from __future__ import annotations
 
+import datetime as _dt
 import fnmatch
 import json
 import time
@@ -246,6 +247,41 @@ class FSTopicStorage:
             applied[topic] = cut
         return applied
 
+    def apply_retention(self, pattern: str = "*", now_ms: int | None = None) -> dict:
+        """Enforce ``retention.ms`` topic config: records whose timestamp
+        is older than ``now - retention.ms`` are truncated per partition
+        via :meth:`delete_records` (offsets resolved with
+        :meth:`offsets_for_times`, so the cut is a prefix — Kafka
+        retention semantics, not a row filter). Topics without a
+        ``retention.ms`` config are skipped. Returns the applied cuts.
+        """
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        plan: dict[str, dict[int, int]] = {}
+        for t in FSTopicStorage.topics(self, pattern):
+            retention = self.metadata(t).get("config", {}).get("retention.ms")
+            if retention is None:
+                continue
+            cutoff_ms = now - int(retention)
+            # stored timestamps are TIMESTAMP; session TZ is UTC, so the
+            # naive datetime is the exact epoch instant
+            cutoff = _dt.datetime.utcfromtimestamp(cutoff_ms / 1000.0)
+            offs = self.offsets_for_times(t, cutoff)
+            wm = self.watermarks(t)
+            # partitions with no record at/after the cutoff purge fully
+            cuts = {
+                p: (o if o is not None else self.OFFSET_END)
+                for p, o in offs.items()
+            }
+            if any(
+                (o == self.OFFSET_END and wm[p][1] > wm[p][0]) or
+                (o != self.OFFSET_END and o > wm[p][0])
+                for p, o in cuts.items()
+            ):
+                plan[t] = cuts
+        if not plan:
+            return {}
+        return self.delete_records(plan)
+
     # -- consumer groups (kafi/fs/fs_admin.py:380-415) ----------------------
 
     def groups(self, pattern: str = "*", state_pattern: str = "*", state: bool = False):
@@ -383,6 +419,13 @@ class FSTopicStorage:
             )
         if not (keep_timestamps and "timestamp" in cols):
             out = out.withColumn("timestamp", F.current_timestamp())
+        elif dict(out.dtypes)["timestamp"] == "bigint":
+            # the reference's timestamp convention is epoch MILLIS
+            # (kafi/storage_consumer.py:132-138); a raw cast would read
+            # seconds, and an uncast long would write a mixed-type column
+            out = out.withColumn("timestamp", F.timestamp_millis(F.col("timestamp")))
+        else:
+            out = out.withColumn("timestamp", F.col("timestamp").cast("timestamp"))
         out = out.withColumn("timestampType", F.lit(1))
         wm = self.watermarks(topic)
         hwm = F.create_map(

@@ -336,3 +336,33 @@ def test_describe_groups_and_state_filter(spark, tmp_path):
     assert s.groups(state=True) == {"g1": "stable"}
     assert s.groups(state_pattern="emp*") == []
     assert s.groups("g*") == ["g1"]
+
+
+def test_apply_retention(spark, tmp_path):
+    from kafi_spark.sources.fs_topic import FSTopicStorage
+
+    s = FSTopicStorage(spark, str(tmp_path / "ret"))
+    s.create("t", partitions=1, config={"retention.ms": "1000"})
+    s.create("no_policy", partitions=1)
+    old_ts = 1_000_000  # epoch ms
+    new_ts = 2_000_000
+    old = spark.createDataFrame(
+        [(b"k", b"old1", old_ts), (b"k", b"old2", old_ts + 1)],
+        "key binary, value binary, timestamp long",
+    )
+    new = spark.createDataFrame(
+        [(b"k", b"new", new_ts)], "key binary, value binary, timestamp long"
+    )
+    s.produce("t", old, keep_timestamps=True)
+    s.produce("t", new, keep_timestamps=True)
+    s.produce("no_policy", msgs(spark, ("a", "x")))
+    # now = new_ts + 100: cutoff = new_ts - 900, old records expire
+    applied = s.apply_retention(now_ms=new_ts + 100)
+    assert applied == {"t": {0: 2}}
+    vals = sorted(bytes(r.value) for r in s.consume("t").collect())
+    assert vals == [b"new"]
+    # log start advanced, hwm preserved, untouched topic untouched
+    assert s.watermarks("t")[0] == (2, 3)
+    assert s.consume("no_policy").count() == 1
+    # idempotent when nothing expires
+    assert s.apply_retention(now_ms=new_ts + 100) == {}
