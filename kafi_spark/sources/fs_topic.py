@@ -247,6 +247,39 @@ class FSTopicStorage:
             applied[topic] = cut
         return applied
 
+    def compact_files(self, pattern: str = "*") -> dict[str, int]:
+        """Small-file maintenance: rewrite each matching topic's data so
+        every partition directory holds ONE parquet file instead of one
+        per produce batch (every ``produce`` appends files; a
+        many-small-batches topic becomes a many-small-files scan).
+
+        Distinct from Kafka log compaction (:func:`kafi_spark.addons.
+        compact`, last-value-per-key) — this is physical layout only:
+        offsets, timestamps, watermarks, and row content are unchanged.
+        One shuffle on ``partition`` per topic; survivors are
+        materialized before the directory swap, same crash-safety
+        pattern as delete_records. Returns {topic: rows_rewritten}.
+        """
+        out: dict[str, int] = {}
+        for t in FSTopicStorage.topics(self, pattern):
+            df = self._read_raw(t)
+            if df is None:
+                out[t] = 0
+                continue
+            kept = (
+                df.repartition("partition")
+                .select([f.name for f in MESSAGE_SCHEMA.fields])
+                .localCheckpoint(eager=True)
+            )
+            n = kept.count()
+            self._io.delete(self._data_dir(t))
+            if n:
+                kept.write.mode("append").partitionBy("partition").parquet(
+                    self._data_dir(t)
+                )
+            out[t] = n
+        return out
+
     def apply_retention(self, pattern: str = "*", now_ms: int | None = None) -> dict:
         """Enforce ``retention.ms`` topic config: records whose timestamp
         is older than ``now - retention.ms`` are truncated per partition

@@ -366,3 +366,31 @@ def test_apply_retention(spark, tmp_path):
     assert s.consume("no_policy").count() == 1
     # idempotent when nothing expires
     assert s.apply_retention(now_ms=new_ts + 100) == {}
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from kafi_spark.sources.fs_topic import FSTopicStorage
+
+    root = tmp_path / "cf"
+    s = FSTopicStorage(spark, str(root))
+    s.create("t", partitions=2)
+    for i in range(5):  # five appends -> >= 5 files per partition dir
+        s.produce("t", msgs(spark, (f"k{i}", f"v{i}"), (f"j{i}", f"w{i}")))
+    before = sorted(
+        (r.partition, r.offset, bytes(r.value)) for r in s.consume("t").collect()
+    )
+    files_before = len(glob.glob(str(root / "topics/t/data/**/*.parquet"), recursive=True))
+    rewritten = s.compact_files("t")
+    assert rewritten == {"t": 10}
+    files_after = len(glob.glob(str(root / "topics/t/data/**/*.parquet"), recursive=True))
+    assert files_after < files_before
+    assert files_after <= s.partitions("t")
+    after = sorted(
+        (r.partition, r.offset, bytes(r.value)) for r in s.consume("t").collect()
+    )
+    assert after == before
+    assert s.watermarks("t") == {0: (0, 5), 1: (0, 5)} or sum(
+        hi - lo for lo, hi in s.watermarks("t").values()
+    ) == 10
