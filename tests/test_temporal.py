@@ -225,3 +225,42 @@ def test_range_join_stream_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_asof_stream_static_foreachbatch(spark, tmp_path):
+    """Stream-static as-of: each micro-batch of trades is as-of joined
+    against a static quote snapshot inside foreachBatch — the sanctioned
+    streaming idiom for asof_join (the union+window plan needs a bounded
+    window per batch, which foreachBatch provides)."""
+    import json
+    import os
+
+    from kafi_spark.functions.temporal import asof_join
+
+    ldir = tmp_path / "trades"
+    os.makedirs(ldir)
+    with open(ldir / "a.json", "w") as f:
+        f.write(json.dumps({"sym": "A", "ts": "2024-01-01 10:00:10", "lid": 1}) + "\n")
+        f.write(json.dumps({"sym": "A", "ts": "2024-01-01 09:00:00", "lid": 2}) + "\n")
+
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00:00"), 99.0),
+         ("A", _ts("2024-01-01 10:00:05"), 98.0)],
+        "sym string, ts timestamp, bid double",
+    )
+    got = []
+    stream = spark.readStream.schema("sym string, ts timestamp, lid long").json(str(ldir))
+
+    def attach(batch_df, epoch):
+        got.extend(
+            asof_join(batch_df, quotes, on="sym", left_ts="ts", right_ts="ts").collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(attach)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted((r["lid"], r["bid"]) for r in got) == [(1, 98.0)]
