@@ -188,3 +188,24 @@ def redact_pii(
     for _, pat, repl in selected:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def normalize_text(
+    text: Column,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punct: bool = False,
+) -> Column:
+    """Canonicalize text ahead of dedup/fingerprinting: lowercase,
+    whitespace runs collapsed to single spaces, trimmed, optionally
+    punctuation-stripped. Pure Column ops (no Python crossing); the
+    standard normalization applied before exact/near dedup so trivial
+    formatting variants hash identically."""
+    out = text
+    if lowercase:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, r"[\p{Punct}]+", " ")
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

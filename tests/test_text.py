@@ -108,3 +108,32 @@ def test_redact_pii_subset_and_validation(spark):
     assert only_email == "<EMAIL> at 10.0.0.1"
     with _pytest.raises(ValueError):
         redact_pii(F.col("text"), kinds=["ssn"])
+
+
+def test_normalize_text(spark):
+    from kafi_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!  \n\tbye ",), ("same text",)], "text string"
+    )
+    out = [r[0] for r in df.select(normalize_text(F.col("text"))).collect()]
+    assert out == ["hello, world! bye", "same text"]
+    stripped = [
+        r[0]
+        for r in df.select(
+            normalize_text(F.col("text"), strip_punct=True)
+        ).collect()
+    ]
+    assert stripped == ["hello world bye", "same text"]
+
+
+def test_normalize_then_exact_dedup_merges_variants(spark):
+    from kafi_spark.functions.dedup import dedup_exact
+    from kafi_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "The  Cat"), (2, "the cat"), (3, "a dog")], "doc_id long, text string"
+    )
+    norm = df.withColumn("text", normalize_text(F.col("text")))
+    groups = dedup_exact(norm, "text", "doc_id")
+    assert groups.count() == 2  # both cat variants share one fingerprint
