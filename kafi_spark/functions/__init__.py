@@ -2,8 +2,23 @@
 
 The reference has no scalar-function library (record logic is arbitrary
 Python lambdas, SURVEY §2.8); this package provides the Column-first
-equivalents plus the beyond-reference operators a large-scale training-data
-pipeline needs: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-embedding cosine), similarity search, text analysis, and multimodal column
-plumbing.
+equivalents plus the beyond-reference operators a large-scale
+training-data pipeline needs:
+
+* ``text``       — token/char counts, quality scoring, language ID,
+                   fingerprints, PII redaction, normalization
+* ``dedup``      — exact, n-gram Jaccard, MinHash+LSH, SimHash (+ portable
+                   oracle-checkable twins), keep policies
+* ``graph``      — connected components, transitive-closure dedup policy
+* ``similarity`` — cosine top-k (exact / LSH / IVF / int8-quantized),
+                   embedding near-dup pairs
+* ``temporal``   — as-of join, range join (batch + streaming)
+* ``packing``    — token-budget sequence packing
+* ``mixing``     — target-proportion corpus mixing
+* ``profile``    — one-pass per-column data-quality statistics
+* ``skew``       — salted joins for hot keys
+* ``analytic``   — top-n, lag/lead, rollup/cube, time_rollup, percentiles
+* ``multimodal`` — binary-column plumbing (decode, features, resize)
+* ``pipeline``   — the end-to-end curation composition
+* ``helpers``    — explode_normalize, dotted paths, ts/bytes coercions
 """
