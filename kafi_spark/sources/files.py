@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _SPARK_FORMATS = {"csv", "json", "parquet"}
 
@@ -94,3 +94,33 @@ def table_to_pandas(df: DataFrame, n: int | None = None):
 def pandas_to_table(spark: SparkSession, pdf) -> DataFrame:
     """pd.DataFrame -> topic-able DataFrame (kafi/pandas.py:30-46)."""
     return spark.createDataFrame(pdf)
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_by: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Deterministic sharded export for training dataloaders: rows land in
+    shard ``pmod(xxhash64(shard_by), n_shards)`` — stable across runs and
+    cluster sizes (unlike ``repartition(n)``'s round-robin, which depends
+    on input partitioning), so shard membership is reproducible and
+    downstream loaders can address shards independently.
+
+    Writes ``path/shard=K/`` directories (one directory-partition per
+    shard; each holds that shard's rows regardless of upstream layout —
+    one shuffle on the shard id). Returns a (shard, rows) manifest
+    DataFrame computed from the written data.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    out = df.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.col(shard_by).cast("string")), F.lit(n_shards)).cast("int"),
+    ).repartition("shard")
+    out.write.mode("overwrite").partitionBy("shard").format(fmt).save(path)
+    spark = df.sparkSession
+    written = spark.read.format(fmt).load(path)
+    return written.groupBy("shard").agg(F.count(F.lit(1)).alias("rows"))

@@ -394,3 +394,25 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     assert s.watermarks("t") == {0: (0, 5), 1: (0, 5)} or sum(
         hi - lo for lo, hi in s.watermarks("t").values()
     ) == 10
+
+
+def test_export_shards_deterministic_and_complete(spark, tmp_path):
+    from kafi_spark.sources.files import export_shards
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    manifest = export_shards(df, str(tmp_path / "shards"), 8, "doc_id")
+    m = {r["shard"]: r["rows"] for r in manifest.collect()}
+    assert sum(m.values()) == 500
+    assert set(m) <= set(range(8)) and len(m) == 8
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.select("doc_id").distinct().count() == 500
+    # shard assignment is content-hash stable: re-export agrees
+    export_shards(df, str(tmp_path / "shards2"), 8, "doc_id")
+    a = spark.read.parquet(str(tmp_path / "shards")).select("doc_id", "shard")
+    b = spark.read.parquet(str(tmp_path / "shards2")).select("doc_id", "shard")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        export_shards(df, str(tmp_path / "x"), 0, "doc_id")
