@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
+    "ann_cosine_topk_quantized",
     "emb_neardup",
     "analytic_topn",
     "rollup_agg",
@@ -76,6 +77,21 @@ def main() -> None:
                                    max_df=1000)
 
     qs["dedup_ngram_capped"] = q_dedup_ngram_capped
+
+    def q_ann_quantized(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.similarity import cosine_topk_quantized
+        from kafi_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 10)
+        return cosine_topk_quantized(corpus, queries_df, k=5)
+
+    qs["ann_cosine_topk_quantized"] = q_ann_quantized
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()

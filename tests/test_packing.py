@@ -66,3 +66,37 @@ def test_rejects_bad_budget(docs):
 
     with pytest.raises(ValueError):
         pack_documents(docs, "doc_id", "n_tokens", budget=0)
+
+
+def test_packing_invariants_hypothesis(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from kafi_spark.functions.packing import pack_documents
+
+    @given(
+        tokens=st.lists(st.integers(min_value=1, max_value=700), max_size=15),
+        budget=st.sampled_from([128, 512]),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(tokens, budget):
+        if not tokens:
+            return
+        df = spark.createDataFrame(
+            list(enumerate(tokens)), "doc_id long, n_tokens long"
+        )
+        out = pack_documents(df, "doc_id", "n_tokens", budget=budget, n_buckets=3)
+        rows_ = out.collect()
+        # every doc exactly once
+        assert sorted(r["doc_id"] for r in rows_) == sorted(range(len(tokens)))
+        # per-pack totals consistent and within budget unless singleton
+        packs = {}
+        for r in rows_:
+            packs.setdefault(r["pack_id"], []).append(r)
+        for members in packs.values():
+            tot = sum(r["n_tokens"] for r in members)
+            assert all(r["pack_tokens"] == tot for r in members)
+            if len(members) > 1:
+                assert tot <= budget
+
+    run()
