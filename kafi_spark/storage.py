@@ -134,3 +134,58 @@ class Local(FSTopicStorage):
 
     def offsets_diff(self, topic: str, ts1, ts2) -> DataFrame:
         return addons.offsets_diff(self.consume(topic), "timestamp", ts1, ts2)
+
+
+def resolve_storage_config(spark, kind: str, name: str) -> str:
+    """Resolve a named YAML config to a storage ROOT, applying any
+    Hadoop FileSystem settings it implies (the testable half of the
+    reference's ``S3("local")`` / ``AzureBlob("local")`` constructors,
+    kafi/fs/{s3,azureblob}).
+
+    Kinds: ``local`` (section ``local``: root.dir), ``s3`` (section
+    ``s3``: endpoint, access.key, secret.key, bucket.name → ``fs.s3a.*``
+    settings + ``s3a://bucket`` root), ``azure_blob`` (section
+    ``azure_blob``: connection.string, container.name →
+    ``fs.azure.account.key.*`` + ``wasbs://`` root).
+    """
+    from kafi_spark.config import load_config
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if kind == "local":
+        return load_config(name, "locals", mandatory=["local"])["local"]["root.dir"]
+    if kind == "s3":
+        cfg = load_config(name, "s3s", mandatory=["s3"])["s3"]
+        if cfg.get("endpoint"):
+            hconf.set("fs.s3a.endpoint", str(cfg["endpoint"]))
+            hconf.set("fs.s3a.path.style.access", "true")
+        if cfg.get("access.key"):
+            hconf.set("fs.s3a.access.key", str(cfg["access.key"]))
+        if cfg.get("secret.key"):
+            hconf.set("fs.s3a.secret.key", str(cfg["secret.key"]))
+        return f"s3a://{cfg['bucket.name']}"
+    if kind == "azure_blob":
+        cfg = load_config(name, "azureblobs", mandatory=["azure_blob"])["azure_blob"]
+        parts = dict(
+            kv.split("=", 1)
+            for kv in str(cfg["connection.string"]).split(";")
+            if "=" in kv
+        )
+        account = parts.get("AccountName", "")
+        if parts.get("AccountKey"):
+            hconf.set(
+                f"fs.azure.account.key.{account}.blob.core.windows.net",
+                parts["AccountKey"],
+            )
+        return f"wasbs://{cfg['container.name']}@{account}.blob.core.windows.net"
+    raise ValueError(f"unknown storage kind {kind!r}")
+
+
+def storage_from_config(spark, kind: str, name: str) -> Local:
+    """Construct a topic storage from a named YAML config — the
+    reference calling convention with the multi-backend abstraction
+    collapsed into path schemes (SURVEY §2.1). Remote roots need the
+    matching Hadoop connector jars on the cluster (absent in this
+    container; the config translation is what tests cover)."""
+    if kind == "local":
+        return Local.from_config(spark, name)
+    return Local(spark, resolve_storage_config(spark, kind, name))

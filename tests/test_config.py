@@ -99,3 +99,33 @@ def test_local_from_config_and_ignore_patterns(kafi_home, tmp_path, spark):
 
     assert FSTopicStorage.topics(c) == ["_internal", "sys.audit", "visible"]
     assert Local.configs() == ["store"]
+
+
+def test_resolve_s3_and_azure_configs(kafi_home, tmp_path, spark):
+    from kafi_spark.storage import resolve_storage_config
+
+    _write(
+        tmp_path / "configs" / "s3s" / "mys3.yaml",
+        's3:\n  endpoint: "minio:9000"\n  access.key: "ak"\n'
+        '  secret.key: "sk"\n  bucket.name: "bkt"\n',
+    )
+    root = resolve_storage_config(spark, "s3", "mys3")
+    assert root == "s3a://bkt"
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "minio:9000"
+    assert hconf.get("fs.s3a.access.key") == "ak"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+
+    _write(
+        tmp_path / "configs" / "azureblobs" / "myaz.yaml",
+        "azure_blob:\n"
+        "  connection.string: AccountName=acct;AccountKey=kk==;Proto=http\n"
+        "  container.name: cont\n",
+    )
+    root = resolve_storage_config(spark, "azure_blob", "myaz")
+    assert root == "wasbs://cont@acct.blob.core.windows.net"
+    assert hconf.get("fs.azure.account.key.acct.blob.core.windows.net") == "kk=="
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resolve_storage_config(spark, "gcs", "x")
