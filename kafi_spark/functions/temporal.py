@@ -202,3 +202,44 @@ def range_join(
         .filter((rts >= lo) & (rts <= hi))
         .drop("__b")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    on: str | Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key (union of coverage —
+    the interval companion to gap-based sessionization).
+
+    Island detection via one keyed window: an interval starts a new
+    island when its start exceeds the running max end of everything
+    before it; islands then aggregate to (min start, max end, n_merged).
+    One shuffle on the key, one sort — the plan sessionize uses, with
+    interval ends instead of gaps. Intervals that merely touch
+    (start == previous end) merge.
+
+    Output: key cols + (start_col, end_col, n_merged).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    w = W.partitionBy(*keys).orderBy(F.col(start_col), F.col(end_col))
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(new_island).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.withColumn("__island", island)
+        .groupBy(*keys, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
+    )

@@ -264,3 +264,60 @@ def test_asof_stream_static_foreachbatch(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert sorted((r["lid"], r["bid"]) for r in got) == [(1, 98.0)]
+
+
+def _merge_oracle(intervals):
+    """Brute-force interval union per key."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, s, e in intervals:
+        by_key[k].append((s, e))
+    out = []
+    for k, ivs in by_key.items():
+        ivs.sort()
+        cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                out.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        out.append((k, cur_s, cur_e, n))
+    return sorted(out)
+
+
+def test_merge_intervals_fixed(spark):
+    from kafi_spark.functions.temporal import merge_intervals
+
+    data = [("a", 0, 10), ("a", 5, 12), ("a", 12, 20), ("a", 30, 40),
+            ("b", 1, 2), ("b", 2, 3)]
+    df = spark.createDataFrame(data, "k string, s long, e long")
+    got = rows(merge_intervals(df, "k", "s", "e"), "k", "s", "e", "n_merged")
+    assert got == [("a", 0, 20, 3), ("a", 30, 40, 1), ("b", 1, 3, 2)]
+    assert got == _merge_oracle(data)
+
+
+def test_merge_intervals_hypothesis(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from kafi_spark.functions.temporal import merge_intervals
+
+    intervals = st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=15),
+        ).map(lambda t: (t[0], t[1], t[1] + t[2])),
+        min_size=1, max_size=12,
+    )
+
+    @given(data=intervals)
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(data):
+        df = spark.createDataFrame(data, "k string, s long, e long")
+        got = rows(merge_intervals(df, "k", "s", "e"), "k", "s", "e", "n_merged")
+        assert got == _merge_oracle(data)
+
+    run()
