@@ -45,3 +45,34 @@ def test_mix_sources_proportions(spark, sf_dir):
     # determinism for a fixed seed
     again = mix_sources(docs, "source", targets, seed=7)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_mix_fractions_properties_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    from kafi_spark.functions.mixing import mix_fractions
+
+    counts_st = st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=2,
+    )
+
+    @given(counts=counts_st, w=st.integers(min_value=1, max_value=9))
+    @settings(max_examples=50, deadline=None)
+    def run(counts, w):
+        srcs = sorted(counts)
+        targets = {s: float(w if i == 0 else 1) for i, s in enumerate(srcs)}
+        f = mix_fractions(counts, targets)
+        # fractions are valid probabilities
+        assert all(0 < f[s] <= 1.0 for s in srcs)
+        # expected sampled counts realize the target proportions exactly
+        expected = {s: counts[s] * f[s] for s in srcs}
+        total = sum(expected.values())
+        wsum = sum(targets.values())
+        for s in srcs:
+            assert abs(expected[s] / total - targets[s] / wsum) < 1e-9
+        # the binding (scarcest-relative) source is fully used
+        assert any(abs(f[s] - 1.0) < 1e-9 for s in srcs)
+
+    run()
