@@ -438,36 +438,98 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _simhash_chunk_count(max_hamming: int) -> int:
+    """Smallest power-of-two divisor of 64 giving a COMPLETE pigeonhole
+    banding for ``max_hamming``: with ``n`` chunks, a pair differing in at
+    most ``n - 1`` bits must share one identical chunk, so we need
+    ``n >= max_hamming + 1``. Floor of 4 keeps the common small-hamming
+    case on wide 16-bit buckets (high selectivity, few collisions)."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if max_hamming > 63:
+        raise ValueError(
+            "max_hamming > 63 admits every pair of 64-bit signatures; "
+            "banding cannot help — filter the cross product explicitly "
+            f"if that is really intended (got {max_hamming})"
+        )
+    for n in (4, 8, 16, 32, 64):
+        if n >= max_hamming + 1:
+            return n
+    raise AssertionError("unreachable")
+
+
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
-    (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), join on
-    chunks, verify with bit_count(xor) ≤ max_hamming."""
+    """Near-dup pairs by SimHash with a COMPLETE pigeonhole banding: the
+    64-bit signature is split into ``n`` equal chunks where ``n`` is
+    derived from ``max_hamming`` (``n >= max_hamming + 1``), so any pair
+    within the hamming threshold shares at least one identical chunk —
+    no candidate is ever dropped by the banding. (An earlier fixed
+    4×16-bit banding silently lost pairs when callers passed
+    ``max_hamming > 3``.) Candidates come from a bucket-collect (one
+    aggregate, ``max_bucket``-guarded against degenerate buckets, pair
+    fan-out in an array transform) and are verified with
+    ``bit_count(xor) <= max_hamming`` on the packed signatures —
+    the same plan shape as :func:`simhash_pairs_portable`, which is the
+    md5-hashed twin a SQL oracle can replay.
+
+    Reference parity: kafi has no simhash; this is the LLM-pipeline
+    extension layer. Output: (id_1, id_2, hamming), id_1 < id_2.
+    """
+    n_chunks = _simhash_chunk_count(max_hamming)
+    bits_per_chunk = 64 // n_chunks
+    mask = (1 << bits_per_chunk) - 1
     sh = simhash(df, text_col, id_col)
-    chunks = sh.select(
+    chunk_vals = sh.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftrightunsigned(F.col("simhash"), bits_per_chunk * c)
+                    .bitwiseAND(F.lit(mask))
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("chunk_id", "chunk"),
     )
-    l = chunks.select(
-        F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"), "chunk_id", "chunk"
+    buckets = (
+        chunk_vals.groupBy("chunk_id", "chunk")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .withColumn("ids", F.slice("ids", 1, max_bucket))
     )
-    r = chunks.select(
-        F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"), "chunk_id", "chunk"
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+            ),
+        )
     )
-    return (
-        l.join(r, ["chunk_id", "chunk"])
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).alias("hamming"))
+    candidates = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_1"), F.col("p.id_2"))
         .distinct()
+    )
+    s1 = sh.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"))
+    s2 = sh.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"))
+    return (
+        candidates.join(s1, "id_1")
+        .join(s2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2")))
+            .cast("long")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 

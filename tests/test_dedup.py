@@ -79,6 +79,54 @@ def test_simhash_pairs(docs):
     assert (1, 2) in got
 
 
+def test_simhash_chunk_count_derivation():
+    assert dedup._simhash_chunk_count(0) == 4
+    assert dedup._simhash_chunk_count(3) == 4
+    assert dedup._simhash_chunk_count(4) == 8
+    assert dedup._simhash_chunk_count(6) == 8
+    assert dedup._simhash_chunk_count(7) == 8
+    assert dedup._simhash_chunk_count(8) == 16
+    assert dedup._simhash_chunk_count(16) == 32
+    assert dedup._simhash_chunk_count(63) == 64
+    with pytest.raises(ValueError):
+        dedup._simhash_chunk_count(64)
+    with pytest.raises(ValueError):
+        dedup._simhash_chunk_count(-1)
+
+
+@pytest.mark.parametrize("max_hamming", [3, 6, 10])
+def test_simhash_pairs_complete_vs_brute_force(spark, sf_dir, max_hamming):
+    """Completeness differential for the fast path's adaptive banding:
+    over the SAME xxhash64 signatures, the banded candidate generation
+    must return EXACTLY the pairs a brute-force all-pairs
+    bit_count(xor) <= max_hamming scan finds — the pigeonhole guarantee
+    (n_chunks >= max_hamming + 1) makes banding lossless, and the
+    verify step makes it precise. Guards the round-2 regression where a
+    fixed 4-chunk banding silently dropped hamming-4..6 pairs."""
+    from kafi_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = dedup.simhash(docs, "text", "doc_id")
+    a = sh.select(F.col("doc_id").alias("id_1"), F.col("simhash").alias("h1"))
+    b = sh.select(F.col("doc_id").alias("id_2"), F.col("simhash").alias("h2"))
+    brute = {
+        (r.id_1, r.id_2)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= max_hamming)
+        .collect()
+    }
+    fast = {
+        (r.id_1, r.id_2)
+        for r in dedup.simhash_pairs(
+            docs, "text", "doc_id", max_hamming=max_hamming
+        ).collect()
+    }
+    assert fast == brute
+    if max_hamming >= 6:
+        assert brute, "corpus should contain simhash near-duplicates"
+
+
 def test_keep_representatives(docs, spark):
     pairs = spark.createDataFrame([(1, 2, 1.0), (1, 3, 0.9)],
                                   "id_1 long, id_2 long, jaccard double")
