@@ -20,17 +20,47 @@ Schema resolution (reader != writer) implements the useful subset of the
 spec's rules: records match fields by name (missing -> reader default,
 extra writer fields decoded and discarded), unions resolve per value, and
 numeric promotions int->long->float->double plus string<->bytes apply.
+
+Logical types (spec §Logical Types) convert both directions like the
+reference's fastavro path (kafi/deserializer.py:60-69): decimal (bytes or
+fixed) <-> decimal.Decimal, date <-> datetime.date, time-millis/micros <->
+datetime.time, timestamp-millis/micros <-> aware-UTC datetime,
+local-timestamp-* <-> naive datetime. Deviation: uuid stays a plain
+string (it is a string on the wire and Spark's natural mapping is
+StringType). Invalid annotations fall back to the raw type, per spec.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
 import struct
+import uuid as _uuid
 from io import BytesIO
 
 import pandas as pd
 
 PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+# logicalType -> base types it may annotate (Avro 1.12 spec §Logical Types).
+# An annotation on any other base type is ignored per spec ("treat as the
+# underlying type"), which is also what fastavro/the Java lib do.
+LOGICAL_BASES = {
+    "decimal": ("bytes", "fixed"),
+    "date": ("int",),
+    "time-millis": ("int",),
+    "time-micros": ("long",),
+    "timestamp-millis": ("long",),
+    "timestamp-micros": ("long",),
+    "local-timestamp-millis": ("long",),
+    "local-timestamp-micros": ("long",),
+    "uuid": ("string",),
+}
+
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -94,7 +124,7 @@ def _norm(node, names: dict, namespace: str | None):
     if t == "fixed":
         ns = node.get("namespace", namespace)
         out = {"type": "fixed", "name": _fullname(node["name"], ns),
-               "size": int(node["size"])}
+               "size": int(node["size"]), **_logical_attrs(node, "fixed")}
         names[out["name"]] = out
         return out
     if t == "array":
@@ -102,11 +132,26 @@ def _norm(node, names: dict, namespace: str | None):
     if t == "map":
         return {"type": "map", "values": _norm(node["values"], names, namespace)}
     if t in PRIMITIVES:
-        # logical types (timestamp-millis, decimal, ...) ride their base type
-        return {"type": t, **({"logicalType": node["logicalType"]} if "logicalType" in node else {})}
+        return {"type": t, **_logical_attrs(node, t)}
     if isinstance(t, str):
         return _norm(t, names, namespace)
     raise ValueError(f"bad schema node: {node!r}")
+
+
+def _logical_attrs(node: dict, base: str) -> dict:
+    """Extract a spec-valid logicalType annotation (plus decimal
+    precision/scale) from a schema node; annotations on a base type the
+    spec doesn't allow are dropped (spec: fall back to the raw type)."""
+    lt = node.get("logicalType")
+    if lt is None or base not in LOGICAL_BASES.get(lt, ()):
+        return {}
+    out = {"logicalType": lt}
+    if lt == "decimal":
+        if "precision" not in node:
+            return {}  # invalid decimal annotation -> raw type, per spec
+        out["precision"] = int(node["precision"])
+        out["scale"] = int(node.get("scale", 0))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -154,6 +199,102 @@ class _Reader:
 
 
 # ---------------------------------------------------------------------------
+# Logical type conversions (Avro 1.12 spec; behavior matches fastavro, the
+# reference's codec — kafi/deserializer.py:60-69 — except uuid, which stays
+# a plain string here: it IS a string on the wire and maps to Spark string)
+# ---------------------------------------------------------------------------
+
+def _decimal_to_unscaled(v: _decimal.Decimal, scale: int) -> int:
+    q = v.scaleb(scale)
+    unscaled = int(q)
+    if q != unscaled:
+        raise ValueError(
+            f"decimal {v} does not fit scale {scale} without rounding"
+        )
+    return unscaled
+
+
+def _unscaled_bytes(unscaled: int) -> bytes:
+    """Minimal two's-complement big-endian encoding — byte-identical to
+    Java BigInteger.toByteArray(), which is what the Avro Java lib and
+    fastavro write for bytes-backed decimals."""
+    n = ((unscaled.bit_length() if unscaled >= 0 else (~unscaled).bit_length()) // 8) + 1
+    return unscaled.to_bytes(n, "big", signed=True)
+
+
+def _logical_to_base(v, s: dict):
+    """Logical Python value -> Avro base value. Base-typed values
+    (int/str/bytes) pass through so callers holding raw values still work."""
+    lt = s["logicalType"]
+    if v is None:
+        return v
+    if lt == "decimal":
+        if not isinstance(v, _decimal.Decimal):
+            return v  # pre-encoded bytes
+        unscaled = _decimal_to_unscaled(v, s["scale"])
+        b = _unscaled_bytes(unscaled)
+        if s["type"] == "fixed":
+            size = s["size"]
+            if len(b) > size:
+                raise ValueError(f"decimal {v} overflows fixed({size})")
+            pad = b"\xff" if unscaled < 0 else b"\x00"
+            b = pad * (size - len(b)) + b
+        return b
+    if lt == "date":
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return (v - _EPOCH_DATE).days
+        return v
+    if lt in ("time-millis", "time-micros"):
+        if isinstance(v, _dt.time):
+            us = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 + v.microsecond
+            return us if lt == "time-micros" else us // 1000
+        return v
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)  # naive == UTC convention
+            delta = v - _EPOCH_UTC
+            us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            return us if lt == "timestamp-micros" else us // 1000
+        return v
+    if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            delta = v - _EPOCH_NAIVE
+            us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            return us if lt == "local-timestamp-micros" else us // 1000
+        return v
+    if lt == "uuid":
+        return str(v) if isinstance(v, _uuid.UUID) else v
+    return v
+
+
+def _base_to_logical(v, s: dict):
+    """Avro base value -> logical Python value, per the effective schema."""
+    lt = s.get("logicalType")
+    if lt is None or v is None:
+        return v
+    if lt == "decimal":
+        unscaled = int.from_bytes(v, "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(-s["scale"])
+    if lt == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=v)
+    if lt in ("time-millis", "time-micros"):
+        us = v * 1000 if lt == "time-millis" else v
+        return (_EPOCH_NAIVE + _dt.timedelta(microseconds=us)).time()
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        us = v * 1000 if lt == "timestamp-millis" else v
+        return _EPOCH_UTC + _dt.timedelta(microseconds=us)
+    if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+        us = v * 1000 if lt == "local-timestamp-millis" else v
+        return _EPOCH_NAIVE + _dt.timedelta(microseconds=us)
+    return v  # uuid: stays str
+
+
+# ---------------------------------------------------------------------------
 # Encode
 # ---------------------------------------------------------------------------
 
@@ -167,6 +308,8 @@ def encode(value, schema) -> bytes:
 
 def _enc(out: BytesIO, v, s: dict) -> None:
     t = s["type"]
+    if "logicalType" in s:
+        v = _logical_to_base(v, s)
     if t == "null":
         if v is not None:
             raise TypeError(f"null schema, got {v!r}")
@@ -233,6 +376,17 @@ def _branch_index(v, branches: list[dict]) -> int:
             return t == "null"
         if isinstance(v, bool):
             return t == "boolean"
+        if isinstance(v, _decimal.Decimal):
+            return s.get("logicalType") == "decimal"
+        if isinstance(v, _dt.datetime):  # before date: datetime is a date
+            return s.get("logicalType", "").endswith(("timestamp-millis",
+                                                      "timestamp-micros"))
+        if isinstance(v, _dt.date):
+            return s.get("logicalType") == "date"
+        if isinstance(v, _dt.time):
+            return s.get("logicalType") in ("time-millis", "time-micros")
+        if isinstance(v, _uuid.UUID):
+            return t == "string"
         if isinstance(v, int):
             return t in ("int", "long")
         if isinstance(v, float):
@@ -280,8 +434,8 @@ def _dec(rd: _Reader, w: dict, r: dict | None):
     if t == "boolean":
         return rd.read(1) != b"\x00"
     if t in ("int", "long"):
-        v = rd.read_long()
-        return _promote(v, t, r)
+        v = _promote(rd.read_long(), t, r)
+        return _base_to_logical(v, r or w) if isinstance(v, int) else v
     if t == "float":
         v = struct.unpack("<f", rd.read(4))[0]
         return v
@@ -289,12 +443,17 @@ def _dec(rd: _Reader, w: dict, r: dict | None):
         return struct.unpack("<d", rd.read(8))[0]
     if t == "bytes":
         v = rd.read(rd.read_long())
+        eff = r or w
+        if eff.get("logicalType") == "decimal":
+            return _base_to_logical(v, eff)
         return v.decode("utf-8") if r is not None and r["type"] == "string" else v
     if t == "string":
         v = rd.read(rd.read_long()).decode("utf-8")
         return v.encode("utf-8") if r is not None and r["type"] == "bytes" else v
     if t == "fixed":
-        return rd.read(w["size"])
+        v = rd.read(w["size"])
+        eff = r if r is not None and r["type"] == "fixed" else w
+        return _base_to_logical(v, eff)
     if t == "enum":
         sym = w["symbols"][rd.read_long()]
         if r is not None and r["type"] == "enum" and sym not in r["symbols"]:
@@ -389,6 +548,17 @@ def avro_to_spark(schema):
 
     def go(s, seen):
         t = s["type"]
+        lt = s.get("logicalType")
+        if lt == "decimal":
+            return T.DecimalType(s["precision"], s["scale"])
+        if lt == "date":
+            return T.DateType()
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return T.TimestampType()
+        if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+            return T.TimestampNTZType()
+        if lt in ("time-millis", "time-micros"):
+            return T.TimeType()
         prim = {"boolean": T.BooleanType(), "int": T.IntegerType(),
                 "long": T.LongType(), "float": T.FloatType(),
                 "double": T.DoubleType(), "bytes": T.BinaryType(),

@@ -47,6 +47,48 @@ NESTED = json.dumps({
 })
 
 
+LOGICAL = json.dumps({
+    "type": "record", "name": "lt",
+    "fields": [
+        {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                    "precision": 10, "scale": 2}},
+        {"name": "amt_fixed", "type": {"type": "fixed", "name": "d8", "size": 8,
+                                       "logicalType": "decimal",
+                                       "precision": 16, "scale": 4}},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+        {"name": "tu", "type": {"type": "long", "logicalType": "time-micros"}},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        {"name": "tsu", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "lts", "type": {"type": "long",
+                                 "logicalType": "local-timestamp-micros"}},
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "maybe_ts", "type": ["null", {"type": "long",
+                                               "logicalType": "timestamp-millis"}]},
+    ],
+})
+
+
+def _logical_value(ts_none=False):
+    import datetime as dt
+    from decimal import Decimal
+
+    utc = dt.timezone.utc
+    return {
+        "amount": Decimal("-12345.67"),
+        "amt_fixed": Decimal("99.0001"),
+        "d": dt.date(2024, 2, 29),
+        "tm": dt.time(23, 59, 58, 123000),
+        "tu": dt.time(0, 0, 0, 1),
+        "ts": dt.datetime(2024, 6, 1, 12, 30, 0, 250000, tzinfo=utc),
+        "tsu": dt.datetime(1969, 12, 31, 23, 59, 59, 999999, tzinfo=utc),
+        "lts": dt.datetime(2024, 6, 1, 9, 0, 0, 5),
+        "u": "f47ac10b-58cc-4372-a567-0e02b2c3d479",
+        "maybe_ts": None if ts_none
+        else dt.datetime(2030, 1, 1, 0, 0, tzinfo=utc),
+    }
+
+
 # ---------------------------------------------------------------------------
 # codec units (no Spark)
 # ---------------------------------------------------------------------------
@@ -95,6 +137,65 @@ def test_reader_schema_evolution():
     assert avro.decode(buf, writer, reader) == {"a": 3, "added": "dflt"}
 
 
+@pytest.mark.parametrize("ts_none", [False, True])
+def test_roundtrip_logical_types(ts_none):
+    v = _logical_value(ts_none)
+    buf = avro.encode(v, LOGICAL)
+    assert avro.decode(buf, LOGICAL) == v
+
+
+def test_decimal_encoding_details():
+    """Unscaled two's-complement bytes: minimal length for bytes-backed,
+    sign-extended padding for fixed-backed; scale overflow rejected."""
+    from decimal import Decimal
+
+    bsch = json.dumps({"type": "bytes", "logicalType": "decimal",
+                       "precision": 10, "scale": 2})
+    for s, raw in [("1.27", b"\x7f"), ("1.28", b"\x00\x80"),
+                   ("-1.28", b"\x80"), ("0.00", b"\x00"),
+                   ("-0.01", b"\xff")]:
+        # length prefix is a zigzag varint: small n encodes as 2n
+        assert avro.encode(Decimal(s), bsch) == bytes((2 * len(raw),)) + raw
+    assert avro.decode(avro.encode(Decimal("-0.01"), bsch), bsch) == Decimal("-0.01")
+    with pytest.raises(ValueError):
+        avro.encode(Decimal("0.001"), bsch)  # needs scale 3
+
+    fsch = json.dumps({"type": "fixed", "name": "f4", "size": 4,
+                       "logicalType": "decimal", "precision": 9, "scale": 0})
+    assert avro.encode(Decimal(-2), fsch) == b"\xff\xff\xff\xfe"
+    assert avro.encode(Decimal(2), fsch) == b"\x00\x00\x00\x02"
+    with pytest.raises(ValueError):
+        avro.encode(Decimal(2**40), fsch)  # overflows 4 bytes
+
+
+def test_invalid_logical_annotation_falls_back_to_raw():
+    # date on a long is not spec-valid -> raw long both directions
+    sch = json.dumps({"type": "long", "logicalType": "date"})
+    assert avro.decode(avro.encode(42, sch), sch) == 42
+    # decimal without precision -> raw bytes
+    sch2 = json.dumps({"type": "bytes", "logicalType": "decimal"})
+    assert avro.decode(avro.encode(b"\x01", sch2), sch2) == b"\x01"
+
+
+def test_logical_reader_controls_view():
+    """A reader schema without the annotation sees the raw base value."""
+    w = json.dumps({"type": "int", "logicalType": "date"})
+    import datetime as dt
+
+    buf = avro.encode(dt.date(1970, 1, 11), w)
+    assert avro.decode(buf, w) == dt.date(1970, 1, 11)
+    assert avro.decode(buf, w, '"int"') == 10
+
+
+def test_avro_to_spark_logical_mapping():
+    t = avro.avro_to_spark(LOGICAL)
+    assert t.simpleString() == (
+        "struct<amount:decimal(10,2),amt_fixed:decimal(16,4),d:date,"
+        "tm:time(6),tu:time(6),ts:timestamp,tsu:timestamp,"
+        "lts:timestamp_ntz,u:string,maybe_ts:timestamp>"
+    )
+
+
 def test_avro_to_spark_mapping():
     t = avro.avro_to_spark(NESTED)
     assert t.simpleString() == (
@@ -129,6 +230,8 @@ def _java_rewrite(spark, schema_json: str, payload: bytes) -> bytes:
     (SNACK, {"name": "x", "calories": 0.0, "colour": None}),
     (NESTED, {"id": 2**40, "tags": [], "attrs": {}, "customer": {"cid": -1, "vip": False},
               "pad": b"abcd", "state": "NEW", "score": None, "blob": b""}),
+    (LOGICAL, _logical_value()),
+    (LOGICAL, _logical_value(ts_none=True)),
 ])
 def test_java_conformance(spark, schema, value):
     mine = avro.encode(value, schema)
@@ -300,6 +403,42 @@ def test_from_to_avro_df(spark):
     assert dict(packed.dtypes)["v"] == "binary"
     back = avro.from_avro_df(packed, "v", SNACK).select("v.*")
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_from_to_avro_df_logical_types(spark):
+    """Typed Spark columns (decimal/date/timestamp/timestamp_ntz/time)
+    survive encode -> Avro binary -> decode unchanged."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    sch = json.dumps({
+        "type": "record", "name": "lt2",
+        "fields": [
+            {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                        "precision": 10, "scale": 2}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": ["null", {"type": "long",
+                                             "logicalType": "timestamp-micros"}]},
+            {"name": "lts", "type": {"type": "long",
+                                     "logicalType": "local-timestamp-micros"}},
+        ],
+    })
+    rows = [
+        (Decimal("12.34"), dt.date(2024, 2, 29),
+         dt.datetime(2024, 6, 1, 12, 30, 0, 250000), dt.datetime(2024, 6, 1, 9, 0)),
+        (Decimal("-0.01"), dt.date(1969, 12, 31), None, dt.datetime(1970, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "amount decimal(10,2), d date, ts timestamp, lts timestamp_ntz")
+    packed = avro.to_avro_df(
+        df.select(F.struct("amount", "d", "ts", "lts").alias("v")), "v", sch)
+    assert dict(packed.dtypes)["v"] == "binary"
+    back = avro.from_avro_df(packed, "v", sch).select("v.*")
+    assert back.schema == df.schema
+    key = lambda r: r[0]  # noqa: E731 - amount is unique per row
+    assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)
 
 
 def test_confluent_roundtrip_with_registry(spark, sr):
