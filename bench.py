@@ -1,17 +1,28 @@
 """Per-round benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "plans": {name: {exchanges, shuffle_bytes}},
+"sf": ...}.
 
 Each query's plan is forced end-to-end with the noop sink (full execution,
 no driver-side materialization cost). One warm-up query runs first so JVM/
 codegen startup isn't attributed to the first headline query.
+
+Wall time on this host swings 2-3x with hypervisor steal, so each query
+also records DETERMINISTIC plan metrics for round-over-round comparison:
+``exchanges`` (shuffle operators in the formatted physical plan) and
+``shuffle_bytes`` (actual shuffle write of one execution, from the
+AppStatusStore) — if either moves between rounds the PLAN changed; if
+only seconds moved, it was the host.
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import json
 import os
+import re
 import sys
 import time
 
@@ -56,12 +67,48 @@ HEADLINE = [
 ]
 
 
+def _shuffle_bytes_total(spark) -> int | None:
+    """Cumulative shuffle-write bytes across all completed stages, read
+    from the in-process AppStatusStore (works with the UI disabled).
+    Deltas around one query execution give that query's shuffle volume."""
+    try:
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        store = spark._jsc.sc().statusStore()
+        stages = store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+        tot = 0
+        it = stages.iterator()
+        while it.hasNext():
+            tot += it.next().shuffleWriteBytes()
+        return tot
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return None
+
+
+def _exchange_count(df) -> int | None:
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return len(re.findall(r"\bExchange\b", buf.getvalue()))
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
     from kafi_spark.session import get_spark
 
-    spark = get_spark("kafi_spark_bench")
+    # keep every stage in the status store so shuffle-byte deltas stay
+    # exact across the whole bench (default retention evicts at 1000)
+    spark = get_spark(
+        "kafi_spark_bench",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
     qs = entry_mod.queries()
     # bench-only twins: scale-default configs (no oracle, so not part of
     # the 50-query driver contract). The driver queries run the exact
@@ -100,6 +147,7 @@ def main() -> None:
     run(qs["scalar_stats"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -107,14 +155,24 @@ def main() -> None:
         # neighbors, 2-3x swings on identical plans); the min is the
         # engine's time, the max is the host's
         best = None
-        for _ in range(3):
+        sbytes = None
+        for i in range(3):
+            pre = _shuffle_bytes_total(spark) if i == 0 else None
             t0 = time.time()
             run(qs[name](spark, sf_dir))
             dt = time.time() - t0
+            if i == 0 and pre is not None:
+                post = _shuffle_bytes_total(spark)
+                if post is not None:
+                    sbytes = post - pre
             best = dt if best is None else min(best, dt)
             # drop cache entries a query pinned; keeps timings independent
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        plans[name] = {
+            "exchanges": _exchange_count(qs[name](spark, sf_dir)),
+            "shuffle_bytes": sbytes,
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -128,6 +186,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
                 "sf": sf_val,
             }
         )

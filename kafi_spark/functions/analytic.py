@@ -129,6 +129,12 @@ def time_rollup(
     bad = [g for g in granularities if g not in _TRUNC_UNITS]
     if bad:
         raise ValueError(f"unsupported granularities {bad}; pick from {_TRUNC_UNITS}")
+    clash = {"grain", "bucket"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with time_rollup output names; "
+            "rename them before rolling up"
+        )
     pairs = F.array(
         *[
             F.struct(

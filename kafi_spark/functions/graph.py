@@ -7,24 +7,68 @@ and c in separate decisions but drops b twice — fine — yet a pair
 cluster-then-keep needs the transitive closure: connected components
 over the near-dup pair graph, then one representative per component.
 
-Algorithm: iterative min-label propagation (the standard Spark-scale
-formulation — each step every node adopts the minimum label in its
-closed neighborhood; converges in O(log diameter) rounds on real dedup
-graphs, whose components are tiny and dense).
+Algorithm: alternating large-star / small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+standard shuffle-based formulation, public literature). Each round
+every node re-links its neighbors to the minimum id it can see; the
+edge set converges to one star per component, centered at the
+component's minimum id, in O(log n) rounds in practice (O(log² n)
+worst case). This replaces an earlier plain min-label propagation that
+moved labels ONE hop per round — O(diameter) rounds, which a 25-node
+chain already pushed past max_iter.
 
-Scale notes: each round is one join (labels ⋈ edges) + one groupBy min
-— both shuffle on node ids. The label frame is ``localCheckpoint``-ed
-every round: an iterative fixpoint DOUBLES plan depth per round without
-lineage truncation (compile time explodes long before data does). This
-is the one sanctioned deviation from the no-materialize policy
-(PLANS.md) — the checkpointed frame is O(nodes) ids+labels, not data,
-and iterative algorithms are exactly what checkpointing exists for
-(MLlib/GraphX do the same).
+Scale notes: each half-round is one groupBy-min plus one join, both
+shuffling on node ids with map-side partial aggregation; skewed hub
+nodes are AQE's skew-join case. The input pair list is materialized
+ONCE with ``localCheckpoint`` (near-dup ``pairs`` are an expensive
+subplan — LSH banding + verification — that must not re-execute every
+round), and each round's edge set is checkpointed too: an iterative
+fixpoint DOUBLES plan depth per round without lineage truncation
+(compile time explodes long before data does). This is the one
+sanctioned deviation from the no-materialize policy (PLANS.md) — the
+checkpointed frame is O(edges) id pairs, not data, and iterative
+algorithms are exactly what checkpointing exists for (MLlib/GraphX do
+the same).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to the minimum of u's closed
+    neighborhood: emit (v, m) for v ∈ Γ(u), v > u, m = min(Γ(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Within each node's smaller-neighbor set, re-link everything to the
+    minimum: orient edges (u > v), m = min of u's smaller neighbors, emit
+    (v, m) for each such neighbor plus (u, m)."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -38,40 +82,34 @@ def connected_components(
     Output: (id, component) — component = the minimum node id reachable;
     isolated nodes do not appear (callers union their full id set, see
     :func:`keep_representatives_cc`). Raises if the fixpoint is not
-    reached within ``max_iter`` rounds (pathological graph diameter).
+    reached within ``max_iter`` rounds; star contraction needs
+    O(log² n) rounds worst case, so 20 covers any graph that fits on
+    hardware (2^20-diameter chains included).
     """
-    sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-    )
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        # each node adopts min(own label, neighbors' labels)
-        neighbor = (
-            sym.join(labels.withColumnRenamed("id", "b"), "b")
-            .select(F.col("a").alias("id"), "component")
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        converged = (
+            e2.count() == e.count() and e2.subtract(e).limit(1).count() == 0
         )
-        new_labels = (
-            labels.union(neighbor)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
+        e = e2
+        if converged:
+            # fixpoint = one star per component, centered at the min id
+            return (
+                e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+                .union(
+                    e.select(
+                        F.col("v").alias("id"), F.col("v").alias("component")
+                    )
+                )
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

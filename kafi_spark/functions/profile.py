@@ -42,25 +42,29 @@ def profile_table(
 
     aggs = [F.count(F.lit(1)).alias("__rows")]
     per_col: list[tuple[str, str, str]] = []  # (column, metric, agg alias)
-    for c in cols:
-        safe = c.replace(".", "_")
-        aggs.append(F.count(F.col(c)).alias(f"__cnt_{safe}"))
-        per_col.append((c, "count", f"__cnt_{safe}"))
+    # positional alias index, NOT a name transform: sanitizing "a.b" to
+    # "a_b" collides with a literal "a_b" column and breaks the aggregate
+    for i, c in enumerate(cols):
+        # backtick-escape so a literal dotted NAME is not read as a
+        # struct-field path
+        col = F.col("`" + c.replace("`", "``") + "`")
+        aggs.append(F.count(col).alias(f"__cnt_{i}"))
+        per_col.append((c, "count", f"__cnt_{i}"))
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{safe}")
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nul_{i}")
         )
-        per_col.append((c, "nulls", f"__nul_{safe}"))
+        per_col.append((c, "nulls", f"__nul_{i}"))
         distinct = (
-            F.count_distinct(F.col(c)) if exact_distinct
-            else F.approx_count_distinct(F.col(c))
+            F.count_distinct(col) if exact_distinct
+            else F.approx_count_distinct(col)
         )
-        aggs.append(distinct.alias(f"__dis_{safe}"))
-        per_col.append((c, "distinct", f"__dis_{safe}"))
+        aggs.append(distinct.alias(f"__dis_{i}"))
+        per_col.append((c, "distinct", f"__dis_{i}"))
         if not dtypes[c].startswith(_UNORDERED_PREFIXES):
-            aggs.append(F.min(F.col(c)).alias(f"__min_{safe}"))
-            per_col.append((c, "min", f"__min_{safe}"))
-            aggs.append(F.max(F.col(c)).alias(f"__max_{safe}"))
-            per_col.append((c, "max", f"__max_{safe}"))
+            aggs.append(F.min(col).alias(f"__min_{i}"))
+            per_col.append((c, "min", f"__min_{i}"))
+            aggs.append(F.max(col).alias(f"__max_{i}"))
+            per_col.append((c, "max", f"__max_{i}"))
 
     wide = df.agg(*aggs)
     entries = [

@@ -379,6 +379,25 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _estimate_rows(corpus: DataFrame, queries: DataFrame, vec_col: str) -> int:
+    """Metadata-based corpus row-count estimate: Catalyst's sizeInBytes
+    (file-size sum for parquet scans — no job) divided by an embedding
+    row width derived from the query side's dimensionality (one
+    ``first()`` on the SMALL side). Only used to pick a training-sample
+    modulus, so a few-x error is harmless; falls back to a real count if
+    plan statistics are unreachable."""
+    try:
+        size = int(
+            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        q0 = queries.select(vec_col).first()
+        dim = len(q0[0]) if q0 is not None and q0[0] is not None else 0
+        bytes_per_row = dim * 8 + 32  # array payload + offsets/id overhead
+        return size // max(bytes_per_row, 1)
+    except Exception:  # noqa: BLE001 — non-file plans without stats
+        return corpus.count()
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -409,11 +428,16 @@ def cosine_topk_ivf(
     # dominate build cost at scale, and centroid quality saturates long
     # before train_cap vectors. The deterministic per-row filter keeps the
     # sample reproducible (no Sample operator reshuffle); cells stay
-    # seeded/stable for the rows-only driver check.
-    n = corpus.count()
+    # seeded/stable for the rows-only driver check. The sampling modulus
+    # comes from Catalyst's sizeInBytes estimate — NOT corpus.count(),
+    # which was a full extra pass over the corpus before training even
+    # started. When the estimate says the corpus is small, the modulus is
+    # 1 and the filter is a no-op.
+    n_est = _estimate_rows(corpus, queries, vec_col)
+    modulus = max(1, n_est // train_cap)
     train = corpus
-    if n > train_cap:
-        train = corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), n // train_cap) == 0)
+    if modulus > 1:
+        train = corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), modulus) == 0)
     train = train.select(array_to_vector(F.col(vec_col)).alias("features"))
     km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     C = np.vstack([np.asarray(c) for c in km.clusterCenters()])

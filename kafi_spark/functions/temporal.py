@@ -27,6 +27,34 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
+def _guard_internal_names(
+    left: DataFrame, right: DataFrame, names: tuple[str, ...]
+) -> None:
+    clash = (set(left.columns) | set(right.columns)) & set(names)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with asof_join internals; "
+            "rename them before joining"
+        )
+
+
+def _orderable(schema) -> bool:
+    """True when every field sorts (no MapType anywhere) — the condition
+    for using the payload struct as a deterministic window tie-break."""
+    from pyspark.sql import types as T
+
+    def go(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return go(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(go(f.dataType) for f in dt.fields)
+        return True
+
+    return go(schema)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -55,8 +83,15 @@ def asof_join(
     ``'left'`` keeps them with nulls. ``tolerance_us`` additionally
     requires ``left_ts - right_ts <= tolerance`` (microseconds), like
     pandas ``merge_asof(tolerance=...)``.
+
+    Ties: when several right rows share the same (key, timestamp), the
+    one with the MAXIMAL payload struct wins (deterministic); if the
+    right payload contains map columns (not orderable), the winner is
+    arbitrary. Column names starting with ``__`` are rejected (they
+    collide with join internals).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    _guard_internal_names(left, right, ("__t", "__tag", "__r", "__m"))
     payload = [c for c in right.columns if c not in keys + [right_ts]]
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in payload
@@ -74,9 +109,18 @@ def asof_join(
     )
     l = left.withColumn("__t", F.col(left_ts)).withColumn("__tag", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
+    # tie-break: several right rows sharing (key, timestamp) would make
+    # F.last pick an arbitrary one; ordering by the payload struct makes
+    # the winner the MAXIMAL payload, deterministically (and keeps the
+    # DuckDB-differential check stable). Struct ordering needs orderable
+    # field types — with map-typed payloads we fall back to the
+    # documented arbitrary-tie behavior rather than failing the join.
+    order = ["__t", "__tag"]
+    if _orderable(right.schema):
+        order.append("__r")
     w = (
         W.partitionBy(*keys)
-        .orderBy("__t", "__tag")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(

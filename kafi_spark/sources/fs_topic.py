@@ -450,13 +450,20 @@ class FSTopicStorage:
                 .otherwise(F.pmod(F.abs(F.monotonically_increasing_id()), F.lit(n)))
                 .cast("int"),
             )
+        ts_numeric = ("bigint", "int", "smallint", "tinyint", "double",
+                      "float") + tuple(
+            t for t in dict(out.dtypes).values() if t.startswith("decimal")
+        )
         if not (keep_timestamps and "timestamp" in cols):
             out = out.withColumn("timestamp", F.current_timestamp())
-        elif dict(out.dtypes)["timestamp"] == "bigint":
-            # the reference's timestamp convention is epoch MILLIS
-            # (kafi/storage_consumer.py:132-138); a raw cast would read
-            # seconds, and an uncast long would write a mixed-type column
-            out = out.withColumn("timestamp", F.timestamp_millis(F.col("timestamp")))
+        elif dict(out.dtypes)["timestamp"] in ts_numeric:
+            # the reference's timestamp convention is epoch MILLIS for ANY
+            # numeric dtype (kafi/storage_consumer.py:132-138); a raw
+            # cast("timestamp") would read SECONDS — int/double epoch-millis
+            # columns previously fell into that branch, a silent 1000x shift
+            out = out.withColumn(
+                "timestamp", F.timestamp_millis(F.col("timestamp").cast("long"))
+            )
         else:
             out = out.withColumn("timestamp", F.col("timestamp").cast("timestamp"))
         out = out.withColumn("timestampType", F.lit(1))

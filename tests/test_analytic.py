@@ -137,6 +137,16 @@ def test_time_rollup_rejects_unknown_grain(spark):
         time_rollup(df, "ts", ["fortnight"], [], F.count(F.lit(1)).alias("n"))
 
 
+def test_time_rollup_rejects_output_name_collision(spark):
+    from kafi_spark.functions.analytic import time_rollup
+
+    df = spark.range(1).select(
+        F.current_timestamp().alias("ts"), F.lit("x").alias("grain")
+    )
+    with pytest.raises(ValueError, match="grain"):
+        time_rollup(df, "ts", ["day"], [], F.count(F.lit(1)).alias("n"))
+
+
 def test_percentiles_match_duckdb(spark, sf_dir):
     import duckdb
 

@@ -42,6 +42,19 @@ def test_components_chain_and_clique(spark):
     ]
 
 
+def test_components_long_chain(spark):
+    """A 40-node chain has diameter 39 — plain one-hop label propagation
+    needed O(diameter) rounds and blew past max_iter; star contraction
+    converges logarithmically."""
+    from kafi_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_1 long, id_2 long"
+    )
+    got = rows(connected_components(edges), "id", "component")
+    assert got == [(i, 1) for i in range(1, 41)]
+
+
 def test_keep_representatives_cc_vs_single_pass(spark):
     from kafi_spark.functions.dedup import keep_representatives
     from kafi_spark.functions.graph import keep_representatives_cc

@@ -56,3 +56,16 @@ def test_profile_nulls_and_unordered_types(spark):
     assert ("arr", "min") not in d  # unordered type: no min/max
     with pytest.raises(ValueError):
         profile_table(df, ["nope"])
+
+
+def test_profile_similar_column_names_do_not_collide(spark):
+    """Aliases are positional: columns whose names sanitize to the same
+    string (a.b vs a_b) must profile independently."""
+    from kafi_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame([(1, 10), (2, None)], "`a.b` long, a_b long")
+    got = rows(profile_table(df, exact_distinct=True))
+    d = {(c, m): v for c, m, v in got}
+    assert d[("a.b", "count")] == "2"
+    assert d[("a_b", "count")] == "1"
+    assert d[("a_b", "nulls")] == "1"

@@ -368,6 +368,37 @@ def test_apply_retention(spark, tmp_path):
     assert s.apply_retention(now_ms=new_ts + 100) == {}
 
 
+def test_keep_timestamps_numeric_dtypes_are_epoch_millis(spark, tmp_path):
+    """int and double epoch-millis timestamp columns must land on the same
+    instant as bigint — previously they fell into cast('timestamp'),
+    which reads SECONDS (a silent 1000x shift)."""
+    from kafi_spark.sources.fs_topic import FSTopicStorage
+
+    ms = 1_700_000_000_123
+    s = FSTopicStorage(spark, str(tmp_path / "ts"))
+    for name, sql_t, v in [
+        ("t_long", "long", ms),
+        ("t_int", "int", 1_000_000),  # int range: smaller epoch
+        ("t_dbl", "double", float(ms)),
+    ]:
+        s.create(name, partitions=1)
+        df = spark.createDataFrame(
+            [(b"k", b"v", v)], f"key binary, value binary, timestamp {sql_t}"
+        )
+        s.produce(name, df, keep_timestamps=True)
+    from pyspark.sql import functions as F
+
+    def got_ms(topic):
+        r = s.consume(topic).select(
+            F.unix_millis("timestamp").alias("ms")
+        ).first()
+        return r["ms"]
+
+    assert got_ms("t_long") == ms
+    assert got_ms("t_int") == 1_000_000
+    assert got_ms("t_dbl") == ms
+
+
 def test_compact_files_reduces_file_count(spark, tmp_path):
     import glob
 

@@ -85,6 +85,35 @@ def test_asof_renames_colliding_payload(trades, quotes):
     assert "px_asof" in out.columns and "ts_asof" in out.columns
 
 
+def test_asof_duplicate_right_timestamps_deterministic(spark, trades):
+    """Several right rows sharing (key, ts): the maximal payload struct
+    wins, every run (previously whichever happened to sort last)."""
+    from kafi_spark.functions.temporal import asof_join
+
+    q = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:59:58"), 99.5),
+            ("A", _ts("2024-01-01 09:59:58"), 42.0),
+            ("A", _ts("2024-01-01 09:59:58"), 77.0),
+        ],
+        "sym string, ts timestamp, bid double",
+    )
+    for _ in range(3):
+        out = asof_join(
+            trades.repartition(8), q.repartition(8),
+            on="sym", left_ts="ts", right_ts="ts",
+        )
+        assert {r.bid for r in out.collect()} == {99.5}
+
+
+def test_asof_rejects_internal_name_collision(trades, quotes):
+    from kafi_spark.functions.temporal import asof_join
+
+    bad = quotes.withColumn("__tag", F.lit(1))
+    with pytest.raises(ValueError, match="__tag"):
+        asof_join(trades, bad, on="sym", left_ts="ts", right_ts="ts")
+
+
 def test_asof_matches_duckdb_on_events(spark, sf_dir):
     from kafi_spark.functions.temporal import asof_join
     from kafi_spark.session import read_table
