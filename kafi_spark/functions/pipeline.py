@@ -4,9 +4,22 @@ The flagship composition the LLM-pipeline operators exist for: one
 declarative DataFrame job that language-filters, quality-gates, exact-
 dedups, then near-dedups a document corpus. Every stage is one of the
 engine's first-class operators (text_stats, dedup_exact semantics,
-ngram/minhash near-dup, keep_representatives), so the whole pipeline is
-a single Catalyst plan — filters push into the scan, the dedup shuffles
-key on 32-byte fingerprints, and nothing touches the driver.
+ngram/minhash near-dup, keep_representatives); filters push into the
+scan, the dedup shuffles key on 32-byte fingerprints, and nothing
+touches the driver.
+
+Subplan sharing: the filtered/exact-deduped survivor frame feeds THREE
+consumers (the near-dup doc set, keep_representatives' id universe, the
+final projection). An earlier revision tried to share it via an
+explicit repartition relying on ReuseExchange; per-branch column
+pruning makes each consumer's subtree canonically DIFFERENT, so reuse
+never fired and the regex-heavy stats scan executed once per consumer
+(18 scans in the physical plan at one point). The survivors are now
+``persist()``-ed (MEMORY_AND_DISK): a few stats columns per surviving
+id — no text — so the cached footprint at 100 TB corpus scale is
+gigabytes, computed once inside the same action and spill-safe. Exact
+dedup itself is a keyed window (row_number over fingerprint), one
+shuffle, no self-join.
 
 The near-dup stage defaults to the MinHash+LSH path — the one whose
 shuffle volume stays bounded at 100 TB. The exact n-gram inverted index
@@ -18,7 +31,7 @@ bit-exact against DuckDB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from kafi_spark.functions.dedup import (
     keep_representatives,
@@ -48,15 +61,19 @@ def curate_documents(
     kept = stats.filter(
         (F.col("lang_guess") == lang) & (F.col("quality") >= min_quality)
     )
-    # the filtered-stats subtree feeds three consumers (exact keepers, the
-    # near-dup doc set, the final projection); an explicit repartition puts
-    # an identical Exchange under each so Spark's ReuseExchange computes
-    # the regex-heavy stats scan ONCE — shuffle-as-materialization, the
-    # cache-free way to share a subplan at any scale
-    kept = kept.repartition(id_col)
-    # exact dedup: lowest id per identical text wins
-    exact_keepers = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    s1 = kept.join(exact_keepers.select(id_col), id_col, "left_semi")
+    # exact dedup: lowest id per identical text wins — one window over
+    # the fingerprint shuffle instead of a groupBy + semi-join back
+    s1 = (
+        kept.withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("fingerprint").orderBy(id_col)),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        # three downstream consumers; see module docstring for why this
+        # is a persist and not a repartition/ReuseExchange
+        .persist()
+    )
     # near-dup among the survivors
     docs1 = df.select(id_col, text_col).join(
         s1.select(id_col), id_col, "left_semi"
