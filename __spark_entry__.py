@@ -1017,6 +1017,25 @@ def q_dedup_simhash_portable(spark, sf_dir):
     return simhash_pairs_portable(d, "text", "doc_id", max_hamming=6, chunks=8)
 
 
+def q_dedup_fast_pairs(spark, sf_dir):
+    """xxhash64 fast-path near-dup pair sets (MinHash LSH + SimHash),
+    tag-unioned into one driver row set. Both are rows-only checkable
+    (engine-internal hashing has no SQL oracle); their md5-based
+    portable twins (dedup_minhash_portable / dedup_simhash_portable)
+    carry full value-hash oracles for the same algorithms, and
+    tests/test_dedup.py asserts fast-path recall/completeness against
+    the exact operators."""
+    mh = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash").alias("algo"), "id_1", "id_2",
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    sh = q_dedup_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("algo"), "id_1", "id_2",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
+
+
 def q_dedup_keep(spark, sf_dir):
     """End-to-end near-dup dedup policy: which documents survive after
     dropping the larger member of every exact-Jaccard near-dup pair."""
@@ -1455,6 +1474,52 @@ def q_analytic_lag(spark, sf_dir):
     return out.select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price")
 
 
+def q_analytic_ops(spark, sf_dir):
+    """topn_per_group + lag/lead merged into one tagged row set (same
+    consolidation pattern as fn_ops/zset_ops): op='topn' rows carry the
+    rank in v1, op='lag' rows carry prev/next prices in v1/v2."""
+    topn = q_analytic_topn(spark, sf_dir).select(
+        F.lit("topn").alias("op"),
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rank").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    lag = q_analytic_lag(spark, sf_dir).select(
+        F.lit("lag").alias("op"),
+        F.col("o_custkey").cast("string").alias("grp"),
+        "o_orderkey",
+        "o_totalprice",
+        F.col("prev_price").cast("double").alias("v1"),
+        F.col("next_price").cast("double").alias("v2"),
+    )
+    return topn.unionByName(lag)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (contamination.py): docs sharing any
+    4-gram with the 'benchmark' subset (doc_id % 20 == 0), with distinct
+    shared-gram counts. Beyond-reference LLM-pipeline operator; the
+    planted near-duplicates in the corpus guarantee hits."""
+    from kafi_spark.functions.contamination import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corp = d.filter(F.col("doc_id") % 20 != 0)
+    return contamination_report(corp, bench, n=4)
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition metrics (text.py:
+    repetition_stats): per (doc, n) the char fraction covered by the
+    most-covering n-gram and by all duplicated n-grams."""
+    from kafi_spark.functions.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, "text", "doc_id", ns=(2, 3))
+
+
 def q_rollup_agg(spark, sf_dir):
     from kafi_spark.functions.analytic import rollup_agg
 
@@ -1572,20 +1637,59 @@ _EXTRA_SQL = {
                CASE WHEN o_orderkey % 10 = 0 THEN 'd' ELSE 'c' END AS op
         FROM orders
     """,
-    "analytic_topn": """
-        SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+    "analytic_ops": """
+        SELECT 'topn' AS op, o_orderpriority AS grp, o_orderkey, o_totalprice,
+               CAST(rank AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
                      row_number() OVER (PARTITION BY o_orderpriority
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rank
               FROM orders)
         WHERE rank <= 3
-    """,
-    "analytic_lag": """
-        SELECT o_custkey, o_orderkey, o_totalprice,
-               lag(o_totalprice) OVER w AS prev_price,
-               lead(o_totalprice) OVER w AS next_price
+        UNION ALL
+        SELECT 'lag' AS op, CAST(o_custkey AS VARCHAR) AS grp, o_orderkey,
+               o_totalprice,
+               lag(o_totalprice) OVER w AS v1,
+               lead(o_totalprice) OVER w AS v2
         FROM orders WHERE o_custkey < 100
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "decontaminate": r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(0, greatest(len(ws) - 4, 0) + 1),
+                   i -> array_to_string(ws[i+1:i+4], ' ')))) AS gram
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                FROM documents)
+        ),
+        bg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 20 = 0),
+        cg AS (SELECT doc_id, gram FROM sh WHERE doc_id % 20 != 0)
+        SELECT doc_id, count(*) AS n_contaminated_ngrams
+        FROM cg JOIN bg USING (gram)
+        GROUP BY doc_id
+    """,
+    "text_repetition": r"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+                 length(trim(text)) AS chars
+          FROM documents
+        ),
+        nn AS (SELECT * FROM w, (SELECT unnest([2, 3]) AS n)),
+        g AS (
+          SELECT doc_id, n, chars,
+                 unnest(list_transform(
+                   range(0, greatest(len(ws) - n, 0) + 1),
+                   i -> array_to_string(ws[i+1:i+n], ' '))) AS gram
+          FROM nn
+        ),
+        c AS (SELECT doc_id, n, chars, gram, count(*) AS cnt FROM g GROUP BY ALL)
+        SELECT doc_id, CAST(n AS BIGINT) AS n,
+               CAST(max(cnt * length(gram)) AS DOUBLE)
+                 / CAST(greatest(chars, 1) AS DOUBLE) AS top_ngram_char_frac,
+               CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+                    AS DOUBLE)
+                 / CAST(greatest(chars, 1) AS DOUBLE) AS dup_ngram_char_frac
+        FROM c GROUP BY doc_id, n, chars
     """,
     "rollup_agg": f"""
         SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
@@ -1794,6 +1898,8 @@ _MERGED_AWAY = (
     "shell_cat",  # SELECT * shape; shell_head/tail/grep cover the verb family
     "shell_head", "shell_tail",            # -> shell_head_tail (tagged union)
     "fn_map", "fn_filter", "fn_flatmap",   # -> fn_ops (tagged common shape)
+    "analytic_topn", "analytic_lag",       # -> analytic_ops (tagged union)
+    "dedup_minhash_lsh", "dedup_simhash",  # -> dedup_fast_pairs (tagged union)
 )
 
 
@@ -1831,11 +1937,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_fast_pairs": q_dedup_fast_pairs,
         "dedup_minhash_portable": q_dedup_minhash_portable,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "dedup_keep": q_dedup_keep,
+        "decontaminate": q_decontaminate,
+        "text_repetition": q_text_repetition,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
@@ -1845,8 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_roundtrip": q_chunk_roundtrip,
         "topology_wordcount": q_topology_wordcount,
         "topology_join_agg": q_topology_join_agg,
-        "analytic_topn": q_analytic_topn,
-        "analytic_lag": q_analytic_lag,
+        "analytic_ops": q_analytic_ops,
         "rollup_agg": q_rollup_agg,
         "wire_roundtrip": q_wire_roundtrip,
         "jsonschema_filter": q_jsonschema_filter,

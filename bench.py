@@ -53,11 +53,13 @@ HEADLINE = [
     "dedup_ngram_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "decontaminate",
+    "text_repetition",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_quantized",
     "emb_neardup",
-    "analytic_topn",
+    "analytic_ops",
     "rollup_agg",
     "zset_ops",
     "cdc_debezium_encode",
@@ -114,6 +116,10 @@ def main() -> None:
     # the 50-query driver contract). The driver queries run the exact
     # (oracle-checkable) configs; these time the 100 TB-safe defaults.
     qs["pipeline_curate_minhash"] = entry_mod.q_pipeline_curate_minhash
+    # the fast-path twins were tag-merged into dedup_fast_pairs in the
+    # 50-query driver contract; bench keeps timing them individually
+    qs["dedup_minhash_lsh"] = entry_mod.q_dedup_minhash_lsh
+    qs["dedup_simhash"] = entry_mod.q_dedup_simhash
 
     def q_dedup_ngram_capped(spark, sf_dir):
         from kafi_spark.functions.dedup import ngram_jaccard_pairs

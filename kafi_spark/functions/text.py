@@ -153,6 +153,70 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: Sequence[int] = (2, 3),
+) -> DataFrame:
+    """Per-document within-document repetition metrics — the
+    Gopher/MassiveText family of repetition quality filters (public
+    methodology: Rae et al. 2021, §A1.1), word-n-gram variant:
+
+    * ``top_ngram_char_frac`` — characters covered by the single
+      most-covering n-gram: ``max(count * length(gram)) / chars``.
+    * ``dup_ngram_char_frac`` — characters covered by all n-grams that
+      occur more than once: ``sum(count * length(gram) | count > 1) /
+      chars``. Overlapping occurrences are counted per occurrence, so
+      the value can exceed 1 on highly repetitive text (that is the
+      useful signal).
+
+    ``chars`` is the trimmed character length. Output long-format:
+    (id, n, top_ngram_char_frac, dup_ngram_char_frac), one row per
+    document per n in ``ns``.
+
+    Plan: ONE scan for every n — the words array is built once, the
+    (doc, n) pairs explode from a constant array, grams explode from a
+    position transform, then two keyed aggregations (doc, n, gram) →
+    (doc, n) with map-side partial combine. All JVM-side Column
+    expressions (engine-portable: DuckDB oracle matches bit-for-bit);
+    shuffle is bounded by total gram occurrences, the same budget any
+    shingle pipeline pays.
+    """
+    from kafi_spark.functions.dedup import _parallelize
+
+    base = _parallelize(df).select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+        F.length(F.trim(F.col(text_col))).alias("__chars"),
+        F.explode(F.lit(list(ns))).alias("n"),
+    )
+    grams = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size("__w") - F.col("n"), F.lit(0))
+        ),
+        lambda i: F.array_join(F.slice("__w", i + 1, F.col("n")), " "),
+    )
+    occ = base.select(
+        F.col(id_col), "n", "__chars", F.explode(grams).alias("gram")
+    )
+    counts = occ.groupBy(id_col, "n", "__chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    covered = F.col("cnt") * F.length("gram")
+    agged = counts.groupBy(id_col, "n", "__chars").agg(
+        F.max(covered).alias("__top"),
+        F.sum(F.when(F.col("cnt") > 1, covered).otherwise(0)).alias("__dup"),
+    )
+    safe_chars = F.greatest(F.col("__chars"), F.lit(1)).cast("double")
+    return agged.select(
+        F.col(id_col),
+        F.col("n").cast("long").alias("n"),
+        (F.col("__top").cast("double") / safe_chars).alias("top_ngram_char_frac"),
+        (F.col("__dup").cast("double") / safe_chars).alias("dup_ngram_char_frac"),
+    )
+
+
 # -- PII redaction -----------------------------------------------------------
 
 #: redaction patterns, applied in order (JVM regexp_replace — stays in

@@ -1,0 +1,95 @@
+"""Benchmark decontamination — fixed cases + DuckDB differential."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafi_spark.functions.contamination import contamination_report, decontaminate
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the model was evaluated on the held out benchmark split"),
+            (2, "completely unrelated text about cooking pasta al dente"),
+            (3, "was evaluated on the held"),  # exactly one 5-gram of bench
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        [(100, "the model was evaluated on the held out test data")],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_report(corpus, bench):
+    got = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in contamination_report(corpus, bench, n=5).collect()
+    }
+    # doc 1 shares the 5-gram window sliding over the common prefix
+    # "the model was evaluated on the held out" (8 words -> 4 shared 5-grams)
+    assert got[1] == 4
+    assert got[3] == 1
+    assert 2 not in got and 4 not in got
+
+
+def test_decontaminate_drops_hits(corpus, bench):
+    kept = {r.doc_id for r in decontaminate(corpus, bench, n=5).collect()}
+    assert kept == {2, 4}
+
+
+def test_short_benchmark_prompt_matches_verbatim_copy(spark, corpus):
+    # benchmark doc shorter than n words -> its full text is the gram;
+    # a corpus doc CONTAINING those words as a window should NOT match
+    # (windows are n words), but the verbatim short doc itself should.
+    bench = spark.createDataFrame([(7, "short")], "doc_id long, text string")
+    got = {r.doc_id for r in contamination_report(corpus, bench, n=5).collect()}
+    assert got == {4}
+
+
+def test_contamination_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from kafi_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corp = docs.filter(F.col("doc_id") % 20 != 0)
+    got = sorted(
+        (r.doc_id, r.n_contaminated_ngrams)
+        for r in contamination_report(corp, bench, n=5).collect()
+    )
+    assert got, "planted near-duplicates should contaminate"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        con.sql(
+            r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(0, greatest(len(ws) - 5, 0) + 1),
+                       i -> array_to_string(ws[i+1:i+5], ' ')))) AS gram
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents)
+            ),
+            bg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 20 = 0),
+            cg AS (SELECT doc_id, gram FROM sh WHERE doc_id % 20 != 0)
+            SELECT doc_id, count(*) AS n_contaminated_ngrams
+            FROM cg JOIN bg USING (gram)
+            GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want

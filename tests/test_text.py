@@ -137,3 +137,87 @@ def test_normalize_then_exact_dedup_merges_variants(spark):
     norm = df.withColumn("text", normalize_text(F.col("text")))
     groups = dedup_exact(norm, "text", "doc_id")
     assert groups.count() == 2  # both cat variants share one fingerprint
+
+
+def test_repetition_stats_fixed(spark):
+    """Hand-computed repetition fractions on a crafted doc."""
+    from kafi_spark.functions.text import repetition_stats
+
+    # "a b a b a b": 2-grams at positions 1..5 = [a b, b a, a b, b a, a b]
+    # counts: "a b" x3, "b a" x2; chars = 11
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    out = {
+        (r.doc_id, r.n): (r.top_ngram_char_frac, r.dup_ngram_char_frac)
+        for r in repetition_stats(df, ns=(2,)).collect()
+    }
+    top, dup = out[(1, 2)]
+    assert top == pytest.approx(3 * 3 / 11)          # "a b" covers 9 chars
+    assert dup == pytest.approx((3 * 3 + 2 * 3) / 11)  # both grams repeat
+
+
+def test_repetition_stats_no_repeats_and_short_docs(spark):
+    from kafi_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "all words are different here"), (2, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.n): (r.top_ngram_char_frac, r.dup_ngram_char_frac)
+        for r in repetition_stats(df, ns=(2, 3)).collect()
+    }
+    for n in (2, 3):
+        assert got[(1, n)][1] == 0.0          # nothing duplicated
+        assert 0 < got[(1, n)][0] < 1
+        # doc shorter than n words: its full text is the single gram
+        assert got[(2, n)] == (1.0, 0.0)
+
+
+def test_repetition_stats_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from kafi_spark.functions.text import repetition_stats
+    from kafi_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r.doc_id, r.n, round(r.top_ngram_char_frac, 12),
+         round(r.dup_ngram_char_frac, 12))
+        for r in repetition_stats(docs, ns=(2, 3)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (d, n, round(t, 12), round(u, 12))
+        for d, n, t, u in con.sql(
+            r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+                     length(trim(text)) AS chars
+              FROM documents
+            ),
+            nn AS (SELECT * FROM w, (SELECT unnest([2, 3]) AS n)),
+            g AS (
+              SELECT doc_id, n, chars,
+                     unnest(list_transform(
+                       range(0, greatest(len(ws) - n, 0) + 1),
+                       i -> array_to_string(ws[i+1:i+n], ' '))) AS gram
+              FROM nn
+            ),
+            c AS (
+              SELECT doc_id, n, chars, gram, count(*) AS cnt
+              FROM g GROUP BY ALL
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n,
+                   CAST(max(cnt * length(gram)) AS DOUBLE)
+                     / greatest(chars, 1) AS top_ngram_char_frac,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                            ELSE 0 END) AS DOUBLE)
+                     / greatest(chars, 1) AS dup_ngram_char_frac
+            FROM c GROUP BY doc_id, n, chars
+            """
+        ).fetchall()
+    )
+    assert got == want
