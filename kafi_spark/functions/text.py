@@ -118,16 +118,21 @@ def rolling_hash_fingerprint(text: Column, base: int = 257, mod: int = (1 << 61)
     """Polynomial rolling hash over UTF-8 bytes — a portable integer
     fingerprint computable in any SQL engine (unlike xxhash64).
 
-    h = sum(byte_i * base^i) mod (2^61-1), via Horner on the reversed
-    bytes. JVM-side: aggregate over the byte array.
+    Horner over the byte sequence: ``h = fold(h * base + byte) mod
+    (2^61-1)``. Byte-faithful for ANY input (an earlier revision read
+    bytes via ``ascii()`` per character, which is lossy for multi-byte
+    UTF-8): the encoded bytes are hex-expanded once (2 chars/byte) and
+    each byte parsed with ``conv`` — all JVM-side Column expressions.
     """
-    bytes_arr = F.transform(
-        F.split(F.encode(text, "utf-8").cast("string"), ""),  # not byte-accurate; see note
-        lambda c: F.ascii(c),
+    hexs = F.hex(F.encode(text, "utf-8"))
+    n_bytes = (F.length(hexs) / F.lit(2)).cast("int")
+    idx = F.when(n_bytes > 0, F.sequence(F.lit(0), n_bytes - 1)).otherwise(
+        F.array().cast("array<int>")
     )
-    # NOTE: ascii() of multi-byte chars is lossy; for the driver's ASCII
-    # test corpus this is exact. A binary-faithful variant would use
-    # conv/substring over hex(encode(...)).
+    bytes_arr = F.transform(
+        idx,
+        lambda i: F.conv(hexs.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("long"),
+    )
     return F.aggregate(
         bytes_arr,
         F.lit(0).cast("decimal(38,0)"),

@@ -93,3 +93,9 @@ def test_contamination_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_empty_benchmark_is_noop(spark, corpus):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert contamination_report(corpus, empty, n=5).count() == 0
+    assert decontaminate(corpus, empty, n=5).count() == corpus.count()

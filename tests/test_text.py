@@ -221,3 +221,26 @@ def test_repetition_stats_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_rolling_hash_fingerprint_matches_python_oracle(spark):
+    """Byte-faithful polynomial hash: matches a pure-Python fold over the
+    UTF-8 bytes, including multi-byte characters (the earlier ascii()-
+    based reader was lossy there) and the empty string."""
+    from kafi_spark.functions.text import rolling_hash_fingerprint
+
+    def py_roll(s: str, base: int = 257, mod: int = (1 << 61) - 1) -> int:
+        h = 0
+        for b in s.encode("utf-8"):
+            h = (h * base + b) % mod
+        return h
+
+    samples = ["", "a", "hello world", "é漢字🙂", "the same", "the same",
+               "\t spaced \n", "ASCII only 123"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, text string"
+    )
+    got = dict(
+        rows(df.select("i", rolling_hash_fingerprint(F.col("text")).alias("h")))
+    )
+    assert got == {i: py_roll(s) for i, s in enumerate(samples)}
