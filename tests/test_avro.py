@@ -454,3 +454,58 @@ def test_confluent_roundtrip_with_registry(spark, sr):
     assert first[0] == 0 and int.from_bytes(first[1:5], "big") == sid
     back = avro.from_avro_df(framed, "v", confluent=True, registry=sr).select("v.*")
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+# ---------------------------------------------------------------------------
+# logical-type property tests (hypothesis): encode/decode is identity
+# ---------------------------------------------------------------------------
+
+from datetime import date, datetime, time, timedelta, timezone  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_DEC_SCHEMA = json.dumps({"type": "bytes", "logicalType": "decimal",
+                          "precision": 20, "scale": 4})
+_FIX_SCHEMA = json.dumps({"type": "fixed", "name": "d16", "size": 16,
+                          "logicalType": "decimal", "precision": 30, "scale": 6})
+
+
+@given(unscaled=st.integers(min_value=-(10**16), max_value=10**16))
+@settings(max_examples=200, deadline=None)
+def test_decimal_roundtrip_property(unscaled):
+    import decimal
+
+    v = decimal.Decimal(unscaled).scaleb(-4)
+    assert avro.decode(avro.encode(v, _DEC_SCHEMA), _DEC_SCHEMA) == v
+    w = decimal.Decimal(unscaled).scaleb(-6)
+    assert avro.decode(avro.encode(w, _FIX_SCHEMA), _FIX_SCHEMA) == w
+
+
+@given(days=st.integers(min_value=-700_000, max_value=2_900_000))
+@settings(max_examples=200, deadline=None)
+def test_date_roundtrip_property(days):
+    sch = json.dumps({"type": "int", "logicalType": "date"})
+    v = date(1970, 1, 1) + timedelta(days=days)
+    assert avro.decode(avro.encode(v, sch), sch) == v
+
+
+@given(us=st.integers(min_value=0, max_value=86_399_999_999))
+@settings(max_examples=200, deadline=None)
+def test_time_roundtrip_property(us):
+    micro = json.dumps({"type": "long", "logicalType": "time-micros"})
+    v = (datetime(1970, 1, 1) + timedelta(microseconds=us)).time()
+    assert avro.decode(avro.encode(v, micro), micro) == v
+    milli = json.dumps({"type": "int", "logicalType": "time-millis"})
+    v_ms = v.replace(microsecond=(us % 1_000_000) // 1000 * 1000)
+    assert avro.decode(avro.encode(v_ms, milli), milli) == v_ms
+
+
+@given(us=st.integers(min_value=-(10**15), max_value=10**15))
+@settings(max_examples=200, deadline=None)
+def test_timestamp_roundtrip_property(us):
+    micros = json.dumps({"type": "long", "logicalType": "timestamp-micros"})
+    v = datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(microseconds=us)
+    assert avro.decode(avro.encode(v, micros), micros) == v
+    ntz = json.dumps({"type": "long", "logicalType": "local-timestamp-micros"})
+    w = datetime(1970, 1, 1) + timedelta(microseconds=us)
+    assert avro.decode(avro.encode(w, ntz), ntz) == w
