@@ -140,3 +140,30 @@ def sliding_window_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_exact_stream(
+    df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Streaming twin of exact dedup (dedup.py:dedup_exact): the FIRST
+    record of each content fingerprint passes; later copies arriving
+    within the watermark horizon drop.
+
+    Spark-native state: ``dropDuplicatesWithinWatermark`` keys its dedup
+    state on the md5 fingerprint and garbage-collects entries once the
+    event-time watermark passes them — bounded state at any throughput,
+    the same GC contract the batch operator doesn't need. Copies arriving
+    LATER than the watermark horizon are re-admitted (their state is
+    gone); choose the horizon accordingly, like any watermarked dedup.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn(fingerprint_col, F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([fingerprint_col])
+    )

@@ -198,3 +198,45 @@ def test_stream_stream_equi_join(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.ka, r.va, r.vb) for r in collected)
     assert got == [(1, "a1", "b1")]
+
+
+def test_dedup_exact_stream(spark, tmp_path):
+    """Exact-dup copies across micro-batches drop; first occurrence and
+    distinct texts survive."""
+    from kafi_spark.streaming.stateful import dedup_exact_stream
+
+    src_dir = str(tmp_path / "dedup_in")
+    os.makedirs(src_dir, exist_ok=True)
+    base_ms = 1_700_000_000_000
+    batches = [
+        [{"doc_id": 1, "ts": base_ms, "text": "same text"},
+         {"doc_id": 2, "ts": base_ms + 1000, "text": "other text"}],
+        [{"doc_id": 3, "ts": base_ms + 2000, "text": "same text"},   # dup of 1
+         {"doc_id": 4, "ts": base_ms + 3000, "text": "third text"}],
+    ]
+    import time as _time
+
+    t0 = _time.time() - 3600
+    for i, rows in enumerate(batches):
+        _write_batch(src_dir, f"b{i}.json", rows)
+        os.utime(os.path.join(src_dir, f"b{i}.json"), (t0 + i * 60, t0 + i * 60))
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    events = stream.withColumn("ts", F.timestamp_millis(F.col("ts")))
+    out = dedup_exact_stream(events, "text", "ts", watermark="1 hour")
+    collected = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, epoch: collected.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in collected) == [1, 2, 4]
