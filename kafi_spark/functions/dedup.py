@@ -486,8 +486,6 @@ def simhash_pairs(
     mask = (1 << bits_per_chunk) - 1
     sh = simhash(df, text_col, id_col)
     chunk_vals = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
@@ -497,40 +495,39 @@ def simhash_pairs(
                 ]
             )
         ).alias("chunk_id", "chunk"),
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("m"),
     )
+    # members carry their SIGNATURE into the bucket, so verification is
+    # an in-array bit_count — the signature subtree appears in the plan
+    # ONCE (an earlier revision joined candidates back to it twice), and
+    # the hamming filter runs BEFORE distinct, so the dedup shuffle only
+    # carries surviving pairs
     buckets = (
         chunk_vals.groupBy("chunk_id", "chunk")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .withColumn("ids", F.slice("ids", 1, max_bucket))
+        .agg(F.array_sort(F.collect_set("m")).alias("mem"))
+        .filter(F.size("mem") >= 2)
+        .withColumn("mem", F.slice("mem", 1, max_bucket))
     )
     combos = F.flatten(
         F.transform(
-            F.col("ids"),
+            F.col("mem"),
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_1"),
+                    y["id"].alias("id_2"),
+                    F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
+                    .cast("long")
+                    .alias("hamming"),
+                ),
             ),
         )
     )
-    candidates = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_1"), F.col("p.id_2"))
-        .distinct()
-    )
-    s1 = sh.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"))
-    s2 = sh.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"))
     return (
-        candidates.join(s1, "id_1")
-        .join(s2, "id_2")
-        .select(
-            "id_1",
-            "id_2",
-            F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2")))
-            .cast("long")
-            .alias("hamming"),
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_1"), F.col("p.id_2"), F.col("p.hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -608,7 +605,6 @@ def simhash_pairs_portable(
     )
     mask = (1 << bits_per_chunk) - 1
     chunk_vals = packed.select(
-        F.col(id_col),
         F.posexplode(
             F.array(
                 *[
@@ -618,49 +614,43 @@ def simhash_pairs_portable(
                 ]
             )
         ).alias("chunk", "ch"),
+        F.struct(F.col(id_col).alias("id"), F.col("ph").alias("sh")).alias("m"),
     )
     buckets = (
         chunk_vals.groupBy("chunk", "ch")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.array_sort(F.collect_set("m")).alias("mem"))
+        .filter(F.size("mem") >= 2)
         # bucket guard: a degenerate bucket (one signature shared by a huge
         # doc subset, i.e. mass-duplicates the exact-dedup stage should have
         # removed) would otherwise build an O(corpus) array and a C(m,2)
         # pair explosion in one task. Truncating to max_bucket ids keeps the
         # bucket's pair fan-out bounded; every surviving doc still meets the
         # others through its remaining bands with overwhelming probability.
-        .withColumn("ids", F.slice("ids", 1, max_bucket))
+        .withColumn("mem", F.slice("mem", 1, max_bucket))
     )
+    # members carry the PACKED signature into the bucket: hamming =
+    # bit_count(xor) computed in-array, filter before distinct, and the
+    # signature subtree appears in the plan once (no joins back)
     combos = F.flatten(
         F.transform(
-            F.col("ids"),
+            F.col("mem"),
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_1"),
+                    y["id"].alias("id_2"),
+                    F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
+                    .cast("long")
+                    .alias("hamming"),
+                ),
             ),
         )
     )
-    candidates = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_1"), F.col("p.id_2"))
-        .distinct()
-    )
-    # verification on PACKED signatures: one 64-bit long per doc, hamming
-    # = bit_count(xor). Joins carry (id, long) rows instead of (id, bit,
-    # sgn) × 64, and the candidate subtree appears in the plan once.
-    p1 = packed.select(F.col(id_col).alias("id_1"), F.col("ph").alias("ph_1"))
-    p2 = packed.select(F.col(id_col).alias("id_2"), F.col("ph").alias("ph_2"))
     return (
-        candidates.join(p1, "id_1")
-        .join(p2, "id_2")
-        .select(
-            "id_1",
-            "id_2",
-            F.bit_count(F.col("ph_1").bitwiseXOR(F.col("ph_2")))
-            .cast("long")
-            .alias("hamming"),
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_1"), F.col("p.id_2"), F.col("p.hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
