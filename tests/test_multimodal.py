@@ -59,9 +59,46 @@ def test_decode_image_stub_raises(assets):
         mm.resize_image(assets, "payload", "asset_id", 8, 8)
 
 
-def test_frame_sample_stub_raises(assets):
-    with pytest.raises(NotImplementedError):
-        mm.frame_sample(assets, "payload", "asset_id")
+def _animated_gif(n_frames, w=2, h=2, delay_cs=5):
+    """Minimal spec-valid animated GIF: header + 2-color global palette +
+    per frame a graphics control extension and an image block with fake
+    (never decoded) LZW sub-blocks."""
+    out = b"GIF89a" + struct.pack("<HH", w, h) + b"\x80\x00\x00"  # GCT flag, size 0
+    out += b"\x00\x00\x00\xff\xff\xff"  # 2-color global color table
+    for i in range(n_frames):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # descriptor
+        out += b"\x02" + bytes([3, i, 0x51, 0x00]) + b"\x00"  # lzw min + sub-block
+    return out + b"\x3b"
+
+
+def test_frame_sample_gif(spark):
+    df = spark.createDataFrame(
+        [(1, _animated_gif(5)), (2, _animated_gif(1)), (3, b"not a gif"),
+         (4, None)],
+        "asset_id long, payload binary",
+    )
+    out = mm.frame_sample(df, "payload", "asset_id", every_n=2).collect()
+    got = sorted((r.asset_id, r.frame_idx) for r in out)
+    # 5 frames sampled every 2nd -> 0,2,4; single frame -> 0; non-gif/null -> none
+    assert got == [(1, 0), (1, 2), (1, 4), (2, 0)]
+    # each sampled payload is itself a standalone single-frame GIF
+    for r in out:
+        frame = bytes(r.frame)
+        assert frame[:6] == b"GIF89a" and frame[-1:] == b"\x3b"
+        walked = mm._gif_block_walk(frame)
+        assert walked is not None and len(walked[1]) == 1
+
+
+def test_decode_video_gif_info(spark):
+    df = spark.createDataFrame(
+        [(1, _animated_gif(4, delay_cs=10)), (2, b"\x00\x01")],
+        "asset_id long, payload binary",
+    )
+    got = {r.asset_id: (r.n_frames, r.duration_ms)
+           for r in mm.decode_video(df, "payload", "asset_id").collect()}
+    assert got[1] == (4, 400)  # 4 frames x 100 ms
+    assert got[2] == (None, None)
 
 
 # -- header-based decoders (dependency-free, public format specs) ------------
