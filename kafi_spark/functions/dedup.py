@@ -126,29 +126,45 @@ def ngram_jaccard_pairs(
 
     Unlike the LSH paths (few candidates → per-pair set arithmetic, see
     :func:`_jaccard_verify`), the candidate set here is every pair
-    sharing a shingle, so intersections are counted FUSED with the
-    inverted-index join (one shuffle with map-side combine) instead of
-    joining each pair back to its shingle arrays.
+    sharing a shingle. The inverted index is built as POSTING LISTS —
+    one aggregate collecting each shingle's (sorted) doc ids — so the
+    explode-heavy shingle subtree is planned ONCE (the earlier self-join
+    formulation re-computed it three times: both join sides plus the
+    per-doc size aggregate), the ``max_df`` stop-shingle cap is a free
+    array-size filter on the collected list (no separate
+    document-frequency pass), and pair counts come from one in-array
+    pair transform + keyed aggregate with map-side combine. Per-doc
+    sizes re-aggregate from the (capped) posting lists, so the capped
+    semantics are unchanged: both the intersection AND the set sizes see
+    the reduced shingle universe. A pathological stop shingle
+    concentrates C(df, 2) pairs either way (join or array) — that is
+    exactly what ``max_df`` exists to bound.
 
     Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard ≥ threshold.
     """
-    # deliberately NOT cached: the shingle set is recomputed per consumer.
-    # Caching would pin storage blocks for the session (a leak the caller
-    # can't release from a lazy plan) and is impossible at 100 TB anyway;
-    # the bound-words shingle stage is cheap enough to recompute.
     sh = shingles(df, text_col, id_col, k)
+    posts = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
     if max_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") > max_df
+        posts = posts.filter(F.size("ids") <= max_df)
+    sizes = (
+        posts.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+            ),
         )
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
+        posts.select(F.explode(combos).alias("p"))
+        .groupBy("p.id_1", "p.id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
