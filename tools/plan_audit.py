@@ -42,7 +42,8 @@ def main() -> int:
 
     failures = []
     print(f"{'query':28s} {'exch':>4} {'gen':>4} {'scan':>4} {'wsc':>4} "
-          f"{'smj':>4} {'bhj':>4} {'bnlj':>4} {'cart':>4} {'pyUDF':>5}")
+          f"{'smj':>4} {'bhj':>4} {'bnlj':>4} {'cart':>4} {'pyUDF':>5} "
+          f"{'reuse':>5} {'inmem':>5}")
     for name, fn in entry_mod.queries().items():
         try:
             df = fn(spark, sf_dir)
@@ -64,6 +65,11 @@ def main() -> int:
             "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", p)),
             "cart": len(re.findall(r"CartesianProduct", p)),
             "pyUDF": len(re.findall(r"BatchEvalPython", p)),
+            # subtree-sharing telemetry (the round-3 pipeline lesson: a
+            # repartition meant for ReuseExchange that never fires leaves
+            # scan-count evidence here)
+            "reuse": len(re.findall(r"ReusedExchange", p)),
+            "inmem": len(re.findall(r"InMemory(?:Relation|TableScan)", p)),
         }
         flags = []
         if c["cart"]:
@@ -76,7 +82,7 @@ def main() -> int:
             flags.append(f"GENERATES>{MAX_GENERATES}")
         line = (f"{name:28s} {c['exch']:>4} {c['gen']:>4} {c['scan']:>4} "
                 f"{c['wsc']:>4} {c['smj']:>4} {c['bhj']:>4} {c['bnlj']:>4} "
-                f"{c['cart']:>4} {c['pyUDF']:>5}")
+                f"{c['cart']:>4} {c['pyUDF']:>5} {c['reuse']:>5} {c['inmem']:>5}")
         if flags:
             line += "   FLAG: " + ",".join(flags)
             failures.append((name, ",".join(flags)))
