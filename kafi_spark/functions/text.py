@@ -178,7 +178,8 @@ def repetition_stats(
 
     ``chars`` is the trimmed character length. Output long-format:
     (id, n, top_ngram_char_frac, dup_ngram_char_frac), one row per
-    document per n in ``ns``.
+    document per n in ``ns``; null texts produce no rows (matching the
+    SQL formulation, where unnesting a null gram list yields nothing).
 
     Plan: ONE scan for every n — the words array is built once, the
     (doc, n) pairs explode from a constant array, grams explode from a
@@ -190,7 +191,7 @@ def repetition_stats(
     """
     from kafi_spark.functions.dedup import _parallelize
 
-    base = _parallelize(df).select(
+    base = _parallelize(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
         F.length(F.trim(F.col(text_col))).alias("__chars"),

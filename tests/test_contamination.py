@@ -99,3 +99,36 @@ def test_empty_benchmark_is_noop(spark, corpus):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert contamination_report(corpus, empty, n=5).count() == 0
     assert decontaminate(corpus, empty, n=5).count() == corpus.count()
+
+
+def test_contamination_matches_python_oracle_hypothesis(spark):
+    """Differential vs a brute-force Python n-gram set intersection over
+    small random word documents."""
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    def doc(n): return " ".join(rnd.choice(vocab) for _ in range(n))
+    corpus_rows = [(i, doc(rnd.randint(1, 12))) for i in range(20)]
+    bench_rows = [(100 + i, doc(rnd.randint(1, 12))) for i in range(4)]
+    n = 3
+
+    def grams(t):
+        ws = t.split()
+        if len(ws) <= n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    bench_set = set(itertools.chain.from_iterable(grams(t) for _, t in bench_rows))
+    want = {}
+    for i, t in corpus_rows:
+        hits = len(grams(t) & bench_set)
+        if hits:
+            want[i] = hits
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_contaminated_ngrams
+           for r in contamination_report(corpus, bench, n=n).collect()}
+    assert got == want

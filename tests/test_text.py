@@ -244,3 +244,15 @@ def test_rolling_hash_fingerprint_matches_python_oracle(spark):
         rows(df.select("i", rolling_hash_fingerprint(F.col("text")).alias("h")))
     )
     assert got == {i: py_roll(s) for i, s in enumerate(samples)}
+
+
+def test_repetition_stats_null_text_rows_drop(spark):
+    """Null texts produce no gram rows (explode of null) and therefore no
+    output rows — documented degradation, not an error."""
+    from kafi_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a a a")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.n) for r in repetition_stats(df, ns=(2,)).collect()}
+    assert got == {(2, 2)}
