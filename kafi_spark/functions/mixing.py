@@ -62,3 +62,42 @@ def mix_sources(
     }
     fractions = mix_fractions(counts, targets, total)
     return df.sampleBy(source_col, fractions, seed=seed)
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Deterministic train/val/test split by content of the id column.
+
+    Every row lands in EXACTLY one split, decided by
+    ``xxhash64(seed, id) mod 1e6`` against cumulative weight thresholds —
+    so membership is a pure function of (id, seed, weights): stable
+    across runs, cluster sizes, partitionings, and data order (the
+    property ``randomSplit`` does NOT give you — its assignment depends
+    on partition layout). Proportions are approximate (hash-uniform;
+    relative error shrinks as 1/sqrt(n)).
+
+    Returns {split_name: DataFrame}; the frames partition ``df`` (each
+    original row appears in exactly one). Weights are relative and
+    normalized internally.
+    """
+    from pyspark.sql import functions as F
+
+    total = sum(weights.values())
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with a positive sum")
+    resolution = 1_000_000
+    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(resolution))
+    out: dict[str, DataFrame] = {}
+    cum = 0.0
+    names = list(weights)
+    for i, name in enumerate(names):
+        lo = int(cum * resolution / total)
+        cum += weights[name]
+        # last split takes the remainder so rounding never drops a row
+        hi = resolution if i == len(names) - 1 else int(cum * resolution / total)
+        out[name] = df.filter((bucket >= lo) & (bucket < hi))
+    return out

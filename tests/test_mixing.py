@@ -76,3 +76,34 @@ def test_mix_fractions_properties_hypothesis():
         assert any(abs(f[s] - 1.0) < 1e-9 for s in srcs)
 
     run()
+
+
+def test_split_corpus_partitions_and_is_deterministic(spark):
+    from kafi_spark.functions.mixing import split_corpus
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    splits = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    sizes = {k: v.count() for k, v in splits.items()}
+    assert sum(sizes.values()) == 5000            # complete
+    train_ids = {r.doc_id for r in splits["train"].collect()}
+    val_ids = {r.doc_id for r in splits["val"].collect()}
+    test_ids = {r.doc_id for r in splits["test"].collect()}
+    assert not (train_ids & val_ids) and not (train_ids & test_ids) \
+        and not (val_ids & test_ids)              # disjoint
+    assert abs(sizes["train"] - 4000) < 200       # ~proportions
+    assert abs(sizes["val"] - 500) < 120
+    # stable under repartitioning and re-evaluation
+    again = split_corpus(df.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {r.doc_id for r in again["val"].collect()} == val_ids
+
+
+def test_split_corpus_rejects_bad_weights(spark):
+    import pytest
+
+    from kafi_spark.functions.mixing import split_corpus
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        split_corpus(df, {"a": 0.0, "b": 0.0})
+    with pytest.raises(ValueError):
+        split_corpus(df, {"a": -1.0, "b": 2.0})
