@@ -76,6 +76,11 @@ def _shuffle_bytes_total(spark) -> int | None:
     try:
         jvm = spark._jvm
         gw = spark.sparkContext._gateway
+        # the status store is fed asynchronously from the listener bus;
+        # drain it first or late stage-completion events under-count the
+        # post-action read (exactly the host-load condition the metric
+        # exists to see through)
+        spark._jsc.sc().listenerBus().waitUntilEmpty()
         store = spark._jsc.sc().statusStore()
         stages = store.stageList(
             jvm.java.util.ArrayList(), False, False,

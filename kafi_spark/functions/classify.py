@@ -76,7 +76,12 @@ def fear_index_col(text: Column) -> Column:
     Python): same semantics as :func:`lexicon_fear_index`, for when the
     scorer is simple enough to stay in whole-stage codegen — and for the
     SQL oracle to replay."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+    # Python str.split() splits on ANY whitespace run and never yields
+    # empty tokens; F.trim strips only spaces, so drop empties explicitly
+    # or texts with leading/trailing newlines over-count words
+    words = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0
+    )
     neg = F.size(
         F.filter(
             F.transform(words, lambda w: F.regexp_replace(w, r"^[.,!?;:]+|[.,!?;:]+$", "")),
@@ -85,7 +90,7 @@ def fear_index_col(text: Column) -> Column:
     )
     n = F.greatest(F.size(words), F.lit(1))
     raw = F.floor(F.lit(100) * neg / n).cast("int")
-    empty = text.isNull() | (F.length(F.trim(text)) == 0)
+    empty = text.isNull() | (F.size(words) == 0)
     return F.when(empty, F.lit(0)).otherwise(F.least(F.lit(100), raw)).cast("int")
 
 

@@ -126,47 +126,60 @@ def ngram_jaccard_pairs(
 
     Unlike the LSH paths (few candidates → per-pair set arithmetic, see
     :func:`_jaccard_verify`), the candidate set here is every pair
-    sharing a shingle. The inverted index is built as POSTING LISTS —
-    one aggregate collecting each shingle's (sorted) doc ids — so the
-    explode-heavy shingle subtree is planned ONCE (the earlier self-join
-    formulation re-computed it three times: both join sides plus the
-    per-doc size aggregate), the ``max_df`` stop-shingle cap is a free
-    array-size filter on the collected list (no separate
-    document-frequency pass), and pair counts come from one in-array
-    pair transform + keyed aggregate with map-side combine. Per-doc
-    sizes re-aggregate from the (capped) posting lists, so the capped
-    semantics are unchanged: both the intersection AND the set sizes see
-    the reduced shingle universe. A pathological stop shingle
-    concentrates C(df, 2) pairs either way (join or array) — that is
-    exactly what ``max_df`` exists to bound.
+    sharing a shingle.
+
+    With ``max_df`` set (the 100 TB configuration), the inverted index
+    is built as POSTING LISTS — one aggregate collecting each shingle's
+    (sorted) doc ids, bounded by the cap — so the explode-heavy shingle
+    subtree is planned ONCE (the self-join formulation computes it three
+    times: both join sides plus the per-doc size aggregate), the cap is
+    a free array-size filter (no separate document-frequency pass), and
+    pair counts come from one in-array pair transform + keyed aggregate.
+    Per-doc sizes re-aggregate from the capped lists, so both the
+    intersection AND the set sizes see the reduced shingle universe.
+
+    With ``max_df=None`` (exact mode) the classic self-join runs
+    instead: an unbounded posting list would materialize a hot shingle's
+    C(df, 2) pairs as ONE in-row array (2 GB array limit / executor
+    OOM), where the join streams them as spillable rows — slower on
+    three recomputes, but safe at any document frequency.
 
     Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard ≥ threshold.
     """
     sh = shingles(df, text_col, id_col, k)
-    posts = sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_set(id_col)).alias("ids")
-    )
     if max_df is not None:
-        posts = posts.filter(F.size("ids") <= max_df)
-    sizes = (
-        posts.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
-            ),
+        posts = sh.groupBy("shingle").agg(
+            F.array_sort(F.collect_set(id_col)).alias("ids")
+        ).filter(F.size("ids") <= max_df)
+        sizes = (
+            posts.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_sh"))
         )
-    )
-    inter = (
-        posts.select(F.explode(combos).alias("p"))
-        .groupBy("p.id_1", "p.id_2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        combos = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+                ),
+            )
+        )
+        inter = (
+            posts.select(F.explode(combos).alias("p"))
+            .groupBy("p.id_1", "p.id_2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_1") < F.col("id_2"))
+            .groupBy("id_1", "id_2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
     nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
     return (
@@ -479,20 +492,26 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    max_bucket: int = 10_000,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash with a COMPLETE pigeonhole banding: the
+    """Near-dup pairs by SimHash with a lossless pigeonhole banding: the
     64-bit signature is split into ``n`` equal chunks where ``n`` is
     derived from ``max_hamming`` (``n >= max_hamming + 1``), so any pair
     within the hamming threshold shares at least one identical chunk —
-    no candidate is ever dropped by the banding. (An earlier fixed
-    4×16-bit banding silently lost pairs when callers passed
-    ``max_hamming > 3``.) Candidates come from a bucket-collect (one
-    aggregate, ``max_bucket``-guarded against degenerate buckets, pair
-    fan-out in an array transform) and are verified with
-    ``bit_count(xor) <= max_hamming`` on the packed signatures —
-    the same plan shape as :func:`simhash_pairs_portable`, which is the
-    md5-hashed twin a SQL oracle can replay.
+    the BANDING never drops a candidate. (An earlier fixed 4×16-bit
+    banding silently lost pairs when callers passed ``max_hamming > 3``.)
+    Candidates come from a bucket-collect (one aggregate, pair fan-out
+    in an array transform) and are verified with ``bit_count(xor) <=
+    max_hamming`` on the packed signatures — the same plan shape as
+    :func:`simhash_pairs_portable`, the md5-hashed twin a SQL oracle can
+    replay.
+
+    ``max_bucket`` truncates DEGENERATE buckets (one chunk value shared
+    by a mass-duplicate cohort exact-dedup should have removed): a pair
+    surviving only in such a bucket's tail IS dropped. Pass
+    ``max_bucket=None`` for strict completeness at the cost of C(m, 2)
+    pair fan-out in the degenerate bucket (the completeness differential
+    test runs both ways).
 
     Reference parity: kafi has no simhash; this is the LLM-pipeline
     extension layer. Output: (id_1, id_2, hamming), id_1 < id_2.
@@ -500,6 +519,7 @@ def simhash_pairs(
     n_chunks = _simhash_chunk_count(max_hamming)
     bits_per_chunk = 64 // n_chunks
     mask = (1 << bits_per_chunk) - 1
+    bucket_cap = (1 << 31) - 1 if max_bucket is None else max_bucket
     sh = simhash(df, text_col, id_col)
     chunk_vals = sh.select(
         F.posexplode(
@@ -522,7 +542,7 @@ def simhash_pairs(
         chunk_vals.groupBy("chunk_id", "chunk")
         .agg(F.array_sort(F.collect_set("m")).alias("mem"))
         .filter(F.size("mem") >= 2)
-        .withColumn("mem", F.slice("mem", 1, max_bucket))
+        .withColumn("mem", F.slice("mem", 1, bucket_cap))
     )
     combos = F.flatten(
         F.transform(
@@ -553,7 +573,7 @@ def simhash_pairs_portable(
     id_col: str,
     max_hamming: int = 6,
     chunks: int = 8,
-    max_bucket: int = 10_000,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs with ENGINE-PORTABLE hashing: token bits come
     from md5 hex nibbles, so a SQL oracle reproduces the sketch exactly
@@ -570,6 +590,7 @@ def simhash_pairs_portable(
     Output: (id_1, id_2, hamming), id_1 < id_2, hamming ≤ max_hamming.
     """
     bits_per_chunk = 64 // chunks
+    bucket_cap = (1 << 31) - 1 if max_bucket is None else max_bucket
     tokens = _parallelize(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
@@ -642,7 +663,7 @@ def simhash_pairs_portable(
         # pair explosion in one task. Truncating to max_bucket ids keeps the
         # bucket's pair fan-out bounded; every surviving doc still meets the
         # others through its remaining bands with overwhelming probability.
-        .withColumn("mem", F.slice("mem", 1, max_bucket))
+        .withColumn("mem", F.slice("mem", 1, bucket_cap))
     )
     # members carry the PACKED signature into the bucket: hamming =
     # bit_count(xor) computed in-array, filter before distinct, and the

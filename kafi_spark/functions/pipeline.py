@@ -15,11 +15,14 @@ explicit repartition relying on ReuseExchange; per-branch column
 pruning makes each consumer's subtree canonically DIFFERENT, so reuse
 never fired and the regex-heavy stats scan executed once per consumer
 (18 scans in the physical plan at one point). The survivors are now
-``persist()``-ed (MEMORY_AND_DISK): a few stats columns per surviving
-id — no text — so the cached footprint at 100 TB corpus scale is
-gigabytes, computed once inside the same action and spill-safe. Exact
-dedup itself is a keyed window (row_number over fingerprint), one
-shuffle, no self-join.
+``localCheckpoint``-ed: a few stats columns per surviving id — no
+text — so the materialized footprint at 100 TB corpus scale is
+gigabytes, computed once. Unlike ``persist()`` (whose cached blocks
+pin storage for the session with no handle for the caller to release —
+the leak dedup.py's no-cache policy names), checkpoint blocks are
+released by Spark's ContextCleaner as soon as the returned plan is
+garbage-collected. Exact dedup itself is a keyed window (row_number
+over fingerprint), one shuffle, no self-join.
 
 The near-dup stage defaults to the MinHash+LSH path — the one whose
 shuffle volume stays bounded at 100 TB. The exact n-gram inverted index
@@ -71,8 +74,8 @@ def curate_documents(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         # three downstream consumers; see module docstring for why this
-        # is a persist and not a repartition/ReuseExchange
-        .persist()
+        # is a checkpoint and not a repartition/ReuseExchange or persist
+        .localCheckpoint()
     )
     # near-dup among the survivors
     docs1 = df.select(id_col, text_col).join(

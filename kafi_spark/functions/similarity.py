@@ -387,14 +387,18 @@ def _estimate_rows(corpus: DataFrame, queries: DataFrame, vec_col: str) -> int:
     modulus, so a few-x error is harmless; falls back to a real count if
     plan statistics are unreachable."""
     try:
-        size = int(
-            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        # py4j hands BigInt back as a plain Python int
+        size = int(corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if size <= 0 or size >= (1 << 62):
+            # stat-less plans report a Long.MaxValue-ish sentinel; an
+            # unguarded sentinel would yield an astronomical modulus and
+            # an EMPTY training sample (KMeans.fit crash)
+            return corpus.count()
         q0 = queries.select(vec_col).first()
         dim = len(q0[0]) if q0 is not None and q0[0] is not None else 0
         bytes_per_row = dim * 8 + 32  # array payload + offsets/id overhead
         return size // max(bytes_per_row, 1)
-    except Exception:  # noqa: BLE001 — non-file plans without stats
+    except Exception:  # noqa: BLE001 — plans the stats API can't serve
         return corpus.count()
 
 

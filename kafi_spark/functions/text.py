@@ -133,11 +133,15 @@ def rolling_hash_fingerprint(text: Column, base: int = 257, mod: int = (1 << 61)
         idx,
         lambda i: F.conv(hexs.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("long"),
     )
-    return F.aggregate(
+    h = F.aggregate(
         bytes_arr,
         F.lit(0).cast("decimal(38,0)"),
         lambda acc, b: (acc * base + b.cast("decimal(38,0)")) % F.lit(mod).cast("decimal(38,0)"),
     ).cast("long")
+    # null text -> null fingerprint (NOT 0, which is the EMPTY string's
+    # hash — conflating them would exact-dedup null docs against empty
+    # docs, and SQL replays keep NULL)
+    return F.when(text.isNull(), F.lit(None).cast("long")).otherwise(h)
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -50,6 +50,20 @@ def test_fear_index_column_expr_matches_pandas_scorer(spark, sf_dir):
     assert diff == 0
 
 
+def test_fear_index_edge_whitespace_matches_python(spark):
+    """Leading/trailing non-space whitespace must not inflate the word
+    count (F.trim strips only spaces; empty split tokens are dropped)."""
+    samples = [None, "", "bad\n", "\ncrash here", "  crash  ", "\t\n"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, text string"
+    )
+    got = dict(
+        (r.i, r.f)
+        for r in df.select("i", fear_index_col(F.col("text")).alias("f")).collect()
+    )
+    assert got == dict(enumerate(lexicon_fear_index(samples)))
+
+
 def test_transformers_scorer_gated():
     with pytest.raises(NotImplementedError):
         transformers_scorer("any-model")

@@ -238,11 +238,13 @@ def test_rolling_hash_fingerprint_matches_python_oracle(spark):
     samples = ["", "a", "hello world", "é漢字🙂", "the same", "the same",
                "\t spaced \n", "ASCII only 123"]
     df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(samples)], "i long, text string"
+        [(i, s) for i, s in enumerate(samples)] + [(99, None)],
+        "i long, text string",
     )
     got = dict(
         rows(df.select("i", rolling_hash_fingerprint(F.col("text")).alias("h")))
     )
+    assert got.pop(99) is None  # null text -> null, NOT the empty hash
     assert got == {i: py_roll(s) for i, s in enumerate(samples)}
 
 
