@@ -94,8 +94,8 @@ def test_simhash_chunk_count_derivation():
         dedup._simhash_chunk_count(-1)
 
 
-@pytest.mark.parametrize("max_hamming", [3, 6, 10])
-def test_simhash_pairs_complete_vs_brute_force(spark, sf_dir, max_hamming):
+@pytest.mark.parametrize("max_hamming,max_bucket", [(3, 10_000), (6, 10_000), (6, None), (10, 10_000)])
+def test_simhash_pairs_complete_vs_brute_force(spark, sf_dir, max_hamming, max_bucket):
     """Completeness differential for the fast path's adaptive banding:
     over the SAME xxhash64 signatures, the banded candidate generation
     must return EXACTLY the pairs a brute-force all-pairs
@@ -119,7 +119,8 @@ def test_simhash_pairs_complete_vs_brute_force(spark, sf_dir, max_hamming):
     fast = {
         (r.id_1, r.id_2)
         for r in dedup.simhash_pairs(
-            docs, "text", "doc_id", max_hamming=max_hamming
+            docs, "text", "doc_id", max_hamming=max_hamming,
+            max_bucket=max_bucket,
         ).collect()
     }
     assert fast == brute
