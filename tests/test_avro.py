@@ -509,3 +509,31 @@ def test_timestamp_roundtrip_property(us):
     ntz = json.dumps({"type": "long", "logicalType": "local-timestamp-micros"})
     w = datetime(1970, 1, 1) + timedelta(microseconds=us)
     assert avro.decode(avro.encode(w, ntz), ntz) == w
+
+
+def test_confluent_framing_with_logical_types(spark, sr):
+    """Registry-framed payloads whose schema carries logical types decode
+    to the typed Spark columns (decimal/date), same as plain framing."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    sch = json.dumps({
+        "type": "record", "name": "lt3",
+        "fields": [
+            {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                        "precision": 10, "scale": 2}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        ],
+    })
+    sid = sr.register("lt3-value", sch)
+    rows = [(Decimal("1.23"), dt.date(2024, 1, 2)),
+            (Decimal("-99.99"), dt.date(1969, 7, 20))]
+    df = spark.createDataFrame(rows, "amount decimal(10,2), d date")
+    framed = avro.to_avro_df(
+        df.select(F.struct("amount", "d").alias("v")), "v", sch, confluent_id=sid
+    )
+    back = avro.from_avro_df(framed, "v", confluent=True, registry=sr).select("v.*")
+    assert back.schema.simpleString() == "struct<amount:decimal(10,2),d:date>"
+    assert sorted(back.collect()) == sorted(df.collect())
