@@ -467,12 +467,17 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _simhash_chunk_count(max_hamming: int) -> int:
-    """Smallest power-of-two divisor of 64 giving a COMPLETE pigeonhole
-    banding for ``max_hamming``: with ``n`` chunks, a pair differing in at
-    most ``n - 1`` bits must share one identical chunk, so we need
-    ``n >= max_hamming + 1``. Floor of 4 keeps the common small-hamming
-    case on wide 16-bit buckets (high selectivity, few collisions)."""
+def _simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
+    """Minimal COMPLETE pigeonhole banding for ``max_hamming``: exactly
+    ``max_hamming + 1`` chunks — with ``n`` chunks a pair differing in at
+    most ``n - 1`` bits must share one identical chunk, and FEWER chunks
+    means WIDER chunks, i.e. maximal bucket selectivity (bucket occupancy
+    halves per extra bit of width, and candidate pair fan-out is
+    quadratic in occupancy — an earlier power-of-two-divisor rule used
+    8×8-bit chunks for hamming 6 where 7×~9-bit suffices, 4× the
+    candidate pairs for nothing). Returns (bit_offset, width) per chunk;
+    widths differ by at most one so the narrowest chunk — the guarantee's
+    weakest link — is as wide as possible."""
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     if max_hamming > 63:
@@ -481,10 +486,15 @@ def _simhash_chunk_count(max_hamming: int) -> int:
             "banding cannot help — filter the cross product explicitly "
             f"if that is really intended (got {max_hamming})"
         )
-    for n in (4, 8, 16, 32, 64):
-        if n >= max_hamming + 1:
-            return n
-    raise AssertionError("unreachable")
+    n = max_hamming + 1
+    base, rem = divmod(64, n)
+    out = []
+    off = 0
+    for i in range(n):
+        width = base + (1 if i < rem else 0)
+        out.append((off, width))
+        off += width
+    return out
 
 
 def simhash_pairs(
@@ -495,11 +505,11 @@ def simhash_pairs(
     max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with a lossless pigeonhole banding: the
-    64-bit signature is split into ``n`` equal chunks where ``n`` is
-    derived from ``max_hamming`` (``n >= max_hamming + 1``), so any pair
-    within the hamming threshold shares at least one identical chunk —
-    the BANDING never drops a candidate. (An earlier fixed 4×16-bit
-    banding silently lost pairs when callers passed ``max_hamming > 3``.)
+    64-bit signature is split into exactly ``max_hamming + 1`` chunks of
+    near-equal width, so any pair within the hamming threshold shares at
+    least one identical chunk — the BANDING never drops a candidate.
+    (An earlier fixed 4×16-bit banding silently lost pairs when callers
+    passed ``max_hamming > 3``.)
     Candidates come from a bucket-collect (one aggregate, pair fan-out
     in an array transform) and are verified with ``bit_count(xor) <=
     max_hamming`` on the packed signatures — the same plan shape as
@@ -516,18 +526,16 @@ def simhash_pairs(
     Reference parity: kafi has no simhash; this is the LLM-pipeline
     extension layer. Output: (id_1, id_2, hamming), id_1 < id_2.
     """
-    n_chunks = _simhash_chunk_count(max_hamming)
-    bits_per_chunk = 64 // n_chunks
-    mask = (1 << bits_per_chunk) - 1
+    chunks_spec = _simhash_chunks(max_hamming)
     bucket_cap = (1 << 31) - 1 if max_bucket is None else max_bucket
     sh = simhash(df, text_col, id_col)
     chunk_vals = sh.select(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), bits_per_chunk * c)
-                    .bitwiseAND(F.lit(mask))
-                    for c in range(n_chunks)
+                    F.shiftrightunsigned(F.col("simhash"), off)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for off, width in chunks_spec
                 ]
             )
         ).alias("chunk_id", "chunk"),

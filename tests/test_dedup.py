@@ -79,19 +79,26 @@ def test_simhash_pairs(docs):
     assert (1, 2) in got
 
 
-def test_simhash_chunk_count_derivation():
-    assert dedup._simhash_chunk_count(0) == 4
-    assert dedup._simhash_chunk_count(3) == 4
-    assert dedup._simhash_chunk_count(4) == 8
-    assert dedup._simhash_chunk_count(6) == 8
-    assert dedup._simhash_chunk_count(7) == 8
-    assert dedup._simhash_chunk_count(8) == 16
-    assert dedup._simhash_chunk_count(16) == 32
-    assert dedup._simhash_chunk_count(63) == 64
+def test_simhash_chunks_derivation():
+    """Exactly max_hamming+1 chunks, widths within one of each other,
+    covering all 64 bits without overlap."""
+    for h in range(0, 64):
+        spec = dedup._simhash_chunks(h)
+        assert len(spec) == h + 1
+        widths = [w for _, w in spec]
+        assert max(widths) - min(widths) <= 1
+        assert sum(widths) == 64
+        off = 0
+        for o, w in spec:
+            assert o == off and w >= 1
+            off += w
+    assert dedup._simhash_chunks(0) == [(0, 64)]   # exact-signature bucket
+    assert dedup._simhash_chunks(3) == [(0, 16), (16, 16), (32, 16), (48, 16)]
+    assert [w for _, w in dedup._simhash_chunks(6)] == [10, 9, 9, 9, 9, 9, 9]
     with pytest.raises(ValueError):
-        dedup._simhash_chunk_count(64)
+        dedup._simhash_chunks(64)
     with pytest.raises(ValueError):
-        dedup._simhash_chunk_count(-1)
+        dedup._simhash_chunks(-1)
 
 
 @pytest.mark.parametrize("max_hamming,max_bucket", [(3, 10_000), (6, 10_000), (6, None), (10, 10_000)])
