@@ -130,13 +130,15 @@ def ngram_jaccard_pairs(
 
     With ``max_df`` set (the 100 TB configuration), the inverted index
     is built as POSTING LISTS — one aggregate collecting each shingle's
-    (sorted) doc ids, bounded by the cap — so the explode-heavy shingle
-    subtree is planned ONCE (the self-join formulation computes it three
-    times: both join sides plus the per-doc size aggregate), the cap is
-    a free array-size filter (no separate document-frequency pass), and
-    pair counts come from one in-array pair transform + keyed aggregate.
-    Per-doc sizes re-aggregate from the capped lists, so both the
-    intersection AND the set sizes see the reduced shingle universe.
+    (sorted) doc ids, bounded by the cap. The explode-heavy shingle
+    subtree is planned once per posting-list consumer (twice: sizes +
+    pairs; column pruning keeps the two subtrees canonically distinct,
+    so no ReuseExchange) versus three times in the self-join
+    formulation, the cap is a free array-size filter (no separate
+    document-frequency pass), and pair counts come from one in-array
+    pair transform + keyed aggregate. Per-doc sizes re-aggregate from
+    the capped lists, so both the intersection AND the set sizes see the
+    reduced shingle universe.
 
     With ``max_df=None`` (exact mode) the classic self-join runs
     instead: an unbounded posting list would materialize a hot shingle's
