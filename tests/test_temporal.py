@@ -350,3 +350,17 @@ def test_merge_intervals_hypothesis(spark):
         assert got == _merge_oracle(data)
 
     run()
+
+
+def test_asof_map_payload_falls_back_to_arbitrary_ties(spark, trades):
+    """Map-typed right payloads are not orderable; the join must still
+    run (documented arbitrary-tie fallback) and match SOME right row."""
+    from kafi_spark.functions.temporal import asof_join
+
+    q = spark.createDataFrame(
+        [("A", _ts("2024-01-01 09:59:58"), {"bid": "99.5"})],
+        "sym string, ts timestamp, attrs map<string,string>",
+    )
+    out = asof_join(trades, q, on="sym", left_ts="ts", right_ts="ts")
+    got = {r.trade_id: dict(r.attrs) for r in out.collect()}
+    assert got == {1: {"bid": "99.5"}, 2: {"bid": "99.5"}, 3: {"bid": "99.5"}}
