@@ -335,6 +335,25 @@ def q_addon_offsets_diff(spark, sf_dir):
     )
 
 
+def q_addon_probe_ops(spark, sf_dir):
+    """collect_value_set + offsets_diff, tag-unioned into one driver row
+    set (both verbs stay individually tested; their standalone oracle
+    SQLs feed the merged oracle below)."""
+    vs = q_addon_value_set(spark, sf_dir).select(
+        F.lit("value_set").alias("op"),
+        F.col("lang").alias("k1"),
+        F.col("source").alias("k2"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    od = q_addon_offsets_diff(spark, sf_dir).select(
+        F.lit("offsets_diff").alias("op"),
+        F.col("event_type").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_messages").cast("long").alias("n"),
+    )
+    return vs.unionByName(od)
+
+
 def q_addon_diff(spark, sf_dir):
     from kafi_spark.addons import diff
 
@@ -385,6 +404,15 @@ _ADDON_SQL = {
         WHERE r.o_orderkey IS NULL OR l.o_orderkey IS NULL OR l.o_totalprice <> r.p
     """,
 }
+
+_ADDON_SQL["addon_probe_ops"] = f"""
+    SELECT 'value_set' AS op, lang AS k1, source AS k2, CAST(NULL AS BIGINT) AS n
+    FROM ({_ADDON_SQL["addon_value_set"]})
+    UNION ALL
+    SELECT 'offsets_diff' AS op, event_type AS k1, CAST(NULL AS VARCHAR) AS k2,
+           CAST(n_messages AS BIGINT) AS n
+    FROM ({_ADDON_SQL["addon_offsets_diff"]})
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1033,7 +1061,23 @@ def q_dedup_fast_pairs(spark, sf_dir):
         F.lit("simhash").alias("algo"), "id_1", "id_2",
         F.col("hamming").cast("double").alias("score"),
     )
-    return mh.unionByName(sh)
+    sem = q_dedup_semantic(spark, sf_dir).select(
+        F.lit("semantic").alias("algo"), "id_1", "id_2",
+        F.col("score").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(sem)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style pairs (kmeans cells → within-cell exact cosine).
+    Deterministic (seeded KMeans on a deterministic sample) but not
+    SQL-reproducible (iterative centroids) → rows-only, folded into
+    dedup_fast_pairs; tests/test_similarity.py carries the recall /
+    precision gates against the exact blocked all-pairs."""
+    from kafi_spark.functions.similarity import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold=0.4, n_clusters=8)
 
 
 def q_dedup_keep(spark, sf_dir):
@@ -1044,6 +1088,40 @@ def q_dedup_keep(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.7, max_df=None)
     return keep_representatives(pairs, d.select("doc_id"), "doc_id")
+
+
+def q_dedup_span_bloom(spark, sf_dir):
+    """Sub-document + incremental dedup, tag-unioned (both branches carry
+    full value-hash oracles):
+
+    * ``span``  — corpus-wide duplicate token-SPAN removal
+      (``functions/spans.py``: MassiveText-style exact substring dedup,
+      distributed as an 8-token span-hash window plan);
+    * ``bloom`` — Bloom-filter ingest dedup (``functions/bloom.py``):
+      even-id docs build the filter, odd-id docs are probed; the md5
+      probe positions are replayed verbatim by the DuckDB oracle, where
+      a Bloom hit ⇔ every position collides with a historical position.
+    """
+    from kafi_spark.functions.bloom import bloom_build, bloom_contains
+    from kafi_spark.functions.spans import span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    spans = span_dedup(d, "text", "doc_id", span_tokens=8).select(
+        F.lit("span").alias("op"),
+        "doc_id",
+        "text",
+        F.col("n_spans_kept").cast("long").alias("metric"),
+    )
+    hist = d.filter(F.col("doc_id") % 2 == 0).select("text")
+    batch = d.filter(F.col("doc_id") % 2 != 0).select("doc_id", "text")
+    filt = bloom_build(hist, "text", num_bits=65536, num_hashes=5)
+    seen = bloom_contains(batch, filt, "text", num_bits=65536, num_hashes=5).select(
+        F.lit("bloom").alias("op"),
+        "doc_id",
+        "text",
+        F.col("probably_seen").cast("long").alias("metric"),
+    )
+    return spans.unionByName(seen)
 
 
 _NGRAM_PAIRS_SQL = """
@@ -1136,6 +1214,46 @@ _DEDUP_SQL = {
         SELECT id_1, id_2, hamming FROM ham WHERE hamming <= 6
     """,
 }
+
+# span branch: 8-token spans, count + first-occurrence rank per distinct
+# span, reassemble survivors in order. bloom branch: k=5 md5 probe
+# positions mod 65536; hit ⇔ all positions collide with the even-id
+# historical position set (exactly the bit-array semantics — a bit is
+# set iff some historical element hashed there).
+_DEDUP_SQL["dedup_span_bloom"] = """
+    WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents),
+    spans AS (
+      SELECT doc_id, CAST(s.i AS INT) AS span_id,
+             array_to_string(w[s.i*8+1 : s.i*8+8], ' ') AS span
+      FROM ws, LATERAL (SELECT unnest(range(0,
+             greatest(CAST(ceil(len(w)/8.0) AS BIGINT), 1))) AS i) s),
+    ranked AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY span) AS n,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_id) AS rn
+      FROM spans),
+    span_out AS (
+      SELECT 'span' AS op, doc_id,
+             string_agg(span, ' ' ORDER BY span_id) AS text,
+             CAST(COUNT(*) AS BIGINT) AS metric
+      FROM ranked WHERE n <= 1 OR rn = 1 GROUP BY doc_id),
+    seeds AS (SELECT unnest(range(5)) AS i),
+    hist AS (SELECT DISTINCT
+               ('0x'||substring(md5(CAST(s.i AS VARCHAR)||':'||d.text),1,15))::BIGINT
+                 % 65536 AS pos
+             FROM documents d, seeds s WHERE d.doc_id % 2 = 0),
+    probes AS (SELECT d.doc_id, d.text,
+               ('0x'||substring(md5(CAST(s.i AS VARCHAR)||':'||d.text),1,15))::BIGINT
+                 % 65536 AS pos
+               FROM documents d, seeds s WHERE d.doc_id % 2 <> 0),
+    bloom_out AS (
+      SELECT 'bloom' AS op, p.doc_id, p.text,
+             CAST(MIN(CASE WHEN h.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS metric
+      FROM probes p LEFT JOIN hist h ON p.pos = h.pos
+      GROUP BY p.doc_id, p.text)
+    SELECT * FROM span_out UNION ALL SELECT * FROM bloom_out
+"""
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1900,6 +2018,7 @@ _MERGED_AWAY = (
     "fn_map", "fn_filter", "fn_flatmap",   # -> fn_ops (tagged common shape)
     "analytic_topn", "analytic_lag",       # -> analytic_ops (tagged union)
     "dedup_minhash_lsh", "dedup_simhash",  # -> dedup_fast_pairs (tagged union)
+    "addon_value_set", "addon_offsets_diff",  # -> addon_probe_ops (tagged union)
 )
 
 
@@ -1917,8 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shell_grep": q_shell_grep,
         "scalar_stats": q_scalar_stats,
         "addon_compact": q_addon_compact,
-        "addon_value_set": q_addon_value_set,
-        "addon_offsets_diff": q_addon_offsets_diff,
+        "addon_probe_ops": q_addon_probe_ops,
         "addon_diff": q_addon_diff,
         "fn_ops": q_fn_ops,
         "zset_ops": q_zset_ops,
@@ -1941,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "dedup_keep": q_dedup_keep,
+        "dedup_span_bloom": q_dedup_span_bloom,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "ann_cosine_topk": q_ann_cosine_topk,

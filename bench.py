@@ -53,6 +53,8 @@ HEADLINE = [
     "dedup_ngram_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_span_bloom",
+    "dedup_semantic",
     "decontaminate",
     "text_repetition",
     "ann_cosine_topk",
@@ -125,6 +127,7 @@ def main() -> None:
     # 50-query driver contract; bench keeps timing them individually
     qs["dedup_minhash_lsh"] = entry_mod.q_dedup_minhash_lsh
     qs["dedup_simhash"] = entry_mod.q_dedup_simhash
+    qs["dedup_semantic"] = entry_mod.q_dedup_semantic
 
     def q_dedup_ngram_capped(spark, sf_dir):
         from kafi_spark.functions.dedup import ngram_jaccard_pairs

@@ -1,0 +1,159 @@
+"""Bloom-filter membership for INCREMENTAL dedup at ingest time.
+
+Batch dedup (:mod:`dedup`, :mod:`spans`) assumes the whole corpus is
+re-scannable; a 100 TB pipeline ingesting daily cannot re-shuffle
+history against every new batch. The standard fix is a Bloom filter
+over historical fingerprints: build once (tiny, bit-packed), test each
+incoming row with k hash probes — no false negatives, tunable false
+positives (a "probably seen" row was CERTAINLY seen if the bits came
+only from exact fingerprints… up to the configured FP rate).
+
+Representation: a DataFrame ``(word_idx int, bits long)`` — the bit
+array split into 64-bit words, ONLY non-zero words materialized. This
+is joinable state (checkpoint it to parquet between batches, union+
+``bit_or`` to merge daily filters) rather than driver-side memory, so
+the filter can be arbitrarily large; when it fits (num_bits ≤ ~10⁹ →
+≤ 125 MB) the probe join auto-broadcasts under AQE.
+
+Hashing is the md5-prefix portable scheme shared with the
+``*_portable`` sketch twins: ``conv(substr(md5(seed ':' value),1,15),
+16,10) mod num_bits`` — bit-for-bit reproducible by the DuckDB oracle
+(``('0x'||substr(md5(...),1,15))::BIGINT``), so membership results are
+fully differential-testable: a Bloom "hit" is equivalent to "every
+probe position collides with some historical position", which the
+oracle states as a position-set anti-join, no bit array needed.
+
+Sizing: FP rate ≈ (1 - e^(-k·n/m))^k; the helper :func:`bloom_params`
+gives (m, k) for a target rate.
+
+Reference scope: beyond-reference LLM-pipeline layer (the reference
+engine has no dedup operators).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def bloom_params(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """Optimal (num_bits, num_hashes) for ``n_items`` at ``fp_rate``:
+    m = -n·ln(p)/ln(2)², k = (m/n)·ln(2), both rounded up/to ≥1."""
+    if n_items < 1:
+        raise ValueError(f"n_items must be >= 1, got {n_items}")
+    if not (0.0 < fp_rate < 1.0):
+        raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
+    m = math.ceil(-n_items * math.log(fp_rate) / (math.log(2) ** 2))
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _positions(value: Column, num_bits: int, num_hashes: int, seed: int) -> Column:
+    """Array of k probe positions for one value (portable md5 scheme)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(seed + i)), value)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(num_bits),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    num_bits: int,
+    num_hashes: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Aggregate a column into Bloom state ``(word_idx, bits)``.
+
+    One explode (k rows per input) and one ``bit_or`` hash-aggregate —
+    the shuffle carries at most ``min(k·n, num_bits/64)`` (word, bits)
+    pairs after map-side combine, i.e. it is bounded by the FILTER size,
+    not the corpus size. Merging two filters (same m, k, seed) is
+    ``union → groupBy(word_idx) → bit_or``.
+    """
+    if num_bits < 64:
+        raise ValueError(f"num_bits must be >= 64, got {num_bits}")
+    pos = df.select(
+        F.explode(_positions(F.col(col), num_bits, num_hashes, seed)).alias("__pos")
+    )
+    return (
+        pos.select(
+            (F.col("__pos") / 64).cast("int").alias("word_idx"),
+            # column-valued shift distances need expr(): the classic
+            # F.shiftleft only takes a literal int
+            F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))").alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
+def bloom_contains(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    num_bits: int,
+    num_hashes: int,
+    seed: int = 0,
+    out_col: str = "probably_seen",
+) -> DataFrame:
+    """Probe each row's k positions against Bloom state; append a
+    boolean ``out_col`` (true ⇔ ALL k bits set ⇔ probably seen;
+    false ⇔ definitely new).
+
+    Plan: posexplode the k probes, LEFT join the (tiny) state on
+    ``word_idx`` — broadcastable whenever the filter fits an executor —
+    then ``min(bit set)`` back per row. The groupBy key is the row's
+    full column set, so the input must be row-distinct in ``df``'s
+    columns (true for anything carrying an id); the probe fan-out is a
+    fixed k×, never corpus².
+    """
+    probes = df.select(
+        *df.columns,
+        F.posexplode(_positions(F.col(col), num_bits, num_hashes, seed)).alias(
+            "__i", "__pos"
+        ),
+    ).select(
+        *df.columns,
+        (F.col("__pos") / 64).cast("int").alias("word_idx"),
+        (F.col("__pos") % 64).cast("int").alias("__bit"),
+    )
+    joined = probes.join(F.broadcast(bloom), "word_idx", "left")
+    hit = F.coalesce(
+        F.expr("shiftright(bits, __bit) & 1"), F.lit(0).cast("long")
+    ).alias("__hit")
+    per_probe = joined.select(*df.columns, hit)
+    return per_probe.groupBy(*df.columns).agg(
+        (F.min("__hit") == 1).alias(out_col)
+    )
+
+
+def bloom_new(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    num_bits: int,
+    num_hashes: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Rows of ``df`` that are DEFINITELY not in the filter (the
+    guaranteed-correct direction: Bloom filters have no false
+    negatives, so nothing historical survives; a small FP-rate slice of
+    genuinely-new rows is dropped — the standard ingest-dedup trade)."""
+    return (
+        bloom_contains(df, bloom, col, num_bits, num_hashes, seed)
+        .filter(~F.col("probably_seen"))
+        .drop("probably_seen")
+    )

@@ -402,6 +402,41 @@ def _estimate_rows(corpus: DataFrame, queries: DataFrame, vec_col: str) -> int:
         return corpus.count()
 
 
+def _fit_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    train_cap: int,
+) -> np.ndarray:
+    """KMeans centroids fit on a capped deterministic sample.
+
+    20 iterations over the FULL corpus would dominate build cost at
+    scale, and centroid quality saturates long before ``train_cap``
+    vectors. The deterministic per-row modulus filter keeps the sample
+    reproducible (no Sample operator reshuffle); cells stay seeded/
+    stable for the rows-only driver check. The sampling modulus comes
+    from Catalyst's sizeInBytes estimate — NOT ``corpus.count()``,
+    which was a full extra pass over the corpus before training even
+    started. When the estimate says the corpus is small, the modulus is
+    1 and the filter is a no-op. ``queries`` is only consulted for the
+    embedding dimensionality estimate (pass the corpus itself when
+    there is no separate query side)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n_est = _estimate_rows(corpus, queries, vec_col)
+    modulus = max(1, n_est // train_cap)
+    train = corpus
+    if modulus > 1:
+        train = corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), modulus) == 0)
+    train = train.select(array_to_vector(F.col(vec_col)).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    return np.vstack([np.asarray(c) for c in km.clusterCenters()])
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -425,26 +460,7 @@ def cosine_topk_ivf(
     Centroids depend on the KMeans seed → rows-only checkable (like the
     hyperplane seeds, but k-means is iterative so not SQL-reproducible).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # KMeans on a capped sample: 20 iterations over the FULL corpus would
-    # dominate build cost at scale, and centroid quality saturates long
-    # before train_cap vectors. The deterministic per-row filter keeps the
-    # sample reproducible (no Sample operator reshuffle); cells stay
-    # seeded/stable for the rows-only driver check. The sampling modulus
-    # comes from Catalyst's sizeInBytes estimate — NOT corpus.count(),
-    # which was a full extra pass over the corpus before training even
-    # started. When the estimate says the corpus is small, the modulus is
-    # 1 and the filter is a no-op.
-    n_est = _estimate_rows(corpus, queries, vec_col)
-    modulus = max(1, n_est // train_cap)
-    train = corpus
-    if modulus > 1:
-        train = corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), modulus) == 0)
-    train = train.select(array_to_vector(F.col(vec_col)).alias("features"))
-    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    C = np.vstack([np.asarray(c) for c in km.clusterCenters()])
+    C = _fit_centroids(corpus, queries, id_col, vec_col, n_cells, seed, train_cap)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(C)
 
@@ -485,7 +501,12 @@ def cosine_topk_ivf(
 
 
 def _block_pairs_exact(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float, n_blocks: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int,
+    group_col: str | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via block matmul.
 
@@ -494,9 +515,15 @@ def _block_pairs_exact(
     numpy matmul emitting only above-threshold pairs. Total FLOPs are the
     unavoidable O(N²·d), but per-task state is (N/B × d) — pick
     B ≈ sqrt(parallelism) so every core gets work and matrices stay in
-    cache. No driver collect, no O(N²) shuffle (only hits survive)."""
+    cache. No driver collect, no O(N²) shuffle (only hits survive).
+
+    ``group_col`` restricts pairing to rows sharing that column (the
+    semantic-dedup within-cluster case): the block-pair grouping key is
+    prefixed with it, so FLOPs drop from O(N²) to Σ cluster²."""
     B = n_blocks
+    extra = [group_col] if group_col else []
     d = df.select(
+        *extra,
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("__b"),
@@ -510,14 +537,17 @@ def _block_pairs_exact(
                     lambda i: F.struct(i.alias("bi"), F.col("__b").alias("bj"))),
     )
     rep = d.select(
-        "__id", "__vec", "__b", F.explode(targets).alias("bp")
-    ).select("__id", "__vec", "__b", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj"))
+        *extra, "__id", "__vec", "__b", F.explode(targets).alias("bp")
+    ).select(
+        *extra, "__id", "__vec", "__b",
+        F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj"),
+    )
 
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_1 {id_t}, id_2 {id_t}, score double"
 
     def block(key, pdf):
-        bi, bj = key
+        bi, bj = key[-2], key[-1]
         left = pdf[pdf["__b"] == bi]
         right = pdf[pdf["__b"] == bj]
         if len(left) == 0 or len(right) == 0:
@@ -540,7 +570,7 @@ def _block_pairs_exact(
         # there); off-block groups see it once per orientation == once.
         return out.drop_duplicates(["id_1", "id_2"])
 
-    return rep.groupBy("bi", "bj").applyInPandas(block, out_schema)
+    return rep.groupBy(*extra, "bi", "bj").applyInPandas(block, out_schema)
 
 
 def embedding_neardup_pairs(
@@ -589,3 +619,83 @@ def embedding_neardup_pairs(
         .select("id_1", "id_2", cos(F.col("__v1"), F.col("__v2")).alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 100_000,
+) -> DataFrame:
+    """Cluster-assign every row: ``(id, vec, cell)``.
+
+    Centroids fit on a capped deterministic sample
+    (:func:`_fit_centroids`), assignment is one Arrow-batched pass with
+    the centroid matrix broadcast — the corpus is scanned once, never
+    shuffled."""
+    C = _fit_centroids(df, df, id_col, vec_col, n_clusters, seed, train_cap)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = _mat(v)
+        d = ((X[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return df.select(
+        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("cell")
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 100_000,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    k-means the embedding space into ``n_clusters`` cells, then exact
+    all-pairs cosine WITHIN each cell only. Cross-cluster duplicates are
+    the accepted miss (the paper's premise: semantic duplicates land in
+    the same cell; recall tunes with fewer, larger clusters).
+
+    FLOPs drop from O(N²·d) to Σ cluster²·d; within a cell the blocked
+    matmul of :func:`_block_pairs_exact` spreads work so a mega-cluster
+    cannot pin one task. Centroids depend on the KMeans seed →
+    rows-only checkable; the recall test against the exact blocked
+    all-pairs is the correctness gate."""
+    assigned = kmeans_assign(df, n_clusters, id_col, vec_col, seed, train_cap)
+    if n_blocks is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n_blocks = max(2, int(par ** 0.5))
+    return _block_pairs_exact(
+        assigned, id_col, vec_col, threshold, n_blocks, group_col="cell"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 100_000,
+) -> DataFrame:
+    """Rows of ``df`` surviving semantic dedup (greedy min-id keep
+    policy over :func:`semantic_dedup_pairs`)."""
+    from .dedup import keep_representatives
+
+    pairs = semantic_dedup_pairs(
+        df, threshold, n_clusters, id_col, vec_col, seed, train_cap
+    )
+    kept = keep_representatives(pairs, df.select(id_col), id_col)
+    return df.join(kept, id_col, "left_semi")

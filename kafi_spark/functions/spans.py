@@ -1,0 +1,173 @@
+"""Span-level exact dedup — remove repeated text SPANS across a corpus.
+
+Document-level dedup (:mod:`kafi_spark.functions.dedup`) drops whole
+near-identical documents; this module removes the *shared boilerplate
+inside otherwise-distinct documents* — the "exact substring / line
+dedup" stage of large-scale training pipelines (MassiveText §A.2.3
+removes repeated 50-token substrings; RefinedWeb/CCNet drop lines
+duplicated across the crawl). A true suffix-array substring dedup is
+driver-unfriendly at 100 TB (global sort of every suffix); the
+industry-practical distributed form implemented here hashes fixed
+TOKEN SPANS (or literal lines) and keeps one global occurrence of each.
+
+Plan shape (2 shuffles, no joins, no subtree re-execution):
+
+1. scan → split → non-overlapping span chunks via ``posexplode``
+   (narrow; same bound-array trick as :func:`dedup.shingles`)
+2. ONE window shuffle partitioned by the span's md5 fingerprint:
+   ``count(*)`` + ``row_number`` over (doc, position) decide, per
+   occurrence, "is this span globally over-represented, and am I its
+   first occurrence" — no self-join, so the tokenize subtree is planned
+   exactly once (the round-2 LSH-verification incident this repo
+   documents in PLANS.md is the hazard being avoided)
+3. ONE groupBy(doc) shuffle reassembling surviving spans in order.
+
+Shuffle volume is ~corpus-sized both times (reassembly must carry the
+span text); that is inherent to any exact span dedup and both
+exchanges are map-side-projected to (id, span_id, fp, span).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def text_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Non-overlapping ``span_tokens``-token spans per document:
+    ``(id, span_id, span)`` with span_id giving document order.
+
+    JVM-side only: bind the split once (interpreted higher-order lambdas
+    re-evaluate unbound expressions per element — see
+    :func:`dedup.shingles`), then slice W-token windows. The last span
+    of a document may be shorter than W; a document shorter than W
+    tokens is its own single span.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    bound = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+    )
+    n_spans = F.ceil(F.size("__words") / F.lit(span_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
+        lambda i: F.array_join(
+            F.slice("__words", i * span_tokens + 1, span_tokens), " "
+        ),
+    )
+    return bound.select(
+        F.col(id_col), F.posexplode(chunks).alias("span_id", "span")
+    )
+
+
+def text_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Literal-separator variant of :func:`text_spans`: one row per LINE
+    (RefinedWeb-style line dedup). ``sep`` is a literal, not a regex."""
+    import re as _re
+
+    bound = df.select(
+        F.col(id_col), F.split(F.col(text_col), _re.escape(sep)).alias("__lines")
+    )
+    return bound.select(
+        F.col(id_col), F.posexplode("__lines").alias("span_id", "span")
+    )
+
+
+def _dedup_spans(
+    spans: DataFrame,
+    id_col: str,
+    joiner: str,
+    max_occurrences: int,
+    keep: str,
+) -> DataFrame:
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if max_occurrences < 1:
+        raise ValueError(f"max_occurrences must be >= 1, got {max_occurrences}")
+    # md5 partition key: a 32-char constant-width sort/shuffle key
+    # regardless of span width (the span itself rides along only as a
+    # carried column, never as a comparison key)
+    fp = spans.withColumn("__fp", F.md5("span"))
+    w = W.partitionBy("__fp")
+    # (doc, position) is unique per occurrence → row_number is
+    # deterministic with no tie to break
+    wo = w.orderBy(F.col(id_col), F.col("span_id"))
+    ranked = fp.select(
+        F.col(id_col),
+        "span_id",
+        "span",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.row_number().over(wo).alias("__rn"),
+    )
+    survives = F.col("__n") <= max_occurrences
+    if keep == "first":
+        survives = survives | (F.col("__rn") == 1)
+    kept = ranked.filter(survives)
+    # order-preserving reassembly without a sort shuffle: collect
+    # (span_id, span) structs, array_sort (struct order = field order),
+    # then join — the repo's standard banded-digest pattern
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_id", "span"))),
+                lambda x: x["span"],
+            ),
+            joiner,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    max_occurrences: int = 1,
+    keep: str = "first",
+) -> DataFrame:
+    """Remove globally-duplicated token spans, keeping document order.
+
+    A span survives in a document iff its corpus-wide occurrence count
+    is ≤ ``max_occurrences``, or (``keep='first'``) this occurrence is
+    the globally first one (ordered by ``(id, span_id)``).
+    ``keep='none'`` drops EVERY occurrence of an over-represented span
+    (RefinedWeb line-dedup semantics — boilerplate carries no signal,
+    so no copy is worth keeping).
+
+    Returns ``(id, text, n_spans_kept)`` — documents whose every span
+    was removed disappear from the output (filter-then-groupBy; callers
+    wanting empty-text rows can left-join against the input ids).
+
+    Reference scope note: the reference engine has no dedup operators;
+    this is part of the beyond-reference LLM-pipeline layer
+    (SURVEY.md §2 extension).
+    """
+    spans = text_spans(df, text_col, id_col, span_tokens)
+    return _dedup_spans(spans, id_col, " ", max_occurrences, keep)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_occurrences: int = 1,
+    keep: str = "none",
+) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal (split on a literal separator).
+
+    Defaults to ``keep='none'``: a line appearing more than
+    ``max_occurrences`` times across the corpus is boilerplate
+    (navigation chrome, cookie banners) and every copy is dropped."""
+    spans = text_lines(df, text_col, id_col, sep)
+    return _dedup_spans(spans, id_col, sep, max_occurrences, keep)

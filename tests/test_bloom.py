@@ -1,0 +1,85 @@
+"""Bloom-filter incremental dedup (kafi_spark.functions.bloom)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafi_spark.functions import bloom as bl
+
+
+def test_bloom_params_math():
+    m, k = bl.bloom_params(1000, 0.01)
+    # textbook optimum: m ≈ 9.59 n, k ≈ 7 at 1% FP
+    assert 9000 <= m <= 10000 and k == 7
+    with pytest.raises(ValueError):
+        bl.bloom_params(0)
+    with pytest.raises(ValueError):
+        bl.bloom_params(10, 1.5)
+
+
+def test_no_false_negatives(spark):
+    """Every inserted element MUST report probably_seen — the Bloom
+    invariant, over 200 elements at a deliberately tiny (collision-
+    heavy) filter."""
+    hist = spark.range(200).select(F.concat(F.lit("v"), "id").alias("text"))
+    filt = bl.bloom_build(hist, "text", num_bits=512, num_hashes=3)
+    out = bl.bloom_contains(
+        hist.withColumn("doc_id", F.monotonically_increasing_id()),
+        filt, "text", num_bits=512, num_hashes=3)
+    assert out.filter(~F.col("probably_seen")).count() == 0
+
+
+def test_new_rows_pass_and_fp_rate_bounded(spark):
+    m, k = bl.bloom_params(500, 0.01)
+    hist = spark.range(500).select(F.concat(F.lit("old"), "id").alias("text"))
+    batch = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("new"), "id").alias("text"))
+    filt = bl.bloom_build(hist, "text", m, k)
+    new = bl.bloom_new(batch, filt, "text", m, k)
+    n_new = new.count()
+    # none of the genuinely-new rows is historical; allow ~5x the
+    # configured 1% FP slack for a 500-row sample
+    assert 475 <= n_new <= 500
+    assert new.columns == ["doc_id", "text"]
+
+
+def test_merge_filters_is_bitwise_or(spark):
+    a = spark.createDataFrame([("x",), ("y",)], "text string")
+    b = spark.createDataFrame([("z",)], "text string")
+    fa = bl.bloom_build(a, "text", 256, 4)
+    fb = bl.bloom_build(b, "text", 256, 4)
+    merged = (fa.unionByName(fb).groupBy("word_idx")
+              .agg(F.bit_or("bits").alias("bits")))
+    both = bl.bloom_build(a.unionByName(b), "text", 256, 4)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, both.collect()))
+
+
+def test_bloom_matches_duckdb_position_oracle(spark, sf_dir):
+    """Differential: a Bloom hit ⇔ every probe position collides with
+    some historical position — DuckDB replays the md5 positions and the
+    set-membership semantics exactly (no bit array needed)."""
+    m, k = 2048, 5
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    filt = bl.bloom_build(df.filter("doc_id < 250").select("text"), "text", m, k)
+    got = {r.doc_id: r.probably_seen for r in bl.bloom_contains(
+        df.filter("doc_id >= 250").select("doc_id", "text"), filt,
+        "text", m, k).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = {r[0]: r[1] for r in con.sql(f"""
+        WITH seeds AS (SELECT unnest(range({k})) AS i),
+        hist AS (SELECT DISTINCT
+                   ('0x'||substring(md5(CAST(s.i AS VARCHAR)||':'||d.text),1,15))::BIGINT
+                     % {m} AS pos
+                 FROM documents d, seeds s WHERE d.doc_id < 250),
+        probes AS (SELECT d.doc_id,
+                   ('0x'||substring(md5(CAST(s.i AS VARCHAR)||':'||d.text),1,15))::BIGINT
+                     % {m} AS pos
+                   FROM documents d, seeds s WHERE d.doc_id >= 250)
+        SELECT p.doc_id,
+               MIN(CASE WHEN h.pos IS NOT NULL THEN 1 ELSE 0 END) = 1
+        FROM probes p LEFT JOIN hist h ON p.pos = h.pos GROUP BY p.doc_id
+    """).fetchall()}
+    assert got == want

@@ -149,3 +149,70 @@ def test_cosine_topk_quantized_recall(spark, sf_dir):
     for r in quant:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+# --- semantic dedup (SemDeDup-style) ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """60 well-separated base vectors + 20 planted near-copies (tiny
+    perturbation → cosine ≈ 1): every planted pair is a semantic dup."""
+    import random as _r
+
+    rng = _r.Random(7)
+    data, dup_pairs = [], set()
+    vid = 0
+    for i in range(60):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        data.append((vid, [float(x) for x in base]))
+        base_id = vid
+        vid += 1
+        if i < 20:
+            pert = [float(x + rng.gauss(0, 0.001)) for x in base]
+            data.append((vid, pert))
+            dup_pairs.add((base_id, vid))
+            vid += 1
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    return df, dup_pairs
+
+
+def test_semantic_dedup_pairs_recall_and_precision(planted):
+    df, dup_pairs = planted
+    got = {(r.id_1, r.id_2)
+           for r in sim.semantic_dedup_pairs(df, threshold=0.999,
+                                             n_clusters=6).collect()}
+    # near-identical vectors share a kmeans cell: high recall expected
+    assert len(got & dup_pairs) / len(dup_pairs) >= 0.9
+    # every reported pair is genuinely above threshold (exact rescore
+    # within cluster → precision 1.0 against the exact all-pairs)
+    exact = {(r.id_1, r.id_2)
+             for r in sim.embedding_neardup_pairs(df, threshold=0.999,
+                                                  exact=True).collect()}
+    assert got <= exact
+
+
+def test_semantic_dedup_keeps_one_per_group(planted):
+    df, dup_pairs = planted
+    kept = sim.semantic_dedup(df, threshold=0.999, n_clusters=6)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    assert kept.columns == df.columns
+    # at least one survivor per planted pair, never both for pairs the
+    # clustering caught
+    caught = {(a, b) for (a, b) in dup_pairs
+              if not ({a, b} <= kept_ids)}
+    assert len(caught) / len(dup_pairs) >= 0.9
+    for a, b in dup_pairs:
+        assert a in kept_ids or b in kept_ids
+
+
+def test_block_pairs_group_col_restricts_pairing(spark):
+    """With group_col, rows in different groups are never compared even
+    when identical."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, cell int")
+    got = {(r.id_1, r.id_2)
+           for r in sim._block_pairs_exact(df, "vec_id", "embedding",
+                                           0.99, 2, group_col="cell").collect()}
+    assert got == {(1, 2)}
