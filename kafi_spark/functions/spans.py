@@ -97,15 +97,19 @@ def _dedup_spans(
     # regardless of span width (the span itself rides along only as a
     # carried column, never as a comparison key)
     fp = spans.withColumn("__fp", F.md5("span"))
-    w = W.partitionBy("__fp")
     # (doc, position) is unique per occurrence → row_number is
-    # deterministic with no tie to break
-    wo = w.orderBy(F.col(id_col), F.col("span_id"))
+    # deterministic with no tie to break. The COUNT uses the same
+    # ordered spec with an explicitly unbounded frame so Catalyst plans
+    # ONE Window operator (one sort) instead of a second unordered
+    # Window with its own re-sort.
+    wo = W.partitionBy("__fp").orderBy(F.col(id_col), F.col("span_id"))
     ranked = fp.select(
         F.col(id_col),
         "span_id",
         "span",
-        F.count(F.lit(1)).over(w).alias("__n"),
+        F.count(F.lit(1))
+        .over(wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("__n"),
         F.row_number().over(wo).alias("__rn"),
     )
     survives = F.col("__n") <= max_occurrences
