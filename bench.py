@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_span_bloom",
     "dedup_semantic",
+    "dsir_select",
     "decontaminate",
     "text_repetition",
     "ann_cosine_topk",
@@ -153,6 +154,20 @@ def main() -> None:
         return cosine_topk_quantized(corpus, queries_df, k=5)
 
     qs["ann_cosine_topk_quantized"] = q_ann_quantized
+
+    def q_dsir_select(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.importance import (
+            importance_sample, importance_weights)
+        from kafi_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        tgt = d.filter(F.col("doc_id") % 10 == 0)
+        w = importance_weights(d, tgt, n_buckets=10_000)
+        return importance_sample(d, w, k=200)
+
+    qs["dsir_select"] = q_dsir_select
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()

@@ -1,0 +1,189 @@
+"""Data-selection by importance resampling (DSIR-style).
+
+Given a huge RAW corpus and a small TARGET corpus that exemplifies the
+distribution you want (curated text, a domain, a benchmark's training
+split), select raw documents whose hashed n-gram profile looks like the
+target: estimate bucket distributions over hashed word n-grams for both
+corpora, score every raw document with its log likelihood ratio
+Σ log(p_target[b] / p_raw[b]), and resample with Gumbel top-k (sampling
+without replacement ∝ exp(score/temperature)). This is the method of
+Xie et al. 2023 ("Data Selection for Language Models via Importance
+Resampling"), re-expressed as three DataFrame plans.
+
+Scale shape (100 TB raw corpus):
+
+* feature pass — one explode over n-grams, groupBy (doc, bucket) with
+  map-side combine; the only corpus-sized shuffle carries
+  (id, bucket:int, cnt:long), never text;
+* distributions — groupBy bucket: output is exactly ``n_buckets`` rows
+  (default 10⁴), broadcast back to the scoring join;
+* selection — Gumbel keys are pure per-row expressions (hashed
+  uniforms, no RNG state); top-k is a TakeOrderedAndProject over
+  (id, key) pairs — no full sort materialization.
+
+Everything hashes through the md5-portable scheme (same as the
+``*_portable`` sketches and the Bloom filter), so bucket ids, uniforms,
+and Gumbel keys are replayable bit-for-bit by a DuckDB oracle — the
+whole selection is deterministic given (data, seed): stable across
+cluster size, partitioning, and data order.
+
+Reference scope: beyond-reference LLM-pipeline layer (the reference
+engine has no data-selection operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: 2^60 — md5 15-hex-digit prefix range; uniforms are (h + 0.5) / 2^60
+_H_RANGE = float(1 << 60)
+
+
+def _md5_long(col: Column) -> Column:
+    """Portable 60-bit hash: numeric value of the first 15 hex digits of
+    md5 (DuckDB replay: ``('0x'||substring(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Hashed word n-gram counts per document: ``(id, bucket, cnt)``.
+
+    Tokens come from a whitespace split; each n in ``ns`` contributes
+    the document's n-grams (joined with a space) hashed into
+    ``n_buckets``. One bound split, one explode, one map-side-combined
+    groupBy — the DSIR feature extractor as a single narrow+aggregate
+    plan.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty positive ints, got {ns}")
+    from .dedup import _parallelize
+
+    bound = _parallelize(df).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+    )
+
+    def gram_expr(n: int) -> Column:
+        # the lambda MUST stay unary: F.transform inspects arity and
+        # passes the element INDEX as a second argument to any binary
+        # callable — a `lambda i, n=n:` default silently receives the
+        # index as n and produces garbage grams of position-dependent
+        # width. Capturing n from this factory's scope keeps it unary.
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("__words") - n, F.lit(0))),
+            lambda i: F.array_join(F.slice("__words", i + 1, n), " "),
+        )
+
+    gram_arrays = [gram_expr(n) for n in ns]
+    grams = bound.select(
+        F.col(id_col), F.explode(F.concat(*gram_arrays)).alias("gram")
+    )
+    return (
+        grams.select(
+            F.col(id_col),
+            F.pmod(_md5_long(F.col("gram")), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bucket_distribution(features: DataFrame, n_buckets: int) -> DataFrame:
+    """Smoothed bucket probability distribution from a feature frame:
+    ``(bucket, prob)`` with add-one (Laplace) smoothing over ALL
+    ``n_buckets`` buckets, so unseen buckets get mass and ratios never
+    divide by zero. Exactly ``n_buckets`` output rows — broadcastable by
+    construction."""
+    spark = features.sparkSession
+    counts = features.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    all_buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    filled = all_buckets.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    # total is injected via a scalar subquery-style cross join of one row
+    # (keeps the plan fully declarative: no driver-side collect)
+    total = filled.agg((F.sum("c") + n_buckets).alias("__t"))
+    return filled.crossJoin(F.broadcast(total)).select(
+        "bucket", ((F.col("c") + 1) / F.col("__t")).alias("prob")
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Per-raw-document DSIR log importance weight:
+    ``(id, log_weight)`` where
+    ``log_weight = Σ_grams cnt · log(p_target[bucket] / p_raw[bucket])``.
+
+    The raw bucket distribution is estimated from the raw corpus itself
+    and the target distribution from ``target``; both are
+    ``n_buckets``-row frames broadcast into the scoring join, so the
+    raw corpus is scanned twice (once for its distribution, once for
+    scoring) and shuffled only as (id, bucket, cnt) triples.
+    """
+    raw_feats = hashed_ngram_features(raw, text_col, id_col, n_buckets, ns)
+    tgt_feats = hashed_ngram_features(target, text_col, id_col, n_buckets, ns)
+    p_raw = bucket_distribution(raw_feats, n_buckets).withColumnRenamed("prob", "__pr")
+    p_tgt = bucket_distribution(tgt_feats, n_buckets).withColumnRenamed("prob", "__pt")
+    ratios = p_raw.join(p_tgt, "bucket").select(
+        "bucket", (F.log("__pt") - F.log("__pr")).alias("__lr")
+    )
+    return (
+        raw_feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("__lr")).alias("log_weight"))
+    )
+
+
+def gumbel_key(log_weight: Column, id_col: Column, seed: int, temperature: float) -> Column:
+    """Deterministic Gumbel-max key: ``log_weight/T − ln(−ln(u))`` with
+    ``u`` a hashed uniform in (0,1) from (seed, id). Taking the top-k
+    keys samples k documents without replacement with probability
+    ∝ exp(log_weight/T) — the Gumbel top-k trick — reproducibly for a
+    fixed seed."""
+    u = (_md5_long(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string"))) + 0.5) / F.lit(
+        _H_RANGE
+    )
+    return log_weight / F.lit(float(temperature)) - F.log(-F.log(u))
+
+
+def importance_sample(
+    raw: DataFrame,
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Select ``k`` raw documents by Gumbel top-k over DSIR weights.
+
+    ``weights`` is the (id, log_weight) frame from
+    :func:`importance_weights`. Higher ``temperature`` flattens the
+    distribution toward uniform sampling; ``temperature → 0`` becomes a
+    deterministic arg-top-k of the weights. Selection is a
+    TakeOrderedAndProject over (id, key) — the document payload joins
+    back only for the k winners."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keyed = weights.select(
+        F.col(id_col),
+        gumbel_key(F.col("log_weight"), F.col(id_col), seed, temperature).alias(
+            "__key"
+        ),
+    )
+    winners = keyed.orderBy(F.col("__key").desc(), F.col(id_col)).limit(k)
+    return raw.join(F.broadcast(winners.select(id_col)), id_col, "left_semi")
