@@ -157,3 +157,39 @@ def bloom_new(
         .filter(~F.col("probably_seen"))
         .drop("probably_seen")
     )
+
+
+def bloom_save_delta(bloom: DataFrame, state_dir: str, version: int | str) -> None:
+    """Persist one filter (a batch's delta) under
+    ``state_dir/v=<version>``. Versioned deltas make saves IDEMPOTENT
+    per version — a retried streaming epoch overwrites its own
+    directory instead of double-merging — and loading stays a pure
+    union+``bit_or`` (the filter algebra is an idempotent commutative
+    monoid, so replay order never matters)."""
+    bloom.write.mode("overwrite").parquet(f"{state_dir.rstrip('/')}/v={version}")
+
+
+def bloom_load_state(spark, state_dir: str) -> DataFrame:
+    """Merge every persisted delta into the current filter
+    ``(word_idx, bits)``; an absent/empty state dir yields the empty
+    filter (nothing seen). Delta count grows with epochs — fold
+    occasionally via :func:`bloom_compact` if a stream runs for many
+    thousands of batches."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(state_dir)
+    except AnalysisException:
+        return spark.createDataFrame([], "word_idx int, bits long")
+    return df.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_compact(spark, state_dir: str, version: int | str) -> None:
+    """Fold all persisted deltas into a single delta at ``version``
+    (choose a version ≥ every existing one, e.g. the latest epoch id).
+    Readers merging the compacted delta with any stale leftovers still
+    get the correct filter — ``bit_or`` is idempotent — so compaction
+    needs no coordination with concurrent loads; stale ``v=`` dirs can
+    be deleted afterwards at leisure."""
+    merged = bloom_load_state(spark, state_dir).localCheckpoint()
+    bloom_save_delta(merged, state_dir, version)

@@ -167,3 +167,60 @@ def dedup_exact_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark([fingerprint_col])
     )
+
+
+def bloom_dedup_stream(
+    text_col: str,
+    state_dir: str,
+    num_bits: int,
+    num_hashes: int,
+    seed: int = 0,
+    sink=None,
+    drop_batch_dups: bool = True,
+    version_prefix: str = "",
+):
+    """Cross-batch (and cross-RUN) streaming dedup via persisted Bloom
+    state: returns a ``foreachBatch`` callable that, per micro-batch,
+
+    1. loads the merged filter from ``state_dir`` (versioned deltas,
+       :func:`kafi_spark.functions.bloom.bloom_load_state`),
+    2. keeps only definitely-new rows (``bloom_new`` — no false
+       negatives, so nothing historical ever passes twice),
+    3. hands them to ``sink(new_df, epoch_id)``,
+    4. persists the new rows' fingerprints as this epoch's delta.
+
+    Contrast with :func:`dedup_exact_stream`: that operator's state is
+    exact but watermark-GC'd (late copies re-admit once state expires)
+    and lives inside one checkpoint. Bloom state is FOREVER-seen across
+    restarts, different queries, even different clusters sharing the
+    state dir — at the price of the configured false-positive rate
+    dropping a sliver of genuinely-new rows. Pick per pipeline.
+
+    Retried epochs are safe: the delta write is keyed by epoch id
+    (idempotent overwrite), and re-emitting the same new rows to the
+    sink is the usual foreachBatch at-least-once contract. Epoch ids
+    are scoped to the query's CHECKPOINT: restarting with the same
+    checkpoint continues the sequence (safe); starting a FRESH
+    checkpoint against the same state dir restarts epochs at 0 and
+    would overwrite old deltas — give each fresh checkpoint a distinct
+    ``version_prefix`` (e.g. a run id) to keep delta keys disjoint.
+    """
+    from pyspark.sql import functions as F
+
+    from kafi_spark.functions.bloom import (
+        bloom_build, bloom_load_state, bloom_new, bloom_save_delta)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = bloom_load_state(spark, state_dir)
+        b = batch_df.dropDuplicates([text_col]) if drop_batch_dups else batch_df
+        # one materialization feeding BOTH the sink and the delta build —
+        # without it the probe join would re-execute per consumer
+        # (sanctioned localCheckpoint deviation, see PLANS.md)
+        new = bloom_new(b, state, text_col, num_bits, num_hashes, seed).localCheckpoint()
+        if sink is not None:
+            sink(new, epoch_id)
+        delta = bloom_build(new.select(text_col), text_col, num_bits, num_hashes, seed)
+        bloom_save_delta(delta, state_dir, f"{version_prefix}{epoch_id}")
+
+    return process

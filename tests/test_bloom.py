@@ -83,3 +83,78 @@ def test_bloom_matches_duckdb_position_oracle(spark, sf_dir):
         FROM probes p LEFT JOIN hist h ON p.pos = h.pos GROUP BY p.doc_id
     """).fetchall()}
     assert got == want
+
+
+def test_state_roundtrip_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "bloom_state")
+    a = spark.createDataFrame([("x",), ("y",)], "text string")
+    b = spark.createDataFrame([("z",)], "text string")
+    # empty state dir → empty filter
+    assert bl.bloom_load_state(spark, state).count() == 0
+    bl.bloom_save_delta(bl.bloom_build(a, "text", 256, 4), state, 0)
+    bl.bloom_save_delta(bl.bloom_build(b, "text", 256, 4), state, 1)
+    merged = bl.bloom_load_state(spark, state)
+    direct = bl.bloom_build(a.unionByName(b), "text", 256, 4)
+    assert sorted(map(tuple, merged.select("word_idx", "bits").collect())) == \
+        sorted(map(tuple, direct.collect()))
+    # compaction folds deltas; filter value is unchanged
+    bl.bloom_compact(spark, state, 2)
+    after = bl.bloom_load_state(spark, state)
+    assert sorted(map(tuple, after.select("word_idx", "bits").collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_bloom_dedup_stream_across_batches_and_runs(spark, tmp_path):
+    """Two availableNow runs over a file stream: duplicates are dropped
+    across micro-batches AND across runs (the persisted-state property
+    dropDuplicatesWithinWatermark cannot give across fresh queries)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from kafi_spark.streaming.stateful import bloom_dedup_stream
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+    state = str(tmp_path / "state")
+    out_rows = []
+
+    def sink(df, epoch):
+        out_rows.extend((r.doc_id, r.text) for r in df.collect())
+
+    def write_batch(name, rows, order):
+        p = _os.path.join(src, name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        t = _time.time() - 3600 + order * 60
+        _os.utime(p, (t, t))
+
+    write_batch("b0.json", [{"doc_id": 1, "text": "alpha"},
+                            {"doc_id": 2, "text": "beta"},
+                            {"doc_id": 3, "text": "alpha"}], 0)   # in-batch dup
+    write_batch("b1.json", [{"doc_id": 4, "text": "beta"},        # cross-batch dup
+                            {"doc_id": 5, "text": "gamma"}], 1)
+
+    def run(prefix):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(src))
+        q = (stream.writeStream
+             .foreachBatch(bloom_dedup_stream(
+                 "text", state, num_bits=4096, num_hashes=5, sink=sink,
+                 version_prefix=prefix))
+             .option("checkpointLocation", str(tmp_path / f"ckpt_{prefix}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run("r1_")
+    texts = sorted(t for _, t in out_rows)
+    assert texts == ["alpha", "beta", "gamma"]
+
+    # second RUN, fresh checkpoint: same files replay, everything is
+    # already in the persisted filter → nothing new emitted
+    out_rows.clear()
+    run("r2_")
+    assert out_rows == []
