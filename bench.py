@@ -61,6 +61,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_quantized",
+    "ann_cosine_topk_pq",
     "emb_neardup",
     "analytic_ops",
     "rollup_agg",
@@ -168,6 +169,21 @@ def main() -> None:
         return importance_sample(d, w, k=200)
 
     qs["dsir_select"] = q_dsir_select
+
+    def q_ann_pq(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.pq import cosine_topk_pq
+        from kafi_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 10)
+        return cosine_topk_pq(corpus, queries_df, k=5, m_subspaces=8)
+
+    qs["ann_cosine_topk_pq"] = q_ann_pq
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()

@@ -1,0 +1,221 @@
+"""Product quantization (PQ) for memory-bound ANN at corpus scale.
+
+Scalar int8 quantization (:mod:`similarity`) cuts scans 4×; PQ goes
+much further: split the d-dim space into M subspaces, k-means each
+subspace into 256 centroids, store each vector as M one-byte codes —
+d·4 bytes → M bytes (e.g. 64-dim float32 = 256 B → 8 B at M=8, 32×).
+Search uses the asymmetric distance computation (ADC) of Jégou et al.
+2011: the query precomputes an (M × 256) table of partial dot products
+against the codebooks, and scoring a corpus vector is M table lookups —
+no float math per vector. A final exact rescore of the top
+``rescore_factor·k`` ADC candidates recovers the precision the 8-byte
+codes lose (same two-phase shape as ``cosine_topk_quantized``).
+
+Scale shape: training collects ≤ ``train_cap`` sampled vectors to the
+driver (bounded by construction — the one deliberate driver-side step,
+like IVF's centroid fit) and runs seeded k-means per subspace in numpy;
+encoding is one Arrow-batched corpus pass with the codebooks broadcast;
+search is one corpus pass with map-side partial top-k (the corpus is
+never shuffled or joined — only partitions × Q × k' candidate rows move).
+
+Codebooks depend on the k-means seed → rows-only checkable; the recall
+differential against exact ``cosine_topk`` is the correctness gate.
+
+Reference scope: beyond-reference LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .similarity import _mat, _topk_per_batch, _unit
+
+
+def _kmeans_np(X: np.ndarray, n_codes: int, seed: int, n_iter: int = 10) -> np.ndarray:
+    """Seeded k-means (k-means++ init, Lloyd iterations) in numpy.
+    Deterministic for fixed (X, n_codes, seed). Returns (n_codes, d)."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(n_codes, n)
+    # k-means++ seeding
+    centers = [X[rng.randint(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers.append(X[rng.choice(n, p=p)])
+        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+    C = np.vstack(centers)
+    for _ in range(n_iter):
+        # assignment via (x-c)² = |x|² - 2x·c + |c|²; |x|² constant per row
+        assign = (-2 * X @ C.T + (C**2).sum(axis=1)).argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                C[j] = X[mask].mean(axis=0)
+    if k < n_codes:  # degenerate tiny input: pad with repeats
+        C = np.vstack([C, np.repeat(C[:1], n_codes - k, axis=0)])
+    return C
+
+
+def pq_train(
+    df: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 50_000,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Fit PQ codebooks: (M, n_codes, d/M) from a capped deterministic
+    sample (hash-of-id modulus, same discipline as the IVF fit — no
+    Sample reshuffle, stable across cluster size). ``normalize=True``
+    trains on unit vectors so ADC dot products ≈ cosine."""
+    from .similarity import _estimate_rows
+
+    if n_codes > 256:
+        raise ValueError(f"n_codes must fit one byte (<= 256), got {n_codes}")
+    n_est = _estimate_rows(df, df, vec_col)
+    modulus = max(1, n_est // train_cap)
+    sample = df
+    if modulus > 1:
+        sample = df.filter(F.pmod(F.xxhash64(F.col(id_col)), modulus) == 0)
+    X = _mat(sample.select(vec_col).toPandas()[vec_col])
+    if normalize:
+        X = _unit(X)
+    d = X.shape[1]
+    if d % m_subspaces != 0:
+        raise ValueError(f"dim {d} not divisible by m_subspaces {m_subspaces}")
+    w = d // m_subspaces
+    return np.stack(
+        [
+            _kmeans_np(X[:, j * w : (j + 1) * w], n_codes, seed + j)
+            for j in range(m_subspaces)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode each vector as M one-byte codes: ``(id, pq_code binary)``.
+    One Arrow-batched pass, codebooks broadcast."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def op(batches):
+        CB = bc.value
+        m, _, w = CB.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _mat(pdf["__vec"])
+            if normalize:
+                X = _unit(X)
+            codes = np.empty((len(X), m), dtype=np.uint8)
+            for j in range(m):
+                sub = X[:, j * w : (j + 1) * w]
+                C = CB[j]
+                codes[:, j] = (
+                    (-2 * sub @ C.T + (C**2).sum(axis=1)).argmin(axis=1)
+                ).astype(np.uint8)
+            yield pd.DataFrame(
+                {"__id": pdf["__id"].values,
+                 "pq_code": [row.tobytes() for row in codes]}
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        .mapInPandas(op, f"__id {id_t}, pq_code binary")
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    train_cap: int = 50_000,
+) -> DataFrame:
+    """Top-k by cosine with a PQ-compressed first pass + exact rescore.
+
+    Phase 1 scans (id, pq_code, vec): per Arrow batch, decode is M
+    uint8 gathers into the query's ADC lookup table (no per-vector
+    float ops), emitting each partition's top ``rescore_factor·k`` per
+    query with their EXACT cosine (the full vector rides along in the
+    same scan, so rescoring costs one einsum over survivors only — no
+    second corpus pass, no join). Phase 2 is the global top-k window
+    over partitions × Q × k' rows.
+    """
+    cb = pq_train(
+        corpus, m_subspaces, n_codes, id_col, vec_col, seed, train_cap,
+        normalize=True,
+    )
+    encoded = pq_encode(corpus, cb, id_col, vec_col, normalize=True).join(
+        corpus.select(id_col, vec_col), id_col
+    )
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("empty query set")
+    Q = _unit(_mat(qpdf[vec_col]))
+    qids = qpdf[query_id_col].to_numpy()
+    spark = corpus.sparkSession
+    m, _, w = cb.shape
+    # ADC tables: lut[q, j, code] = Q_sub(q,j) · codebook(j, code)
+    lut = np.einsum("qjw,jcw->qjc", Q.reshape(len(Q), m, w), cb)
+    bq = spark.sparkContext.broadcast((lut, Q, qids))
+    kk = max(k, rescore_factor * k)
+
+    def part(batches):
+        lut_, Q_, qids_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            # S_adc[i, q] = Σ_j lut[q, j, codes[i, j]]
+            S = np.zeros((len(pdf), len(Q_)))
+            for j in range(m):
+                S += lut_[:, j, codes[:, j]].T
+            ids = pdf["__id"].to_numpy()
+            X = None
+            out_q, out_id, out_s = [], [], []
+            for q, order in _topk_per_batch(S, ids, kk):
+                if X is None:
+                    X = _unit(_mat(pdf["__vec"]))
+                exact = X[order] @ Q_[q]
+                out_q.extend([qids_[q]] * len(order))
+                out_id.extend(ids[order])
+                out_s.extend(exact)
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "score": out_s}
+            )
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    c = encoded.select(
+        F.col(id_col).alias("__id"), "pq_code", F.col(vec_col).alias("__vec")
+    )
+    partials = c.mapInPandas(
+        part, f"{query_id_col} {qid_t}, {id_col} {id_t}, score double"
+    )
+    win = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return partials.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= k
+    )
