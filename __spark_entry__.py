@@ -1105,7 +1105,11 @@ def q_dedup_span_bloom(spark, sf_dir):
     from kafi_spark.functions.bloom import bloom_build, bloom_contains
     from kafi_spark.functions.spans import span_dedup
 
-    d = _t(spark, sf_dir, "documents")
+    # NULL text diverges between engines (concat_ws skips NULLs, '||'
+    # propagates them; posexplode drops NULL spans, DuckDB emits a NULL
+    # row) — exclude it explicitly on BOTH sides so the oracle compares
+    # defined behavior only
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     spans = span_dedup(d, "text", "doc_id", span_tokens=8).select(
         F.lit("span").alias("op"),
         "doc_id",
@@ -1222,7 +1226,7 @@ _DEDUP_SQL = {
 # set iff some historical element hashed there).
 _DEDUP_SQL["dedup_span_bloom"] = """
     WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                FROM documents),
+                FROM documents WHERE text IS NOT NULL),
     spans AS (
       SELECT doc_id, CAST(s.i AS INT) AS span_id,
              array_to_string(w[s.i*8+1 : s.i*8+8], ' ') AS span
@@ -1241,11 +1245,13 @@ _DEDUP_SQL["dedup_span_bloom"] = """
     hist AS (SELECT DISTINCT
                ('0x'||substring(md5(CAST(s.i AS VARCHAR)||':'||d.text),1,15))::BIGINT
                  % 65536 AS pos
-             FROM documents d, seeds s WHERE d.doc_id % 2 = 0),
+             FROM documents d, seeds s
+             WHERE d.doc_id % 2 = 0 AND d.text IS NOT NULL),
     probes AS (SELECT d.doc_id, d.text,
                ('0x'||substring(md5(CAST(s.i AS VARCHAR)||':'||d.text),1,15))::BIGINT
                  % 65536 AS pos
-               FROM documents d, seeds s WHERE d.doc_id % 2 <> 0),
+               FROM documents d, seeds s
+               WHERE d.doc_id % 2 <> 0 AND d.text IS NOT NULL),
     bloom_out AS (
       SELECT 'bloom' AS op, p.doc_id, p.text,
              CAST(MIN(CASE WHEN h.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

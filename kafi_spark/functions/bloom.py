@@ -36,6 +36,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .portable import md5_long
+
 
 def bloom_params(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
     """Optimal (num_bits, num_hashes) for ``n_items`` at ``fp_rate``:
@@ -54,13 +56,7 @@ def _positions(value: Column, num_bits: int, num_hashes: int, seed: int) -> Colu
     return F.array(
         *[
             F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.lit(str(seed + i)), value)), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
+                md5_long(F.concat_ws(":", F.lit(str(seed + i)), value)),
                 F.lit(num_bits),
             )
             for i in range(num_hashes)
@@ -113,12 +109,14 @@ def bloom_contains(
     boolean ``out_col`` (true ⇔ ALL k bits set ⇔ probably seen;
     false ⇔ definitely new).
 
-    Plan: posexplode the k probes, LEFT join the (tiny) state on
-    ``word_idx`` — broadcastable whenever the filter fits an executor —
-    then ``min(bit set)`` back per row. The groupBy key is the row's
-    full column set, so the input must be row-distinct in ``df``'s
-    columns (true for anything carrying an id); the probe fan-out is a
-    fixed k×, never corpus².
+    Plan: posexplode the k probes, LEFT join the state on ``word_idx``
+    (no broadcast hint — AQE broadcasts automatically while the filter
+    fits an executor and degrades to a partitioned join with fan-out
+    exactly k beyond that; a forced hint would OOM on a huge filter
+    instead of degrading), then ``min(bit set)`` back per row. The
+    groupBy key is the row's full column set, so the input must be
+    row-distinct in ``df``'s columns (true for anything carrying an
+    id); the probe fan-out is a fixed k×, never corpus².
     """
     probes = df.select(
         *df.columns,
@@ -130,7 +128,7 @@ def bloom_contains(
         (F.col("__pos") / 64).cast("int").alias("word_idx"),
         (F.col("__pos") % 64).cast("int").alias("__bit"),
     )
-    joined = probes.join(F.broadcast(bloom), "word_idx", "left")
+    joined = probes.join(bloom, "word_idx", "left")
     hit = F.coalesce(
         F.expr("shiftright(bits, __bit) & 1"), F.lit(0).cast("long")
     ).alias("__hit")

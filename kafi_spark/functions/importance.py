@@ -35,14 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: 2^60 — md5 15-hex-digit prefix range; uniforms are (h + 0.5) / 2^60
-_H_RANGE = float(1 << 60)
-
-
-def _md5_long(col: Column) -> Column:
-    """Portable 60-bit hash: numeric value of the first 15 hex digits of
-    md5 (DuckDB replay: ``('0x'||substring(md5(x),1,15))::BIGINT``)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+from .portable import H_RANGE as _H_RANGE, md5_long as _md5_long
 
 
 def hashed_ngram_features(

@@ -103,9 +103,14 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Encode each vector as M one-byte codes: ``(id, pq_code binary)``.
-    One Arrow-batched pass, codebooks broadcast."""
+    One Arrow-batched pass, codebooks broadcast. ``keep_vec=True`` also
+    emits the original vector column from the SAME pass — callers that
+    need codes + vectors together (the rescoring search) must use this
+    rather than joining back to the corpus, which would shuffle every
+    embedding across the cluster."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
 
@@ -125,17 +130,23 @@ def pq_encode(
                 codes[:, j] = (
                     (-2 * sub @ C.T + (C**2).sum(axis=1)).argmin(axis=1)
                 ).astype(np.uint8)
-            yield pd.DataFrame(
-                {"__id": pdf["__id"].values,
-                 "pq_code": [row.tobytes() for row in codes]}
-            )
+            out = {"__id": pdf["__id"].values,
+                   "pq_code": [row.tobytes() for row in codes]}
+            if keep_vec:
+                out["__vec"] = pdf["__vec"].values
+            yield pd.DataFrame(out)
 
     id_t = df.schema[id_col].dataType.simpleString()
-    return (
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    schema = f"__id {id_t}, pq_code binary"
+    if keep_vec:
+        schema += f", __vec {vec_t}"
+    out = (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-        .mapInPandas(op, f"__id {id_t}, pq_code binary")
+        .mapInPandas(op, schema)
         .withColumnRenamed("__id", id_col)
     )
+    return out.withColumnRenamed("__vec", vec_col) if keep_vec else out
 
 
 def cosine_topk_pq(
@@ -165,9 +176,9 @@ def cosine_topk_pq(
         corpus, m_subspaces, n_codes, id_col, vec_col, seed, train_cap,
         normalize=True,
     )
-    encoded = pq_encode(corpus, cb, id_col, vec_col, normalize=True).join(
-        corpus.select(id_col, vec_col), id_col
-    )
+    # codes + vectors from ONE encode pass — no join back to the corpus
+    # (a corpus-sized shuffle of every embedding)
+    encoded = pq_encode(corpus, cb, id_col, vec_col, normalize=True, keep_vec=True)
 
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     if len(qpdf) == 0:
@@ -194,12 +205,20 @@ def cosine_topk_pq(
             for j in range(m):
                 S += lut_[:, j, codes[:, j]].T
             ids = pdf["__id"].to_numpy()
-            X = None
+            # two-phase within the batch: pick every query's ADC
+            # survivors first, then materialize/normalize ONLY the
+            # union of survivor rows (≤ Q·k' of a possibly 10k-row
+            # batch) — the rescore einsum touches survivors only
+            per_q = list(_topk_per_batch(S, ids, kk))
+            surv = np.unique(np.concatenate([o for _, o in per_q])) if per_q else []
+            if len(surv) == 0:
+                continue
+            Xs = _unit(_mat(pdf["__vec"].iloc[surv]))
+            row_of = {int(g): i for i, g in enumerate(surv)}
             out_q, out_id, out_s = [], [], []
-            for q, order in _topk_per_batch(S, ids, kk):
-                if X is None:
-                    X = _unit(_mat(pdf["__vec"]))
-                exact = X[order] @ Q_[q]
+            for q, order in per_q:
+                local = [row_of[int(g)] for g in order]
+                exact = Xs[local] @ Q_[q]
                 out_q.extend([qids_[q]] * len(order))
                 out_id.extend(ids[order])
                 out_s.extend(exact)

@@ -470,7 +470,9 @@ def cosine_topk_ivf(
             return pd.Series([], dtype="int32")
         X = _mat(v)
         # nearest centroid by euclidean distance (KMeans' metric)
-        d = ((X[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+        # argmin of |x-c|² == argmin of -2x·C + |c|² (|x|² constant per
+        # row): one BLAS matmul instead of an O(n·k·d) broadcast temporary
+        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     @pandas_udf("array<int>")
@@ -478,7 +480,9 @@ def cosine_topk_ivf(
         if len(v) == 0:
             return pd.Series([], dtype=object)
         X = _mat(v)
-        d = ((X[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+        # argmin of |x-c|² == argmin of -2x·C + |c|² (|x|² constant per
+        # row): one BLAS matmul instead of an O(n·k·d) broadcast temporary
+        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
         order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
@@ -643,7 +647,9 @@ def kmeans_assign(
         if len(v) == 0:
             return pd.Series([], dtype="int32")
         X = _mat(v)
-        d = ((X[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+        # argmin of |x-c|² == argmin of -2x·C + |c|² (|x|² constant per
+        # row): one BLAS matmul instead of an O(n·k·d) broadcast temporary
+        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     return df.select(

@@ -205,8 +205,6 @@ def bloom_dedup_stream(
     would overwrite old deltas — give each fresh checkpoint a distinct
     ``version_prefix`` (e.g. a run id) to keep delta keys disjoint.
     """
-    from pyspark.sql import functions as F
-
     from kafi_spark.functions.bloom import (
         bloom_build, bloom_load_state, bloom_new, bloom_save_delta)
 
@@ -214,13 +212,20 @@ def bloom_dedup_stream(
         spark = batch_df.sparkSession
         state = bloom_load_state(spark, state_dir)
         b = batch_df.dropDuplicates([text_col]) if drop_batch_dups else batch_df
-        # one materialization feeding BOTH the sink and the delta build —
-        # without it the probe join would re-execute per consumer
-        # (sanctioned localCheckpoint deviation, see PLANS.md)
-        new = bloom_new(b, state, text_col, num_bits, num_hashes, seed).localCheckpoint()
+        # materialize ONCE: the sink read and the delta build both
+        # consume the batch; without this the source would re-execute
+        # per consumer (sanctioned localCheckpoint deviation, PLANS.md)
+        b = b.localCheckpoint()
+        new = bloom_new(b, state, text_col, num_bits, num_hashes, seed)
         if sink is not None:
             sink(new, epoch_id)
-        delta = bloom_build(new.select(text_col), text_col, num_bits, num_hashes, seed)
+        # the delta MUST come from the whole deduped batch, not from
+        # `new`: on an epoch REPLAY the first attempt's delta is already
+        # merged into state, `new` comes back empty, and a new-built
+        # delta would overwrite the epoch's fingerprints with an empty
+        # filter — un-seeing those rows forever. Batch-built deltas are
+        # idempotent (already-seen rows just re-set already-set bits).
+        delta = bloom_build(b.select(text_col), text_col, num_bits, num_hashes, seed)
         bloom_save_delta(delta, state_dir, f"{version_prefix}{epoch_id}")
 
     return process

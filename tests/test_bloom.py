@@ -158,3 +158,28 @@ def test_bloom_dedup_stream_across_batches_and_runs(spark, tmp_path):
     out_rows.clear()
     run("r2_")
     assert out_rows == []
+
+
+def test_bloom_dedup_stream_epoch_replay_is_idempotent(spark, tmp_path):
+    """A replayed epoch (same epoch id, state already merged) must NOT
+    erase its fingerprints: the delta is built from the batch, so the
+    rewrite is a no-op and later duplicates still drop."""
+    from kafi_spark.streaming.stateful import bloom_dedup_stream
+
+    state = str(tmp_path / "state")
+    emitted = []
+    proc = bloom_dedup_stream("text", state, num_bits=4096, num_hashes=5,
+                              sink=lambda df, e: emitted.extend(
+                                  r.text for r in df.collect()))
+    batch = spark.createDataFrame([("alpha",), ("beta",)], "text string")
+    proc(batch, 0)
+    assert sorted(emitted) == ["alpha", "beta"]
+    # crash-before-commit replay of epoch 0: same batch, same epoch id
+    emitted.clear()
+    proc(batch, 0)
+    assert emitted == []           # state already knows them
+    # the replay must not have wiped the epoch-0 delta
+    later = spark.createDataFrame([("alpha",), ("gamma",)], "text string")
+    emitted.clear()
+    proc(later, 1)
+    assert emitted == ["gamma"]

@@ -68,9 +68,12 @@ def test_sample_prefers_target_domain_and_is_deterministic(corpora):
     assert all(i < 100 for i in ids)
     ids2 = sorted(r.doc_id for r in imp.importance_sample(raw, w, k=30, seed=1).collect())
     assert ids == ids2
-    # another seed reshuffles within the domain but stays deterministic
+    # another seed is equally deterministic (and, with 50 candidate docs
+    # for 30 slots, virtually certain to pick a different subset)
     ids3 = sorted(r.doc_id for r in imp.importance_sample(raw, w, k=30, seed=2).collect())
-    assert ids3 != ids or ids3 == ids  # well-defined either way; just runs
+    ids4 = sorted(r.doc_id for r in imp.importance_sample(raw, w, k=30, seed=2).collect())
+    assert ids3 == ids4
+    assert ids3 != ids
 
 
 def test_high_temperature_flattens_selection(corpora):
