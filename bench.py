@@ -109,18 +109,11 @@ def _exchange_count(df) -> int | None:
         return None
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    import __spark_entry__ as entry_mod
-    from kafi_spark.session import get_spark
-
-    # keep every stage in the status store so shuffle-byte deltas stay
-    # exact across the whole bench (default retention evicts at 1000)
-    spark = get_spark(
-        "kafi_spark_bench",
-        extra_conf={"spark.ui.retainedStages": "100000"},
-    )
-    qs = entry_mod.queries()
+def bench_queries(entry_mod) -> dict:
+    """Driver-contract queries plus the bench-only twins (scale-default
+    configs with no oracle — outside the 50-query contract). Shared with
+    tools/plan_audit.py so every benched plan passes the same gates."""
+    qs = dict(entry_mod.queries())
     # bench-only twins: scale-default configs (no oracle, so not part of
     # the 50-query driver contract). The driver queries run the exact
     # (oracle-checkable) configs; these time the 100 TB-safe defaults.
@@ -184,6 +177,22 @@ def main() -> None:
         return cosine_topk_pq(corpus, queries_df, k=5, m_subspaces=8)
 
     qs["ann_cosine_topk_pq"] = q_ann_pq
+
+    return qs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from kafi_spark.session import get_spark
+
+    # keep every stage in the status store so shuffle-byte deltas stay
+    # exact across the whole bench (default retention evicts at 1000)
+    spark = get_spark(
+        "kafi_spark_bench",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
+    qs = bench_queries(entry_mod)
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
