@@ -180,3 +180,35 @@ def importance_sample(
     )
     winners = keyed.orderBy(F.col("__key").desc(), F.col(id_col)).limit(k)
     return raw.join(F.broadcast(winners.select(id_col)), id_col, "left_semi")
+
+
+def lm_quality_score(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 65_536,
+    out_col: str = "lm_score",
+) -> DataFrame:
+    """Per-document mean token log-probability under a hashed unigram LM
+    estimated from ``reference`` — the CCNet-style "perplexity against a
+    clean corpus" quality signal, with the heavyweight KenLM swapped for
+    a hashed unigram model the engine can fit in one aggregate pass.
+
+    ``lm_score = Σ cnt · log p_ref[bucket] / Σ cnt`` (higher ⇒ more
+    reference-like; gibberish and boilerplate land in rare buckets and
+    score low). Hashing bounds the model at ``n_buckets`` rows —
+    broadcastable regardless of vocabulary size — and keeps the score
+    replayable by the DuckDB oracle (same md5 bucket scheme as
+    :func:`importance_weights`). Output: ``(id, lm_score)``.
+    """
+    feats = hashed_ngram_features(df, text_col, id_col, n_buckets, ns=(1,))
+    ref_feats = hashed_ngram_features(reference, text_col, id_col, n_buckets, ns=(1,))
+    p_ref = bucket_distribution(ref_feats, n_buckets)
+    return (
+        feats.join(F.broadcast(p_ref), "bucket")
+        .groupBy(id_col)
+        .agg(
+            (F.sum(F.col("cnt") * F.log("prob")) / F.sum("cnt")).alias(out_col)
+        )
+    )

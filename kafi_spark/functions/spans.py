@@ -47,9 +47,11 @@ def text_spans(
     of a document may be shorter than W; a document shorter than W
     tokens is its own single span.
     """
+    from .dedup import _parallelize
+
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
-    bound = df.select(
+    bound = _parallelize(df).select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
     )
     n_spans = F.ceil(F.size("__words") / F.lit(span_tokens)).cast("int")
@@ -74,7 +76,9 @@ def text_lines(
     (RefinedWeb-style line dedup). ``sep`` is a literal, not a regex."""
     import re as _re
 
-    bound = df.select(
+    from .dedup import _parallelize
+
+    bound = _parallelize(df).select(
         F.col(id_col), F.split(F.col(text_col), _re.escape(sep)).alias("__lines")
     )
     return bound.select(

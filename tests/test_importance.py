@@ -132,3 +132,48 @@ def test_weights_match_duckdb_oracle(spark, sf_dir):
     assert set(got) == set(want)
     for d in got:
         assert got[d] == pytest.approx(want[d], rel=1e-9), d
+
+
+def test_lm_quality_score_separates_reference_like_text(spark):
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string")
+    mixed = spark.createDataFrame(
+        [(1, "the quick brown fox"),          # reference-like
+         (2, "zxqv wvut qqqq plmk")],         # out-of-model gibberish
+        "doc_id long, text string")
+    got = {r.doc_id: r.lm_score
+           for r in imp.lm_quality_score(mixed, ref, n_buckets=4096).collect()}
+    assert got[1] > got[2]
+    # mean-normalized: score of doc 1 equals the mean ref-token logprob
+    assert got[1] < 0
+
+
+def test_lm_quality_score_matches_duckdb_oracle(spark, sf_dir):
+    B = 4096
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = df.filter("doc_id < 100")
+    got = {r.doc_id: r.lm_score
+           for r in imp.lm_quality_score(df, ref, n_buckets=B).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = {r[0]: r[1] for r in con.sql(f"""
+        WITH grams AS (
+          SELECT doc_id,
+                 CAST(('0x'||substring(md5(u.g),1,15))::BIGINT % {B} AS INT) AS bucket
+          FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS u(g)),
+        feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+                  FROM grams GROUP BY doc_id, bucket),
+        ref_c AS (SELECT bucket, SUM(cnt) AS c FROM feats
+                  WHERE doc_id < 100 GROUP BY bucket),
+        ref_t AS (SELECT SUM(cnt) + {B} AS t FROM feats WHERE doc_id < 100),
+        p AS (SELECT b.range AS bucket,
+                     (COALESCE(rc.c, 0) + 1) / (SELECT t FROM ref_t) AS prob
+              FROM range({B}) b LEFT JOIN ref_c rc ON rc.bucket = b.range)
+        SELECT f.doc_id, SUM(f.cnt * ln(p.prob)) / SUM(f.cnt)
+        FROM feats f JOIN p ON p.bucket = f.bucket
+        GROUP BY f.doc_id
+    """).fetchall()}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-9), d
