@@ -99,3 +99,63 @@ def curate_documents(
     return s1.join(final_ids, id_col, "left_semi").select(
         id_col, "n_tokens", "quality"
     )
+
+
+def curate_documents_extended(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.7,
+    k: int = 3,
+    span_tokens: int | None = None,
+    eval_df: DataFrame | None = None,
+    decontam_n: int = 8,
+    ref_df: DataFrame | None = None,
+    min_lm_score: float | None = None,
+) -> DataFrame:
+    """:func:`curate_documents` with the full stage menu switched on:
+
+    0. (``span_tokens``) corpus-wide duplicate-SPAN removal first —
+       boilerplate is stripped BEFORE stats/dedup so quality scores and
+       fingerprints see the cleaned text (spans.span_dedup);
+    1. language + quality gate (text_stats);
+    2. (``eval_df``) benchmark decontamination — drop documents sharing
+       ``decontam_n``-gram overlap with the eval set;
+    3. exact dedup (fingerprint window);
+    4. MinHash near-dup with raw-text verification;
+    5. (``ref_df``) LM-perplexity quality floor: keep documents whose
+       mean token log-prob under the reference unigram LM is ≥
+       ``min_lm_score`` (importance.lm_quality_score).
+
+    Optional stages off (None) ⇒ exactly the base pipeline's semantics.
+    Output: (id, n_tokens, quality[, lm_score]). Every stage is one of
+    the engine's first-class operators composed in ONE declarative job;
+    the only materialization barriers are the two the operators
+    themselves sanction (the survivor checkpoint, the span window).
+    """
+    from kafi_spark.functions.contamination import decontaminate
+    from kafi_spark.functions.importance import lm_quality_score
+    from kafi_spark.functions.spans import span_dedup
+
+    src = df.select(id_col, text_col)
+    if span_tokens is not None:
+        src = span_dedup(src, text_col, id_col, span_tokens=span_tokens).select(
+            id_col, text_col
+        )
+    if eval_df is not None:
+        src = decontaminate(src, eval_df, text_col=text_col, id_col=id_col,
+                            n=decontam_n)
+        src = src.select(id_col, text_col)
+    curated = curate_documents(
+        src, text_col, id_col, lang, min_quality, jaccard_threshold, k,
+        near_dup="minhash",
+    )
+    if ref_df is None:
+        return curated
+    lm = lm_quality_score(src, ref_df, text_col, id_col)
+    out = curated.join(lm, id_col)
+    if min_lm_score is not None:
+        out = out.filter(F.col("lm_score") >= min_lm_score)
+    return out.select(id_col, "n_tokens", "quality", "lm_score")

@@ -205,3 +205,28 @@ def test_degenerate_inputs_null_empty_text(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert ngram_jaccard_pairs(empty, "text", "doc_id").count() == 0
     assert minhash_lsh_pairs(empty, "text", "doc_id").count() == 0
+
+
+def test_curate_documents_extended_stage_composition(spark, sf_dir):
+    """The full-menu pipeline: no-optional == base; each optional stage
+    only removes or rewrites, never invents rows; final schema carries
+    the LM score when a reference corpus is supplied."""
+    from kafi_spark.functions.pipeline import (
+        curate_documents, curate_documents_extended)
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_ids = {r.doc_id for r in curate_documents(df).collect()}
+    assert {r.doc_id for r in curate_documents_extended(df).collect()} == base_ids
+
+    ev = df.filter("doc_id < 5").select("doc_id", "text")
+    decon_ids = {r.doc_id
+                 for r in curate_documents_extended(df, eval_df=ev).collect()}
+    assert decon_ids <= base_ids
+
+    ref = df.filter("doc_id < 100")
+    full = curate_documents_extended(
+        df, span_tokens=8, eval_df=ev, ref_df=ref, min_lm_score=-20.0)
+    rows = full.collect()
+    assert full.columns == ["doc_id", "n_tokens", "quality", "lm_score"]
+    assert 0 < len(rows) <= len(base_ids) + len(base_ids)  # sane bound
+    assert all(r.lm_score >= -20.0 for r in rows)
