@@ -9,9 +9,19 @@ training-data pipeline needs:
                    fingerprints, PII redaction, normalization
 * ``dedup``      — exact, n-gram Jaccard, MinHash+LSH, SimHash (+ portable
                    oracle-checkable twins), keep policies
+* ``spans``      — corpus-wide duplicate token-span / line removal
+                   (exact substring dedup, window plan)
+* ``bloom``      — Bloom-filter incremental dedup with persisted,
+                   mergeable DataFrame state
 * ``graph``      — connected components, transitive-closure dedup policy
 * ``similarity`` — cosine top-k (exact / LSH / IVF / int8-quantized),
-                   embedding near-dup pairs
+                   embedding near-dup pairs, SemDeDup semantic dedup
+* ``pq``         — product-quantization ANN (ADC scan + exact rescore)
+* ``importance`` — DSIR importance weights + Gumbel top-k selection,
+                   LM-perplexity quality scoring
+* ``bpe``        — histogram-trained BPE tokenizer, distributed encode
+* ``portable``   — the shared md5 hash every DuckDB-replayable
+                   operator derives from
 * ``temporal``   — as-of join, range join (batch + streaming)
 * ``packing``    — token-budget sequence packing
 * ``mixing``     — target-proportion corpus mixing
