@@ -30,33 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .similarity import _mat, _topk_per_batch, _unit
-
-
-def _kmeans_np(X: np.ndarray, n_codes: int, seed: int, n_iter: int = 10) -> np.ndarray:
-    """Seeded k-means (k-means++ init, Lloyd iterations) in numpy.
-    Deterministic for fixed (X, n_codes, seed). Returns (n_codes, d)."""
-    rng = np.random.RandomState(seed)
-    n = len(X)
-    k = min(n_codes, n)
-    # k-means++ seeding
-    centers = [X[rng.randint(n)]]
-    d2 = ((X - centers[0]) ** 2).sum(axis=1)
-    for _ in range(1, k):
-        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
-        centers.append(X[rng.choice(n, p=p)])
-        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
-    C = np.vstack(centers)
-    for _ in range(n_iter):
-        # assignment via (x-c)² = |x|² - 2x·c + |c|²; |x|² constant per row
-        assign = (-2 * X @ C.T + (C**2).sum(axis=1)).argmin(axis=1)
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                C[j] = X[mask].mean(axis=0)
-    if k < n_codes:  # degenerate tiny input: pad with repeats
-        C = np.vstack([C, np.repeat(C[:1], n_codes - k, axis=0)])
-    return C
+from .similarity import _kmeans_np, _mat, _topk_per_batch, _unit
 
 
 def pq_train(

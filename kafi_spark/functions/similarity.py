@@ -379,6 +379,32 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _kmeans_np(X: np.ndarray, n_codes: int, seed: int, n_iter: int = 10) -> np.ndarray:
+    """Seeded k-means (k-means++ init, Lloyd iterations) in numpy.
+    Deterministic for fixed (X, n_codes, seed). Returns (n_codes, d)."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(n_codes, n)
+    # k-means++ seeding
+    centers = [X[rng.randint(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers.append(X[rng.choice(n, p=p)])
+        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+    C = np.vstack(centers)
+    for _ in range(n_iter):
+        # assignment via (x-c)² = |x|² - 2x·c + |c|²; |x|² constant per row
+        assign = (-2 * X @ C.T + (C**2).sum(axis=1)).argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                C[j] = X[mask].mean(axis=0)
+    if k < n_codes:  # degenerate tiny input: pad with repeats
+        C = np.vstack([C, np.repeat(C[:1], n_codes - k, axis=0)])
+    return C
+
+
 def _estimate_rows(corpus: DataFrame, queries: DataFrame, vec_col: str) -> int:
     """Metadata-based corpus row-count estimate: Catalyst's sizeInBytes
     (file-size sum for parquet scans — no job) divided by an embedding
@@ -423,18 +449,20 @@ def _fit_centroids(
     started. When the estimate says the corpus is small, the modulus is
     1 and the filter is a no-op. ``queries`` is only consulted for the
     embedding dimensionality estimate (pass the corpus itself when
-    there is no separate query side)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    there is no separate query side).
 
+    The fit itself is seeded numpy Lloyd on the COLLECTED sample (the
+    same discipline the PQ codebooks use): the sample is driver-bounded
+    by construction, and a distributed KMeans on ≤ train_cap rows costs
+    ~40 tiny scheduler round-trips (2 jobs × 20 iterations) for work
+    the driver finishes in milliseconds — pure latency at any scale."""
     n_est = _estimate_rows(corpus, queries, vec_col)
     modulus = max(1, n_est // train_cap)
     train = corpus
     if modulus > 1:
         train = corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), modulus) == 0)
-    train = train.select(array_to_vector(F.col(vec_col)).alias("features"))
-    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    return np.vstack([np.asarray(c) for c in km.clusterCenters()])
+    X = _mat(train.select(vec_col).toPandas()[vec_col])
+    return _kmeans_np(X, n_cells, seed, n_iter=20)
 
 
 def cosine_topk_ivf(
