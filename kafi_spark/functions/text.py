@@ -283,3 +283,31 @@ def normalize_text(
     if collapse_whitespace:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+def strip_html(text: Column, collapse_whitespace: bool = True) -> Column:
+    """Extract visible text from HTML markup — the crawl-extraction
+    stage of a web-corpus pipeline, as a pure JVM regex chain (no
+    Python crossing, replayable by the SQL oracle):
+
+    1. drop ``<script>``/``<style>`` blocks wholesale (their content is
+       never prose),
+    2. drop comments, then every remaining tag,
+    3. decode the half-dozen entities that dominate real text
+       (&amp; &lt; &gt; &quot; &#39; &nbsp;),
+    4. collapse whitespace.
+
+    Regex-based extraction is the deliberately simple engine-level
+    primitive (boilerplate REMOVAL is a separate concern —
+    :func:`kafi_spark.functions.spans.line_dedup` handles chrome
+    repeated across pages corpus-wide).
+    """
+    out = F.regexp_replace(text, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+        out = F.regexp_replace(out, ent, ch)
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

@@ -258,3 +258,46 @@ def test_repetition_stats_null_text_rows_drop(spark):
     )
     got = {(r.doc_id, r.n) for r in repetition_stats(df, ns=(2,)).collect()}
     assert got == {(2, 2)}
+
+
+def test_strip_html(spark):
+    from kafi_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [("<html><head><style>p{color:red}</style>"
+          "<script>var x=1;</script></head>"
+          "<body><h1>Title</h1><!-- nav -->"
+          "<p>Hello &amp; welcome to <b>the</b>&nbsp;page</p></body></html>",),
+         ("plain text, no markup",),
+         ("a &lt;tag&gt; literal",)],
+        "html string")
+    got = [r.t for r in df.select(strip_html(F.col("html")).alias("t")).collect()]
+    assert got[0] == "Title Hello & welcome to the page"
+    assert got[1] == "plain text, no markup"
+    assert got[2] == "a <tag> literal"
+
+
+def test_strip_html_matches_duckdb(spark, sf_dir):
+    """The regex chain replays in DuckDB: same tags out, same entities
+    decoded — differential over synthesized markup wrapping real docs."""
+    import duckdb
+
+    from kafi_spark.functions.text import strip_html
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).select(
+        "doc_id",
+        F.concat(F.lit("<p>"), "text", F.lit(" &amp; more</p>")).alias("html"))
+    got = {r.doc_id: r.t
+           for r in df.select("doc_id", strip_html(F.col("html")).alias("t")).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = {r[0]: r[1] for r in con.sql("""
+        SELECT doc_id, trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace('<p>' || text || ' &amp; more</p>',
+                                  '<[^>]+>', ' ', 'gs'),
+                   '&amp;', '&', 'g'),
+                 '\\s+', ' ', 'g'))
+        FROM documents LIMIT 50
+    """).fetchall()}
+    assert got == want
