@@ -311,3 +311,65 @@ def strip_html(text: Column, collapse_whitespace: bool = True) -> Column:
     if collapse_whitespace:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in a text column, as ``array<string>`` — one
+    JVM ``regexp_extract_all``, no Python crossing. The pattern stops at
+    whitespace/brackets/quotes; sentence-final punctuation glued to the
+    URL (``…/x.``) is stripped per element."""
+    raw = F.regexp_extract_all(text, F.lit(r"https?://[^\s<>\"')\]]+"), 0)
+    return F.transform(raw, lambda u: F.regexp_replace(u, r"[.,;:!?]+$", ""))
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable host of a URL, lowercased, port and userinfo
+    stripped: ``https://User@WWW.Example.com:8080/p?q`` →
+    ``www.example.com``. NULL for non-URLs (no scheme/host)."""
+    host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@\s]*@)?([^/:?#\s]+)", 1)
+    return F.when(host == "", F.lit(None)).otherwise(F.lower(host))
+
+
+def domain_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain link statistics over a corpus: ``(domain, n_urls,
+    n_docs)`` — the aggregation behind per-domain quality decisions and
+    blocklist curation. One explode + one hash aggregate; the shuffle
+    carries (domain, partial counts) only."""
+    urls = df.select(
+        F.col(id_col), F.explode(extract_urls(F.col(text_col))).alias("url")
+    )
+    return (
+        urls.select(F.col(id_col), url_domain(F.col("url")).alias("domain"))
+        .filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )
+
+
+def filter_blocklisted_domains(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents containing a link to any blocklisted domain
+    (suffix match, so ``example.com`` also blocks ``sub.example.com``).
+    The blocklist is a Column literal — for list sizes beyond ~10⁵
+    entries switch to an anti-join against a domain frame."""
+    doms = F.transform(
+        extract_urls(F.col(text_col)), lambda u: url_domain(u)
+    )
+    blocked = F.exists(
+        doms,
+        lambda d: F.exists(
+            F.lit(blocklist),
+            lambda b: (d == b) | d.endswith(F.concat(F.lit("."), b)),
+        ),
+    )
+    return df.filter(~F.coalesce(blocked, F.lit(False)))

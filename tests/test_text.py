@@ -301,3 +301,33 @@ def test_strip_html_matches_duckdb(spark, sf_dir):
         FROM documents LIMIT 50
     """).fetchall()}
     assert got == want
+
+
+def test_url_extraction_and_domains(spark):
+    from kafi_spark.functions.text import (
+        domain_stats, extract_urls, filter_blocklisted_domains, url_domain)
+
+    df = spark.createDataFrame(
+        [(1, "see https://WWW.Example.com:8080/p?q=1 and http://a.b.org/x."),
+         (2, "no links here"),
+         (3, "bad https://spam.example.com/page plus https://ok.net, done")],
+        "doc_id long, text string")
+    urls = {r.doc_id: r.u for r in df.select(
+        "doc_id", extract_urls(F.col("text")).alias("u")).collect()}
+    # trailing sentence punctuation stripped, port/case kept in raw URL
+    assert urls[1] == ["https://WWW.Example.com:8080/p?q=1", "http://a.b.org/x"]
+    assert urls[2] == []
+    assert urls[3] == ["https://spam.example.com/page", "https://ok.net"]
+
+    d = df.select(url_domain(F.lit("https://User@WWW.Ex.com:8080/p")).alias("d")).first()
+    assert d.d == "www.ex.com"
+    assert df.select(url_domain(F.lit("not a url")).alias("d")).first().d is None
+
+    stats = {r.domain: (r.n_urls, r.n_docs) for r in domain_stats(df).collect()}
+    assert stats == {"www.example.com": (1, 1), "a.b.org": (1, 1),
+                     "spam.example.com": (1, 1), "ok.net": (1, 1)}
+
+    # suffix blocklisting drops doc 1 (exact) and doc 3 (subdomain)
+    kept = sorted(r.doc_id for r in
+                  filter_blocklisted_domains(df, ["example.com"]).collect())
+    assert kept == [2]
