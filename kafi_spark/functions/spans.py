@@ -24,7 +24,10 @@ Plan shape (2 shuffles, no joins, no subtree re-execution):
 
 Shuffle volume is ~corpus-sized both times (reassembly must carry the
 span text); that is inherent to any exact span dedup and both
-exchanges are map-side-projected to (id, span_id, fp, span).
+exchanges are map-side-projected to (id, span_id, fp, span). (An
+under-partitioned input — a single small file — picks up one extra
+round-robin spread before the explode, a no-op at real scale; see
+:func:`dedup._parallelize`.)
 """
 
 from __future__ import annotations
