@@ -373,3 +373,66 @@ def filter_blocklisted_domains(
         ),
     )
     return df.filter(~F.coalesce(blocked, F.lit(False)))
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """The Gopher quality-rule predicates (Rae et al. 2021 §A1.1) as
+    named boolean Columns (True = the rule PASSES). Built on
+    :func:`quality_features` plus the ellipsis/bullet line checks; each
+    is a pure JVM expression.
+
+    Rules: 50 ≤ words ≤ 100k; 3 ≤ mean word length ≤ 10; ≤ 30% of lines
+    end with an ellipsis; ≤ 90% of lines start with a bullet; ≥ 80% of
+    words contain an alphabetic character; ≥ 2 distinct stopwords
+    appear."""
+    feats = quality_features(text)
+    t = F.trim(text)
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    ).cast("double")
+    ellipsis = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
+    ).cast("double")
+    safe_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+    n_distinct_stop = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower(t), F.lit(r"\b(the|and|of|to|in|a|is|it)\b"), 0
+            )
+        )
+    )
+    return {
+        "word_count_ok": (feats["n_words"] >= 50) & (feats["n_words"] <= 100_000),
+        "word_length_ok": (feats["avg_word_len"] >= 3.0)
+        & (feats["avg_word_len"] <= 10.0),
+        "ellipsis_ok": (ellipsis / n_lines) <= 0.3,
+        "bullet_ok": (bullet / n_lines) <= 0.9,
+        "alpha_ok": (n_alpha_words / safe_words) >= 0.8,
+        "stopwords_ok": n_distinct_stop >= 2,
+    }
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", keep_flags: bool = False
+) -> DataFrame:
+    """Keep documents passing ALL Gopher quality rules.
+    ``keep_flags=True`` instead appends the per-rule boolean columns
+    (for auditing which rule rejects what) without filtering."""
+    rules = gopher_rules(F.col(text_col))
+    if keep_flags:
+        out = df
+        for name, col in rules.items():
+            out = out.withColumn(name, col)
+        return out
+    cond = None
+    for col in rules.values():
+        cond = col if cond is None else (cond & col)
+    return df.filter(cond)

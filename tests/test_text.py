@@ -331,3 +331,26 @@ def test_url_extraction_and_domains(spark):
     kept = sorted(r.doc_id for r in
                   filter_blocklisted_domains(df, ["example.com"]).collect())
     assert kept == [2]
+
+
+def test_gopher_rules_and_filter(spark):
+    from kafi_spark.functions.text import gopher_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and it is a fine day "
+            "in the park to walk and see the sights of it all ") * 3  # >50 words
+    short = "too short to pass"
+    bullets = "\n".join(f"- item {i} of the list and it is here" for i in range(10))
+    symbols = " ".join(["@#$% 123 !!!"] * 30)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, bullets), (4, symbols)],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in gopher_filter(df).collect())
+    assert 1 in kept
+    assert 2 not in kept          # word-count floor
+    assert 4 not in kept          # alphabetic-word floor
+    flags = {r.doc_id: r for r in gopher_filter(df, keep_flags=True).collect()}
+    assert flags[2].word_count_ok is False
+    assert flags[4].alpha_ok is False
+    assert flags[1].stopwords_ok is True
+    # bullet doc: every line starts with a bullet -> bullet_ok False
+    assert flags[3].bullet_ok is False
