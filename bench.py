@@ -62,6 +62,7 @@ HEADLINE = [
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_quantized",
     "ann_cosine_topk_pq",
+    "bm25_topk",
     "emb_neardup",
     "analytic_ops",
     "rollup_agg",
@@ -177,6 +178,23 @@ def bench_queries(entry_mod) -> dict:
         return cosine_topk_pq(corpus, queries_df, k=5, m_subspaces=8)
 
     qs["ann_cosine_topk_pq"] = q_ann_pq
+
+    def q_bm25(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.search import bm25_topk
+        from kafi_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        queries_df = d.filter(F.col("doc_id") < 10).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.trim("text"), r"\s+"), 1, 4), " "
+            ).alias("query"),
+        )
+        return bm25_topk(d, queries_df, k=10)
+
+    qs["bm25_topk"] = q_bm25
 
     return qs
 

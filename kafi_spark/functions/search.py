@@ -1,0 +1,126 @@
+"""Lexical search over a document corpus — BM25 top-k.
+
+The similarity family (:mod:`similarity`, :mod:`pq`) answers "nearest
+by embedding"; this module answers the complementary lexical question
+— BM25 (Robertson/Spärck Jones), the bar every retrieval pipeline
+benchmarks against and the cheap first stage of hybrid retrieval.
+
+Plan shape (posting-list join, no UDFs anywhere):
+
+* index — one explode builds (doc, term, tf) with a map-side-combined
+  aggregate; document lengths and the corpus constants (N, avgdl) are
+  one more aggregate, injected declaratively via a 1-row broadcast
+  cross join (no driver collect);
+* term statistics — df per term: the shuffle is bounded by vocabulary
+  size, not corpus size;
+* scoring — the query term set (tiny by construction) BROADCASTS onto
+  the posting lists keyed by term, so only postings of queried terms
+  are touched; per-(query, doc) partial scores sum in one aggregate and
+  a window takes top-k. The corpus text itself is never shuffled —
+  everything after the index carries (doc, term, tf) triples.
+
+Scores are fixed-order double arithmetic; the pytest suite carries a
+DuckDB differential at 1e-9 relative tolerance (sum order across
+engines differs at the last ulp, so this is tests-only, not a driver
+value-hash query).
+
+Reference scope: beyond-reference LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _terms(text_col, lowercase: bool = True):
+    t = F.trim(text_col)
+    if lowercase:
+        t = F.lower(t)
+    return F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def bm25_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the three BM25 frames: postings ``(id, term, tf)``,
+    doc lengths ``(id, dl)``, and term document-frequencies
+    ``(term, df)``. Reusable across query batches — persist the
+    postings to parquet for a standing index."""
+    toks = corpus.select(
+        F.col(id_col), F.explode(_terms(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    doclen = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return postings, doclen, dfreq
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "query",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k documents per query by BM25.
+
+    ``score(q,d) = Σ_{t∈q∩d} ln(1 + (N−df+0.5)/(df+0.5)) ·
+    tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` — the classic Okapi
+    formulation with the +1 idf floor (never negative). Duplicate terms
+    in a query count once (set semantics). Output:
+    (query_id, doc_id, score, rank), ties broken by doc id.
+    """
+    postings, doclen, dfreq = bm25_index(corpus, text_col, id_col)
+    consts = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(_terms(F.col(query_text_col)))).alias("term"),
+    )
+    idf = dfreq.crossJoin(F.broadcast(consts)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("__idf"),
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                F.col("__idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+    )
+    per_doc = scored.groupBy(query_id_col, id_col).agg(
+        F.sum("__s").alias("score")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return per_doc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
