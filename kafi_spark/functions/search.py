@@ -45,17 +45,28 @@ def bm25_index(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the three BM25 frames: postings ``(id, term, tf)``,
     doc lengths ``(id, dl)``, and term document-frequencies
     ``(term, df)``. Reusable across query batches — persist the
-    postings to parquet for a standing index."""
+    postings to parquet for a standing index.
+
+    ``materialize`` checkpoints the postings before deriving the other
+    two frames: FOUR consumers hang off the tokenize subtree (scoring,
+    dl, df, and the corpus constants) and without the barrier each
+    re-executes the corpus explode — six scans in the observed physical
+    plan (the repo's standard subtree-re-execution hazard; see
+    PLANS.md). Pass False only when writing the postings to storage
+    anyway."""
     toks = corpus.select(
         F.col(id_col), F.explode(_terms(F.col(text_col))).alias("term")
     )
     postings = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    if materialize:
+        postings = postings.localCheckpoint()
     doclen = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
