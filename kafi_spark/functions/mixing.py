@@ -101,3 +101,50 @@ def split_corpus(
         hi = resolution if i == len(names) - 1 else int(cum * resolution / total)
         out[name] = df.filter((bucket >= lo) & (bucket < hi))
     return out
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    k_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (fewer iff the stratum is
+    smaller), chosen by ranking a hashed uniform within each stratum —
+    deterministic for fixed (data, seed), unlike ``sampleBy`` (Bernoulli
+    per row: approximate counts, partition-order-sensitive). The eval-
+    set carve-out primitive: one window shuffle keyed on the stratum."""
+    from pyspark.sql import Window as W, functions as F
+
+    from kafi_spark.functions.portable import md5_long
+
+    if k_per_stratum < 1:
+        raise ValueError(f"k_per_stratum must be >= 1, got {k_per_stratum}")
+    key = md5_long(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = W.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k_per_stratum)
+        .drop("__rank")
+    )
+
+
+def shuffle_deterministic(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Global deterministic permutation by hashed id — the
+    training-order shuffle: same (data, seed) ⇒ same order on any
+    cluster size or partitioning. One range-partitioned sort; write the
+    result with ``sortWithinPartitions`` preserved for reproducible
+    epoch order."""
+    from pyspark.sql import functions as F
+
+    from kafi_spark.functions.portable import md5_long
+
+    key = md5_long(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    return df.orderBy(key, F.col(id_col))

@@ -182,3 +182,65 @@ def line_dedup(
     (navigation chrome, cookie banners) and every copy is dropped."""
     spans = text_lines(df, text_col, id_col, sep)
     return _dedup_spans(spans, id_col, sep, max_occurrences, keep)
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into token-window CHUNKS for embedding/RAG
+    pipelines: ``(id, chunk_id, chunk, n_tokens, start_token)``.
+
+    ``stride`` defaults to ``max_tokens`` (non-overlapping — exactly
+    :func:`text_spans` plus provenance columns); a smaller stride
+    yields overlapping windows (the standard retrieval-chunking trick
+    so no answer straddles a boundary unseen). Chunk starts step by
+    ``stride``; every chunk except possibly the last has ``max_tokens``
+    tokens; trailing starts that would duplicate a full suffix already
+    emitted are kept only while they add new tokens (start < n_words).
+
+    Same JVM-only shape as :func:`text_spans`: one bound split, one
+    posexplode — no shuffle at all (chunking is embarrassingly
+    parallel); provenance (id, chunk_id, start_token) supports joining
+    chunk-level results back to documents.
+    """
+    from .dedup import _parallelize
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not (1 <= stride <= max_tokens):
+        raise ValueError(
+            f"stride must be in [1, max_tokens], got {stride} (max_tokens={max_tokens})"
+        )
+    bound = _parallelize(df).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+    )
+    n_words = F.size("__words")
+    # number of chunk starts: ceil(max(n_words - max_tokens, 0) / stride) + 1
+    n_chunks = (
+        F.ceil(F.greatest(n_words - max_tokens, F.lit(0)) / F.lit(stride)).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * stride).alias("start"),
+            F.array_join(
+                F.slice("__words", i * stride + 1, max_tokens), " "
+            ).alias("chunk"),
+            F.least(n_words - i * stride, F.lit(max_tokens)).alias("n"),
+        ),
+    )
+    return bound.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n").cast("long").alias("n_tokens"),
+        F.col("c.start").cast("long").alias("start_token"),
+    )

@@ -107,3 +107,39 @@ def test_split_corpus_rejects_bad_weights(spark):
         split_corpus(df, {"a": 0.0, "b": 0.0})
     with pytest.raises(ValueError):
         split_corpus(df, {"a": -1.0, "b": 2.0})
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
+    from kafi_spark.functions.mixing import stratified_sample_exact
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample_exact(df, "source", k_per_stratum=10, seed=7)
+    counts = {r.source: r.c for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    avail = {r.source: r.c for r in
+             df.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for s, c in counts.items():
+        assert c == min(10, avail[s])
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in
+                  stratified_sample_exact(df, "source", 10, seed=7).collect())
+    assert ids1 == ids2
+    ids3 = sorted(r.doc_id for r in
+                  stratified_sample_exact(df, "source", 10, seed=8).collect())
+    assert ids3 != ids1
+    # repartitioning the input must not change membership
+    ids4 = sorted(r.doc_id for r in stratified_sample_exact(
+        df.repartition(7), "source", 10, seed=7).collect())
+    assert ids4 == ids1
+
+
+def test_shuffle_deterministic_is_a_stable_permutation(spark, sf_dir):
+    from kafi_spark.functions.mixing import shuffle_deterministic
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    o1 = [r.doc_id for r in shuffle_deterministic(df, seed=1).collect()]
+    o2 = [r.doc_id for r in shuffle_deterministic(df.repartition(5), seed=1).collect()]
+    assert o1 == o2                      # partition-layout independent
+    assert sorted(o1) == sorted(set(o1))  # a permutation, no dup/loss
+    o3 = [r.doc_id for r in shuffle_deterministic(df, seed=2).collect()]
+    assert o3 != o1

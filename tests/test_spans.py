@@ -109,3 +109,34 @@ def test_span_dedup_matches_duckdb_oracle(spark, sf_dir):
                COUNT(*) FROM ranked WHERE n <= 1 OR rn = 1 GROUP BY doc_id
     """).fetchall()}
     assert got == want
+
+
+def test_chunk_text_nonoverlapping(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_id, r.chunk, r.n_tokens, r.start_token)
+        for r in sp.chunk_text(df, max_tokens=3).collect())
+    assert got == [(0, "a b c", 3, 0), (1, "d e f", 3, 3), (2, "g", 1, 6)]
+
+
+def test_chunk_text_overlapping_stride(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_id, r.chunk, r.start_token)
+        for r in sp.chunk_text(df, max_tokens=3, stride=2).collect())
+    # starts 0,2: windows abc, cde — start 2 already covers the last
+    # token, so no ragged third window is emitted
+    assert got == [(0, "a b c", 0), (1, "c d e", 2)]
+    # short doc → one chunk
+    df2 = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    got2 = [(r.chunk, r.n_tokens) for r in
+            sp.chunk_text(df2, max_tokens=3, stride=2).collect()]
+    assert got2 == [("x y", 2)]
+
+
+def test_chunk_text_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        sp.chunk_text(df, max_tokens=0)
+    with pytest.raises(ValueError):
+        sp.chunk_text(df, max_tokens=4, stride=5)
