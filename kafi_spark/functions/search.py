@@ -135,3 +135,40 @@ def bm25_topk(
     return per_doc.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def reciprocal_rank_fusion(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hybrid-retrieval fusion: combine two ranked candidate frames
+    (e.g. :func:`bm25_topk` and an ANN ``cosine_topk`` — both emit
+    ``(query_id, id, score, rank)``) by Reciprocal Rank Fusion
+    (Cormack et al. 2009): ``score(d) = Σ_lists 1/(rrf_k + rank_d)``,
+    missing-from-a-list contributes 0. Scale-free (no score
+    calibration between lexical and vector scores needed) and one
+    outer-join + window over candidate sets that are tiny by
+    construction (≤ Q·k rows each)."""
+    a = ranked_a.select(
+        query_id_col, id_col,
+        (1.0 / (rrf_k + F.col("rank"))).alias("__ra"))
+    b = ranked_b.select(
+        query_id_col, id_col,
+        (1.0 / (rrf_k + F.col("rank"))).alias("__rb"))
+    fused = (
+        a.join(b, [query_id_col, id_col], "full_outer")
+        .select(
+            query_id_col,
+            id_col,
+            (F.coalesce(F.col("__ra"), F.lit(0.0))
+             + F.coalesce(F.col("__rb"), F.lit(0.0))).alias("score"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return fused.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

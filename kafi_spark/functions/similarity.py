@@ -733,3 +733,29 @@ def semantic_dedup(
     )
     kept = keep_representatives(pairs, df.select(id_col), id_col)
     return df.join(kept, id_col, "left_semi")
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool chunk embeddings back to one vector per group — the
+    chunk→document aggregation after embedding :func:`spans.chunk_text`
+    output. Long-format plan (posexplode to (group, dim, value), avg,
+    sorted-struct reassembly): the shuffle carries scalars with
+    map-side partial averages, and nothing assumes a fixed
+    dimensionality. Groups mixing dimensionalities raise upstream in
+    the explode (ragged positions simply appear) — standard embedding
+    tables are fixed-dim."""
+    longf = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("__dim", "__v")
+    )
+    pooled = longf.groupBy(group_col, "__dim").agg(F.avg("__v").alias("__m"))
+    return pooled.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+            lambda x: x["__m"].cast("float"),
+        ).alias(out_col)
+    )

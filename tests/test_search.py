@@ -86,3 +86,47 @@ def test_bm25_matches_duckdb_oracle(spark, sf_dir):
     assert set(got) == set(want)
     for key in got:
         assert got[key] == pytest.approx(want[key], rel=1e-9), key
+
+
+def test_reciprocal_rank_fusion(spark):
+    a = spark.createDataFrame(
+        [(1, 10, 5.0, 1), (1, 11, 4.0, 2), (1, 12, 3.0, 3)],
+        "query_id long, doc_id long, score double, rank int")
+    b = spark.createDataFrame(
+        [(1, 11, 0.9, 1), (1, 13, 0.8, 2)],
+        "query_id long, doc_id long, score double, rank int")
+    out = sorted(srch.reciprocal_rank_fusion(a, b, k=4, rrf_k=60).collect(),
+                 key=lambda r: r.rank)
+    # doc 11 appears in both lists (ranks 2 and 1) → must fuse to #1
+    assert out[0].doc_id == 11
+    assert out[0].score == pytest.approx(1 / 62 + 1 / 61)
+    # single-list docs keep their reciprocal contribution
+    by_id = {r.doc_id: r.score for r in out}
+    assert by_id[10] == pytest.approx(1 / 61)
+    assert by_id[13] == pytest.approx(1 / 62)
+    assert set(by_id) == {10, 11, 12, 13}
+
+
+def test_hybrid_bm25_plus_ann_end_to_end(spark, sf_dir):
+    """Lexical + vector retrieval fused: runs on the real tables and
+    returns k fused hits per query with both sources represented."""
+    from kafi_spark.functions.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_txt = docs.filter("doc_id < 3").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 4), " ")
+        .alias("query"))
+    lex = srch.bm25_topk(docs, queries_txt, k=10)
+    queries_vec = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    vec = cosine_topk(emb.filter("vec_id >= 3"), queries_vec, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "score", "rank")
+    fused = srch.reciprocal_rank_fusion(lex, vec, k=5)
+    rows = fused.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

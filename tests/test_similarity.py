@@ -216,3 +216,13 @@ def test_block_pairs_group_col_restricts_pairing(spark):
            for r in sim._block_pairs_exact(df, "vec_id", "embedding",
                                            0.99, 2, group_col="cell").collect()}
     assert got == {(1, 2)}
+
+
+def test_mean_pool_embeddings(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])],
+        "doc_id long, embedding array<float>")
+    got = {r.doc_id: r.embedding
+           for r in sim.mean_pool_embeddings(df, "doc_id").collect()}
+    assert got[1] == pytest.approx([2.0, 3.0])
+    assert got[2] == pytest.approx([5.0, 6.0])
