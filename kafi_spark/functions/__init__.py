@@ -17,6 +17,7 @@ training-data pipeline needs:
 * ``similarity`` — cosine top-k (exact / LSH / IVF / int8-quantized),
                    embedding near-dup pairs, SemDeDup semantic dedup
 * ``pq``         — product-quantization ANN (ADC scan + exact rescore)
+* ``search``     — BM25 posting-list search + reciprocal-rank fusion
 * ``importance`` — DSIR importance weights + Gumbel top-k selection,
                    LM-perplexity quality scoring
 * ``bpe``        — histogram-trained BPE tokenizer, distributed encode

@@ -63,3 +63,27 @@ def test_bpe_encode_deterministic(spark, sf_dir):
     a = {r.doc_id: tuple(r.tokens) for r in bpe.bpe_encode(df, merges).collect()}
     b = {r.doc_id: tuple(r.tokens) for r in bpe.bpe_encode(df, merges).collect()}
     assert a == b
+
+
+def test_bpe_tokenize_then_pack_composition(spark, sf_dir):
+    """The tokenize→pack path: real BPE token counts feed the packer;
+    every pack respects the budget and covers every document."""
+    from pyspark.sql import functions as F
+
+    from kafi_spark.functions.packing import pack_documents
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    merges = bpe.train_bpe(bpe.word_histogram(df), vocab_size=300)
+    enc = bpe.bpe_encode(df, merges).select("doc_id", "n_tokens")
+    packed = pack_documents(enc, "doc_id", "n_tokens", budget=256)
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in enc.collect()}
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in per_pack.items():
+        total = sum(m.n_tokens for m in members)
+        assert all(m.pack_tokens == total for m in members)
+        # a pack exceeds the budget only as a single oversized doc
+        if total > 256:
+            assert len(members) == 1
