@@ -131,9 +131,12 @@ def curate_documents_extended(
 
     Optional stages off (None) ⇒ exactly the base pipeline's semantics.
     Output: (id, n_tokens, quality[, lm_score]). Every stage is one of
-    the engine's first-class operators composed in ONE declarative job;
-    the only materialization barriers are the two the operators
-    themselves sanction (the survivor checkpoint, the span window).
+    the engine's first-class operators composed declaratively; the
+    materialization barriers are the survivor checkpoint the base
+    pipeline sanctions plus ONE checkpoint of the rewritten source when
+    optional pre-stages ran (its consumers would otherwise re-execute
+    the span/decontamination subtrees several times over — see the
+    inline comment).
     """
     from kafi_spark.functions.contamination import decontaminate
     from kafi_spark.functions.importance import lm_quality_score
@@ -148,6 +151,15 @@ def curate_documents_extended(
         src = decontaminate(src, eval_df, text_col=text_col, id_col=id_col,
                             n=decontam_n)
         src = src.select(id_col, text_col)
+    if span_tokens is not None or eval_df is not None:
+        # the rewritten source feeds MANY consumers inside
+        # curate_documents (stats, near-dup docs, verification texts)
+        # plus the LM scorer — without a barrier the span-dedup window
+        # shuffles / decontamination shingle explode re-execute per
+        # consumer (observed: 28 scans / 110 exchanges in the combined
+        # plan, past plan_audit's own hard gates). Same sanctioned
+        # localCheckpoint the base pipeline applies to its survivors.
+        src = src.localCheckpoint()
     curated = curate_documents(
         src, text_col, id_col, lang, min_quality, jaccard_threshold, k,
         near_dup="minhash",

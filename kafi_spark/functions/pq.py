@@ -56,7 +56,16 @@ def pq_train(
     sample = df
     if modulus > 1:
         sample = df.filter(F.pmod(F.xxhash64(F.col(id_col)), modulus) == 0)
-    X = _mat(sample.select(vec_col).toPandas()[vec_col])
+    # hash-ordered limit = the HARD driver-memory bound (the modulus
+    # only thins; a compressed-parquet sizeInBytes estimate can be a
+    # few-x off) — deterministic total order, partial top-k per
+    # partition, never over-collects
+    sample = (
+        sample.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__k"))
+        .orderBy("__k")
+        .limit(train_cap)
+    )
+    X = _mat(sample.toPandas()[vec_col])
     if normalize:
         X = _unit(X)
     d = X.shape[1]

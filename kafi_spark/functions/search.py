@@ -33,12 +33,11 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def _terms(text_col, lowercase: bool = True):
-    t = F.trim(text_col)
-    if lowercase:
-        t = F.lower(t)
-    return F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
-        F.array().cast("array<string>")
-    )
+    # the ONE tokenizer definition (text.words_of) so BM25 terms can
+    # never silently diverge from the quality-feature word semantics
+    from .text import words_of
+
+    return words_of(text_col, lowercase=lowercase)
 
 
 def bm25_index(
@@ -67,7 +66,18 @@ def bm25_index(
     )
     if materialize:
         postings = postings.localCheckpoint()
-    doclen = postings.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    # doc lengths over the WHOLE corpus, dl=0 for empty/null-text docs:
+    # Okapi's N and avgdl are corpus statistics — deriving them from
+    # the postings alone silently drops token-less documents and
+    # deflates every idf term relative to external BM25 implementations
+    token_sums = postings.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("__dl")
+    )
+    doclen = (
+        corpus.select(id_col)
+        .join(token_sums, id_col, "left")
+        .select(id_col, F.coalesce("__dl", F.lit(0)).cast("long").alias("dl"))
+    )
     dfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )

@@ -379,27 +379,45 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _kmeans_np(X: np.ndarray, n_codes: int, seed: int, n_iter: int = 10) -> np.ndarray:
-    """Seeded k-means (k-means++ init, Lloyd iterations) in numpy.
-    Deterministic for fixed (X, n_codes, seed). Returns (n_codes, d)."""
-    rng = np.random.RandomState(seed)
+def _kmeans_np(
+    X: np.ndarray, n_codes: int, seed: int, n_iter: int = 10, n_init: int = 3
+) -> np.ndarray:
+    """Seeded k-means in numpy: ``n_init`` independent k-means++ inits,
+    each Lloyd-refined, lowest-inertia run wins — the standard restart
+    defense against an unlucky seeding (a single init's quality depends
+    on the D² draw, which depends on row order; restarts make recall
+    stable across sample orderings). Deterministic for fixed
+    (X, n_codes, seed). Returns (n_codes, d)."""
     n = len(X)
     k = min(n_codes, n)
-    # k-means++ seeding
-    centers = [X[rng.randint(n)]]
-    d2 = ((X - centers[0]) ** 2).sum(axis=1)
-    for _ in range(1, k):
-        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
-        centers.append(X[rng.choice(n, p=p)])
-        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
-    C = np.vstack(centers)
-    for _ in range(n_iter):
-        # assignment via (x-c)² = |x|² - 2x·c + |c|²; |x|² constant per row
-        assign = (-2 * X @ C.T + (C**2).sum(axis=1)).argmin(axis=1)
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                C[j] = X[mask].mean(axis=0)
+
+    def one_run(run_seed: int) -> tuple[np.ndarray, float]:
+        rng = np.random.RandomState(run_seed)
+        centers = [X[rng.randint(n)]]
+        d2 = ((X - centers[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+            centers.append(X[rng.choice(n, p=p)])
+            d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+        C = np.vstack(centers)
+        for _ in range(n_iter):
+            # assignment via (x-c)² = |x|² - 2x·c + |c|²; |x|² constant/row
+            dist = -2 * X @ C.T + (C**2).sum(axis=1)
+            assign = dist.argmin(axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    C[j] = X[mask].mean(axis=0)
+        final = -2 * X @ C.T + (C**2).sum(axis=1)
+        inertia = float(final.min(axis=1).sum())  # + Σ|x|², constant
+        return C, inertia
+
+    best_c, best_i = None, None
+    for r in range(max(1, n_init)):
+        C, inertia = one_run(seed + 7919 * r)
+        if best_i is None or inertia < best_i:
+            best_c, best_i = C, inertia
+    C = best_c
     if k < n_codes:  # degenerate tiny input: pad with repeats
         C = np.vstack([C, np.repeat(C[:1], n_codes - k, axis=0)])
     return C
@@ -410,15 +428,18 @@ def _estimate_rows(corpus: DataFrame, queries: DataFrame, vec_col: str) -> int:
     (file-size sum for parquet scans — no job) divided by an embedding
     row width derived from the query side's dimensionality (one
     ``first()`` on the SMALL side). Only used to pick a training-sample
-    modulus, so a few-x error is harmless; falls back to a real count if
-    plan statistics are unreachable."""
+    THINNING modulus — the hard sample-size bound is the hash-ordered
+    ``limit(train_cap)`` in the fit paths, so a few-x error here (e.g.
+    parquet compression shrinking bytes-per-row) costs at most a
+    larger-than-needed pre-limit stream, never driver memory; falls
+    back to a real count if plan statistics are unreachable."""
     try:
         # py4j hands BigInt back as a plain Python int
         size = int(corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         if size <= 0 or size >= (1 << 62):
             # stat-less plans report a Long.MaxValue-ish sentinel; an
             # unguarded sentinel would yield an astronomical modulus and
-            # an EMPTY training sample (KMeans.fit crash)
+            # an EMPTY training sample (nothing to fit on)
             return corpus.count()
         q0 = queries.select(vec_col).first()
         dim = len(q0[0]) if q0 is not None and q0[0] is not None else 0
@@ -452,16 +473,25 @@ def _fit_centroids(
     there is no separate query side).
 
     The fit itself is seeded numpy Lloyd on the COLLECTED sample (the
-    same discipline the PQ codebooks use): the sample is driver-bounded
-    by construction, and a distributed KMeans on ≤ train_cap rows costs
-    ~40 tiny scheduler round-trips (2 jobs × 20 iterations) for work
-    the driver finishes in milliseconds — pure latency at any scale."""
+    same discipline the PQ codebooks use): a distributed KMeans on
+    ≤ train_cap rows costs ~40 tiny scheduler round-trips (2 jobs × 20
+    iterations) for work the driver finishes in milliseconds — pure
+    latency at any scale. The modulus only THINS the stream; the HARD
+    driver-memory bound is the hash-ordered ``limit(train_cap)``
+    (TakeOrderedAndProject: partial top-k per partition, deterministic
+    total order) — a few-x sizeInBytes estimate error, routine with
+    parquet compression, can then never over-collect."""
     n_est = _estimate_rows(corpus, queries, vec_col)
     modulus = max(1, n_est // train_cap)
     train = corpus
     if modulus > 1:
         train = corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), modulus) == 0)
-    X = _mat(train.select(vec_col).toPandas()[vec_col])
+    sample = (
+        train.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__k"))
+        .orderBy("__k")
+        .limit(train_cap)
+    )
+    X = _mat(sample.toPandas()[vec_col])
     return _kmeans_np(X, n_cells, seed, n_iter=20)
 
 

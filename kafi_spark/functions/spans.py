@@ -216,7 +216,14 @@ def chunk_text(
         raise ValueError(
             f"stride must be in [1, max_tokens], got {stride} (max_tokens={max_tokens})"
         )
-    bound = _parallelize(df).select(
+    # null/empty documents produce NO chunk rows — without this filter
+    # the NULL words array slips through the chunk-count arithmetic
+    # (least()/greatest() skip NULL operands) and emits a phantom
+    # (chunk=NULL, n_tokens=max_tokens) row that corrupts downstream
+    # token accounting
+    bound = _parallelize(
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    ).select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
     )
     n_words = F.size("__words")

@@ -25,6 +25,19 @@ LANG_MARKERS: list[tuple[str, str]] = [
 ]
 
 
+def words_of(text: Column, lowercase: bool = False) -> Column:
+    """THE null-safe whitespace tokenizer: array of words, empty array
+    for null/empty/whitespace-only text. Every operator that tokenizes
+    (quality features, Gopher rules, BM25 terms) goes through this one
+    definition so word semantics can never silently diverge."""
+    t = F.trim(text)
+    if lowercase:
+        t = F.lower(t)
+    return F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (BPE-ish refinement: see ``bpe_token_estimate``)."""
     t = F.trim(text)
@@ -66,7 +79,7 @@ def quality_features(text: Column) -> dict[str, Column]:
     integer counts — deterministic across engines."""
     t = F.trim(text)
     n_chars = F.length(t).cast("long")
-    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(F.array().cast("array<string>"))
+    words = words_of(text)
     n_words = F.size(words).cast("long")
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()-]", "")).cast("long")
     n_digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("long")
@@ -395,13 +408,23 @@ def gopher_rules(text: Column) -> dict[str, Column]:
     ellipsis = F.size(
         F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
     ).cast("double")
-    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
-        F.array().cast("array<string>")
-    )
+    words = words_of(text)
     n_alpha_words = F.size(
         F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
     ).cast("double")
     safe_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+    # TRUE mean word length (Σ len(word) / words): quality_features'
+    # avg_word_len divides TRIMMED CHARS (spaces included) by words,
+    # which shifts the Gopher [3,10] band by ~+1 and misclassifies
+    # boundary documents — the rule needs the space-free mean
+    mean_word_len = (
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w).cast("long"),
+        ).cast("double")
+        / safe_words
+    )
     n_distinct_stop = F.size(
         F.array_distinct(
             F.regexp_extract_all(
@@ -411,8 +434,7 @@ def gopher_rules(text: Column) -> dict[str, Column]:
     )
     return {
         "word_count_ok": (feats["n_words"] >= 50) & (feats["n_words"] <= 100_000),
-        "word_length_ok": (feats["avg_word_len"] >= 3.0)
-        & (feats["avg_word_len"] <= 10.0),
+        "word_length_ok": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
         "ellipsis_ok": (ellipsis / n_lines) <= 0.3,
         "bullet_ok": (bullet / n_lines) <= 0.9,
         "alpha_ok": (n_alpha_words / safe_words) >= 0.8,

@@ -58,7 +58,9 @@ def test_bm25_matches_duckdb_oracle(spark, sf_dir):
           FROM documents),
         postings AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
                      FROM toks GROUP BY doc_id, term),
-        doclen AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+        doclen AS (SELECT d.doc_id, COALESCE(SUM(p.tf), 0)::BIGINT AS dl
+                   FROM documents d LEFT JOIN postings p USING (doc_id)
+                   GROUP BY d.doc_id),
         dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM postings GROUP BY term),
         consts AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM doclen),
         qterms AS (
@@ -130,3 +132,18 @@ def test_hybrid_bm25_plus_ann_end_to_end(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert set(per_q) == {0, 1, 2}
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_bm25_counts_empty_docs_in_corpus_stats(spark):
+    """N and avgdl are CORPUS statistics: adding token-less documents
+    must lower avgdl and raise N (deflating neither silently)."""
+    base = [(1, "alpha beta"), (2, "alpha gamma")]
+    with_empty = base + [(3, ""), (4, None)]
+    q = spark.createDataFrame([(1, "alpha")], "query_id long, query string")
+    s_base = {r.doc_id: r.score for r in srch.bm25_topk(
+        spark.createDataFrame(base, "doc_id long, text string"), q, k=5).collect()}
+    s_full = {r.doc_id: r.score for r in srch.bm25_topk(
+        spark.createDataFrame(with_empty, "doc_id long, text string"), q, k=5).collect()}
+    # same retrieved docs, but N rose 2→4 with df=2 ⇒ idf strictly larger
+    assert set(s_base) == set(s_full) == {1, 2}
+    assert all(s_full[d] > s_base[d] for d in s_base)
