@@ -72,9 +72,14 @@ def pq_train(
     if d % m_subspaces != 0:
         raise ValueError(f"dim {d} not divisible by m_subspaces {m_subspaces}")
     w = d // m_subspaces
+    # single init per subspace: PQ quantization error is smoothed over M
+    # independent codebooks AND corrected by the exact rescore phase, so
+    # restart selection (which triples training time at k=256) buys no
+    # measurable recall here — unlike the cell-assignment fits, where
+    # partition quality directly gates probe recall
     return np.stack(
         [
-            _kmeans_np(X[:, j * w : (j + 1) * w], n_codes, seed + j)
+            _kmeans_np(X[:, j * w : (j + 1) * w], n_codes, seed + j, n_init=1)
             for j in range(m_subspaces)
         ]
     )
