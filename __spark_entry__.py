@@ -1618,7 +1618,25 @@ def q_analytic_ops(spark, sf_dir):
         F.col("prev_price").cast("double").alias("v1"),
         F.col("next_price").cast("double").alias("v2"),
     )
-    return topn.unionByName(lag)
+    fun = q_analytic_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("op"),
+        F.col("step").alias("grp"),
+        F.col("step_idx").cast("long").alias("o_orderkey"),
+        F.col("n_users").cast("double").alias("o_totalprice"),
+        F.lit(None).cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return topn.unionByName(lag).unionByName(fun)
+
+
+def q_analytic_funnel(spark, sf_dir):
+    """Ordered-funnel conversion over the events table (view → click →
+    purchase, earliest-qualifying-event semantics); beyond-reference
+    event analytics, full SQL oracle via the chained min-join CTEs."""
+    from kafi_spark.functions.analytic import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
 
 
 def q_decontaminate(spark, sf_dir):
@@ -1776,6 +1794,24 @@ _EXTRA_SQL = {
                lead(o_totalprice) OVER w AS v2
         FROM orders WHERE o_custkey < 100
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        UNION ALL
+        SELECT 'funnel' AS op, s AS grp, i AS o_orderkey,
+               n AS o_totalprice, CAST(NULL AS DOUBLE) AS v1,
+               CAST(NULL AS DOUBLE) AS v2
+        FROM (
+          WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                      WHERE event_type = 'view' GROUP BY user_id),
+          s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                 JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+                 WHERE e.event_type = 'click' GROUP BY e.user_id),
+          s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                 JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+                 WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+          SELECT CAST(0 AS BIGINT) AS i, 'view' AS s,
+                 CAST(COUNT(*) AS DOUBLE) AS n FROM s0
+          UNION ALL SELECT 1, 'click', CAST(COUNT(*) AS DOUBLE) FROM s1
+          UNION ALL SELECT 2, 'purchase', CAST(COUNT(*) AS DOUBLE) FROM s2
+        )
     """,
     "decontaminate": r"""
         WITH sh AS (

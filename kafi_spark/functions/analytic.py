@@ -150,3 +150,63 @@ def time_rollup(
         *df.columns,
     )
     return exploded.groupBy("grain", "bucket", *group_cols).agg(*aggs)
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users completed step 1, then
+    step 2 STRICTLY AFTER their step 1, and so on — the classic event
+    analytics funnel, as a chain of per-step aggregates.
+
+    A user reaches step k+1 iff some step-(k+1) event lands strictly
+    after their EARLIEST qualifying step-k time (the standard greedy
+    definition — earliest-first maximizes later-step reachability for
+    funnels without revisits); ``within_seconds`` additionally bounds
+    every step to that horizon from the user's funnel START.
+
+    Output: one row per step — ``(step_idx, step, n_users)``. Plan: k−1
+    per-step joins on the user id (each stage frame is one row per
+    surviving user, shrinking monotonically; Catalyst broadcasts late
+    stages under AQE) + k single-row count aggregates unioned. No
+    windows over the raw event stream, no UDFs.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    stage = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+        .withColumn("__t0", F.col("__t"))
+    )
+    out = stage.agg(
+        F.lit(0).alias("step_idx"),
+        F.lit(steps[0]).alias("step"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    for i, step_name in enumerate(steps[1:], start=1):
+        nxt = events.filter(F.col(type_col) == step_name).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        joined = nxt.join(stage, user_col).filter(F.col("__ts") > F.col("__t"))
+        if within_seconds is not None:
+            joined = joined.filter(
+                F.col("__ts").cast("long")
+                <= F.col("__t0").cast("long") + within_seconds
+            )
+        stage = joined.groupBy(user_col).agg(
+            F.min("__ts").alias("__t"), F.min("__t0").alias("__t0")
+        )
+        out = out.unionByName(
+            stage.agg(
+                F.lit(i).alias("step_idx"),
+                F.lit(step_name).alias("step"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+    return out

@@ -178,3 +178,68 @@ def test_percentiles_match_duckdb(spark, sf_dir):
     assert [(t, float(p), round(v, 9)) for t, p, v in got] == [
         (t, float(p), round(v, 9)) for t, p, v in want
     ]
+
+
+def test_funnel_basic_and_ordering(spark):
+    from kafi_spark.functions.analytic import funnel
+
+    rows = [
+        # u1 completes view -> click -> purchase in order
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # u2 clicks BEFORE viewing: click doesn't count, re-click missing
+        (2, "click", 50), (2, "view", 100),
+        # u3 views only
+        (3, "view", 10),
+        # u4 full funnel but purchase precedes click -> stops at click
+        (4, "view", 10), (4, "purchase", 20), (4, "click", 30),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, __import__("datetime").datetime.fromtimestamp(ts))
+         for u, t, ts in rows],
+        "user_id long, event_type string, ts timestamp")
+    got = {(r.step_idx, r.step): r.n_users
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {(0, "view"): 4, (1, "click"): 2, (2, "purchase"): 1}
+
+
+def test_funnel_within_horizon(spark):
+    from kafi_spark.functions.analytic import funnel
+
+    rows = [(1, "view", 0), (1, "click", 5), (1, "purchase", 500),
+            (2, "view", 0), (2, "click", 5), (2, "purchase", 50)]
+    ev = spark.createDataFrame(
+        [(u, t, __import__("datetime").datetime.fromtimestamp(ts))
+         for u, t, ts in rows],
+        "user_id long, event_type string, ts timestamp")
+    got = {(r.step_idx, r.step): r.n_users
+           for r in funnel(ev, ["view", "click", "purchase"],
+                           within_seconds=100).collect()}
+    # u1's purchase at +500s falls outside the horizon from funnel start
+    assert got == {(0, "view"): 2, (1, "click"): 2, (2, "purchase"): 1}
+
+
+def test_funnel_matches_duckdb(spark, sf_dir):
+    from kafi_spark.functions.analytic import funnel
+    from kafi_spark.session import read_table
+
+    import duckdb
+
+    ev = read_table(spark, sf_dir, "events")
+    got = {(r.step_idx, r.step): r.n_users
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = {(r[0], r[1]): r[2] for r in con.sql("""
+        WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+               JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+               JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT 0 AS i, 'view' AS s, COUNT(*)::BIGINT FROM s0
+        UNION ALL SELECT 1, 'click', COUNT(*)::BIGINT FROM s1
+        UNION ALL SELECT 2, 'purchase', COUNT(*)::BIGINT FROM s2
+    """).fetchall()}
+    assert got == want and got[(0, "view")] > 0
