@@ -210,3 +210,54 @@ def funnel(
             )
         )
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_periods: int = 12,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their FIRST-ACTIVITY
+    period (the cohort), counted in each later period they return.
+
+    Output: ``(cohort, period_offset, n_users)`` — offset 0 is the
+    cohort size itself; ``period`` is any ``date_trunc`` unit. Plan:
+    one window-free aggregate for first activity (groupBy min), one
+    join back keyed on the user id, one distinct-count aggregate —
+    the (user, period) distinct happens BEFORE counting so multiple
+    events in a period count once.
+    """
+    if max_periods < 1:
+        raise ValueError(f"max_periods must be >= 1, got {max_periods}")
+    per = F.date_trunc(period, F.col(ts_col))
+    firsts = events.groupBy(user_col).agg(
+        F.min(per).alias("__cohort")
+    )
+    activity = events.select(F.col(user_col), per.alias("__p")).distinct()
+    offs = (
+        activity.join(firsts, user_col)
+        .select(
+            F.col("__cohort").alias("cohort"),
+            F.floor(
+                (F.col("__p").cast("long") - F.col("__cohort").cast("long"))
+                / F.lit(_PERIOD_SECONDS[period])
+            ).cast("int").alias("period_offset"),
+            F.col(user_col),
+        )
+        .filter(F.col("period_offset") < max_periods)
+    )
+    return offs.groupBy("cohort", "period_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+#: seconds per date_trunc unit for offset arithmetic (week = 7 days;
+#: month/quarter/year are NOT fixed-length — use day/week units for
+#: offset-based retention, or post-process cohort labels yourself)
+_PERIOD_SECONDS = {
+    "day": 86_400,
+    "week": 7 * 86_400,
+    "hour": 3_600,
+}

@@ -243,3 +243,44 @@ def test_funnel_matches_duckdb(spark, sf_dir):
         UNION ALL SELECT 2, 'purchase', COUNT(*)::BIGINT FROM s2
     """).fetchall()}
     assert got == want and got[(0, "view")] > 0
+
+
+def test_cohort_retention_matches_duckdb(spark, sf_dir):
+    from kafi_spark.functions.analytic import cohort_retention
+    from kafi_spark.session import read_table
+
+    import duckdb
+
+    ev = read_table(spark, sf_dir, "events")
+    got = {(str(r.cohort)[:10], r.period_offset): r.n_users
+           for r in cohort_retention(ev, period="week").collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = {(str(r[0])[:10], r[1]): r[2] for r in con.sql("""
+        WITH firsts AS (SELECT user_id,
+                               MIN(date_trunc('week', ts)) AS cohort
+                        FROM events GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+                FROM events)
+        SELECT f.cohort,
+               CAST(FLOOR(date_diff('second', f.cohort, a.p) / 604800.0)
+                    AS INT) AS off,
+               COUNT(*)::BIGINT
+        FROM act a JOIN firsts f USING (user_id)
+        WHERE FLOOR(date_diff('second', f.cohort, a.p) / 604800.0) < 12
+        GROUP BY 1, 2
+    """).fetchall()}
+    assert got == want
+    # offset-0 row per cohort equals the cohort size
+    sizes = {str(r[0])[:10]: r[1] for r in con.sql(
+        "SELECT cohort, COUNT(*) FROM (SELECT user_id, MIN(date_trunc('week', ts)) AS cohort FROM events GROUP BY user_id) GROUP BY cohort").fetchall()}
+    for c, n in sizes.items():
+        assert got[(c, 0)] == n
+
+
+def test_cohort_retention_validation(spark, sf_dir):
+    from kafi_spark.functions.analytic import cohort_retention
+    from kafi_spark.session import read_table
+
+    with pytest.raises(ValueError):
+        cohort_retention(read_table(spark, sf_dir, "events"), max_periods=0)
