@@ -28,6 +28,7 @@ import hashlib
 import struct
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -324,4 +325,48 @@ def frame_sample(
 
     return df.select(id_col, binary_col).mapInPandas(
         op, f"{id_col} {id_type}, frame_idx long, frame binary"
+    )
+
+
+def wav_signal_stats(b: bytes) -> dict:
+    """REAL signal statistics from 16-bit PCM WAV payload bytes —
+    dependency-free numpy over the data chunk: RMS level (normalized to
+    [0,1] of full scale), peak level, and the silent fraction (samples
+    under 1% of full scale) — the audio-quality trio a curation
+    pipeline filters on (clipped/silent/dead recordings). Non-WAV,
+    non-PCM16, or corrupt payloads -> nulls, never task failures."""
+    out = {"rms": None, "peak": None, "silence_frac": None}
+    try:
+        if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+            return out
+        i, fmt_code, bits, data = 12, None, None, None
+        while i + 8 <= len(b):
+            cid, size = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"fmt " and size >= 16:
+                fmt_code = struct.unpack("<H", b[i + 8:i + 10])[0]
+                bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+            elif cid == b"data":
+                data = b[i + 8:i + 8 + size]
+            i += 8 + size + (size & 1)
+        if fmt_code != 1 or bits != 16 or not data:
+            return out  # only uncompressed PCM16 is decodable here
+        x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+            np.float64
+        ) / 32768.0
+        if len(x) == 0:
+            return out
+        out["rms"] = float(np.sqrt(np.mean(x * x)))
+        out["peak"] = float(np.abs(x).max())
+        out["silence_frac"] = float((np.abs(x) < 0.01).mean())
+    except Exception:  # noqa: BLE001
+        pass
+    return out
+
+
+def audio_signal_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """PCM WAV signal features through the Arrow ``binary_features``
+    path: (rms, peak, silence_frac) per row."""
+    return binary_features(
+        df, binary_col, id_col, wav_signal_stats,
+        "rms double, peak double, silence_frac double",
     )

@@ -175,3 +175,39 @@ def test_attach_metadata_sniffs_format(spark):
     got = {r.id: r.payload_meta.format
            for r in mm.attach_metadata(df, "payload").collect()}
     assert got == {1: "gif", 2: "unknown"}
+
+
+def test_wav_signal_stats(spark):
+    import math
+    import struct as st
+
+    import numpy as np
+
+    from kafi_spark.functions.multimodal import audio_signal_features
+
+    def wav_bytes(samples):
+        pcm = np.asarray(samples)
+        data = (np.clip(pcm, -1, 1) * 32767).astype("<i2").tobytes()
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        riff = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(data)) + data)
+        return b"RIFF" + st.pack("<I", len(riff)) + riff
+
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    sine = 0.5 * np.sin(2 * math.pi * 440 * t)       # rms ≈ 0.3536
+    silent = np.zeros(8000)
+    half = np.concatenate([0.5 * np.sin(2 * math.pi * 440 * t[:4000]),
+                           np.zeros(4000)])
+    df = spark.createDataFrame(
+        [(1, wav_bytes(sine)), (2, wav_bytes(silent)), (3, wav_bytes(half)),
+         (4, b"not audio at all")],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           audio_signal_features(df, "payload", "doc_id").collect()}
+    assert got[1].rms == pytest.approx(0.5 / math.sqrt(2), rel=1e-3)
+    assert got[1].peak == pytest.approx(0.5, rel=1e-3)
+    assert got[1].silence_frac < 0.05
+    assert got[2].rms == pytest.approx(0.0, abs=1e-9)
+    assert got[2].silence_frac == pytest.approx(1.0)
+    assert got[3].silence_frac == pytest.approx(0.5, abs=0.05)
+    assert got[4].rms is None and got[4].peak is None
