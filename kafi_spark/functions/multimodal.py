@@ -370,3 +370,72 @@ def audio_signal_features(df: DataFrame, binary_col: str, id_col: str) -> DataFr
         df, binary_col, id_col, wav_signal_stats,
         "rms double, peak double, silence_frac double",
     )
+
+
+def _bmp_pixels(b: bytes):
+    """(h, w, 3) uint8 array from an uncompressed 24-bit BMP, or None.
+    Handles bottom-up (positive height) and top-down rows and the
+    4-byte row padding of the format; anything else (compressed,
+    paletted, other depths) -> None."""
+    try:
+        if b[:2] != b"BM" or len(b) < 54:
+            return None
+        data_off = struct.unpack("<I", b[10:14])[0]
+        w, h = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        compression = struct.unpack("<I", b[30:34])[0]
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        row_bytes = (w * 3 + 3) & ~3
+        need = data_off + row_bytes * h
+        if len(b) < need:
+            return None
+        a = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+        a = a.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            a = a[::-1]
+        return a[..., ::-1]  # BGR -> RGB
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def image_dhash(b: bytes) -> dict:
+    """64-bit difference hash (dHash) from REAL pixels — codec-free for
+    uncompressed 24-bit BMP: grayscale, area-average to a 9×8 grid,
+    hash = sign of horizontal neighbor differences. Perceptually near-
+    identical images differ in few bits, so Hamming banding
+    (:func:`kafi_spark.functions.dedup.simhash_pairs`' pigeonhole
+    machinery) finds image near-dups exactly like text SimHash.
+    Compressed formats (png/jpeg/gif) need a codec → null."""
+    px = _bmp_pixels(b)
+    if px is None:
+        return {"dhash": None}
+    g = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    # area-average downsample to 8 rows × 9 cols via split indices
+    rows = np.linspace(0, h, 9).astype(int)
+    cols = np.linspace(0, w, 10).astype(int)
+    grid = np.empty((8, 9))
+    for i in range(8):
+        for j in range(9):
+            cell = g[rows[i]:max(rows[i + 1], rows[i] + 1),
+                     cols[j]:max(cols[j + 1], cols[j] + 1)]
+            grid[i, j] = cell.mean()
+    bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    # two's-complement into signed 64-bit (Spark long)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return {"dhash": v}
+
+
+def image_perceptual_hash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Per-row perceptual hash column (``dhash`` long, null for
+    undecodable payloads) through the Arrow ``binary_features`` path —
+    feed the result to SimHash-style Hamming banding for image
+    near-dup detection."""
+    return binary_features(df, binary_col, id_col, image_dhash, "dhash long")

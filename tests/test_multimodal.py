@@ -211,3 +211,70 @@ def test_wav_signal_stats(spark):
     assert got[2].silence_frac == pytest.approx(1.0)
     assert got[3].silence_frac == pytest.approx(0.5, abs=0.05)
     assert got[4].rms is None and got[4].peak is None
+
+
+def _bmp_bytes(px):
+    """Minimal bottom-up 24-bit BMP from an (h, w, 3) RGB uint8 array."""
+    import struct as st
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    body = b""
+    for row in px[::-1]:                       # bottom-up storage
+        body += row[:, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad
+    header = (b"BM" + st.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                        2835, 2835, 0, 0))
+    return header + body
+
+
+def test_image_dhash_perceptual_similarity(spark):
+    import numpy as np
+
+    from kafi_spark.functions.multimodal import image_perceptual_hash
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    near = base.copy().astype(np.int16)
+    near[:4, :4] += 12                          # small local edit
+    near = np.clip(near, 0, 255).astype(np.uint8)
+    far = rng.randint(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, _bmp_bytes(base)), (2, _bmp_bytes(near)), (3, _bmp_bytes(far)),
+         (4, b"\x89PNG\r\n\x1a\nnotdecodable")],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.dhash
+           for r in image_perceptual_hash(df, "payload", "doc_id").collect()}
+    assert got[4] is None                       # compressed format -> null
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(got[1], got[2]) <= 6             # near-identical images
+    assert ham(got[1], got[3]) > 16             # unrelated images
+    # deterministic
+    again = {r.doc_id: r.dhash
+             for r in image_perceptual_hash(df, "payload", "doc_id").collect()}
+    assert again == got
+
+
+def test_image_dhash_resolution_robustness(spark):
+    """dHash should survive RESCALING (the hash works on an 8x9 area
+    average): the same image at 2x resolution lands within a small
+    Hamming distance (integer grid-boundary truncation shifts cell
+    borders slightly, so exact equality is not the contract)."""
+    import numpy as np
+
+    from kafi_spark.functions.multimodal import image_perceptual_hash
+
+    rng = np.random.RandomState(9)
+    small = rng.randint(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    big = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+    df = spark.createDataFrame(
+        [(1, _bmp_bytes(small)), (2, _bmp_bytes(big))],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.dhash
+           for r in image_perceptual_hash(df, "payload", "doc_id").collect()}
+    d = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert d <= 4
