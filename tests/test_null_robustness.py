@@ -1,0 +1,90 @@
+"""Null/empty-text robustness sweep: every text-family operator must
+survive a corpus containing NULL, empty, and whitespace-only documents
+without raising — silently skipping or null-scoring them per its
+documented semantics. Production corpora always contain such rows; an
+operator that crashes on them fails the whole job."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    return spark.createDataFrame(
+        [(1, "normal document with several plain words"),
+         (2, None),
+         (3, ""),
+         (4, "   "),
+         (5, "the and of to in a is it filler words everywhere")],
+        "doc_id long, text string")
+
+
+def test_text_stats_handles_dirty(dirty):
+    from kafi_spark.functions.text import text_stats
+
+    rows = {r.doc_id: r for r in text_stats(dirty).collect()}
+    assert len(rows) == 5
+    assert rows[3].n_tokens == 0 and rows[4].n_tokens == 0
+
+
+def test_dedup_families_handle_dirty(dirty):
+    from kafi_spark.functions.dedup import (
+        dedup_exact, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs)
+
+    assert dedup_exact(dirty, "text", "doc_id").count() >= 3
+    ngram_jaccard_pairs(dirty, "text", "doc_id", threshold=0.5).count()
+    minhash_lsh_pairs(dirty, "text", "doc_id").count()
+    simhash_pairs(dirty, "text", "doc_id").count()
+
+
+def test_span_family_handles_dirty(dirty):
+    from kafi_spark.functions.spans import chunk_text, line_dedup, span_dedup
+
+    out = span_dedup(dirty, span_tokens=3)
+    assert out.filter(F.col("doc_id").isin(1, 5)).count() == 2
+    line_dedup(dirty).count()
+    chunks = chunk_text(dirty, max_tokens=4)
+    # null/empty/whitespace docs emit NO chunk rows
+    assert {r.doc_id for r in chunks.collect()} == {1, 5}
+    assert chunks.filter(F.col("chunk").isNull()).count() == 0
+
+
+def test_selection_and_quality_handle_dirty(dirty):
+    from kafi_spark.functions.classify import score_text
+    from kafi_spark.functions.importance import (
+        importance_weights, lm_quality_score)
+    from kafi_spark.functions.text import gopher_filter
+
+    ref = dirty.filter("doc_id in (1, 5)")
+    importance_weights(dirty, ref, n_buckets=256).count()
+    lm_quality_score(dirty, ref, n_buckets=256).count()
+    kept = {r.doc_id for r in gopher_filter(dirty).collect()}
+    assert 2 not in kept and 3 not in kept       # no words -> fails rules
+    scored = {r.doc_id: r.score for r in score_text(dirty, "text").collect()}
+    assert scored[2] == 0 and scored[3] == 0     # reference null contract
+
+
+def test_search_and_bpe_handle_dirty(dirty):
+    from kafi_spark.functions.bpe import bpe_encode, train_bpe, word_histogram
+    from kafi_spark.functions.search import bm25_topk
+
+    q = dirty.sparkSession.createDataFrame(
+        [(1, "plain words"), (2, None)], "query_id long, query string")
+    hits = bm25_topk(dirty, q, k=3)
+    assert hits.filter("query_id = 1").count() > 0
+    assert hits.filter("query_id = 2").count() == 0   # null query -> no terms
+    hist = word_histogram(dirty)
+    merges = train_bpe(hist, vocab_size=50)
+    enc = {r.doc_id: r.n_tokens for r in bpe_encode(dirty, merges).collect()}
+    assert enc[2] == 0 and enc[3] == 0 and enc[1] > 0
+
+
+def test_bloom_and_contamination_handle_dirty(dirty, tmp_path):
+    from kafi_spark.functions.bloom import bloom_build, bloom_contains
+    from kafi_spark.functions.contamination import decontaminate
+
+    filt = bloom_build(dirty.select("text"), "text", 512, 3)
+    bloom_contains(dirty, filt, "text", 512, 3).count()
+    decontaminate(dirty, dirty.filter("doc_id = 5").select("doc_id", "text")).count()
