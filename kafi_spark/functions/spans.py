@@ -95,6 +95,7 @@ def _dedup_spans(
     joiner: str,
     max_occurrences: int,
     keep: str,
+    skew_safe: bool = False,
 ) -> DataFrame:
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
@@ -104,25 +105,45 @@ def _dedup_spans(
     # regardless of span width (the span itself rides along only as a
     # carried column, never as a comparison key)
     fp = spans.withColumn("__fp", F.md5("span"))
-    # (doc, position) is unique per occurrence → row_number is
-    # deterministic with no tie to break. The COUNT uses the same
-    # ordered spec with an explicitly unbounded frame so Catalyst plans
-    # ONE Window operator (one sort) instead of a second unordered
-    # Window with its own re-sort.
-    wo = W.partitionBy("__fp").orderBy(F.col(id_col), F.col("span_id"))
-    ranked = fp.select(
-        F.col(id_col),
-        "span_id",
-        "span",
-        F.count(F.lit(1))
-        .over(wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("__n"),
-        F.row_number().over(wo).alias("__rn"),
-    )
-    survives = F.col("__n") <= max_occurrences
-    if keep == "first":
-        survives = survives | (F.col("__rn") == 1)
-    kept = ranked.filter(survives)
+    if skew_safe:
+        # aggregate-then-join instead of a window: the per-fingerprint
+        # count and the keeper (min occurrence) come from map-side
+        # partial aggregates — immune to a mega-duplicated span — and
+        # the join back is AQE-skew-splittable (window partitions are
+        # not). Price: the narrow tokenize/explode subtree plans twice
+        # (stats + probe side). See PLANS.md "Span-dedup skew analysis".
+        stats = fp.groupBy("__fp").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col(id_col), F.col("span_id"))).alias("__keep"),
+        )
+        joined = fp.join(stats, "__fp")
+        survives = F.col("__n") <= max_occurrences
+        if keep == "first":
+            survives = survives | (
+                (F.col(f"__keep.{id_col}") == F.col(id_col))
+                & (F.col("__keep.span_id") == F.col("span_id"))
+            )
+        kept = joined.filter(survives).select(id_col, "span_id", "span")
+    else:
+        # (doc, position) is unique per occurrence → row_number is
+        # deterministic with no tie to break. The COUNT uses the same
+        # ordered spec with an explicitly unbounded frame so Catalyst
+        # plans ONE Window operator (one sort) instead of a second
+        # unordered Window with its own re-sort.
+        wo = W.partitionBy("__fp").orderBy(F.col(id_col), F.col("span_id"))
+        ranked = fp.select(
+            F.col(id_col),
+            "span_id",
+            "span",
+            F.count(F.lit(1))
+            .over(wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("__n"),
+            F.row_number().over(wo).alias("__rn"),
+        )
+        survives = F.col("__n") <= max_occurrences
+        if keep == "first":
+            survives = survives | (F.col("__rn") == 1)
+        kept = ranked.filter(survives)
     # order-preserving reassembly without a sort shuffle: collect
     # (span_id, span) structs, array_sort (struct order = field order),
     # then join — the repo's standard banded-digest pattern
@@ -145,6 +166,7 @@ def span_dedup(
     span_tokens: int = 8,
     max_occurrences: int = 1,
     keep: str = "first",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Remove globally-duplicated token spans, keeping document order.
 
@@ -164,7 +186,7 @@ def span_dedup(
     (SURVEY.md §2 extension).
     """
     spans = text_spans(df, text_col, id_col, span_tokens)
-    return _dedup_spans(spans, id_col, " ", max_occurrences, keep)
+    return _dedup_spans(spans, id_col, " ", max_occurrences, keep, skew_safe)
 
 
 def line_dedup(
@@ -174,6 +196,7 @@ def line_dedup(
     sep: str = "\n",
     max_occurrences: int = 1,
     keep: str = "none",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Corpus-wide duplicate-LINE removal (split on a literal separator).
 
@@ -181,7 +204,7 @@ def line_dedup(
     ``max_occurrences`` times across the corpus is boilerplate
     (navigation chrome, cookie banners) and every copy is dropped."""
     spans = text_lines(df, text_col, id_col, sep)
-    return _dedup_spans(spans, id_col, sep, max_occurrences, keep)
+    return _dedup_spans(spans, id_col, sep, max_occurrences, keep, skew_safe)
 
 
 def chunk_text(

@@ -140,3 +140,18 @@ def test_chunk_text_validation(spark):
         sp.chunk_text(df, max_tokens=0)
     with pytest.raises(ValueError):
         sp.chunk_text(df, max_tokens=4, stride=5)
+
+
+@pytest.mark.parametrize("keep,max_occ", [("first", 1), ("none", 2)])
+def test_skew_safe_variant_is_equivalent(spark, sf_dir, keep, max_occ):
+    """The aggregate-then-join skew_safe plan must return byte-identical
+    results to the window plan on the real documents table."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id: (r.text, r.n_spans_kept)
+         for r in sp.span_dedup(df, span_tokens=8, keep=keep,
+                                max_occurrences=max_occ).collect()}
+    b = {r.doc_id: (r.text, r.n_spans_kept)
+         for r in sp.span_dedup(df, span_tokens=8, keep=keep,
+                                max_occurrences=max_occ,
+                                skew_safe=True).collect()}
+    assert a == b
