@@ -528,20 +528,38 @@ def simhash_pairs(
     Reference parity: kafi has no simhash; this is the LLM-pipeline
     extension layer. Output: (id_1, id_2, hamming), id_1 < id_2.
     """
+    sh = simhash(df, text_col, id_col)
+    return hamming_pairs(sh, id_col, "simhash", max_hamming, max_bucket)
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column by lossless
+    pigeonhole Hamming banding — the engine behind
+    :func:`simhash_pairs`, exposed generically so other 64-bit
+    perceptual signatures (e.g. image dHash from
+    ``multimodal.image_perceptual_hash``) get the same scale-safe
+    candidate generation + in-bucket ``bit_count(xor)`` verification.
+    Null signatures are skipped. Output: (id_1, id_2, hamming),
+    id_1 < id_2."""
     chunks_spec = _simhash_chunks(max_hamming)
     bucket_cap = (1 << 31) - 1 if max_bucket is None else max_bucket
-    sh = simhash(df, text_col, id_col)
-    chunk_vals = sh.select(
+    chunk_vals = sigs.filter(F.col(sig_col).isNotNull()).select(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), off)
+                    F.shiftrightunsigned(F.col(sig_col), off)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     for off, width in chunks_spec
                 ]
             )
         ).alias("chunk_id", "chunk"),
-        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("m"),
+        F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sh")).alias("m"),
     )
     # members carry their SIGNATURE into the bucket, so verification is
     # an in-array bit_count — the signature subtree appears in the plan

@@ -278,3 +278,28 @@ def test_image_dhash_resolution_robustness(spark):
            for r in image_perceptual_hash(df, "payload", "doc_id").collect()}
     d = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
     assert d <= 4
+
+
+def test_image_neardup_via_hamming_pairs(spark):
+    """End-to-end image near-dup: perceptual dHash + the generic
+    Hamming banding — near-identical BMPs pair up, unrelated ones and
+    undecodable payloads don't."""
+    import numpy as np
+
+    from kafi_spark.functions.dedup import hamming_pairs
+    from kafi_spark.functions.multimodal import image_perceptual_hash
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    near = np.clip(base.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+    far = rng.randint(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, _bmp_bytes(base)), (2, _bmp_bytes(near)), (3, _bmp_bytes(far)),
+         (4, b"junk")],
+        "doc_id long, payload binary")
+    sigs = image_perceptual_hash(df, "payload", "doc_id")
+    pairs = {(r.id_1, r.id_2)
+             for r in hamming_pairs(sigs, "doc_id", "dhash",
+                                    max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
