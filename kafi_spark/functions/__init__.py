@@ -28,8 +28,10 @@ training-data pipeline needs:
 * ``mixing``     — target-proportion corpus mixing
 * ``profile``    — one-pass per-column data-quality statistics
 * ``skew``       — salted joins for hot keys
-* ``analytic``   — top-n, lag/lead, rollup/cube, time_rollup, percentiles
-* ``multimodal`` — binary-column plumbing (decode, features, resize)
+* ``analytic``   — top-n, lag/lead, rollup/cube, time_rollup,
+                   percentiles, funnel conversion, cohort retention
+* ``multimodal`` — binary-column plumbing: header decode, PCM
+                   signal stats, BMP perceptual dHash, GIF frames
 * ``pipeline``   — the end-to-end curation composition
 * ``helpers``    — explode_normalize, dotted paths, ts/bytes coercions
 """
