@@ -284,3 +284,18 @@ def test_cohort_retention_validation(spark, sf_dir):
 
     with pytest.raises(ValueError):
         cohort_retention(read_table(spark, sf_dir, "events"), max_periods=0)
+
+
+def test_funnel_counts_monotonically_nonincreasing(spark, sf_dir):
+    """Invariant: each funnel step can only lose users."""
+    from kafi_spark.functions.analytic import funnel
+    from kafi_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    for steps in (["view", "click", "purchase"],
+                  ["signup", "view", "click", "purchase"],
+                  ["click", "view"]):
+        rows = sorted(funnel(ev, steps).collect(), key=lambda r: r.step_idx)
+        counts = [r.n_users for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        assert [r.step for r in rows] == steps

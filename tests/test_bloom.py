@@ -183,3 +183,37 @@ def test_bloom_dedup_stream_epoch_replay_is_idempotent(spark, tmp_path):
     emitted.clear()
     proc(later, 1)
     assert emitted == ["gamma"]
+
+
+def test_bloom_merge_algebra_properties(spark):
+    """Filter merge is commutative, associative, and idempotent over
+    random element sets (hypothesis over small universes)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    sets = st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4),
+                    min_size=0, max_size=8)
+
+    def build(elems):
+        if not elems:
+            return spark.createDataFrame([], "word_idx int, bits long")
+        df = spark.createDataFrame([(e,) for e in elems], "text string")
+        return bl.bloom_build(df, "text", 256, 3)
+
+    def merge(a, b):
+        return (a.unionByName(b).groupBy("word_idx")
+                .agg(F.bit_or("bits").alias("bits")))
+
+    def as_set(df):
+        return set(map(tuple, df.collect()))
+
+    @given(a=sets, b=sets)
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def prop(a, b):
+        fa, fb = build(a), build(b)
+        assert as_set(merge(fa, fb)) == as_set(merge(fb, fa))       # commut.
+        assert as_set(merge(fa, fa)) == as_set(fa)                  # idemp.
+        assert as_set(merge(fa, fb)) == as_set(build(a + b))        # = union
+
+    prop()
