@@ -1,0 +1,101 @@
+"""Resumable multi-stage pipeline execution.
+
+A 100 TB curation run is hours of work across many stages; a failure at
+stage 7 must not recompute stages 1-6. This runner materializes each
+stage's DataFrame to parquet under a work directory and SKIPS stages
+whose output already committed — Spark's own ``_SUCCESS`` marker is the
+commit record, so a stage killed mid-write (no marker) re-runs cleanly
+while finished stages are only re-read. Restart semantics come free
+from the filesystem; no driver-side state, no bookkeeping service.
+
+Stages declare dependencies by name; each builder receives the
+DataFrames of its dependencies (lazily read from their parquet — so a
+resumed run's stage 7 reads stage 6's output exactly as the original
+run would have) and returns the stage's DataFrame.
+
+This is deliberately a BATCH orchestration primitive — the streaming
+layer has its own checkpointing (``streaming/runner.py``); and unlike
+``localCheckpoint`` (session-lifetime, memory/disk of the running
+cluster) these materializations survive the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Stage:
+    """One named pipeline stage: ``build(deps)`` maps dependency-name →
+    DataFrame to this stage's output DataFrame."""
+
+    def __init__(
+        self,
+        name: str,
+        build: Callable[[dict[str, DataFrame]], DataFrame],
+        deps: Sequence[str] = (),
+    ) -> None:
+        if not name or "/" in name:
+            raise ValueError(f"invalid stage name {name!r}")
+        self.name = name
+        self.build = build
+        self.deps = tuple(deps)
+
+
+def _out_dir(work_dir: str, name: str) -> str:
+    return os.path.join(work_dir, name)
+
+
+def _committed(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_SUCCESS"))
+    return p.getFileSystem(hconf).exists(p)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    stages: Sequence[Stage],
+    work_dir: str,
+    force: Sequence[str] = (),
+) -> dict[str, DataFrame]:
+    """Execute ``stages`` in order with resume-on-restart.
+
+    A stage runs iff its output is not committed (or it is named in
+    ``force``, which also invalidates every transitive dependent —
+    rerunning a stage against stale downstream outputs would silently
+    mix pipeline versions). Returns {name: DataFrame} reading each
+    stage's materialized output. Stages must be topologically ordered
+    (a dep appearing after its dependent raises)."""
+    known: set[str] = set()
+    for st in stages:
+        missing = [d for d in st.deps if d not in known]
+        if missing:
+            raise ValueError(
+                f"stage {st.name!r} depends on {missing} which are not "
+                "defined earlier in the stage list"
+            )
+        known.add(st.name)
+    names = [st.name for st in stages]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate stage names")
+
+    # force-invalidation propagates to dependents
+    invalid: set[str] = set(force)
+    for st in stages:
+        if any(d in invalid for d in st.deps):
+            invalid.add(st.name)
+
+    out: dict[str, DataFrame] = {}
+    for st in stages:
+        path = _out_dir(work_dir, st.name)
+        if st.name not in invalid and _committed(spark, path):
+            out[st.name] = spark.read.parquet(path)
+            continue
+        deps = {d: out[d] for d in st.deps}
+        df = st.build(deps)
+        df.write.mode("overwrite").parquet(path)
+        out[st.name] = spark.read.parquet(path)
+    return out
