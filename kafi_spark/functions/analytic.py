@@ -261,3 +261,35 @@ _PERIOD_SECONDS = {
     "week": 7 * 86_400,
     "hour": 3_600,
 }
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign a per-user SESSION ID to every event: a new session starts
+    when the gap since the user's previous event exceeds
+    ``gap_seconds``. Output: the input columns + ``session_id`` (0-based
+    per user, ordered by time).
+
+    The label layer under :mod:`kafi_spark.streams.windows`' session
+    aggregation — use this when downstream needs the raw events tagged
+    (session-level joins, funnel-within-session) rather than one
+    aggregated row per session. One window shuffle keyed on the user:
+    lag + cumulative sum of gap-break flags, both over the same ordered
+    spec so Catalyst plans a single Window operator.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_break = (
+        prev.isNotNull()
+        & (F.col(ts_col).cast("long") - prev.cast("long") > gap_seconds)
+    ).cast("long")
+    return events.withColumn(
+        "session_id",
+        F.sum(is_break).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )

@@ -299,3 +299,46 @@ def test_funnel_counts_monotonically_nonincreasing(spark, sf_dir):
         counts = [r.n_users for r in rows]
         assert counts == sorted(counts, reverse=True)
         assert [r.step for r in rows] == steps
+
+
+def test_sessionize_matches_duckdb(spark, sf_dir):
+    from kafi_spark.functions.analytic import sessionize
+    from kafi_spark.session import read_table
+
+    import duckdb
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    got = {r.event_id: r.session_id
+           for r in sessionize(ev, gap_seconds=3600).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = {r[0]: r[1] for r in con.sql("""
+        SELECT event_id,
+               SUM(CASE WHEN prev IS NOT NULL
+                         AND date_diff('second', prev, ts) > 3600
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (SELECT event_id, user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events)
+    """).fetchall()}
+    assert got == want
+    assert max(got.values()) > 0      # the data actually breaks sessions
+
+
+def test_sessionize_hand_case(spark):
+    import datetime as dt
+
+    from kafi_spark.functions.analytic import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base), (1, base + dt.timedelta(seconds=10)),
+            (1, base + dt.timedelta(seconds=200)),   # > gap -> new session
+            (2, base)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted((r.user_id, str(r.ts), r.session_id)
+                 for r in sessionize(ev, gap_seconds=100).collect())
+    assert [g[2] for g in got] == [0, 0, 1, 0]
+    with pytest.raises(ValueError):
+        sessionize(ev, gap_seconds=0)
