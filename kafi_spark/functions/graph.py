@@ -133,3 +133,66 @@ def keep_representatives_cc(
     in_graph = comp.select(F.col("id").alias(id_col))
     isolated = all_ids.join(in_graph, id_col, "left_anti")
     return isolated.union(survivors)
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+) -> DataFrame:
+    """PageRank over a directed edge list: ``(id, rank)``, ranks summing
+    to 1 — the standard link-authority score for web-corpus curation
+    (domain/page weighting before sampling).
+
+    Power iteration, all DataFrame ops: per round one join
+    (rank × out-degree → contributions) and one aggregate, with the
+    rank frame ``localCheckpoint``-ed so round N+1's plan does not
+    re-embed rounds 1..N (the iterative-plan-blowup hazard
+    :func:`connected_components` documents). Dangling mass (sinks with
+    no out-edges) redistributes uniformly, keeping the distribution
+    normalized — drift would otherwise compound per iteration. A fixed
+    ``max_iter`` bounds rounds; each round is one action (the dangling
+    sum), the standard cost of dangling-aware PageRank.
+    """
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        with_deg = ranks.join(
+            outdeg, ranks["id"] == outdeg["src"], "left"
+        ).select(ranks["id"], "rank", "__deg")
+        # sinks contribute their whole rank to the uniform pool
+        dangling = (
+            with_deg.filter(F.col("__deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(with_deg.filter(F.col("__deg").isNotNull()),
+                   e["src"] == with_deg["id"])
+            .select(F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(base) + damping * F.coalesce("__in", F.lit(0.0))).alias("rank"),
+        ).localCheckpoint()
+    return ranks

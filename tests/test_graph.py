@@ -94,3 +94,43 @@ def test_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_1 long, id_2 long")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == _uf_components(edges)
+
+
+def _pagerank_py(edges, damping=0.85, iters=20):
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in verts if v not in out)
+        nxt = {v: (1 - damping) / n + damping * dangling / n for v in verts}
+        for s, ds in out.items():
+            for d in set(ds):
+                nxt[d] += damping * r[s] / len(set(ds))
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    from kafi_spark.functions.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, max_iter=20).collect()}
+    want = _pagerank_py(edges)
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_uniform_on_cycle_and_validation(spark):
+    from kafi_spark.functions.graph import pagerank
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = [r.rank for r in pagerank(cyc, max_iter=10).collect()]
+    assert all(x == pytest.approx(1 / 3, rel=1e-9) for x in got)
+    with pytest.raises(ValueError):
+        pagerank(cyc, damping=1.5)
