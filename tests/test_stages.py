@@ -77,3 +77,40 @@ def test_validation(spark, tmp_path):
            Stage("x", lambda d: spark.range(1))]
     with pytest.raises(ValueError):
         run_pipeline(spark, dup, str(tmp_path))
+
+
+def test_stage_runner_composes_real_curation(spark, sf_dir, tmp_path):
+    """The stage runner orchestrating actual operators: extract → curate
+    → chunk, resumable between stages."""
+    from kafi_spark.functions.pipeline import curate_documents
+    from kafi_spark.functions.spans import chunk_text
+
+    wd = str(tmp_path / "wd")
+    calls: list[str] = []
+
+    def mk():
+        def load(_):
+            calls.append("load")
+            return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def curate(deps):
+            calls.append("curate")
+            ids = curate_documents(deps["load"]).select("doc_id")
+            return deps["load"].join(ids, "doc_id", "left_semi")
+
+        def chunks(deps):
+            calls.append("chunks")
+            return chunk_text(deps["curate"], max_tokens=16)
+
+        return [Stage("load", load), Stage("curate", curate, deps=["load"]),
+                Stage("chunks", chunks, deps=["curate"])]
+
+    out = run_pipeline(spark, mk(), wd)
+    n_curated = out["curate"].count()
+    n_chunks = out["chunks"].count()
+    assert 0 < n_curated < 500 and n_chunks >= n_curated
+    # resume recomputes nothing and reads identical results
+    calls.clear()
+    out2 = run_pipeline(spark, mk(), wd)
+    assert calls == []
+    assert out2["chunks"].count() == n_chunks
