@@ -223,7 +223,9 @@ def cohort_retention(
     period (the cohort), counted in each later period they return.
 
     Output: ``(cohort, period_offset, n_users)`` — offset 0 is the
-    cohort size itself; ``period`` is any ``date_trunc`` unit. Plan:
+    cohort size itself. ``period`` must be a FIXED-LENGTH unit
+    (``hour``/``day``/``week``): offset arithmetic on variable-length
+    months or years would lie, so those raise. Plan:
     one window-free aggregate for first activity (groupBy min), one
     join back keyed on the user id, one distinct-count aggregate —
     the (user, period) distinct happens BEFORE counting so multiple
@@ -231,6 +233,12 @@ def cohort_retention(
     """
     if max_periods < 1:
         raise ValueError(f"max_periods must be >= 1, got {max_periods}")
+    if period not in _PERIOD_SECONDS:
+        raise ValueError(
+            f"period must be one of {sorted(_PERIOD_SECONDS)} (fixed-length "
+            f"units only — month/quarter/year offsets would be wrong), "
+            f"got {period!r}"
+        )
     per = F.date_trunc(period, F.col(ts_col))
     firsts = events.groupBy(user_col).agg(
         F.min(per).alias("__cohort")
@@ -263,7 +271,7 @@ _PERIOD_SECONDS = {
 }
 
 
-def sessionize(
+def sessionize_labels(
     events: DataFrame,
     gap_seconds: int,
     user_col: str = "user_id",
@@ -283,6 +291,10 @@ def sessionize(
     """
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    # (named *_labels, gap in SECONDS — deliberately distinct from
+    # streams.windows.sessionize, which aggregates and takes
+    # MILLISECONDS; a same-named twin with different units was a
+    # reviewer-flagged 1000x trap)
     w = W.partitionBy(user_col).orderBy(F.col(ts_col))
     prev = F.lag(F.col(ts_col)).over(w)
     is_break = (

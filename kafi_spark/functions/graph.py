@@ -146,11 +146,13 @@ def pagerank(
     to 1 — the standard link-authority score for web-corpus curation
     (domain/page weighting before sampling).
 
-    Power iteration, all DataFrame ops: per round one join
-    (rank × out-degree → contributions) and one aggregate, with the
-    rank frame ``localCheckpoint``-ed so round N+1's plan does not
-    re-embed rounds 1..N (the iterative-plan-blowup hazard
-    :func:`connected_components` documents). Dangling mass (sinks with
+    Power iteration, all DataFrame ops: per round a rank⋈out-degree
+    join (checkpointed — two consumers), an edge⋈rank contribution join
+    + aggregate, and the vertex re-attach, with the rank frame
+    ``localCheckpoint``-ed so round N+1's plan does not re-embed rounds
+    1..N (the iterative-plan-blowup hazard
+    :func:`connected_components` documents). Parallel edges are
+    WEIGHTED (multiplicity = share of the source's mass). Dangling mass (sinks with
     no out-edges) redistributes uniformly, keeping the distribution
     normalized — drift would otherwise compound per iteration. A fixed
     ``max_iter`` bounds rounds; each round is one action (the dangling
@@ -158,9 +160,16 @@ def pagerank(
     """
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0,1), got {damping}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().localCheckpoint()
+    # PARALLEL edges carry weight: (a→b) three times sends b three
+    # shares of a's mass (a page linking another repeatedly, an
+    # un-deduped crawl). Deduplicate upstream if multiplicity should
+    # not count.
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("__w"))
+        .localCheckpoint()
+    )
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -170,12 +179,17 @@ def pagerank(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    outdeg = e.groupBy("src").agg(F.sum("__w").alias("__deg"))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
-        with_deg = ranks.join(
-            outdeg, ranks["id"] == outdeg["src"], "left"
-        ).select(ranks["id"], "rank", "__deg")
+        # checkpoint the joined frame: BOTH the dangling action and the
+        # contribution lineage consume it — unanchored, the verts-scale
+        # ranks⋈outdeg join would execute twice per round
+        with_deg = (
+            ranks.join(outdeg, ranks["id"] == outdeg["src"], "left")
+            .select(ranks["id"], "rank", "__deg")
+            .localCheckpoint()
+        )
         # sinks contribute their whole rank to the uniform pool
         dangling = (
             with_deg.filter(F.col("__deg").isNull())
@@ -186,7 +200,7 @@ def pagerank(
             e.join(with_deg.filter(F.col("__deg").isNotNull()),
                    e["src"] == with_deg["id"])
             .select(F.col("dst").alias("id"),
-                    (F.col("rank") / F.col("__deg")).alias("__c"))
+                    (F.col("rank") * F.col("__w") / F.col("__deg")).alias("__c"))
             .groupBy("id")
             .agg(F.sum("__c").alias("__in"))
         )

@@ -22,9 +22,13 @@ cluster) these materializations survive the cluster.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
 
 class Stage:
@@ -37,7 +41,9 @@ class Stage:
         build: Callable[[dict[str, DataFrame]], DataFrame],
         deps: Sequence[str] = (),
     ) -> None:
-        if not name or "/" in name:
+        # charset-allowlist, NOT just a '/' check: '..' or '.' would
+        # escape/clobber the work dir through the overwrite-mode write
+        if not _NAME_RE.match(name) or name in (".", ".."):
             raise ValueError(f"invalid stage name {name!r}")
         self.name = name
         self.build = build
@@ -82,11 +88,30 @@ def run_pipeline(
     if len(set(names)) != len(names):
         raise ValueError("duplicate stage names")
 
+    unknown = set(force) - set(names)
+    if unknown:
+        raise ValueError(f"force names not in the stage list: {sorted(unknown)}")
+
     # force-invalidation propagates to dependents
     invalid: set[str] = set(force)
     for st in stages:
         if any(d in invalid for d in st.deps):
             invalid.add(st.name)
+
+    # persist the invalidation BEFORE anything runs: uncommit every
+    # invalidated stage by deleting its _SUCCESS marker. A crash after a
+    # forced stage reran but before its dependents did would otherwise
+    # leave committed-but-stale dependents that a plain resume silently
+    # serves (new upstream + old downstream, mixed forever).
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for name in invalid:
+        marker = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(_out_dir(work_dir, name), "_SUCCESS")
+        )
+        fs = marker.getFileSystem(hconf)
+        if fs.exists(marker):
+            fs.delete(marker, False)
 
     out: dict[str, DataFrame] = {}
     for st in stages:

@@ -301,15 +301,15 @@ def test_funnel_counts_monotonically_nonincreasing(spark, sf_dir):
         assert [r.step for r in rows] == steps
 
 
-def test_sessionize_matches_duckdb(spark, sf_dir):
-    from kafi_spark.functions.analytic import sessionize
+def test_sessionize_labels_matches_duckdb(spark, sf_dir):
+    from kafi_spark.functions.analytic import sessionize_labels
     from kafi_spark.session import read_table
 
     import duckdb
 
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     got = {r.event_id: r.session_id
-           for r in sessionize(ev, gap_seconds=3600).collect()}
+           for r in sessionize_labels(ev, gap_seconds=3600).collect()}
     con = duckdb.connect()
     con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
     want = {r[0]: r[1] for r in con.sql("""
@@ -327,10 +327,10 @@ def test_sessionize_matches_duckdb(spark, sf_dir):
     assert max(got.values()) > 0      # the data actually breaks sessions
 
 
-def test_sessionize_hand_case(spark):
+def test_sessionize_labels_hand_case(spark):
     import datetime as dt
 
-    from kafi_spark.functions.analytic import sessionize
+    from kafi_spark.functions.analytic import sessionize_labels
 
     base = dt.datetime(2024, 1, 1)
     rows = [(1, base), (1, base + dt.timedelta(seconds=10)),
@@ -338,7 +338,7 @@ def test_sessionize_hand_case(spark):
             (2, base)]
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
     got = sorted((r.user_id, str(r.ts), r.session_id)
-                 for r in sessionize(ev, gap_seconds=100).collect())
+                 for r in sessionize_labels(ev, gap_seconds=100).collect())
     assert [g[2] for g in got] == [0, 0, 1, 0]
     with pytest.raises(ValueError):
-        sessionize(ev, gap_seconds=0)
+        sessionize_labels(ev, gap_seconds=0)

@@ -97,18 +97,23 @@ def test_components_match_union_find(spark, edges):
 
 
 def _pagerank_py(edges, damping=0.85, iters=20):
+    """Weighted power iteration: parallel edges count as multiplicity."""
+    from collections import Counter
+
     verts = sorted({v for e in edges for v in e})
     n = len(verts)
+    w = Counter(edges)
     out = {}
-    for s, d in set(edges):
-        out.setdefault(s, []).append(d)
+    for (s, d), c in w.items():
+        out.setdefault(s, {})[d] = c
     r = {v: 1.0 / n for v in verts}
     for _ in range(iters):
         dangling = sum(r[v] for v in verts if v not in out)
         nxt = {v: (1 - damping) / n + damping * dangling / n for v in verts}
         for s, ds in out.items():
-            for d in set(ds):
-                nxt[d] += damping * r[s] / len(set(ds))
+            deg = sum(ds.values())
+            for d, c in ds.items():
+                nxt[d] += damping * r[s] * c / deg
         r = nxt
     return r
 
@@ -134,3 +139,16 @@ def test_pagerank_uniform_on_cycle_and_validation(spark):
     assert all(x == pytest.approx(1 / 3, rel=1e-9) for x in got)
     with pytest.raises(ValueError):
         pagerank(cyc, damping=1.5)
+
+
+def test_pagerank_parallel_edges_carry_weight(spark):
+    from kafi_spark.functions.graph import pagerank
+
+    edges = [(1, 2), (1, 2), (1, 2), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, max_iter=15).collect()}
+    want = _pagerank_py(edges, iters=15)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
+    # triple edge → node 2 strictly outranks node 3
+    assert got[2] > got[3]
