@@ -33,5 +33,8 @@ training-data pipeline needs:
 * ``multimodal`` — binary-column plumbing: header decode, PCM
                    signal stats, BMP perceptual dHash, GIF frames
 * ``pipeline``   — the end-to-end curation composition
+* ``stages``     — resumable multi-stage execution (parquet commits,
+                   _SUCCESS markers, force-invalidation)
+* ``graph``      — (also) weighted dangling-aware PageRank
 * ``helpers``    — explode_normalize, dotted paths, ts/bytes coercions
 """
