@@ -182,3 +182,24 @@ def reciprocal_rank_fusion(
     return fused.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def tfidf_vectors(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF document vectors in long format:
+    ``(id, term, weight)`` with ``weight = tf · ln(N / df)`` — the
+    classical-ML feature representation, straight off the BM25 index
+    frames (same tokenizer, so weights and BM25 scores agree on what a
+    term is). Long format IS the scale-safe representation: a vocabulary
+    of millions never materializes as a dense row."""
+    postings, doclen, dfreq = bm25_index(corpus, text_col, id_col)
+    n = doclen.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    idf = dfreq.crossJoin(F.broadcast(n)).select(
+        "term", F.log(F.col("__n") / F.col("df")).alias("__idf")
+    )
+    return postings.join(F.broadcast(idf), "term").select(
+        F.col(id_col), "term", (F.col("tf") * F.col("__idf")).alias("weight")
+    )

@@ -147,3 +147,16 @@ def test_bm25_counts_empty_docs_in_corpus_stats(spark):
     # same retrieved docs, but N rose 2→4 with df=2 ⇒ idf strictly larger
     assert set(s_base) == set(s_full) == {1, 2}
     assert all(s_full[d] > s_base[d] for d in s_base)
+
+
+def test_tfidf_vectors(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "alpha gamma")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.term): r.weight
+           for r in srch.tfidf_vectors(corpus).collect()}
+    import math
+    # alpha in both docs -> idf ln(2/2)=0; beta/gamma in one -> ln 2
+    assert got[(1, "alpha")] == pytest.approx(0.0)
+    assert got[(1, "beta")] == pytest.approx(math.log(2))
+    assert got[(2, "gamma")] == pytest.approx(math.log(2))
