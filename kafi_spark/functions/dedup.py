@@ -21,7 +21,7 @@ aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # a large 61-bit Mersenne prime: (a*h + b) mod P stays in int64*-safe range
 # when computed in decimal; we use Spark's 64-bit xxhash64 then mix.

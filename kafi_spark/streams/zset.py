@@ -15,7 +15,6 @@ shuffle); the set ops are consolidations of unions — no joins, no windows.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
