@@ -305,3 +305,42 @@ def sessionize_labels(
         "session_id",
         F.sum(is_break).over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    threshold: float = 3.0,
+    ddof: int = 0,
+) -> DataFrame:
+    """Per-group z-scores and an outlier flag for a numeric column:
+    input columns + ``zscore`` (null when the group's std is 0 or the
+    value is null) + ``is_outlier`` (|z| > threshold; false where z is
+    null). ``keys=None`` scores against the GLOBAL distribution.
+
+    Plan: one aggregate for group moments (map-side partials) joined
+    back — the group-stats frame has one row per key combination, so
+    it broadcasts under AQE for low-cardinality keys and hash-joins
+    otherwise; population std by default (``ddof=0``, matching SQL's
+    ``stddev_pop``).
+    """
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    std_fn = F.stddev_pop if ddof == 0 else F.stddev_samp
+    v = F.col(value_col)
+    if keys:
+        stats = df.groupBy(*keys).agg(
+            F.avg(v).alias("__mu"), std_fn(v).alias("__sd")
+        )
+        joined = df.join(stats, keys)
+    else:
+        stats = df.agg(F.avg(v).alias("__mu"), std_fn(v).alias("__sd"))
+        joined = df.crossJoin(F.broadcast(stats))
+    z = F.when(
+        v.isNotNull() & F.col("__sd").isNotNull() & (F.col("__sd") > 0),
+        (v - F.col("__mu")) / F.col("__sd"),
+    )
+    return joined.withColumn("zscore", z).withColumn(
+        "is_outlier", F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False))
+    ).drop("__mu", "__sd")

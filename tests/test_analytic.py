@@ -342,3 +342,49 @@ def test_sessionize_labels_hand_case(spark):
     assert [g[2] for g in got] == [0, 0, 1, 0]
     with pytest.raises(ValueError):
         sessionize_labels(ev, gap_seconds=0)
+
+
+def test_zscore_outliers_matches_duckdb(spark, sf_dir):
+    from kafi_spark.functions.analytic import zscore_outliers
+    from kafi_spark.session import read_table
+
+    import duckdb
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    got = {r.event_id: (r.zscore, r.is_outlier)
+           for r in zscore_outliers(ev, "value", keys=["event_type"],
+                                    threshold=2.0).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = {r[0]: (r[1], r[2]) for r in con.sql("""
+        SELECT event_id,
+               CASE WHEN value IS NOT NULL AND sd > 0
+                    THEN (value - mu) / sd END AS z,
+               COALESCE(ABS(CASE WHEN value IS NOT NULL AND sd > 0
+                                 THEN (value - mu) / sd END) > 2.0, FALSE)
+        FROM (SELECT event_id, value,
+                     AVG(value) OVER (PARTITION BY event_type) AS mu,
+                     STDDEV_POP(value) OVER (PARTITION BY event_type) AS sd
+              FROM events)
+    """).fetchall()}
+    assert set(got) == set(want)
+    n_out = sum(1 for z, o in got.values() if o)
+    assert n_out > 0
+    for eid in got:
+        gz, go = got[eid]; wz, wo = want[eid]
+        assert go == wo
+        if gz is None:
+            assert wz is None
+        else:
+            assert gz == pytest.approx(wz, rel=1e-9)
+
+
+def test_zscore_global_and_degenerate(spark):
+    from kafi_spark.functions.analytic import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0)], "id long, v double")
+    out = zscore_outliers(df, "v").collect()   # zero variance
+    assert all(r.zscore is None and r.is_outlier is False for r in out)
+    with pytest.raises(ValueError):
+        zscore_outliers(df, "v", threshold=0)
