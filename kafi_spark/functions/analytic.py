@@ -327,13 +327,22 @@ def zscore_outliers(
     """
     if threshold <= 0:
         raise ValueError(f"threshold must be positive, got {threshold}")
+    if ddof not in (0, 1):
+        raise ValueError(f"ddof must be 0 (population) or 1 (sample), got {ddof}")
     std_fn = F.stddev_pop if ddof == 0 else F.stddev_samp
     v = F.col(value_col)
     if keys:
         stats = df.groupBy(*keys).agg(
             F.avg(v).alias("__mu"), std_fn(v).alias("__sd")
         )
-        joined = df.join(stats, keys)
+        # null-SAFE key equality: groupBy emits a NULL-key stats row,
+        # but a plain equi-join would never match it — silently DROPPING
+        # every null-key input row from a row-preserving operator
+        cond = None
+        for k in keys:
+            c = df[k].eqNullSafe(stats[k])
+            cond = c if cond is None else (cond & c)
+        joined = df.join(stats, cond).drop(*[stats[k] for k in keys])
     else:
         stats = df.agg(F.avg(v).alias("__mu"), std_fn(v).alias("__sd"))
         joined = df.crossJoin(F.broadcast(stats))

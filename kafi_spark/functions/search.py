@@ -196,10 +196,16 @@ def tfidf_vectors(
     term is). Long format IS the scale-safe representation: a vocabulary
     of millions never materializes as a dense row."""
     postings, doclen, dfreq = bm25_index(corpus, text_col, id_col)
-    n = doclen.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # N straight off the corpus ids — counting doclen would execute its
+    # corpus-sized id⋈token-sums join just to learn a row count it has
+    # by construction
+    n = corpus.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     idf = dfreq.crossJoin(F.broadcast(n)).select(
         "term", F.log(F.col("__n") / F.col("df")).alias("__idf")
     )
-    return postings.join(F.broadcast(idf), "term").select(
+    # NO broadcast hint on idf: it is vocabulary-sized (the docstring's
+    # millions-of-terms case), and postings already shuffle by term for
+    # dfreq — AQE broadcasts small vocabularies on its own
+    return postings.join(idf, "term").select(
         F.col(id_col), "term", (F.col("tf") * F.col("__idf")).alias("weight")
     )

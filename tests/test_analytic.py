@@ -388,3 +388,20 @@ def test_zscore_global_and_degenerate(spark):
     assert all(r.zscore is None and r.is_outlier is False for r in out)
     with pytest.raises(ValueError):
         zscore_outliers(df, "v", threshold=0)
+
+
+def test_zscore_preserves_null_key_rows(spark):
+    from kafi_spark.functions.analytic import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, None, 5.0), (4, None, 6.0),
+         (5, "b", 3.0)],
+        "id long, k string, v double")
+    out = zscore_outliers(df, "v", keys=["k"]).collect()
+    assert len(out) == 5                       # row-preserving incl. NULL key
+    nulls = [r for r in out if r.k is None]
+    assert len(nulls) == 2
+    # the NULL group scores against ITS OWN moments (mean 5.5)
+    assert sorted(round(r.zscore, 6) for r in nulls) == [-1.0, 1.0]
+    with pytest.raises(ValueError):
+        zscore_outliers(df, "v", ddof=2)
