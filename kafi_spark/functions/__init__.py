@@ -21,6 +21,7 @@ training-data pipeline needs:
 * ``importance`` — DSIR importance weights + Gumbel top-k selection,
                    LM-perplexity quality scoring
 * ``bpe``        — histogram-trained BPE tokenizer, distributed encode
+* ``embed``      — chunk→embed→pool plumbing (stub model, real shapes)
 * ``portable``   — the shared md5 hash every DuckDB-replayable
                    operator derives from
 * ``temporal``   — as-of join, range join (batch + streaming)
