@@ -1,8 +1,10 @@
 """Per-round benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "plans": {name: {exchanges, shuffle_bytes}},
-"sf": ...}.
+compact JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} (guaranteed < 1900 chars so it
+survives the driver's tail capture), and writes the full artifact —
+the same object plus "plans": {name: {exchanges, shuffle_bytes}} — to
+BENCH.json at the repo root.
 
 Each query's plan is forced end-to-end with the noop sink (full execution,
 no driver-side materialization cost). One warm-up query runs first so JVM/
@@ -251,18 +253,37 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "plans": plans,
-                "sf": sf_val,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "plans": plans,
+        "sf": sf_val,
+    }
+    # Full artifact (timings + plan metrics) goes to a repo-root file so
+    # it never depends on how much stdout the caller captures.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    # The printed contract line stays ONE compact JSON object, small
+    # enough to survive a tail capture of the last ~2000 characters
+    # (round 3's line outgrew that and the round's timings were lost):
+    # no spaces, timings only — plans live in BENCH.json.
+    line = json.dumps(
+        {k: result[k] for k in
+         ("metric", "value", "unit", "queries", "sf")},
+        separators=(",", ":"),
     )
+    if len(line) > 1900:  # belt-and-braces: drop per-query detail first
+        line = json.dumps(
+            {k: result[k] for k in ("metric", "value", "unit", "sf")}
+            | {"queries_file": "BENCH.json"},
+            separators=(",", ":"),
+        )
+    print(line)
 
 
 if __name__ == "__main__":

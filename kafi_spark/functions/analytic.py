@@ -229,7 +229,13 @@ def cohort_retention(
     one window-free aggregate for first activity (groupBy min), one
     join back keyed on the user id, one distinct-count aggregate —
     the (user, period) distinct happens BEFORE counting so multiple
-    events in a period count once.
+    events in a period count once, and the final aggregate counts
+    DISTINCT users so two truncated periods that collapse to the same
+    offset (possible in a DST-observing session timezone, where a
+    truncated 'day' is 23/25 h and a 'week' 167/169 h) still count a
+    user once per (cohort, offset) cell. Offsets are exact under a UTC
+    session timezone (``spark.sql.session.timeZone=UTC``); under a
+    DST zone adjacent offsets can shift by one at transitions.
     """
     if max_periods < 1:
         raise ValueError(f"max_periods must be >= 1, got {max_periods}")
@@ -257,7 +263,7 @@ def cohort_retention(
         .filter(F.col("period_offset") < max_periods)
     )
     return offs.groupBy("cohort", "period_offset").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
+        F.countDistinct(user_col).cast("long").alias("n_users")
     )
 
 

@@ -109,33 +109,54 @@ def bloom_contains(
     boolean ``out_col`` (true ⇔ ALL k bits set ⇔ probably seen;
     false ⇔ definitely new).
 
-    Plan: posexplode the k probes, LEFT join the state on ``word_idx``
-    (no broadcast hint — AQE broadcasts automatically while the filter
-    fits an executor and degrades to a partitioned join with fan-out
-    exactly k beyond that; a forced hint would OOM on a huge filter
-    instead of degrading), then ``min(bit set)`` back per row. The
-    groupBy key is the row's full column set, so the input must be
-    row-distinct in ``df``'s columns (true for anything carrying an
-    id); the probe fan-out is a fixed k×, never corpus².
+    Plan: attach a surrogate row id (``monotonically_increasing_id``
+    in ONE linear plan — the explode fans out the already-computed id,
+    so there is no dual-branch id-reassignment hazard), posexplode the
+    k probes, LEFT join the state on the word index (the state frame's
+    columns are renamed first, so input columns named ``word_idx`` /
+    ``bits`` cannot corrupt the probe join; no broadcast hint — AQE
+    broadcasts automatically while the filter fits an executor and
+    degrades to a partitioned join with fan-out exactly k beyond that;
+    a forced hint would OOM on a huge filter instead of degrading),
+    then ``min(bit set)`` per row id. Duplicate input rows each keep
+    their own verdict row; the probe fan-out is a fixed k×, never
+    corpus².
     """
-    probes = df.select(
+    for reserved in ("__row_id", out_col):
+        if reserved in df.columns:
+            raise ValueError(
+                f"input column {reserved!r} collides with bloom_contains "
+                f"output — rename it (or pass a different out_col)"
+            )
+    state = bloom.select(
+        F.col("word_idx").alias("__bloom_word_idx"),
+        F.col("bits").alias("__bloom_bits"),
+    )
+    keyed = df.withColumn("__row_id", F.monotonically_increasing_id())
+    probes = keyed.select(
         *df.columns,
+        "__row_id",
         F.posexplode(_positions(F.col(col), num_bits, num_hashes, seed)).alias(
             "__i", "__pos"
         ),
     ).select(
         *df.columns,
-        (F.col("__pos") / 64).cast("int").alias("word_idx"),
+        "__row_id",
+        (F.col("__pos") / 64).cast("int").alias("__word_idx"),
         (F.col("__pos") % 64).cast("int").alias("__bit"),
     )
-    joined = probes.join(bloom, "word_idx", "left")
-    hit = F.coalesce(
-        F.expr("shiftright(bits, __bit) & 1"), F.lit(0).cast("long")
-    ).alias("__hit")
-    per_probe = joined.select(*df.columns, hit)
-    return per_probe.groupBy(*df.columns).agg(
-        (F.min("__hit") == 1).alias(out_col)
+    joined = probes.join(
+        state, probes["__word_idx"] == state["__bloom_word_idx"], "left"
     )
+    hit = F.coalesce(
+        F.expr("shiftright(__bloom_bits, __bit) & 1"), F.lit(0).cast("long")
+    ).alias("__hit")
+    per_probe = joined.select(*df.columns, "__row_id", hit)
+    # row payload rides the agg as grouping keys; __row_id keeps
+    # duplicate payload rows distinct
+    return per_probe.groupBy("__row_id", *df.columns).agg(
+        (F.min("__hit") == 1).alias(out_col)
+    ).drop("__row_id")
 
 
 def bloom_new(

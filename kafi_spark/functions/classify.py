@@ -109,22 +109,15 @@ def transformers_scorer(model_name: str) -> Callable[[Sequence[str | None]], lis
             "lexicon_fear_index or any scorer(list[str]) -> list[int]"
         ) from e
 
-    _pipe = {}
-
     def scorer(texts: Sequence[str | None]) -> list[int]:
-        if "p" not in _pipe:
-            from transformers import pipeline
-
-            _pipe["p"] = pipeline(
-                "text-classification", model=model_name, return_all_scores=True
-            )
+        pipe = _load_classifier(model_name)
         out = []
         for t in texts:
             if not t:
                 out.append(0)
                 continue
             score = 0
-            for d in _pipe["p"](t)[0]:
+            for d in pipe(t)[0]:
                 if d["label"] == "negative":
                     score = int(d["score"] * 100)
                     break
@@ -132,3 +125,23 @@ def transformers_scorer(model_name: str) -> Callable[[Sequence[str | None]], lis
         return out
 
     return scorer
+
+
+#: per-worker-process classifier cache — a closure-level dict would be
+#: re-created each time the serialized closure deserializes (per task);
+#: a module-level cache survives for the worker process lifetime
+_CLASSIFIER_CACHE: dict = {}
+
+
+def _load_classifier(model_name: str):
+    """Lazy per-process singleton for the text-classification pipeline
+    (runs executor-side inside the scorer closure)."""
+    pipe = _CLASSIFIER_CACHE.get(model_name)
+    if pipe is None:
+        from transformers import pipeline
+
+        pipe = pipeline(
+            "text-classification", model=model_name, return_all_scores=True
+        )
+        _CLASSIFIER_CACHE[model_name] = pipe
+    return pipe

@@ -18,6 +18,9 @@ precisely what the dedup/retrieval plumbing tests need).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .portable import H_RANGE, md5_long
@@ -73,29 +76,56 @@ def embed_chunks(
     )
 
 
+#: per-worker-process pipeline cache: the model mounts ONCE per python
+#: worker (keyed by model name), not once per Arrow batch — reloading
+#: weights per batch would dominate inference time
+_PIPELINE_CACHE: dict = {}
+
+
+def _load_pipeline(model_name: str):
+    """Lazy per-process singleton for a transformers feature-extraction
+    pipeline. Runs on the EXECUTOR inside the UDF closure; the cache is
+    module-level so every task in the same worker process reuses one
+    mounted model."""
+    pipe = _PIPELINE_CACHE.get(model_name)
+    if pipe is None:
+        from transformers import pipeline
+
+        pipe = pipeline("feature-extraction", model=model_name)
+        _PIPELINE_CACHE[model_name] = pipe
+    return pipe
+
+
+def _embed_batch(pipe, texts, dim: int) -> list:
+    """Pure extraction logic: first-token embedding per text, truncated
+    to ``dim`` floats. Split out so the gate's behavior is unit-testable
+    with a fake pipeline (no model download needed)."""
+    return [[float(x) for x in pipe(t or "")[0][0][:dim]] for t in texts]
+
+
 def model_embedder(model_name: str, dim: int):
     """Factory for a REAL transformers-backed embedding pandas UDF —
     gated: raises ImportError if the library is absent (this container
     ships none; the hash stub covers the plumbing). Returns a callable
-    usable as ``embedder=model_embedder(...)(F.col("chunk"))``."""
+    usable as ``embedder=model_embedder(...)(F.col("chunk"))``.
+
+    Iterator-of-batches form: the pipeline is resolved ONCE per task
+    (and cached per worker process via :func:`_load_pipeline`) before
+    the batch loop — never per Arrow batch."""
     try:
         import transformers  # noqa: F401
-    except ImportError as ex:  # pragma: no cover - environment gate
+    except ImportError as ex:
         raise ImportError(
             "transformers is not available in this environment; use the "
             "hash_embedding_col stub (default) for plumbing, or install "
             "an embedding model runtime"
         ) from ex
-    import pandas as pd  # pragma: no cover - only reachable with the lib
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(f"array<float>")
-    def embed(s: pd.Series) -> pd.Series:  # pragma: no cover
-        from transformers import pipeline
-
-        pipe = pipeline("feature-extraction", model=model_name)
-        return pd.Series([
-            [float(x) for x in pipe(t or "")[0][0][:dim]] for t in s
-        ])
+    @pandas_udf("array<float>")
+    def embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pipe = _load_pipeline(model_name)
+        for s in it:
+            yield pd.Series(_embed_batch(pipe, list(s), dim))
 
     return embed

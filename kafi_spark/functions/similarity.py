@@ -389,6 +389,11 @@ def _kmeans_np(
     stable across sample orderings). Deterministic for fixed
     (X, n_codes, seed). Returns (n_codes, d)."""
     n = len(X)
+    if n == 0:
+        raise ValueError(
+            "empty training sample: the corpus (or the sampled subset) "
+            "contains no vectors — cannot fit k-means centers"
+        )
     k = min(n_codes, n)
 
     def one_run(run_seed: int) -> tuple[np.ndarray, float]:
@@ -776,9 +781,13 @@ def mean_pool_embeddings(
     output. Long-format plan (posexplode to (group, dim, value), avg,
     sorted-struct reassembly): the shuffle carries scalars with
     map-side partial averages, and nothing assumes a fixed
-    dimensionality. Groups mixing dimensionalities raise upstream in
-    the explode (ragged positions simply appear) — standard embedding
-    tables are fixed-dim."""
+    dimensionality. Groups mixing dimensionalities do NOT raise:
+    positions beyond a shorter vector's length simply average over the
+    rows that have them, so the pooled vector has the group's MAX
+    length with tail positions pooled from fewer chunks. Standard
+    embedding tables are fixed-dim, where this never triggers; callers
+    that need mixed dims rejected should assert a single distinct
+    ``F.size(vec_col)`` per group upstream."""
     longf = df.select(
         F.col(group_col), F.posexplode(F.col(vec_col)).alias("__dim", "__v")
     )

@@ -152,6 +152,12 @@ class FSTopicStorage:
 
     ls = topics  # shell alias (kafi/storage.py:225-238)
 
+    def l(self, pattern: str = "*", size: bool = True):
+        """``ls`` with sizes on by default (kafi/storage.py:227-232)."""
+        return self.topics(pattern, size=size)
+
+    ll = l  # kafi/storage.py:234
+
     def recreate(self, topic: str) -> None:
         """Delete + create preserving partitions/config (kafi/addons.py:69-108)."""
         meta = self.metadata(topic)

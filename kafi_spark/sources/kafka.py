@@ -31,13 +31,19 @@ def scan_options(
     ts_end_ms: int | None = None,
     streaming: bool = False,
     options: dict[str, str] | None = None,
+    validate: bool = True,
 ) -> dict[str, str]:
     """The connector option map for a scan — pure translation of the
     reference's consumer knobs (unit-testable without a broker).
 
     Timestamp bounds take precedence over offset bounds on each end
     (matching kafi/storage_consumer.py:16-66 resolution order); streaming
-    scans get no ending bound (the connector rejects them)."""
+    scans get no ending bound (the connector rejects them). The result
+    is checked against :mod:`kafi_spark.sources.kafka_optspec`'s
+    re-statement of the connector's option contract (``validate=False``
+    opts out) so an invalid combination — e.g. a batch start at -1 /
+    latest, which the connector forbids — fails HERE at build time, not
+    at executor launch on a real cluster."""
     out = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
@@ -52,6 +58,10 @@ def scan_options(
         else:
             out["endingOffsets"] = _offsets_json(topic, end_offsets, "latest")
     out.update(options or {})
+    if validate:
+        from kafi_spark.sources.kafka_optspec import validate_source_options
+
+        validate_source_options(out, streaming=streaming)
     return out
 
 
@@ -91,7 +101,15 @@ def write_kafka(
 ):
     """Batch or streaming Kafka sink. ``df`` needs ``value`` (binary/str),
     optional ``key``/``headers``/``partition`` — the connector's contract,
-    which matches MESSAGE_SCHEMA."""
+    which matches MESSAGE_SCHEMA. The assembled option map is checked
+    against the connector contract before any writer is built."""
+    from kafi_spark.sources.kafka_optspec import validate_sink_options
+
+    validate_sink_options({
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        **(options or {}),
+    })
     if df.isStreaming:
         w = df.writeStream.format("kafka").option(
             "kafka.bootstrap.servers", bootstrap_servers

@@ -1,0 +1,278 @@
+"""Offline validator for spark-sql-kafka option maps.
+
+The sandbox has no broker and no ``spark-sql-kafka-0-10`` jar, so the
+connector's own option validation (KafkaSourceProvider.validateBatchOptions
+/ validateStreamOptions in the open-source connector) can never run here.
+This module re-states that PUBLIC contract — from the Spark "Structured
+Streaming + Kafka Integration Guide" — as a standalone checker, so:
+
+* users can validate an option map BEFORE submitting to a real cluster
+  (fail at build time, not executor launch time), and
+* the test suite fails if :mod:`kafi_spark.sources.kafka`'s translation
+  ever stops producing a valid connector configuration (round-3 VERDICT
+  "Next round" item 3 — the strongest broker-free handshake available).
+
+Reference behavior being guarded: kafi/kafka/cluster/cluster_consumer.py:
+87-106 (offset/timestamp bound resolution) and cluster_producer.py:53-77.
+
+Contract encoded (connector option names are case-insensitive):
+
+* exactly one of ``assign`` / ``subscribe`` / ``subscribePattern``;
+* ``kafka.bootstrap.servers`` required, ``host:port[,host:port...]``;
+* ``startingOffsets``: ``earliest`` | ``latest`` | per-partition JSON
+  ``{"topic": {"0": 23}}`` with -2 = earliest, -1 = latest; ``latest``
+  and JSON ``-1`` are rejected for BATCH starts (a batch query cannot
+  start at latest);
+* ``endingOffsets`` (batch only): ``latest`` | JSON, with ``-1`` =
+  latest allowed and ``-2`` rejected (a query cannot END at earliest);
+* ``startingTimestamp`` / ``endingTimestamp``: epoch-millis integer
+  strings; ``starting/endingOffsetsByTimestamp``: per-partition JSON of
+  epoch-millis; every ``ending*`` option is rejected for streaming;
+* with ``assign``, offset-JSON topics must be assigned topics;
+* forbidden ``kafka.*`` passthroughs the connector raises on:
+  deserializers/serializers, ``auto.offset.reset``,
+  ``enable.auto.commit``, ``interceptor.classes`` (offsets/commits are
+  managed by Spark itself);
+* boolean/long-valued connector knobs must parse
+  (``failOnDataLoss``, ``includeHeaders``, ``maxOffsetsPerTrigger``,
+  ``minOffsetsPerTrigger``, ``minPartitions``, ...);
+* sink maps need ``kafka.bootstrap.servers``; ``topic`` is optional
+  (falls back to a ``topic`` column) but must be non-empty if present.
+
+Unknown non-``kafka.`` options pass through unvalidated — the real
+connector ignores what it doesn't know, and rejecting them here would
+make the checker stricter than the thing it models.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+_SUBSCRIPTION_KEYS = ("assign", "subscribe", "subscribepattern")
+
+#: kafka.* client properties the source rejects (Spark manages offsets,
+#: deserialization and commits itself)
+_FORBIDDEN_SOURCE_KAFKA = {
+    "kafka.key.deserializer",
+    "kafka.value.deserializer",
+    "kafka.auto.offset.reset",
+    "kafka.enable.auto.commit",
+    "kafka.interceptor.classes",
+}
+#: kafka.* client properties the sink rejects (the sink always writes
+#: binary key/value through its own serializers)
+_FORBIDDEN_SINK_KAFKA = {
+    "kafka.key.serializer",
+    "kafka.value.serializer",
+}
+
+_LONG_OPTS = (
+    "maxoffsetspertrigger",
+    "minoffsetspertrigger",
+    "maxtriggerdelay",
+    "minpartitions",
+    "fetchoffset.numretries",
+    "fetchoffset.retryintervalms",
+    "kafkaconsumer.polltimeoutms",
+    "startingtimestamp",
+    "endingtimestamp",
+)
+_BOOL_OPTS = ("failondataloss", "includeheaders")
+
+_BOOTSTRAP_RE = re.compile(r"^[^\s,:]+:\d+(,[^\s,:]+:\d+)*$")
+
+
+class KafkaOptionError(ValueError):
+    """An option map the spark-sql-kafka connector would reject."""
+
+
+def _fail(msg: str) -> None:
+    raise KafkaOptionError(msg)
+
+
+def _lower(options: dict[str, str]) -> dict[str, str]:
+    low: dict[str, str] = {}
+    for k, v in options.items():
+        lk = k.lower()
+        if lk in low:
+            _fail(f"duplicate option {k!r} (connector options are "
+                  f"case-insensitive)")
+        low[lk] = v
+    return low
+
+
+def _check_bootstrap(low: dict[str, str]) -> None:
+    servers = low.get("kafka.bootstrap.servers")
+    if not servers:
+        _fail("kafka.bootstrap.servers is required")
+    if not _BOOTSTRAP_RE.match(servers):
+        _fail(f"kafka.bootstrap.servers must be host:port[,host:port...], "
+              f"got {servers!r}")
+
+
+def _check_forbidden(low: dict[str, str], forbidden: set[str]) -> None:
+    hits = sorted(set(low) & forbidden)
+    if hits:
+        _fail(f"kafka option(s) not allowed with the Spark connector "
+              f"(managed by Spark itself): {hits}")
+
+
+def _check_scalars(low: dict[str, str]) -> None:
+    for k in _LONG_OPTS:
+        if k in low:
+            try:
+                int(low[k])
+            except ValueError:
+                _fail(f"option {k} must be an integer string, got "
+                      f"{low[k]!r}")
+    for k in _BOOL_OPTS:
+        if k in low and low[k].lower() not in ("true", "false"):
+            _fail(f"option {k} must be 'true' or 'false', got {low[k]!r}")
+
+
+def _parse_offsets_json(key: str, raw: str) -> dict[str, dict[str, int]]:
+    try:
+        obj = json.loads(raw)
+    except json.JSONDecodeError as e:
+        _fail(f"{key}: malformed JSON ({e})")
+    if not isinstance(obj, dict) or not obj:
+        _fail(f"{key}: expected a non-empty JSON object of "
+              f"topic -> {{partition: value}}, got {raw!r}")
+    for topic, parts in obj.items():
+        if not isinstance(parts, dict) or not parts:
+            _fail(f"{key}: topic {topic!r} must map to a non-empty "
+                  f"{{partition: value}} object")
+        for p, v in parts.items():
+            if not re.fullmatch(r"\d+", str(p)):
+                _fail(f"{key}: partition key {p!r} for topic {topic!r} "
+                      f"must be a non-negative integer string")
+            if not isinstance(v, int):
+                _fail(f"{key}: value for {topic}[{p}] must be an "
+                      f"integer, got {v!r}")
+    return obj
+
+
+def _check_offsets_option(
+    key: str,
+    raw: str,
+    *,
+    specials: tuple[str, ...],
+    allow_minus1: bool,
+    allow_minus2: bool,
+    assigned: dict[str, list[int]] | None,
+) -> None:
+    if raw in specials:
+        return
+    if raw in ("earliest", "latest"):
+        _fail(f"{key}={raw} is not allowed here")
+    obj = _parse_offsets_json(key, raw)
+    for topic, parts in obj.items():
+        if assigned is not None and topic not in assigned:
+            _fail(f"{key}: topic {topic!r} is not in the assign list "
+                  f"{sorted(assigned)}")
+        for p, v in parts.items():
+            if v == -1 and not allow_minus1:
+                _fail(f"{key}: offset -1 (latest) not allowed for "
+                      f"{topic}[{p}] in a batch start")
+            if v == -2 and not allow_minus2:
+                _fail(f"{key}: offset -2 (earliest) not allowed for "
+                      f"{topic}[{p}] in an ending bound")
+            if v < -2:
+                _fail(f"{key}: offset {v} for {topic}[{p}] is not a "
+                      f"valid offset (-1 latest, -2 earliest, or >= 0)")
+
+
+def _check_by_timestamp(key: str, raw: str,
+                        assigned: dict[str, list[int]] | None) -> None:
+    obj = _parse_offsets_json(key, raw)
+    for topic, parts in obj.items():
+        if assigned is not None and topic not in assigned:
+            _fail(f"{key}: topic {topic!r} is not in the assign list")
+        for p, v in parts.items():
+            if v < 0:
+                _fail(f"{key}: timestamp for {topic}[{p}] must be "
+                      f">= 0 epoch millis, got {v}")
+
+
+def _parse_assign(raw: str) -> dict[str, list[int]]:
+    try:
+        obj = json.loads(raw)
+    except json.JSONDecodeError as e:
+        _fail(f"assign: malformed JSON ({e})")
+    if not isinstance(obj, dict) or not obj:
+        _fail(f"assign: expected non-empty JSON object of "
+              f"topic -> [partitions], got {raw!r}")
+    for topic, parts in obj.items():
+        if (not isinstance(parts, list) or not parts
+                or not all(isinstance(p, int) and p >= 0 for p in parts)):
+            _fail(f"assign: topic {topic!r} must map to a non-empty list "
+                  f"of non-negative partition ids")
+    return obj
+
+
+def validate_source_options(
+    options: dict[str, str], *, streaming: bool
+) -> None:
+    """Raise :class:`KafkaOptionError` iff the spark-sql-kafka SOURCE
+    would reject this option map (batch read / readStream)."""
+    low = _lower(options)
+    _check_bootstrap(low)
+    _check_forbidden(low, _FORBIDDEN_SOURCE_KAFKA)
+    _check_scalars(low)
+
+    subs = [k for k in _SUBSCRIPTION_KEYS if k in low]
+    if len(subs) != 1:
+        _fail(f"exactly one of assign/subscribe/subscribePattern is "
+              f"required, got {subs or 'none'}")
+    assigned: dict[str, list[int]] | None = None
+    if subs == ["assign"]:
+        assigned = _parse_assign(low["assign"])
+    elif subs == ["subscribe"]:
+        topics = [t.strip() for t in low["subscribe"].split(",")]
+        if not all(topics):
+            _fail(f"subscribe: empty topic name in {low['subscribe']!r}")
+    elif subs == ["subscribepattern"]:
+        try:
+            re.compile(low["subscribepattern"])
+        except re.error as e:
+            _fail(f"subscribePattern: invalid regex ({e})")
+
+    if streaming:
+        for k in ("endingoffsets", "endingtimestamp",
+                  "endingoffsetsbytimestamp"):
+            if k in low:
+                _fail(f"{k} is not allowed for streaming queries")
+
+    if "startingoffsets" in low:
+        _check_offsets_option(
+            "startingOffsets", low["startingoffsets"],
+            specials=("earliest", "latest") if streaming else ("earliest",),
+            allow_minus1=streaming, allow_minus2=True, assigned=assigned,
+        )
+    if "endingoffsets" in low:
+        _check_offsets_option(
+            "endingOffsets", low["endingoffsets"],
+            specials=("latest",),
+            allow_minus1=True, allow_minus2=False, assigned=assigned,
+        )
+    if "startingoffsetsbytimestamp" in low:
+        _check_by_timestamp("startingOffsetsByTimestamp",
+                            low["startingoffsetsbytimestamp"], assigned)
+    if "endingoffsetsbytimestamp" in low:
+        _check_by_timestamp("endingOffsetsByTimestamp",
+                            low["endingoffsetsbytimestamp"], assigned)
+    for k in ("startingtimestamp", "endingtimestamp"):
+        if k in low and int(low[k]) < 0:
+            _fail(f"{k} must be >= 0 epoch millis, got {low[k]}")
+
+
+def validate_sink_options(options: dict[str, str]) -> None:
+    """Raise :class:`KafkaOptionError` iff the spark-sql-kafka SINK
+    would reject this option map."""
+    low = _lower(options)
+    _check_bootstrap(low)
+    _check_forbidden(low, _FORBIDDEN_SINK_KAFKA)
+    if "topic" in low and not low["topic"].strip():
+        _fail("topic must be non-empty when present (otherwise the sink "
+              "takes the per-row 'topic' column)")

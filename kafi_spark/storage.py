@@ -76,6 +76,12 @@ class Local(FSTopicStorage):
 
     ls = topics
 
+    def l(self, pattern: str = "*", size: bool = True):
+        """``ls`` with sizes on by default (kafi/storage.py:227-232)."""
+        return self.topics(pattern, size=size)
+
+    ll = l
+
     # -- shell verbs (kafi/shell.py:14-104) ---------------------------------
 
     def cat(self, topic: str, n: int | None = None, **kw) -> DataFrame:

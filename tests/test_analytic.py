@@ -405,3 +405,30 @@ def test_zscore_preserves_null_key_rows(spark):
     assert sorted(round(r.zscore, 6) for r in nulls) == [-1.0, 1.0]
     with pytest.raises(ValueError):
         zscore_outliers(df, "v", ddof=2)
+
+
+def test_cohort_retention_dst_collapse_counts_users_once(spark):
+    """Round-3 ADVICE (medium): in a DST-observing session timezone two
+    distinct truncated days can land on the same period offset (a 23 h
+    'day' at spring-forward); the distinct-user count must not
+    double-count that user in the collapsed cell."""
+    from datetime import datetime
+
+    from kafi_spark.functions.analytic import cohort_retention
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # US spring-forward 2025-03-09: Mar 10 00:00 EDT is only 23 h
+        # after Mar 9 00:00 EST, so both truncate-days collapse to
+        # offset 1 from a Mar 8 cohort under fixed-86400 s arithmetic.
+        ev = spark.createDataFrame(
+            [("u1", datetime(2025, 3, 8, 12)),
+             ("u1", datetime(2025, 3, 9, 12)),
+             ("u1", datetime(2025, 3, 10, 12))],
+            "user_id string, ts timestamp")
+        got = {(r.period_offset): r.n_users
+               for r in cohort_retention(ev, period="day").collect()}
+        assert got == {0: 1, 1: 1}  # count(*) would have said {0:1, 1:2}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

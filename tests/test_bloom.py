@@ -217,3 +217,41 @@ def test_bloom_merge_algebra_properties(spark):
         assert as_set(merge(fa, fb)) == as_set(build(a + b))        # = union
 
     prop()
+
+
+def test_bloom_contains_keeps_duplicate_rows(spark):
+    """Duplicate input rows each keep their own verdict row (round-3
+    ADVICE: the old groupBy-all-columns silently collapsed them)."""
+    hist = spark.createDataFrame([("a",)], "text string")
+    filt = bl.bloom_build(hist, "text", 256, 3)
+    dup = spark.createDataFrame([("a",), ("a",), ("b",)], "text string")
+    out = bl.bloom_contains(dup, filt, "text", 256, 3).collect()
+    assert len(out) == 3
+    assert sorted((r.text, r.probably_seen) for r in out) == [
+        ("a", True), ("a", True), ("b", False)]
+
+
+def test_bloom_contains_tolerates_reserved_input_columns(spark):
+    """Input columns named word_idx / bits no longer corrupt the probe
+    join (the state frame's columns are renamed before joining)."""
+    hist = spark.createDataFrame([("x",)], "text string")
+    filt = bl.bloom_build(hist, "text", 256, 3)
+    df = spark.createDataFrame(
+        [("x", 99, 12345), ("y", 7, 0)],
+        "text string, word_idx int, bits long")
+    out = {(r.text): (r.probably_seen, r.word_idx, r.bits)
+           for r in bl.bloom_contains(df, filt, "text", 256, 3).collect()}
+    assert out["x"] == (True, 99, 12345)
+    assert out["y"][0] is False and out["y"][1:] == (7, 0)
+
+
+def test_bloom_contains_rejects_output_collisions(spark):
+    hist = spark.createDataFrame([("x",)], "text string")
+    filt = bl.bloom_build(hist, "text", 256, 3)
+    bad = spark.createDataFrame([("x", 1)], "text string, __row_id int")
+    with pytest.raises(ValueError, match="__row_id"):
+        bl.bloom_contains(bad, filt, "text", 256, 3)
+    bad2 = spark.createDataFrame([("x", True)],
+                                 "text string, probably_seen boolean")
+    with pytest.raises(ValueError, match="probably_seen"):
+        bl.bloom_contains(bad2, filt, "text", 256, 3)

@@ -226,3 +226,13 @@ def test_mean_pool_embeddings(spark):
            for r in sim.mean_pool_embeddings(df, "doc_id").collect()}
     assert got[1] == pytest.approx([2.0, 3.0])
     assert got[2] == pytest.approx([5.0, 6.0])
+
+
+def test_kmeans_empty_training_sample_raises_clearly():
+    import numpy as np
+    import pytest as _pytest
+
+    from kafi_spark.functions.similarity import _kmeans_np
+
+    with _pytest.raises(ValueError, match="empty training sample"):
+        _kmeans_np(np.zeros((0, 4)), n_codes=4, seed=0)

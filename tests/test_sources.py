@@ -254,6 +254,11 @@ def test_local_facade_verbs(spark, tmp_path):
     assert compacted.count() == 2  # k1 last-write-wins
     assert c.collect_value_set("snacks").count() == 3
     assert c.message_size_stats("snacks").count() == 1
+    # shell listing aliases (kafi/storage.py:225-238): ls = topics,
+    # l/ll = topics with sizes on by default
+    assert c.ls() == c.topics() == ["snacks"]
+    assert c.l() == c.ll() == {"snacks": 3}
+    assert c.l(size=False) == ["snacks"]
 
 
 def test_file_uri_root(spark, tmp_path):
