@@ -73,6 +73,8 @@ HEADLINE = [
     "wire_roundtrip",
     "pipeline_curate",
     "pipeline_curate_minhash",
+    "pipeline_dupheavy_exact",
+    "pipeline_dupheavy_minhash",
 ]
 
 
@@ -151,6 +153,56 @@ def bench_queries(entry_mod) -> dict:
         return cosine_topk_quantized(corpus, queries_df, k=5)
 
     qs["ann_cosine_topk_quantized"] = q_ann_quantized
+
+    # near-dup-heavy twins: 50 groups of 101 near-copies planted into the
+    # documents table (suffix-perturbed — NOT exact duplicates, so they
+    # reach the near-dup stage). At sf0.1 wall times of the two configs
+    # are within host noise (the corpus is CPU-bound, not shuffle-bound);
+    # the SCALE separation is the deterministic plans metric: the capped
+    # n-gram config shuffles ~2.3x the bytes minhash does on this corpus,
+    # and that ratio grows with document length (shingle rows are
+    # length-proportional, signatures are a fixed 64 longs/doc).
+    # See PLANS.md "Pipeline twins — round-4 re-adjudication".
+    def _dupheavy_corpus(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from kafi_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        per = (
+            d.filter(F.col("doc_id") % 100 == 0)
+            .select(
+                "doc_id", "text",
+                F.explode(F.sequence(F.lit(1), F.lit(100))).alias("__j"),
+            )
+            .select(
+                (F.col("doc_id") + F.col("__j") * F.lit(1_000_000))
+                .alias("doc_id"),
+                F.concat(
+                    "text", F.lit(" zq"),
+                    (F.col("doc_id") + F.col("__j")).cast("string"),
+                ).alias("text"),
+            )
+        )
+        return d.unionByName(per)
+
+    def q_pipeline_dupheavy_exact(spark, sf_dir):
+        from kafi_spark.functions.pipeline import curate_documents
+
+        return curate_documents(
+            _dupheavy_corpus(spark, sf_dir), near_dup="ngram",
+            ngram_max_df=1000,
+        )
+
+    def q_pipeline_dupheavy_minhash(spark, sf_dir):
+        from kafi_spark.functions.pipeline import curate_documents
+
+        return curate_documents(
+            _dupheavy_corpus(spark, sf_dir), near_dup="minhash",
+        )
+
+    qs["pipeline_dupheavy_exact"] = q_pipeline_dupheavy_exact
+    qs["pipeline_dupheavy_minhash"] = q_pipeline_dupheavy_minhash
 
     def q_dsir_select(spark, sf_dir):
         from pyspark.sql import functions as F
