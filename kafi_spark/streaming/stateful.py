@@ -229,3 +229,133 @@ def bloom_dedup_stream(
         bloom_save_delta(delta, state_dir, f"{version_prefix}{epoch_id}")
 
     return process
+
+
+def span_dedup_stream(
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    span_tokens: int = 8,
+    sink=None,
+    version_prefix: str = "",
+    joiner: str = " ",
+):
+    """Streaming twin of :func:`kafi_spark.functions.spans.span_dedup`
+    (keep='first', max_occurrences=1 semantics — the configuration whose
+    decisions are causal in arrival order; see divergence note below).
+
+    Returns a ``foreachBatch`` callable maintaining EXACT persisted
+    state: the set of span fingerprints ever seen, stored as versioned
+    parquet deltas under ``state_dir`` (the
+    :func:`~kafi_spark.streaming.stateful.bloom_dedup_stream` delta
+    discipline — epoch-keyed overwrites make replays idempotent, and
+    the merged state is a pure distinct-union so replay order never
+    matters). Per micro-batch:
+
+    1. explode documents into spans, fingerprint each (md5 — the batch
+       operator's key, spans.py:107);
+    2. drop spans whose fingerprint is in state (historical duplicate)
+       or that repeat earlier in THIS batch (first occurrence by
+       ``(id, span_id)`` wins — the batch operator's keeper order);
+    3. reassemble surviving spans into documents
+       (``(id, text, n_spans_kept)``, order-preserving — same output
+       contract as the batch operator) and hand them to
+       ``sink(out_df, epoch_id)``;
+    4. persist ALL of the batch's span fingerprints as this epoch's
+       delta (from the whole batch, not the survivors — on an epoch
+       replay the survivors come back empty and a survivor-built delta
+       would un-see the epoch's spans; whole-batch deltas are
+       idempotent).
+
+    Replaying a batch corpus through this operator in arrival order
+    (ascending ``(id, span_id)``) yields EXACTLY the batch operator's
+    keep='first'/max_occurrences=1 survivors — asserted by test.
+    Divergences, inherent to streaming: ``keep='none'`` and
+    ``max_occurrences>1`` need retrospective knowledge (whether a span
+    seen now will recur later), which an append-only stream cannot have
+    without retractions; documents whose every span is a duplicate are
+    emitted by the batch operator's contract as absent — same here.
+
+    State is exact and grows with distinct spans ever seen (parquet,
+    mergeable, shared across runs/queries via ``state_dir``); if
+    forever-exact state is too large, trade exactness for bounded bits
+    with :func:`bloom_dedup_stream` over exploded spans.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafi_spark.functions.spans import text_spans
+
+    def _load_state(spark):
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(state_dir).select("__fp").distinct()
+        except AnalysisException:
+            return spark.createDataFrame([], "__fp string")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = _load_state(spark)
+        spans = text_spans(
+            batch_df, text_col, id_col, span_tokens
+        ).withColumn("__fp", F.md5("span"))
+        # two consumers (survivor computation + delta write): anchor once
+        spans = spans.localCheckpoint()
+        wo = W.partitionBy("__fp").orderBy(F.col(id_col), F.col("span_id"))
+        fresh = (
+            spans.join(seen, "__fp", "left_anti")
+            .withColumn("__rn", F.row_number().over(wo))
+            .filter(F.col("__rn") == 1)
+        )
+        out = fresh.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_id", "span"))),
+                    lambda x: x["span"],
+                ),
+                joiner,
+            ).alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+        )
+        if sink is not None:
+            sink(out, epoch_id)
+        spans.select("__fp").distinct().write.mode("overwrite").parquet(
+            f"{state_dir.rstrip('/')}/v={version_prefix}{epoch_id}"
+        )
+
+    return process
+
+
+def decontaminate_stream(
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    sink=None,
+):
+    """Streaming twin of
+    :func:`kafi_spark.functions.contamination.decontaminate`.
+
+    Decontamination is STATELESS with respect to the stream — the
+    benchmark gram set is static and each document's verdict depends
+    only on its own text — so the twin is the batch operator applied
+    per micro-batch via ``foreachBatch`` (Spark's stream-static join
+    matrix has no left-anti, which is why this is not a single
+    stream-static transformation). Batch and streaming verdicts are
+    therefore IDENTICAL per document, any batch split — asserted by
+    test.
+    """
+    from kafi_spark.functions.contamination import decontaminate
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        out = decontaminate(
+            batch_df, benchmark, n, text_col, id_col,
+            bench_text_col, bench_id_col,
+        )
+        if sink is not None:
+            sink(out, epoch_id)
+
+    return process

@@ -82,3 +82,118 @@ def test_bloom_at_50k(spark, big_corpus):
     # odd ids are distinct from even-id texts except hash luck: nearly
     # all pass; the 0.1% FP budget bounds the loss
     assert survivors >= 24_000
+
+
+def _shuffle_delta(spark, action):
+    """Shuffle-write bytes of one action, from the AppStatusStore
+    (bench.py's deterministic plan metric) — the probe's bound is on
+    DATA MOVED, not wall time."""
+    from bench import _shuffle_bytes_total
+
+    pre = _shuffle_bytes_total(spark)
+    result = action()
+    post = _shuffle_bytes_total(spark)
+    if pre is None or post is None:
+        return result, None  # metrics unavailable — bound check skipped
+    return result, post - pre
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus(spark):
+    """50k documents with ONE HOT near-dup cluster: every 100th doc
+    (500 docs) repeats doc 0's 16 words except one per-doc unique word
+    (Jaccard ≈ 0.88 to the anchor) — the skew shape a uniform sf0.1
+    corpus never exercises, where every LSH band bucket for the hot
+    signature collects the whole cohort."""
+    n = 50_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(50))
+        ),
+    )
+    anchor_words = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.lit(0).cast("long"), i), F.lit(50))
+        ),
+    )
+    hot = F.concat(
+        F.array_join(F.slice(anchor_words, 1, 15), " "),
+        F.lit(" u"), F.col("id").cast("string"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 0, hot)
+        .otherwise(F.array_join(words, " ")).alias("text"),
+    )
+
+
+def test_minhash_lsh_bounded_under_hot_cluster(spark, skewed_corpus):
+    """The max_bucket guard must keep the hot cluster's candidate
+    fan-out (and therefore the shuffle) bounded: C(max_bucket, 2) pairs
+    per band bucket instead of C(500, 2), while still surfacing plenty
+    of true near-dup pairs for the keep policy to act on."""
+    from kafi_spark.functions.dedup import minhash_lsh_pairs
+
+    pairs, moved = _shuffle_delta(spark, lambda: (
+        minhash_lsh_pairs(
+            skewed_corpus, "text", "doc_id",
+            k=3, num_hashes=32, bands=8, threshold=0.5, max_bucket=100,
+        )
+        .filter((F.col("id_1") % 100 == 0) & (F.col("id_2") % 100 == 0))
+        .count()
+    ))
+    # truncated buckets still yield thousands of true hot pairs
+    assert pairs >= 1_000
+    # bound on data moved: signatures + bounded buckets + verification,
+    # far under what untruncated C(500,2)×8-band fan-out would shuffle
+    if moved is not None:
+        assert moved < 300 * 1024 * 1024
+
+
+@pytest.fixture(scope="module")
+def skewed_embeddings(spark):
+    """50k 8-dim vectors with one hot semantic cluster: every 100th
+    vector is the anchor plus a ~1e-3 perturbation (cosine ≈ 1), the
+    rest quasi-random — the one-hot-cell shape for semantic dedup."""
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: (
+            (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 1000.0)
+            - 0.5
+        ).cast("float"),
+    )
+    anchor = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: (
+            (F.pmod(F.xxhash64(F.lit(0).cast("long"), i), F.lit(1000))
+             / 1000.0) - 0.5
+            + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(100)) / 100_000.0)
+        ).cast("float"),
+    )
+    return spark.range(50_000).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") % 100 == 0, anchor).otherwise(base)
+        .alias("embedding"),
+    )
+
+
+def test_semantic_dedup_bounded_under_hot_cell(spark, skewed_embeddings):
+    """The hot cluster lands in ONE k-means cell; within-cell exact
+    pairs must recover ~all planted duplicates while the blocked matmul
+    keeps shuffle bounded (Σ cluster²·d FLOPs spread over B² tasks, the
+    corpus itself never shuffled as a self-join)."""
+    from kafi_spark.functions.similarity import semantic_dedup_pairs
+
+    hot_pairs, moved = _shuffle_delta(spark, lambda: (
+        semantic_dedup_pairs(
+            skewed_embeddings, threshold=0.99, n_clusters=8,
+        )
+        .filter((F.col("id_1") % 100 == 0) & (F.col("id_2") % 100 == 0))
+        .count()
+    ))
+    expect = 500 * 499 // 2
+    assert hot_pairs >= int(0.9 * expect)
+    if moved is not None:
+        assert moved < 300 * 1024 * 1024
