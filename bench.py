@@ -250,6 +250,15 @@ def bench_queries(entry_mod) -> dict:
 
     qs["bm25_topk"] = q_bm25
 
+    def q_substring_dedup(spark, sf_dir):
+        from kafi_spark.functions.spans import substring_dedup
+        from kafi_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        return substring_dedup(d, min_tokens=8)
+
+    qs["substring_dedup"] = q_substring_dedup
+
     return qs
 
 

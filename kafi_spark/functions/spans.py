@@ -207,6 +207,153 @@ def line_dedup(
     return _dedup_spans(spans, id_col, sep, max_occurrences, keep, skew_safe)
 
 
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    max_occurrences: int = 1,
+    keep: str = "first",
+    skew_safe: bool = False,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING removal (suffix-array-spirit dedup,
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): cut every corpus-duplicated run of >= ``min_tokens``
+    consecutive tokens OUT of each document, keeping the rest of the
+    text intact — finer-grained than :func:`span_dedup`, whose fixed
+    non-overlapping chunks miss duplicates that straddle a chunk
+    boundary.
+
+    The distributed form replaces the global suffix array (a corpus-wide
+    suffix sort — driver-hostile at 100 TB) with SLIDING ``min_tokens``-
+    gram fingerprints: any duplicated run of >= min_tokens tokens
+    necessarily contains a duplicated min_tokens-gram at every start
+    position inside it, so marking duplicated grams and merging their
+    overlapping [start, start+k) token intervals recovers exactly the
+    maximal duplicated regions (for regions made of grams duplicated at
+    the same multiplicity — the standard industry approximation, e.g.
+    SlimPajama / google-research/deduplicate-text-datasets' chunked
+    mode).
+
+    Semantics per gram occurrence, matching :func:`span_dedup`: a gram
+    is over-represented iff its corpus count > ``max_occurrences``; with
+    ``keep='first'`` the globally first occurrence (ordered by
+    ``(id, start)``) of an over-represented gram survives, every other
+    occurrence is marked for removal; ``keep='none'`` marks them all
+    (boilerplate mode). Marked [start, start+min_tokens) intervals are
+    unioned per document (:func:`..temporal.merge_intervals` — disjoint
+    after merge) and covered tokens cut.
+
+    Returns every input row as ``(id, text, n_tokens_removed)`` — a
+    fully-duplicated document comes back with empty text rather than
+    disappearing (callers filter), null/short texts come back unchanged.
+
+    Plan (3 shuffles, all on constant-width keys): narrow bound-split →
+    sliding-gram explode (md5 fingerprints only — the gram text never
+    shuffles; 128-bit so collisions stay improbable at trillions of
+    grams, unlike xxhash64); ONE window on fingerprint (count +
+    row_number share a single Window operator, same spec trick as
+    :func:`_dedup_spans`, or the aggregate+join plan under
+    ``skew_safe=True`` — a boilerplate gram duplicated millions of
+    times lands in one sort task otherwise); interval merge = one
+    window on id over REMOVAL MARKS ONLY (tiny relative to corpus);
+    one doc-keyed broadcast-size join attaching the per-doc interval
+    array back to the bound split. Reconstruction is an in-row
+    ``F.filter`` over token positions testing membership in the merged
+    (disjoint, sorted) intervals — O(tokens x intervals) interpreted,
+    dwarfed by the gram shuffle at any scale.
+
+    Reference scope note: the reference engine has no dedup operators;
+    beyond-reference LLM-pipeline layer (SURVEY.md §2 extension).
+    """
+    from .temporal import merge_intervals
+    from .dedup import _parallelize
+
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    if max_occurrences < 1:
+        raise ValueError(f"max_occurrences must be >= 1, got {max_occurrences}")
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    k = min_tokens
+    for c in ("__words", "__iv"):
+        if c in df.columns:
+            raise ValueError(f"input column {c!r} collides with an internal name")
+
+    bound = _parallelize(df).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+    )
+    # Docs shorter than k tokens produce no grams. The >= k filter also
+    # guards F.sequence(0, n_grams - 1): Spark's sequence DESCENDS when
+    # start > stop, so an unguarded empty doc would emit [0, -1].
+    eligible = bound.filter(F.size("__words") >= k)
+    grams = eligible.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__words") - k),
+                lambda i: F.md5(F.array_join(F.slice("__words", i + 1, k), " ")),
+            )
+        ).alias("start", "__fp"),
+    )
+    if skew_safe:
+        stats = grams.groupBy("__fp").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col(id_col), F.col("start"))).alias("__keep"),
+        )
+        joined = grams.join(stats, "__fp")
+        removed = F.col("__n") > max_occurrences
+        if keep == "first":
+            removed = removed & ~(
+                (F.col(f"__keep.{id_col}") == F.col(id_col))
+                & (F.col("__keep.start") == F.col("start"))
+            )
+        marks = joined.filter(removed).select(id_col, "start")
+    else:
+        wo = W.partitionBy("__fp").orderBy(F.col(id_col), F.col("start"))
+        ranked = grams.select(
+            F.col(id_col),
+            "start",
+            F.count(F.lit(1))
+            .over(wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("__n"),
+            F.row_number().over(wo).alias("__rn"),
+        )
+        removed = F.col("__n") > max_occurrences
+        if keep == "first":
+            removed = removed & (F.col("__rn") > 1)
+        marks = ranked.filter(removed).select(id_col, "start")
+
+    intervals = merge_intervals(
+        marks.select(
+            F.col(id_col),
+            F.col("start").alias("__lo"),
+            (F.col("start") + F.lit(k)).alias("__hi"),
+        ),
+        on=id_col,
+        start_col="__lo",
+        end_col="__hi",
+    )
+    per_doc = intervals.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("__lo", "__hi"))).alias("__iv"),
+        F.sum(F.col("__hi") - F.col("__lo")).cast("long").alias("__removed"),
+    )
+    out = bound.join(per_doc, on=id_col, how="left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__iv"), lambda iv: (iv["__lo"] <= i) & (i < iv["__hi"])
+    )
+    kept_words = F.when(F.col("__iv").isNull(), F.col("__words")).otherwise(
+        F.filter(F.col("__words"), lambda w, i: ~covered(i))
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join(kept_words, " ").alias("text"),
+        F.coalesce(F.col("__removed"), F.lit(0)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+    )
+
+
 def chunk_text(
     df: DataFrame,
     text_col: str = "text",

@@ -155,3 +155,141 @@ def test_skew_safe_variant_is_equivalent(spark, sf_dir, keep, max_occ):
                                 max_occurrences=max_occ,
                                 skew_safe=True).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------- substring
+
+
+@pytest.fixture(scope="module")
+def sub_docs(spark):
+    # doc 1 and 2 share the 4-token passage "the quick brown fox";
+    # doc 3 embeds it mid-text; doc 4 is clean; doc 5 IS the passage.
+    data = [
+        (1, "alpha the quick brown fox beta gamma"),
+        (2, "the quick brown fox delta"),
+        (3, "one two the quick brown fox three"),
+        (4, "totally unrelated text here"),
+        (5, "the quick brown fox"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_substring_dedup_keep_first(sub_docs):
+    out = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in sp.substring_dedup(sub_docs, min_tokens=4).collect()}
+    # globally-first occurrence (doc 1) keeps the passage; every other
+    # occurrence is cut, surrounding unique text intact
+    assert out[1] == ("alpha the quick brown fox beta gamma", 0)
+    assert out[2] == ("delta", 4)
+    assert out[3] == ("one two three", 4)
+    assert out[4] == ("totally unrelated text here", 0)
+    assert out[5] == ("", 4)     # fully-duplicated doc → empty, NOT dropped
+
+
+def test_substring_dedup_keep_none(sub_docs):
+    out = {r.doc_id: r.text
+           for r in sp.substring_dedup(sub_docs, min_tokens=4,
+                                       keep="none").collect()}
+    assert out[1] == "alpha beta gamma"
+    assert out[2] == "delta"
+    assert out[5] == ""
+
+
+def test_substring_dedup_overlapping_grams_merge(spark):
+    # a shared 6-token run with min_tokens=4 produces 3 overlapping
+    # duplicated grams per occurrence; the merged interval must cut the
+    # whole run exactly once (n_tokens_removed = 6, not 12)
+    data = [(1, "p q r s t u"), (2, "x p q r s t u y")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in sp.substring_dedup(df, min_tokens=4).collect()}
+    assert out[1] == ("p q r s t u", 0)
+    assert out[2] == ("x y", 6)
+
+
+def test_substring_dedup_short_and_boundary_docs(spark):
+    data = [(1, "a b"), (2, "a b"), (3, None)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    # min_tokens=4 > doc length → no grams → everything unchanged
+    out = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in sp.substring_dedup(df, min_tokens=4).collect()}
+    assert out[1] == ("a b", 0)
+    assert out[2] == ("a b", 0)
+    assert out[3] == (None, 0)
+    # min_tokens=2 == doc length → doc 2 (second occurrence) emptied
+    out = {r.doc_id: r.text
+           for r in sp.substring_dedup(df, min_tokens=2).collect()}
+    assert out[1] == "a b" and out[2] == ""
+
+
+def test_substring_dedup_max_occurrences(sub_docs):
+    # passage occurs 4x: at max_occurrences=4 nothing is over-represented
+    out = {r.doc_id: r.n_tokens_removed
+           for r in sp.substring_dedup(sub_docs, min_tokens=4,
+                                       max_occurrences=4).collect()}
+    assert set(out.values()) == {0}
+
+
+def test_substring_dedup_validation(sub_docs):
+    with pytest.raises(ValueError):
+        sp.substring_dedup(sub_docs, min_tokens=0)
+    with pytest.raises(ValueError):
+        sp.substring_dedup(sub_docs, keep="last")
+    with pytest.raises(ValueError):
+        sp.substring_dedup(sub_docs, max_occurrences=0)
+
+
+@pytest.mark.parametrize("keep", ["first", "none"])
+def test_substring_dedup_skew_safe_equivalent(spark, sf_dir, keep):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id: (r.text, r.n_tokens_removed)
+         for r in sp.substring_dedup(df, min_tokens=5, keep=keep).collect()}
+    b = {r.doc_id: (r.text, r.n_tokens_removed)
+         for r in sp.substring_dedup(df, min_tokens=5, keep=keep,
+                                     skew_safe=True).collect()}
+    assert a == b
+
+
+def test_substring_dedup_matches_duckdb_oracle(spark, sf_dir):
+    """Full differential on the real documents table (keep='first',
+    min_tokens=5): same sliding-gram + interval-union semantics
+    re-expressed in SQL, compared row-exactly."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in sp.substring_dedup(df, min_tokens=5).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = {r[0]: (r[1], r[2]) for r in con.sql("""
+        WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                    FROM documents),
+        grams AS (
+          SELECT doc_id, CAST(g.i AS BIGINT) AS start,
+                 array_to_string(w[g.i+1 : g.i+5], ' ') AS gram
+          FROM ws, LATERAL (SELECT unnest(range(0, len(w) - 5 + 1)) AS i) g
+          WHERE len(w) >= 5),
+        ranked AS (
+          SELECT doc_id, start,
+                 COUNT(*) OVER (PARTITION BY gram) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, start) AS rn
+          FROM grams),
+        covered AS (
+          SELECT DISTINCT doc_id, CAST(p.i AS BIGINT) AS pos
+          FROM ranked, LATERAL (SELECT unnest(range(start, start + 5)) AS i) p
+          WHERE n > 1 AND rn > 1),
+        toks AS (
+          SELECT doc_id, CAST(p.i AS BIGINT) AS pos, w[CAST(p.i AS INT) + 1] AS word
+          FROM ws, LATERAL (SELECT unnest(range(0, len(w))) AS i) p),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.word
+          FROM toks t LEFT JOIN covered c
+            ON c.doc_id = t.doc_id AND c.pos = t.pos
+          WHERE c.pos IS NULL)
+        SELECT w.doc_id,
+               coalesce((SELECT string_agg(k.word, ' ' ORDER BY k.pos)
+                         FROM kept k WHERE k.doc_id = w.doc_id), '') AS text,
+               coalesce((SELECT count(*) FROM covered c
+                         WHERE c.doc_id = w.doc_id), 0) AS n_tokens_removed
+        FROM ws w
+    """).fetchall()}
+    assert got == want
