@@ -1,9 +1,12 @@
-"""File interchange: topic/table <-> csv/json/parquet/xlsx/xml.
+"""File interchange: topic/table <-> csv/json/parquet/orc/avro/xlsx/xml.
 
 Reference: ``kafi/files.py`` (topic_to_file 15-56, file_to_topic 58-85)
-routes through pandas for every format. Spark-first: csv/json/parquet are
-native distributed readers/writers; xlsx/xml fall back to pandas at the
-driver (they are driver-side in the reference too) gated behind import-try.
+routes through pandas for every format. Spark-first: csv/json/parquet/orc
+are native distributed readers/writers; avro container files go through
+the repo's OCF Python data source (:mod:`.avro_ocf` — distributed, built
+on the from-scratch codec, since pip PySpark lacks the spark-avro module
+jar); xlsx/xml fall back to pandas at the driver (they are driver-side in
+the reference too) gated behind import-try.
 """
 
 from __future__ import annotations
@@ -12,7 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-_SPARK_FORMATS = {"csv", "json", "parquet"}
+_SPARK_FORMATS = {"csv", "json", "parquet", "orc"}
 
 
 def _fmt_of(path: str, fmt: str | None) -> str:
@@ -30,8 +33,18 @@ def table_to_file(df: DataFrame, path: str, fmt: str | None = None, header: bool
             w.option("header", str(header).lower()).csv(path)
         elif fmt == "json":
             w.json(path)
+        elif fmt == "orc":
+            w.orc(path)
         else:
             w.parquet(path)
+        return
+    if fmt == "avro":
+        # pip PySpark has no spark-avro module jar; route through the
+        # repo's OCF Python data source (kafi_spark/sources/avro_ocf.py)
+        from .avro_ocf import register
+
+        register(df.sparkSession)
+        df.write.format("kafi_avro").mode("overwrite").save(path)
         return
     if fmt in ("xlsx", "xml"):
         pdf = df.toPandas()
@@ -69,6 +82,14 @@ def file_to_table(spark: SparkSession, path: str, fmt: str | None = None,
         return (r.schema(schema) if schema else r).json(path)
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    if fmt == "avro":
+        from .avro_ocf import register
+
+        register(spark)
+        r = spark.read.format("kafi_avro")
+        return (r.schema(schema) if schema else r).load(path)
     if fmt in ("xlsx", "xml"):
         import pandas as pd
 
