@@ -209,3 +209,51 @@ def tfidf_vectors(
     return postings.join(idf, "term").select(
         F.col(id_col), "term", (F.col("tf") * F.col("__idf")).alias("weight")
     )
+
+
+def hybrid_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates_per_list: int | None = None,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    query_text_col: str = "query",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Lexical + dense hybrid retrieval in one call: BM25 over
+    ``text_col`` and exact cosine over ``vec_col``, fused with
+    Reciprocal Rank Fusion — the standard two-tower retrieval recipe
+    (each ranker catches what the other misses; RRF needs no score
+    calibration between the two).
+
+    ``corpus`` carries both columns; ``queries`` carries the query text
+    and query vector. Each ranker retrieves ``candidates_per_list``
+    (default ``2*k`` — the usual fusion over-fetch so a document ranked
+    just outside top-k in both lists can still fuse into the top-k)
+    and RRF keeps the final ``k``. Output: (query_id, id, score, rank).
+
+    Scale shape = the two components': BM25 shuffles vocabulary-bounded
+    posting frames with the query terms broadcast; cosine never shuffles
+    the corpus (map-side partial top-k); the fusion join touches only
+    ``Q x candidates`` rows.
+    """
+    from .similarity import cosine_topk
+
+    n = candidates_per_list or 2 * k
+    lex = bm25_topk(
+        corpus, queries, k=n, text_col=text_col, id_col=id_col,
+        query_text_col=query_text_col, query_id_col=query_id_col,
+    )
+    dense = cosine_topk(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        queries.select(F.col(query_id_col), F.col(query_vec_col).alias(vec_col)),
+        k=n, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+    return reciprocal_rank_fusion(
+        lex, dense, k=k, rrf_k=rrf_k,
+        id_col=id_col, query_id_col=query_id_col,
+    )

@@ -160,3 +160,50 @@ def test_tfidf_vectors(spark):
     assert got[(1, "alpha")] == pytest.approx(0.0)
     assert got[(1, "beta")] == pytest.approx(math.log(2))
     assert got[(2, "gamma")] == pytest.approx(math.log(2))
+
+
+def test_hybrid_search_one_call(spark):
+    """hybrid_search composes BM25 + cosine + RRF from one corpus frame
+    carrying text and embedding; a document top-ranked by BOTH rankers
+    must fuse to rank 1, ahead of single-ranker winners."""
+    from kafi_spark.functions.search import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry", [1.0, 0.0, 0.0]),   # both signals
+            (2, "apple banana zebra", [0.0, 1.0, 0.0]),    # lexical only
+            (3, "yak zebra quail", [0.9, 0.1, 0.0]),       # vector only
+            (4, "unrelated words entirely", [0.0, 0.0, 1.0]),
+        ],
+        "doc_id long, text string, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, "apple banana cherry", [1.0, 0.0, 0.0])],
+        "query_id long, query string, embedding array<double>")
+    out = {r.rank: r.doc_id for r in hybrid_search(docs, queries, k=3).collect()}
+    assert sorted(out) == [1, 2, 3]
+    assert out[1] == 1                      # top of both lists
+    assert set(out.values()) == {1, 2, 3}   # each single-list winner fuses in
+
+
+def test_hybrid_search_real_tables_shape(spark, sf_dir):
+    from kafi_spark.functions.embed import hash_embedding_col
+    from kafi_spark.functions.search import hybrid_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text",
+        hash_embedding_col(F.col("text"), dim=32).alias("embedding"))
+    queries = docs.filter("doc_id < 3").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 6), " ")
+        .alias("query"),
+        "embedding")
+    out = hybrid_search(docs, queries, k=5)
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    assert set(per_q) == {0, 1, 2}
+    for qid, hits in per_q.items():
+        assert sorted(r for r, _ in hits) == [1, 2, 3, 4, 5]
+        # the query's source doc has cosine rank 1 (its own embedding);
+        # RRF must keep it in the fused top-5 of a 500-doc corpus
+        assert qid in {d for _, d in hits}
