@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_span_bloom",
+    "substring_dedup",
     "dedup_semantic",
     "dsir_select",
     "decontaminate",

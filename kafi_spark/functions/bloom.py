@@ -188,18 +188,25 @@ def bloom_save_delta(bloom: DataFrame, state_dir: str, version: int | str) -> No
     bloom.write.mode("overwrite").parquet(f"{state_dir.rstrip('/')}/v={version}")
 
 
-def bloom_load_state(spark, state_dir: str) -> DataFrame:
+def bloom_load_state(spark, state_dir: str, exclude_version=None) -> DataFrame:
     """Merge every persisted delta into the current filter
     ``(word_idx, bits)``; an absent/empty state dir yields the empty
     filter (nothing seen). Delta count grows with epochs — fold
     occasionally via :func:`bloom_compact` if a stream runs for many
-    thousands of batches."""
+    thousands of batches.
+
+    ``exclude_version`` drops one delta from the merge (the ``v=``
+    partition directory name): a replaying streaming epoch passes its
+    OWN version so the state it sees is exactly the pre-epoch state and
+    the replayed emission is byte-identical to the first attempt."""
     from pyspark.errors import AnalysisException
 
     try:
         df = spark.read.parquet(state_dir)
     except AnalysisException:
         return spark.createDataFrame([], "word_idx int, bits long")
+    if exclude_version is not None and "v" in df.columns:
+        df = df.filter(F.col("v").cast("string") != str(exclude_version))
     return df.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
 
 

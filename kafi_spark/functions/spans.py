@@ -266,7 +266,6 @@ def substring_dedup(
     Reference scope note: the reference engine has no dedup operators;
     beyond-reference LLM-pipeline layer (SURVEY.md §2 extension).
     """
-    from .temporal import merge_intervals
     from .dedup import _parallelize
 
     if min_tokens < 1:
@@ -283,19 +282,7 @@ def substring_dedup(
     bound = _parallelize(df).select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
     )
-    # Docs shorter than k tokens produce no grams. The >= k filter also
-    # guards F.sequence(0, n_grams - 1): Spark's sequence DESCENDS when
-    # start > stop, so an unguarded empty doc would emit [0, -1].
-    eligible = bound.filter(F.size("__words") >= k)
-    grams = eligible.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__words") - k),
-                lambda i: F.md5(F.array_join(F.slice("__words", i + 1, k), " ")),
-            )
-        ).alias("start", "__fp"),
-    )
+    grams = _sliding_grams(bound, id_col, k)
     if skew_safe:
         stats = grams.groupBy("__fp").agg(
             F.count(F.lit(1)).alias("__n"),
@@ -323,6 +310,36 @@ def substring_dedup(
         if keep == "first":
             removed = removed & (F.col("__rn") > 1)
         marks = ranked.filter(removed).select(id_col, "start")
+
+    return _cut_marked_grams(bound, marks, id_col, k)
+
+
+def _sliding_grams(bound: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Sliding k-gram md5 fingerprints with start positions from a
+    (id, __words) frame: ``(id, start, __fp)``.
+
+    Docs shorter than k tokens produce no grams. The >= k filter also
+    guards F.sequence(0, n_grams - 1): Spark's sequence DESCENDS when
+    start > stop, so an unguarded empty doc would emit [0, -1]."""
+    eligible = bound.filter(F.size("__words") >= k)
+    return eligible.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__words") - k),
+                lambda i: F.md5(F.array_join(F.slice("__words", i + 1, k), " ")),
+            )
+        ).alias("start", "__fp"),
+    )
+
+
+def _cut_marked_grams(bound: DataFrame, marks: DataFrame, id_col: str,
+                      k: int) -> DataFrame:
+    """Shared cut stage of :func:`substring_dedup` and its streaming
+    twin: union the marked [start, start+k) gram intervals per document
+    and rebuild the text without the covered tokens. ``bound`` is the
+    (id, __words) frame; ``marks`` the (id, start) removal marks."""
+    from .temporal import merge_intervals
 
     intervals = merge_intervals(
         marks.select(

@@ -196,9 +196,11 @@ def bloom_dedup_stream(
     state dir — at the price of the configured false-positive rate
     dropping a sliver of genuinely-new rows. Pick per pipeline.
 
-    Retried epochs are safe: the delta write is keyed by epoch id
-    (idempotent overwrite), and re-emitting the same new rows to the
-    sink is the usual foreachBatch at-least-once contract. Epoch ids
+    Retried epochs are safe AND re-emit identically: the delta write is
+    keyed by epoch id (idempotent overwrite), and the loaded state
+    excludes the current epoch's own delta — so a replay (crash between
+    delta write and sink commit) sees exactly the pre-epoch state and
+    hands the sink the same new rows as the first attempt. Epoch ids
     are scoped to the query's CHECKPOINT: restarting with the same
     checkpoint continues the sequence (safe); starting a FRESH
     checkpoint against the same state dir restarts epochs at 0 and
@@ -210,7 +212,9 @@ def bloom_dedup_stream(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        state = bloom_load_state(spark, state_dir)
+        state = bloom_load_state(
+            spark, state_dir, exclude_version=f"{version_prefix}{epoch_id}"
+        )
         b = batch_df.dropDuplicates([text_col]) if drop_batch_dups else batch_df
         # materialize ONCE: the sink read and the delta build both
         # consume the batch; without this the source would re-execute
@@ -231,6 +235,24 @@ def bloom_dedup_stream(
     return process
 
 
+def _load_fp_state(spark, state_dir: str, exclude_version: str) -> DataFrame:
+    """Merged fingerprint-set state for the span/substring dedup
+    streams: distinct ``__fp`` over every persisted delta EXCEPT the
+    current epoch's own (``v=<exclude_version>``) — so a replayed epoch
+    sees exactly the pre-epoch state and re-emits the same output as
+    its first attempt (crash between delta write and sink commit)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    try:
+        df = spark.read.parquet(state_dir)
+    except AnalysisException:
+        return spark.createDataFrame([], "__fp string")
+    if "v" in df.columns:
+        df = df.filter(F.col("v").cast("string") != exclude_version)
+    return df.select("__fp").distinct()
+
+
 def span_dedup_stream(
     text_col: str,
     id_col: str,
@@ -248,9 +270,10 @@ def span_dedup_stream(
     state: the set of span fingerprints ever seen, stored as versioned
     parquet deltas under ``state_dir`` (the
     :func:`~kafi_spark.streaming.stateful.bloom_dedup_stream` delta
-    discipline — epoch-keyed overwrites make replays idempotent, and
-    the merged state is a pure distinct-union so replay order never
-    matters). Per micro-batch:
+    discipline — epoch-keyed overwrites make replays idempotent, the
+    merged state is a pure distinct-union so replay order never
+    matters, and the load EXCLUDES the current epoch's own delta so a
+    replayed epoch re-emits byte-identically). Per micro-batch:
 
     1. explode documents into spans, fingerprint each (md5 — the batch
        operator's key, spans.py:107);
@@ -262,10 +285,9 @@ def span_dedup_stream(
        contract as the batch operator) and hand them to
        ``sink(out_df, epoch_id)``;
     4. persist ALL of the batch's span fingerprints as this epoch's
-       delta (from the whole batch, not the survivors — on an epoch
-       replay the survivors come back empty and a survivor-built delta
-       would un-see the epoch's spans; whole-batch deltas are
-       idempotent).
+       delta (from the whole batch, not the survivors — a duplicate
+       span occurrence still proves the span is seen; whole-batch
+       deltas stay correct however the batch splits).
 
     Replaying a batch corpus through this operator in arrival order
     (ascending ``(id, span_id)``) yields EXACTLY the batch operator's
@@ -286,17 +308,9 @@ def span_dedup_stream(
 
     from kafi_spark.functions.spans import text_spans
 
-    def _load_state(spark):
-        from pyspark.errors import AnalysisException
-
-        try:
-            return spark.read.parquet(state_dir).select("__fp").distinct()
-        except AnalysisException:
-            return spark.createDataFrame([], "__fp string")
-
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        seen = _load_state(spark)
+        seen = _load_fp_state(spark, state_dir, f"{version_prefix}{epoch_id}")
         spans = text_spans(
             batch_df, text_col, id_col, span_tokens
         ).withColumn("__fp", F.md5("span"))
@@ -357,5 +371,75 @@ def decontaminate_stream(
         )
         if sink is not None:
             sink(out, epoch_id)
+
+    return process
+
+
+def substring_dedup_stream(
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    min_tokens: int = 8,
+    sink=None,
+    version_prefix: str = "",
+):
+    """Streaming twin of
+    :func:`kafi_spark.functions.spans.substring_dedup` (keep='first',
+    max_occurrences=1 — the causal-in-arrival-order configuration, same
+    restriction and for the same reason as :func:`span_dedup_stream`).
+
+    ``foreachBatch`` callable maintaining the exact set of sliding
+    min_tokens-gram fingerprints ever seen as versioned parquet deltas
+    under ``state_dir`` (the :func:`bloom_dedup_stream` delta
+    discipline: epoch-keyed overwrites, distinct-union merge —
+    idempotent under replay, order-insensitive). Per micro-batch:
+
+    1. slide min_tokens-grams over each document (the batch operator's
+       exact fingerprint scheme, spans.py:_sliding_grams);
+    2. mark occurrences whose fingerprint is in state (historical
+       duplicate) or that repeat a first occurrence earlier in THIS
+       batch (first by ``(id, start)`` — the batch keeper order);
+    3. union marked intervals per document and cut the covered tokens
+       (spans.py:_cut_marked_grams — byte-identical reconstruction to
+       the batch operator), hand ``(id, text, n_tokens_removed)`` to
+       ``sink(out_df, epoch_id)``; every batch document is emitted,
+       fully-duplicated ones with empty text (the batch contract);
+    4. persist ALL of the batch's gram fingerprints as this epoch's
+       delta (whole-batch, not survivors — replay idempotence).
+
+    Replaying a corpus in ascending ``(id, start)`` arrival order
+    reproduces the batch operator's output exactly — asserted by test.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafi_spark.functions.dedup import _parallelize
+    from kafi_spark.functions.spans import _cut_marked_grams, _sliding_grams
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = _load_fp_state(spark, state_dir, f"{version_prefix}{epoch_id}")
+        bound = _parallelize(batch_df).select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+        )
+        # two consumers (marks + delta write): anchor the gram explode once
+        grams = _sliding_grams(bound, id_col, min_tokens).localCheckpoint()
+        wo = W.partitionBy("__fp").orderBy(F.col(id_col), F.col("start"))
+        historical = grams.join(seen, "__fp", "left_semi").select(id_col, "start")
+        in_batch = (
+            grams.join(seen, "__fp", "left_anti")
+            .withColumn("__rn", F.row_number().over(wo))
+            .filter(F.col("__rn") > 1)
+            .select(id_col, "start")
+        )
+        out = _cut_marked_grams(
+            bound, historical.unionByName(in_batch), id_col, min_tokens
+        )
+        if sink is not None:
+            sink(out, epoch_id)
+        grams.select("__fp").distinct().write.mode("overwrite").parquet(
+            f"{state_dir.rstrip('/')}/v={version_prefix}{epoch_id}"
+        )
 
     return process

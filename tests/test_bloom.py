@@ -177,7 +177,10 @@ def test_bloom_dedup_stream_epoch_replay_is_idempotent(spark, tmp_path):
     # crash-before-commit replay of epoch 0: same batch, same epoch id
     emitted.clear()
     proc(batch, 0)
-    assert emitted == []           # state already knows them
+    # the loaded state excludes the epoch's own delta: the replay
+    # re-emits the SAME new rows as attempt one (idempotent sinks can
+    # re-commit the epoch)
+    assert sorted(emitted) == ["alpha", "beta"]
     # the replay must not have wiped the epoch-0 delta
     later = spark.createDataFrame([("alpha",), ("gamma",)], "text string")
     emitted.clear()

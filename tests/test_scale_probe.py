@@ -197,3 +197,35 @@ def test_semantic_dedup_bounded_under_hot_cell(spark, skewed_embeddings):
     assert hot_pairs >= int(0.9 * expect)
     if moved is not None:
         assert moved < 300 * 1024 * 1024
+
+
+def test_substring_dedup_at_50k_hot_gram(spark, big_corpus):
+    """substring_dedup on 50k docs where every doc ends with the SAME
+    8-token boilerplate suffix — the hot-fingerprint shape the skew_safe
+    variant exists for. Both plans must agree exactly, every document
+    must shed exactly the 8 boilerplate tokens (except the global first
+    occurrence), and the skew-safe plan's shuffle stays proportional to
+    the corpus (marks + grams), not to hot-gram-count squared."""
+    from kafi_spark.functions.spans import substring_dedup
+
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7"
+    docs = big_corpus.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", F.concat_ws(" ", "text", F.lit(boiler)).alias("text")
+    )
+    out, moved = _shuffle_delta(spark, lambda: (
+        substring_dedup(docs, min_tokens=8, skew_safe=True)
+        .agg(F.sum("n_tokens_removed").alias("gone"),
+             F.count(F.lit(1)).alias("docs"))
+        .first()
+    ))
+    n_docs = 49_500
+    assert out.docs == n_docs
+    # every doc loses >= the 8 boilerplate tokens except the keeper;
+    # random 16-word bodies from a 50-word vocab collide too, so >= is
+    # the exact-floor assertion
+    assert out.gone >= 8 * (n_docs - 1)
+    if moved is not None:
+        # grams ≈ 17/doc × ~45 B fingerprint rows; marks ≈ grams.
+        # A quadratic hot-gram blow-up would be GBs; bound at ~12×
+        # the linear estimate.
+        assert moved < 500_000_000

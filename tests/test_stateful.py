@@ -290,8 +290,10 @@ def test_span_dedup_stream_epoch_replay_idempotent(spark, tmp_path):
     proc(b0, 0)
     assert got == [1]
     got.clear()
-    proc(b0, 0)  # crash-before-commit replay: state already knows the spans
-    assert got == []
+    # crash-before-commit replay: loaded state excludes the epoch's own
+    # delta, so the replay re-emits the SAME survivors as attempt one
+    proc(b0, 0)
+    assert got == [1]
     # the replay must not have un-seen epoch 0's spans
     got.clear()
     proc(spark.createDataFrame([(2, "a b z z")], "doc_id long, text string"),
@@ -319,3 +321,61 @@ def test_decontaminate_stream_matches_batch(spark, sf_dir):
     for i, part in enumerate(thirds):
         proc(part, i)
     assert sorted(got) == want and len(got) > 0
+
+
+def test_substring_dedup_stream_matches_batch_operator(spark, tmp_path):
+    """Replay the corpus in 3 micro-batches in ascending-id arrival
+    order: streamed output must equal substring_dedup's keep='first'/
+    max_occurrences=1 output exactly (including unchanged and emptied
+    documents — the batch contract emits every row)."""
+    from kafi_spark.functions.spans import substring_dedup
+    from kafi_spark.streaming.stateful import substring_dedup_stream
+
+    corpus = [
+        (1, "alpha the quick brown fox beta"),
+        (2, "the quick brown fox delta"),          # dup run vs doc 1
+        (3, "one two three four five"),
+        (4, "zz one two three four five qq"),      # dup run vs doc 3
+        (5, "the quick brown fox"),                # fully duplicated
+        (6, "all fresh words here"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    want = sorted(
+        (r.doc_id, r.text, r.n_tokens_removed)
+        for r in substring_dedup(df, min_tokens=4).collect()
+    )
+
+    got = []
+    proc = substring_dedup_stream(
+        "text", "doc_id", str(tmp_path / "state"), min_tokens=4,
+        sink=lambda out, e: got.extend(
+            (r.doc_id, r.text, r.n_tokens_removed) for r in out.collect()),
+    )
+    for i, lo in enumerate(range(0, 6, 2)):
+        proc(spark.createDataFrame(corpus[lo:lo + 2],
+                                   "doc_id long, text string"), i)
+    assert sorted(got) == want
+    by_id = {d: (t, n) for d, t, n in got}
+    # cross-BATCH dup cut (doc 4 vs doc 3) and in-batch dup cut (doc 2
+    # vs doc 1 arrive together); fully-duplicated doc 5 emitted empty
+    assert by_id[4] == ("zz qq", 5)
+    assert by_id[2] == ("delta", 4)
+    assert by_id[5] == ("", 4)
+
+
+def test_substring_dedup_stream_epoch_replay_idempotent(spark, tmp_path):
+    from kafi_spark.streaming.stateful import substring_dedup_stream
+
+    got = []
+    proc = substring_dedup_stream(
+        "text", "doc_id", str(tmp_path / "state"), min_tokens=2,
+        sink=lambda out, e: got.extend(
+            (e, r.doc_id, r.text) for r in out.collect()))
+    b0 = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    proc(b0, 0)
+    proc(b0, 0)  # replayed epoch: same delta path overwritten, not doubled
+    b1 = spark.createDataFrame([(2, "a b c d")], "doc_id long, text string")
+    proc(b1, 1)
+    # first epoch emission unchanged on replay; doc 2's text fully cut
+    assert [(d, t) for e, d, t in got if e == 0] == [(1, "a b c d")] * 2
+    assert [(d, t) for e, d, t in got if e == 1] == [(2, "")]
