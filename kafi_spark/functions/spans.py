@@ -247,6 +247,10 @@ def substring_dedup(
     Returns every input row as ``(id, text, n_tokens_removed)`` — a
     fully-duplicated document comes back with empty text rather than
     disappearing (callers filter), null/short texts come back unchanged.
+    Documents with NOTHING removed return their original text verbatim;
+    a document that HAD tokens cut is rebuilt from its whitespace-split
+    tokens joined by single spaces (runs of whitespace collapse — the
+    same token framing :func:`span_dedup` applies).
 
     Plan (3 shuffles, all on constant-width keys): narrow bound-split →
     sliding-gram explode (md5 fingerprints only — the gram text never
@@ -275,12 +279,14 @@ def substring_dedup(
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     k = min_tokens
-    for c in ("__words", "__iv"):
+    for c in ("__words", "__iv", "__orig"):
         if c in df.columns:
             raise ValueError(f"input column {c!r} collides with an internal name")
 
     bound = _parallelize(df).select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+        F.col(id_col),
+        F.col(text_col).alias("__orig"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
     )
     grams = _sliding_grams(bound, id_col, k)
     if skew_safe:
@@ -338,7 +344,9 @@ def _cut_marked_grams(bound: DataFrame, marks: DataFrame, id_col: str,
     """Shared cut stage of :func:`substring_dedup` and its streaming
     twin: union the marked [start, start+k) gram intervals per document
     and rebuild the text without the covered tokens. ``bound`` is the
-    (id, __words) frame; ``marks`` the (id, start) removal marks."""
+    (id, __orig, __words) frame; ``marks`` the (id, start) removal
+    marks. Untouched documents (no interval — null ``__iv``) return
+    ``__orig`` verbatim; only cut documents are rebuilt from tokens."""
     from .temporal import merge_intervals
 
     intervals = merge_intervals(
@@ -359,12 +367,12 @@ def _cut_marked_grams(bound: DataFrame, marks: DataFrame, id_col: str,
     covered = lambda i: F.exists(  # noqa: E731
         F.col("__iv"), lambda iv: (iv["__lo"] <= i) & (i < iv["__hi"])
     )
-    kept_words = F.when(F.col("__iv").isNull(), F.col("__words")).otherwise(
-        F.filter(F.col("__words"), lambda w, i: ~covered(i))
-    )
+    kept_words = F.filter(F.col("__words"), lambda w, i: ~covered(i))
     return out.select(
         F.col(id_col),
-        F.array_join(kept_words, " ").alias("text"),
+        F.when(F.col("__iv").isNull(), F.col("__orig"))
+        .otherwise(F.array_join(kept_words, " "))
+        .alias("text"),
         F.coalesce(F.col("__removed"), F.lit(0)).cast("long").alias(
             "n_tokens_removed"
         ),

@@ -280,6 +280,24 @@ from pyspark.sql.datasource import (  # noqa: E402
 )
 
 
+def _read_header_of(path: str) -> tuple[dict, str, bytes, int]:
+    """Parse one file's OCF header, reading only as much of the file as
+    the header needs (headers are normally a few hundred bytes; a schema
+    JSON larger than the initial 1 MiB read triggers a doubling re-read
+    instead of an opaque truncated-parse error)."""
+    size = os.path.getsize(path)
+    want = min(size, 1 << 20)
+    while True:
+        with open(path, "rb") as f:
+            head = f.read(want)
+        try:
+            return read_ocf_header(head)
+        except (EOFError, IndexError, ValueError, KeyError):
+            if want >= size:
+                raise
+            want = min(size, want * 2)
+
+
 def _files_of(path: str) -> list[str]:
     if os.path.isdir(path):
         return sorted(_glob.glob(os.path.join(path, "*.avro")))
@@ -293,7 +311,8 @@ class _FilePartition(InputPartition):
 
 @dataclass
 class _Written(WriterCommitMessage):
-    path: str
+    tmp_path: str
+    final_path: str
     rows: int
 
 
@@ -327,26 +346,37 @@ class _OCFWriter(DataSourceWriter):
         self.block_records = block_records
 
     def write(self, iterator):
+        # Tasks write to a dot-prefixed ``.tmp`` name that the reader's
+        # ``*.avro`` glob never matches; only ``commit`` (driver-side,
+        # exactly once, with only the messages of *successful* task
+        # attempts) renames to the final name. A failed / speculative /
+        # retried attempt therefore cannot leave a half-written or
+        # duplicate part visible to readers — its orphan ``.tmp`` is
+        # inert and removed by the next overwrite.
         from pyspark import TaskContext
 
         sch = parse_schema(self.avro_schema_json)
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.avro")
-        with open(fname, "wb") as f:
+        final = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.avro")
+        tmp = os.path.join(self.path, "." + os.path.basename(final) + ".tmp")
+        with open(tmp, "wb") as f:
             n = write_ocf(
                 (row.asDict(recursive=True) for row in iterator),
                 sch, f, codec=self.codec, block_records=self.block_records,
             )
-        return _Written(path=fname, rows=n)
+        return _Written(tmp_path=tmp, final_path=final, rows=n)
 
     def commit(self, messages):
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp_path, m.final_path)
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages):
         for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 class AvroOCFDataSource(DataSource):
@@ -369,14 +399,21 @@ class AvroOCFDataSource(DataSource):
         return p
 
     def schema(self):
+        """Result schema. When ``avro_schema`` isn't given it is inferred
+        from the FIRST file's header (first-file-wins) and then acts as
+        the READER schema for every file: each part is decoded with its
+        own header schema under Avro spec resolution, so a divergent
+        file either resolves (extra writer fields dropped, missing
+        reader fields take their defaults) or fails loudly with a
+        "reader field ... absent and has no default" error — never a
+        silent null. Pass ``avro_schema`` explicitly to control
+        resolution across heterogeneous directories."""
         avro_json = self.options.get("avro_schema")
         if not avro_json:
             files = _files_of(self._path())
             if not files:
                 raise FileNotFoundError(f"no .avro files under {self._path()}")
-            with open(files[0], "rb") as f:
-                head = f.read(1 << 20)  # header is tiny; 1 MiB is generous
-            sch, _, _, _ = read_ocf_header(head)
+            sch, _, _, _ = _read_header_of(files[0])
             avro_json = json.dumps(_schema_to_json(sch))
             self.options["avro_schema"] = avro_json
         return avro_to_spark(avro_json)
@@ -391,7 +428,8 @@ class AvroOCFDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         path = self._path()
         if overwrite and os.path.isdir(path):
-            for f in _files_of(path) + [os.path.join(path, "_SUCCESS")]:
+            orphan_tmps = _glob.glob(os.path.join(path, ".*.avro.tmp"))
+            for f in _files_of(path) + orphan_tmps + [os.path.join(path, "_SUCCESS")]:
                 if os.path.exists(f):
                     os.remove(f)
         os.makedirs(path, exist_ok=True)
@@ -406,12 +444,13 @@ class AvroOCFDataSource(DataSource):
         )
 
 
-_REGISTERED = set()
-
-
 def register(spark) -> None:
-    """Idempotently register ``kafi_avro`` with this session."""
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(AvroOCFDataSource)
-        _REGISTERED.add(key)
+    """Idempotently register ``kafi_avro`` with this session.
+
+    Always re-registers: PySpark's ``dataSource.register`` replaces an
+    existing registration of the same name, so repeat calls are cheap
+    and safe. (An earlier version deduped on ``id(spark)``, which can
+    be *reused* by a new session after the old one is garbage-collected
+    — silently skipping registration for the new session.)
+    """
+    spark.dataSource.register(AvroOCFDataSource)

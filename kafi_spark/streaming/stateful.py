@@ -421,6 +421,7 @@ def substring_dedup_stream(
         seen = _load_fp_state(spark, state_dir, f"{version_prefix}{epoch_id}")
         bound = _parallelize(batch_df).select(
             F.col(id_col),
+            F.col(text_col).alias("__orig"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
         )
         # two consumers (marks + delta write): anchor the gram explode once
