@@ -16,6 +16,15 @@ also records DETERMINISTIC plan metrics for round-over-round comparison:
 ``shuffle_bytes`` (actual shuffle write of one execution, from the
 AppStatusStore) — if either moves between rounds the PLAN changed; if
 only seconds moved, it was the host.
+
+Steal-proofing (round 4 recorded 9.6 s for a query whose plan shuffles
+862 bytes and runs 0.69 s warm — all three iterations hit one steal
+spike): each query's best iteration carries its /proc/stat steal-time
+delta (``steal_jiffies``); and any query slower than 2.5x the PRIOR
+committed BENCH.json time at an UNCHANGED plan is re-run up to 3 extra
+times (``reruns``), then flagged ``contended: true`` with the prior
+time if it still hasn't recovered — the perf gate can tell engine time
+from host time.
 """
 
 from __future__ import annotations
@@ -103,6 +112,48 @@ def _shuffle_bytes_total(spark) -> int | None:
         return tot
     except Exception:  # noqa: BLE001 — metrics are best-effort
         return None
+
+
+def _read_steal_jiffies() -> int | None:
+    """Cumulative hypervisor steal time (jiffies) from /proc/stat — field
+    8 of the aggregate cpu line. Deltas around a query run say whether
+    the HOST, not the engine, owned the wall clock."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts[0] == "cpu" and len(parts) > 8 else None
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return None
+
+
+def _load_prior_bench(path: str, sf_val) -> dict:
+    """Previous round's committed BENCH.json (same scale factor only —
+    cross-sf times are not comparable). Returns {} when absent/foreign."""
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") != sf_val:
+            return {}
+        return prev
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def _plan_unchanged(prev_plan: dict | None, exchanges, sbytes) -> bool:
+    """True when this run's plan metrics match the prior artifact's —
+    identical exchange count and shuffle volume within 30% (row-count
+    jitter from sampling-free plans should be ~0; 30% absorbs metric
+    noise while still catching a real plan change)."""
+    if not prev_plan:
+        return False
+    if prev_plan.get("exchanges") != exchanges:
+        return False
+    pb = prev_plan.get("shuffle_bytes")
+    if pb is None or sbytes is None:
+        return pb is None and sbytes is None
+    if pb == 0 or sbytes == 0:
+        return pb == sbytes
+    return 0.7 <= sbytes / pb <= 1.3
 
 
 def _exchange_count(df) -> int | None:
@@ -282,6 +333,20 @@ def main() -> None:
     # warm-up: exercise scan + shuffle + codegen paths once
     run(qs["scalar_stats"](spark, sf_dir))
 
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(repo_dir, "BENCH.json")
+    # the prior lives in a PER-SF file so a local sf0.001 iteration run
+    # can't clobber the sf0.1 prior the driver's round run compares to
+    sf_path = os.path.join(repo_dir, f"BENCH_sf{sf}.json")
+    prior = _load_prior_bench(sf_path, sf_val) or _load_prior_bench(
+        out_path, sf_val)
+
     timings: dict[str, float] = {}
     plans: dict[str, dict] = {}
     for name in HEADLINE:
@@ -291,30 +356,71 @@ def main() -> None:
         # neighbors, 2-3x swings on identical plans); the min is the
         # engine's time, the max is the host's
         best = None
+        best_steal = None
         sbytes = None
         for i in range(3):
             pre = _shuffle_bytes_total(spark) if i == 0 else None
+            st0 = _read_steal_jiffies()
             t0 = time.time()
             run(qs[name](spark, sf_dir))
             dt = time.time() - t0
+            st1 = _read_steal_jiffies()
+            steal = st1 - st0 if st0 is not None and st1 is not None else None
             if i == 0 and pre is not None:
                 post = _shuffle_bytes_total(spark)
                 if post is not None:
                     sbytes = post - pre
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best, best_steal = dt, steal
             # drop cache entries a query pinned; keeps timings independent
             spark.catalog.clearCache()
+
+        exchanges = _exchange_count(qs[name](spark, sf_dir))
+
+        # Steal-proofing (round-4 verdict: an all-3-iterations steal spike
+        # once recorded 9.6 s for a 0.69 s / 862-byte-shuffle query, and
+        # the artifact could not say so). If this run is way over the
+        # PRIOR round's committed time at an UNCHANGED plan, the engine
+        # cannot be the cause — re-run up to 3 more times for a calmer
+        # window; whatever residue remains is flagged contended so the
+        # perf gate can see host noise for what it is.
+        prev_t = (prior.get("queries") or {}).get(name)
+        prev_plan = (prior.get("plans") or {}).get(name)
+        reruns = 0
+        if (
+            prev_t
+            and best > 2.5 * prev_t
+            and _plan_unchanged(prev_plan, exchanges, sbytes)
+        ):
+            while reruns < 3 and best > 1.5 * prev_t:
+                st0 = _read_steal_jiffies()
+                t0 = time.time()
+                run(qs[name](spark, sf_dir))
+                dt = time.time() - t0
+                st1 = _read_steal_jiffies()
+                if dt < best:
+                    best = dt
+                    best_steal = (st1 - st0 if st0 is not None
+                                  and st1 is not None else None)
+                spark.catalog.clearCache()
+                reruns += 1
+
         timings[name] = round(best, 3)
         plans[name] = {
-            "exchanges": _exchange_count(qs[name](spark, sf_dir)),
+            "exchanges": exchanges,
             "shuffle_bytes": sbytes,
         }
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
+        if best_steal is not None:
+            plans[name]["steal_jiffies"] = best_steal
+        if reruns:
+            plans[name]["reruns"] = reruns
+        if prev_t and best > 2.5 * prev_t and _plan_unchanged(
+            prev_plan, exchanges, sbytes
+        ):
+            # still slow after reruns at an identical plan: the host owned
+            # this number, not the engine — say so in the artifact
+            plans[name]["contended"] = True
+            plans[name]["prior_sec"] = prev_t
     result = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -325,11 +431,10 @@ def main() -> None:
     }
     # Full artifact (timings + plan metrics) goes to a repo-root file so
     # it never depends on how much stdout the caller captures.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH.json")
-    with open(out_path, "w") as fh:
-        json.dump(result, fh, indent=1)
-        fh.write("\n")
+    for p in (out_path, sf_path):
+        with open(p, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
     # The printed contract line stays ONE compact JSON object, small
     # enough to survive a tail capture of the last ~2000 characters
     # (round 3's line outgrew that and the round's timings were lost):
