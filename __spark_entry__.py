@@ -1304,10 +1304,14 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
-    # rows-only check: k-means centroids are seed-dependent and iterative,
-    # not SQL-reproducible; recall vs the exact operator is tested in
-    # tests/test_similarity.py
-    out = cosine_topk_ivf(corpus, queries_df, k=5, n_cells=16, n_probe=4)
+    # Full-probe config (n_probe == n_cells): every query probes every
+    # cell, so the result is mathematically the exact top-k REGARDLESS of
+    # the learned (seed-dependent, non-SQL-reproducible) centroids — the
+    # brute-force oracle applies while the query still exercises the real
+    # IVF plan (k-means fit, cell assignment, probe join, rescore, rank).
+    # The realistic n_probe=4 config is benched as ann_cosine_topk_ivf_probe
+    # and recall-gated against the exact operator in tests/test_similarity.py.
+    out = cosine_topk_ivf(corpus, queries_df, k=5, n_cells=16, n_probe=16)
     return out.select(
         "query_id",
         "vec_id",
@@ -2146,6 +2150,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(_EXTRA_SQL)
     out.update(_MERGED_SQL)
     out["ann_cosine_topk_lsh"] = _ann_lsh_oracle_sql()
+    # full-probe IVF == exact top-k (same tie-break: score desc, vec_id)
+    out["ann_cosine_topk_ivf"] = _SIM_SQL["ann_cosine_topk"]
     out["pipeline_curate"] = _PIPELINE_SQL
     # dedup_minhash_lsh / dedup_simhash rely on engine-internal xxhash64 —
     # not expressible in the oracle (rows-only checks); their md5-based

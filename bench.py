@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_quantized",
     "ann_cosine_topk_pq",
+    "ann_cosine_topk_ivf_probe",
     "bm25_topk",
     "emb_neardup",
     "analytic_ops",
@@ -205,6 +206,24 @@ def bench_queries(entry_mod) -> dict:
         return cosine_topk_quantized(corpus, queries_df, k=5)
 
     qs["ann_cosine_topk_quantized"] = q_ann_quantized
+
+    def q_ann_ivf_probe(spark, sf_dir):
+        # realistic IVF config (n_probe << n_cells) — the 100 TB scale
+        # path; the contract query runs full-probe so the exact oracle
+        # applies, this twin times the approximate plan users deploy
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.similarity import cosine_topk_ivf
+        from kafi_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 10)
+        return cosine_topk_ivf(corpus, queries_df, k=5, n_cells=16, n_probe=4)
+
+    qs["ann_cosine_topk_ivf_probe"] = q_ann_ivf_probe
 
     # near-dup-heavy twins: 50 groups of 101 near-copies planted into the
     # documents table (suffix-perturbed — NOT exact duplicates, so they
