@@ -43,6 +43,14 @@ class Topology:
         self.source_names: list[str] = []
         self.source_schemas: dict[str, str | None] = {}
         self.sinks: dict[str, TNode] = {}
+        self._id_counter = 0
+
+    def _next_id(self) -> str:
+        # deterministic sequential ids (the reference uses uuid4,
+        # topologynode.py:40 — sequential ids render reproducibly, which
+        # uuids can't, and carry the same disambiguation information)
+        self._id_counter += 1
+        return f"n{self._id_counter}"
 
     def source(self, name: str, schema: str | None = None) -> "TNode":
         """Declare a named source (streams.py:33-42, topologynode.py:977-989).
@@ -52,12 +60,43 @@ class Topology:
         received any delta by treating it as an empty Z-set."""
         self.source_names.append(name)
         self.source_schemas[name] = schema
-        return TNode(self, lambda env: from_records(env[name]))
+        return TNode(self, lambda env: from_records(env[name]),
+                     name=f"source_{name}")
 
     def build_batch(self, sources: dict[str, DataFrame]) -> dict[str, DataFrame]:
         """Evaluate every sink over batch inputs; outputs are consolidated
         Z-sets (record columns + weight)."""
         return {name: consolidate(node._plan(sources)) for name, node in self.sinks.items()}
+
+    def topology(self, include_ids: bool = False) -> str:
+        """Render every sink as a recursive term, one line per sink —
+        the reference's notebook-facing display (topologynode.py:
+        1252-1287): leaf = name, unary = ``name(child)``, binary =
+        ``name(left, right)``, an already-rendered node = ``REF:name``.
+        The visited set is SHARED across sinks so a sub-DAG feeding two
+        sinks renders once and REFs after — the reference gets the same
+        effect by merging multi-sink roots (topologynode.py:998-1024)."""
+        visited: set[int] = set()
+        return "\n".join(
+            f"sink_{name}({node._term(include_ids, visited)})"
+            for name, node in self.sinks.items()
+        )
+
+    def mermaid(self, include_ids: bool = False) -> str:
+        """Render the whole DAG as a fenced ``graph TD`` mermaid block
+        (topologynode.py:1289-1315): one ``child[label] --> parent[label]``
+        edge per data-flow edge, deduped, plus a ``node --> sink_<name>``
+        edge per registered sink. Edges are sorted (the reference emits
+        set order — nondeterministic; sorting renders reproducibly)."""
+        edges: set[str] = set()
+        visited: set[int] = set()
+        for name, node in self.sinks.items():
+            edges.add(
+                f"{node.node_id}[{node._label(include_ids)}] --> "
+                f"sink_{name}[sink_{name}]\n"
+            )
+            node._edges(include_ids, edges, visited)
+        return "```mermaid\ngraph TD\n" + "".join(sorted(edges)) + "```"
 
 
 class TNode:
@@ -66,29 +105,76 @@ class TNode:
     (topologynode.py:37-57 _daughter_tn_set)."""
 
     def __init__(self, topology: Topology, build: Callable[[dict], DataFrame],
-                 parents: Sequence["TNode"] = ()):
-        self.topology = topology
+                 parents: Sequence["TNode"] = (), name: str = "node"):
+        self._topology = topology
         self._build = build
         self.parents = list(parents)
+        self.name = name
+        self.node_id = topology._next_id()
 
     def _plan(self, env: dict[str, DataFrame]) -> DataFrame:
         return self._build(env)
 
-    def _derive(self, f: Callable[[DataFrame], DataFrame]) -> "TNode":
-        return TNode(self.topology, lambda env: f(self._build(env)), [self])
+    def _derive(self, f: Callable[[DataFrame], DataFrame],
+                name: str = "op") -> "TNode":
+        return TNode(self._topology, lambda env: f(self._build(env)), [self],
+                     name=name)
 
-    def _derive2(self, other: "TNode", f: Callable[[DataFrame, DataFrame], DataFrame]) -> "TNode":
+    def _derive2(self, other: "TNode",
+                 f: Callable[[DataFrame, DataFrame], DataFrame],
+                 name: str = "op") -> "TNode":
         return TNode(
-            self.topology,
+            self._topology,
             lambda env: f(self._build(env), other._build(env)),
             [self, other],
+            name=name,
         )
+
+    # -- rendering (topologynode.py:1252-1315) -------------------------------
+
+    def _label(self, include_ids: bool) -> str:
+        return f"{self.name}_{self.node_id}" if include_ids else self.name
+
+    def _term(self, include_ids: bool, visited: set[int]) -> str:
+        """Recursive term over this node's INPUTS (the reference recurses
+        into ``_daughter_tn_set`` — its daughters are a node's inputs)."""
+        if id(self) in visited:
+            return f"REF:{self._label(include_ids)}"
+        visited.add(id(self))
+        args = ", ".join(p._term(include_ids, visited) for p in self.parents)
+        return f"{self._label(include_ids)}({args})" if args else self._label(include_ids)
+
+    def topology(self, include_ids: bool = False,
+                 visited: set[int] | None = None) -> str:
+        """This node's sub-DAG as a recursive term (reference surface:
+        ``tn.topology()``, topologynode.py:1252-1287)."""
+        return self._term(include_ids, visited if visited is not None else set())
+
+    def _edges(self, include_ids: bool, edges: set[str], visited: set[int]) -> None:
+        if id(self) in visited:
+            return
+        visited.add(id(self))
+        for p in self.parents:
+            edges.add(
+                f"{p.node_id}[{p._label(include_ids)}] --> "
+                f"{self.node_id}[{self._label(include_ids)}]\n"
+            )
+            p._edges(include_ids, edges, visited)
+
+    def mermaid(self, include_ids: bool = False) -> str:
+        """This node's sub-DAG as a fenced mermaid ``graph TD`` block
+        (reference surface: ``tn.mermaid()``, topologynode.py:1289-1315;
+        edges sorted for reproducibility where the reference emits
+        nondeterministic set order)."""
+        edges: set[str] = set()
+        self._edges(include_ids, edges, set())
+        return "```mermaid\ngraph TD\n" + "".join(sorted(edges)) + "```"
 
     # -- stateless (topologynode.py:120-274) --------------------------------
 
     def map(self, *cols: Column | str) -> "TNode":
         """Projection; weight threads through (topologynode.py:146-155)."""
-        return self._derive(lambda df: df.select(*cols, F.col(WEIGHT)))
+        return self._derive(lambda df: df.select(*cols, F.col(WEIGHT)), "map_op")
 
     def map_py(self, f: Callable[[dict], dict], schema: str) -> "TNode":
         """Arbitrary Python record transform (map_fun parity) — the weight
@@ -100,16 +186,16 @@ class TNode:
             wrapped = lambda r: {**f({k: r[k] for k in recs}), WEIGHT: r[WEIGHT]}  # noqa: E731
             return fmap_py(df, wrapped, f"{schema}, {WEIGHT} long")
 
-        return self._derive(op)
+        return self._derive(op, "map_op")
 
     def filter(self, predicate: Column) -> "TNode":
         """Weight-blind predicate (topologynode.py:267-274)."""
-        return self._derive(lambda df: df.filter(predicate))
+        return self._derive(lambda df: df.filter(predicate), "filter_op")
 
     def filter_w(self, predicate: Column) -> "TNode":
         """Weight-aware filter (``_filter`` topologynode.py:244-265; used to
         keep only inserts via ``weight > 0``, e.g. T:664, T:938)."""
-        return self._derive(lambda df: df.filter(predicate))
+        return self._derive(lambda df: df.filter(predicate), "_filter_op")
 
     def flatmap(self, array_col: Column, alias: str, keep: Sequence[str] = ()) -> "TNode":
         """1:N expansion; weights of identical outputs consolidate
@@ -120,11 +206,11 @@ class TNode:
             out = df.select(*keep, F.explode(array_col).alias(alias), F.col(WEIGHT))
             return out if df.isStreaming else consolidate(out)
 
-        return self._derive(op)
+        return self._derive(op, "flatmap_op")
 
     def neg(self) -> "TNode":
         """Negate weights (topologynode.py:197-204)."""
-        return self._derive(lambda df: df.withColumn(WEIGHT, -F.col(WEIGHT)))
+        return self._derive(lambda df: df.withColumn(WEIGHT, -F.col(WEIGHT)), "_neg_op")
 
     def peek(self, label: str = "peek") -> "TNode":
         """Debug pass-through (topologynode.py:157-183). The reference
@@ -133,7 +219,8 @@ class TNode:
         observed-metrics listener) — per-row driver printing doesn't exist
         on a cluster."""
         return self._derive(
-            lambda df: df.observe(label, F.count(F.lit(1)).alias("rows"))
+            lambda df: df.observe(label, F.count(F.lit(1)).alias("rows")),
+            "peek_op",
         )
 
     def from_value(self, value_col: str = "value") -> "TNode":
@@ -144,7 +231,7 @@ class TNode:
             inner = [f"{value_col}.*"] if dt == "struct" else [value_col]
             return df.select(*inner, F.col(WEIGHT))
 
-        return self._derive(op)
+        return self._derive(op, "from_value_op")
 
     def to_value(self, value_col: str = "value") -> "TNode":
         """Wrap the record as {value: r} (topologynode.py:191-195)."""
@@ -152,25 +239,25 @@ class TNode:
             rec = [c for c in df.columns if c != WEIGHT]
             return df.select(F.struct(*rec).alias(value_col), F.col(WEIGHT))
 
-        return self._derive(op)
+        return self._derive(op, "to_value_op")
 
     def merge(self, other: "TNode") -> "TNode":
         """Bag union, no dedup (topologynode.py:549-567)."""
-        return self._derive2(other, lambda a, b: a.unionByName(b))
+        return self._derive2(other, lambda a, b: a.unionByName(b), "merge_op")
 
     # -- set ops (topologynode.py:278-350) ----------------------------------
 
     def distinct(self) -> "TNode":
-        return self._derive(zset_distinct)
+        return self._derive(zset_distinct, "distinct_op")
 
     def union(self, other: "TNode") -> "TNode":
-        return self._derive2(other, zset_union)
+        return self._derive2(other, zset_union, "union_op")
 
     def intersect(self, other: "TNode") -> "TNode":
-        return self._derive2(other, zset_intersect)
+        return self._derive2(other, zset_intersect, "intersect_op")
 
     def minus(self, other: "TNode") -> "TNode":
-        return self._derive2(other, zset_minus)
+        return self._derive2(other, zset_minus, "diff_op")
 
     # -- joins (topologynode.py:354-430) ------------------------------------
 
@@ -187,7 +274,7 @@ class TNode:
                 .select(*select, (F.col("__wl") * F.col("__wr")).alias(WEIGHT))
             )
 
-        return self._derive2(other, op)
+        return self._derive2(other, op, "join_op")
 
     def join_equi(self, other: "TNode", on: Sequence[str] | Column,
                   select: Sequence[Column | str]) -> "TNode":
@@ -201,7 +288,7 @@ class TNode:
                 .select(*select, (F.col("__wl") * F.col("__wr")).alias(WEIGHT))
             )
 
-        return self._derive2(other, op)
+        return self._derive2(other, op, "join_equi_op")
 
     def asof_join(self, other: "TNode", on: Sequence[str] | str,
                   left_ts: str, right_ts: str, how: str = "inner",
@@ -220,7 +307,7 @@ class TNode:
                 right_ts=right_ts, how=how, tolerance_us=tolerance_us,
             )
 
-        return self._derive2(other, op)
+        return self._derive2(other, op, "asof_join_op")
 
     # -- aggregates (topologynode.py:434-543) -------------------------------
 
@@ -239,7 +326,7 @@ class TNode:
             )
             return out
 
-        return self._derive(op)
+        return self._derive(op, "group_by_agg_op")
 
     def group_by_sum(self, keys: Sequence[str], col: str, alias: str | None = None) -> "TNode":
         return self.group_by_agg(keys, wsum(col).alias(alias or f"sum_{col}"))
@@ -264,7 +351,7 @@ class TNode:
                 .withColumn(WEIGHT, F.lit(1).cast("long"))
             )
 
-        return self._derive(op)
+        return self._derive(op, "agg_op")
 
     # -- windows (topologynode.py:672-714, 865-944) -------------------------
 
@@ -284,7 +371,7 @@ class TNode:
                 .withColumn(WEIGHT, F.lit(1).cast("long"))
             )
 
-        return self._derive(op)
+        return self._derive(op, "window_tumbling_op")
 
     def window_hopping(self, ts_col: str, size_ms: int, hop_ms: int,
                        keys: Sequence[str], *aggs: Column) -> "TNode":
@@ -300,7 +387,7 @@ class TNode:
                 .withColumn(WEIGHT, F.lit(1).cast("long"))
             )
 
-        return self._derive(op)
+        return self._derive(op, "window_hopping_op")
 
     def window_session(self, ts_col: str, gap_ms: int, keys: Sequence[str],
                        *aggs: Column) -> "TNode":
@@ -316,14 +403,14 @@ class TNode:
                 .withColumn(WEIGHT, F.lit(1).cast("long"))
             )
 
-        return self._derive(op)
+        return self._derive(op, "window_session_op")
 
     # -- sinks --------------------------------------------------------------
 
     def sink(self, name: str) -> "TNode":
         """Register as a named sink (streams.py:44-51). Returns self for
         further chaining (multi-sink DAGs, topologynode.py:991-1024)."""
-        self.topology.sinks[name] = self
+        self._topology.sinks[name] = self
         return self
 
 

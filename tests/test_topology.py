@@ -316,3 +316,106 @@ def test_sliding_expiry_keeps_recent_only(spark):
     # watermark 200: record at ts=0 expired (0+150 <= 200); 100 and 200 live
     assert runner.state_rows()["ev"] == 2
     assert rows(runner.latest("c"), "k", "n") == [("a", 2)]
+
+
+# -- term + mermaid rendering (topologynode.py:1252-1315) --------------------
+
+
+def _wordcount_topology():
+    t = Topology()
+    (
+        t.source("lines")
+        .flatmap(F.split(F.lower(F.col("line")), r"\s+"), "word")
+        .filter(F.length("word") > 0)
+        .group_by_count(["word"], alias="n")
+        .sink("counts")
+    )
+    return t
+
+
+def test_topology_term_wordcount():
+    """Recursive term matches the reference's display shape
+    (topologynode.py:1252-1287): names nest root-first into inputs."""
+    t = _wordcount_topology()
+    assert t.topology() == (
+        "sink_counts(group_by_agg_op(filter_op(flatmap_op(source_lines))))"
+    )
+    # include_ids appends the deterministic node id to every name
+    assert t.topology(include_ids=True) == (
+        "sink_counts(group_by_agg_op_n4(filter_op_n3("
+        "flatmap_op_n2(source_lines_n1))))"
+    )
+    # the node-level surface renders the same term sans the sink frame
+    node = t.sinks["counts"]
+    assert node.topology() == (
+        "group_by_agg_op(filter_op(flatmap_op(source_lines)))"
+    )
+
+
+def test_topology_term_join_two_sources():
+    """Binary nodes render name(left, right) (reference case 2)."""
+    t = Topology()
+    orders = t.source("orders")
+    custs = t.source("customers")
+    (
+        orders.join_equi(custs, ["cust_id"], ["nation", "amount"])
+        .group_by_agg(["nation"], wsum("amount").alias("revenue"))
+        .sink("by_nation")
+    )
+    assert t.topology() == (
+        "sink_by_nation(group_by_agg_op("
+        "join_equi_op(source_orders, source_customers)))"
+    )
+
+
+def test_topology_term_shared_subdag_refs():
+    """A node consumed twice renders once and REFs after (reference:
+    REF:name for already-visited nodes, topologynode.py:1256-1260)."""
+    t = Topology()
+    src = t.source("ev")
+    filtered = src.filter(F.col("x") > 0)
+    filtered.union(filtered.neg()).sink("out")
+    assert t.topology() == (
+        "sink_out(union_op(filter_op(source_ev), "
+        "_neg_op(REF:filter_op)))"
+    )
+
+
+def test_mermaid_wordcount():
+    """graph TD block: one child[label] --> parent[label] per edge, plus
+    the sink frame edge; fenced exactly like the reference's output."""
+    t = _wordcount_topology()
+    got = t.mermaid()
+    assert got.startswith("```mermaid\ngraph TD\n") and got.endswith("```")
+    body = got[len("```mermaid\ngraph TD\n"):-3]
+    assert sorted(body.splitlines()) == sorted([
+        "n1[source_lines] --> n2[flatmap_op]",
+        "n2[flatmap_op] --> n3[filter_op]",
+        "n3[filter_op] --> n4[group_by_agg_op]",
+        "n4[group_by_agg_op] --> sink_counts[sink_counts]",
+    ])
+
+
+def test_mermaid_join_include_ids():
+    t = Topology()
+    a = t.source("a")
+    b = t.source("b")
+    a.join_equi(b, ["k"], ["v"]).sink("j")
+    got = t.mermaid(include_ids=True)
+    body = got[len("```mermaid\ngraph TD\n"):-3]
+    assert sorted(body.splitlines()) == sorted([
+        "n1[source_a_n1] --> n3[join_equi_op_n3]",
+        "n2[source_b_n2] --> n3[join_equi_op_n3]",
+        "n3[join_equi_op_n3] --> sink_j[sink_j]",
+    ])
+
+
+def test_mermaid_node_surface_dedups_shared_edges():
+    t = Topology()
+    src = t.source("ev")
+    filtered = src.filter(F.col("x") > 0)
+    node = filtered.union(filtered.neg())
+    body = node.mermaid()[len("```mermaid\ngraph TD\n"):-3]
+    # diamond: ev -> filter -> {union, neg}; neg -> union. 4 edges, each once.
+    assert len(body.splitlines()) == 4
+    assert len(set(body.splitlines())) == 4
