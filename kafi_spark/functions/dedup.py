@@ -274,6 +274,26 @@ def _jaccard_verify(
     )
 
 
+def _band_keys(df: DataFrame, text_col: str, id_col: str, k: int,
+               num_hashes: int, bands: int, seed: int) -> DataFrame:
+    """LSH band keys ``(id, band_id, band_hash)`` straight from the
+    long-format minima: band hash = xxhash64 of the band's (i, mh) rows
+    in i-order — no pivot needed, and equal bands ⇔ equal minima
+    sequences. Shared by :func:`minhash_lsh_pairs` and the streaming
+    curation twin so both sides key identically."""
+    rows_per_band = num_hashes // bands
+    long_ = _minhash_long(df, text_col, id_col, k, num_hashes, seed)
+    return (
+        long_.withColumn("band_id", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band_id")
+        .agg(
+            F.xxhash64(
+                F.array_sort(F.collect_list(F.struct("i", "mh")))
+            ).alias("band_hash")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -301,20 +321,7 @@ def minhash_lsh_pairs(
     Results are identical whenever both frames agree on text per id over
     the candidate ids.
     """
-    rows_per_band = num_hashes // bands
-    # band signatures straight from the long-format minima: band hash =
-    # xxhash64 of the band's (i, mh) rows in i-order — no pivot needed,
-    # and equal bands ⇔ equal minima sequences.
-    long_ = _minhash_long(df, text_col, id_col, k, num_hashes, seed)
-    stacked = (
-        long_.withColumn("band_id", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band_id")
-        .agg(
-            F.xxhash64(
-                F.array_sort(F.collect_list(F.struct("i", "mh")))
-            ).alias("band_hash")
-        )
-    )
+    stacked = _band_keys(df, text_col, id_col, k, num_hashes, bands, seed)
     # candidates by bucket-collect, not self-join: a self-join would plan
     # TWO full recomputes of the signature pipeline plus a shuffle join;
     # collecting each (band, hash) bucket's ids and exploding the C(m,2)

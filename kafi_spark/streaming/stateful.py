@@ -444,3 +444,149 @@ def substring_dedup_stream(
         )
 
     return process
+
+
+def curate_documents_stream(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    state_dir: str,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    num_bits: int = 1 << 22,
+    bloom_hashes: int = 5,
+    seed: int = 42,
+    sink=None,
+    version_prefix: str = "",
+):
+    """Streaming twin of the flagship curation pipeline
+    (pipeline.py:curate_documents): a ``foreachBatch`` callable chaining
+    the same stages incrementally —
+
+    1. quality gate: text_stats language + quality filter (stateless,
+       identical to batch);
+    2. exact dedup: persisted fingerprint-set state (the
+       :func:`span_dedup_stream` delta discipline — epoch-keyed parquet
+       deltas, distinct-union merge, replay-idempotent); a document
+       drops if its md5 fingerprint was seen in any earlier epoch, or a
+       lower-id copy exists in THIS batch;
+    3. near-dup: persisted Bloom state over the SAME MinHash-LSH band
+       keys the batch operator shuffles (dedup.py:_band_keys) — a
+       document drops if any of its band keys is (probably) in state,
+       or collides in-batch with a lower-id document's band.
+
+    Arrival-order semantics (documented divergences from batch):
+    * the batch pipeline keeps the globally LOWEST id of each duplicate
+      component; the stream keeps the FIRST-ARRIVED — replaying a
+      corpus in ascending-id order makes the two coincide;
+    * the streaming near-dup applies the banded LSH decision directly
+      (no exact-Jaccard verification stage — state holds band keys, not
+      texts); band parameters control precision the way ``threshold``
+      verification does in batch, and Bloom false positives OVER-drop
+      (a sliver of genuinely-new docs) rather than under-drop;
+    * within one batch the per-band lowest-id rule approximates the
+      batch connected-components closure — an in-batch chain whose
+      middle member has the highest id can keep one extra doc; across
+      batches chains close exactly, because EVERY exact-new document's
+      bands enter state (survivor or not — the component-closure
+      choice, matching batch CC reachability).
+
+    Replay discipline (the :func:`bloom_dedup_stream` contract): both
+    states exclude the current epoch's own delta on load, and both
+    deltas are built from the whole batch (not survivors), so a crash-
+    replayed epoch sees the exact pre-epoch state and re-emits
+    byte-identically.
+
+    Emits ``(id, n_tokens, quality)`` — the batch pipeline's projection
+    — to ``sink(out_df, epoch_id)``.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafi_spark.functions.bloom import (
+        bloom_build, bloom_contains, bloom_load_state, bloom_save_delta)
+    from kafi_spark.functions.dedup import _band_keys, _parallelize
+    from kafi_spark.functions.text import text_stats
+
+    exact_dir = f"{state_dir.rstrip('/')}/exact"
+    bands_dir = f"{state_dir.rstrip('/')}/bands"
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ver = f"{version_prefix}{epoch_id}"
+        batch = _parallelize(batch_df)
+
+        # 1. quality gate (identical to batch stage 1)
+        stats = text_stats(batch, text_col, id_col)
+        kept = stats.filter(
+            (F.col("lang_guess") == lang) & (F.col("quality") >= min_quality)
+        )
+
+        # 2. exact dedup: historical state + in-batch lowest-id window.
+        # Checkpoint once: `kept` feeds the exact delta, the survivor
+        # set, and (via join) the near-dup stage (sanctioned barrier,
+        # same as the batch pipeline's survivor checkpoint).
+        kept = kept.localCheckpoint()
+        seen_fp = _load_fp_state(spark, exact_dir, ver).withColumnRenamed(
+            "__fp", "fingerprint"
+        )
+        exact_new = (
+            kept.join(seen_fp, "fingerprint", "left_anti")
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy("fingerprint").orderBy(id_col)
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+        # 3. near-dup over band keys: historical Bloom probe + in-batch
+        # per-band lowest id. Band keys for every exact-new doc compute
+        # once (checkpoint: delta write + probe + window all consume).
+        docs = batch.select(id_col, text_col).join(
+            exact_new.select(id_col), id_col, "left_semi"
+        )
+        keys = _band_keys(docs, text_col, id_col, k, num_hashes, bands, seed)
+        keys = keys.withColumn(
+            "__bk", F.concat_ws(":", F.col("band_id"), F.col("band_hash"))
+        ).localCheckpoint()
+        state = bloom_load_state(spark, bands_dir, exclude_version=ver)
+        probed = bloom_contains(
+            keys, state, "__bk", num_bits, bloom_hashes, seed
+        )
+        wb = W.partitionBy("band_id", "band_hash")
+        flagged = probed.withColumn(
+            "__min_id", F.min(id_col).over(wb)
+        ).withColumn(
+            "__dup",
+            F.col("probably_seen") | (F.col("__min_id") < F.col(id_col)),
+        )
+        dup_ids = (
+            flagged.groupBy(id_col)
+            .agg(F.max(F.col("__dup").cast("int")).alias("__d"))
+            .filter(F.col("__d") == 1)
+            .select(id_col)
+        )
+        out = (
+            exact_new.join(dup_ids, id_col, "left_anti")
+            .select(id_col, "n_tokens", "quality")
+        )
+        if sink is not None:
+            sink(out, epoch_id)
+
+        # deltas from the WHOLE batch, not survivors (replay idempotence
+        # + component closure — see bloom_dedup_stream's delta comment)
+        kept.select(F.col("fingerprint").alias("__fp")).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{exact_dir}/v={ver}")
+        delta = bloom_build(
+            keys.select("__bk"), "__bk", num_bits, bloom_hashes, seed
+        )
+        bloom_save_delta(delta, bands_dir, ver)
+
+    return process

@@ -379,3 +379,101 @@ def test_substring_dedup_stream_epoch_replay_idempotent(spark, tmp_path):
     # first epoch emission unchanged on replay; doc 2's text fully cut
     assert [(d, t) for e, d, t in got if e == 0] == [(1, "a b c d")] * 2
     assert [(d, t) for e, d, t in got if e == 1] == [(2, "")]
+
+
+def _curation_corpus():
+    """English-looking docs with planted exact dups and near-dup pairs.
+    Clusters are PAIRS (the in-batch chain caveat documented on
+    curate_documents_stream never triggers), content words are disjoint
+    across clusters (no accidental LSH band collisions)."""
+    # Distinct docs are FULLY distinct sentences (a shared template would
+    # make them LSH band candidates that batch verification rejects but
+    # the stream's band rule drops — the documented divergence this test
+    # must stay clear of); near-dups are END-appended perturbations of
+    # long docs, shingle Jaccard ~0.9, comfortably past the batch 0.7
+    # verification threshold.
+    d1 = ("the quick brown fox jumps over one lazy dog and it runs into "
+          "the deep green forest before dawn breaks over quiet hills")
+    d4 = ("a silver ship sails from the old harbor while the captain "
+          "watches seven white birds circle above the cold grey waves")
+    d6 = ("my neighbor planted rows of tall corn behind his red barn "
+          "because the summer rain made all of the soil dark and rich")
+    d7 = ("students in the library read ancient maps about distant "
+          "islands where traders once sold rare spice and smooth silk")
+    d9 = ("an engine hums beneath the steel bridge as long trains carry "
+          "coal through the misty valley every single night this year")
+    return [
+        (1, d1),
+        (2, d1),               # exact dup of 1
+        (3, d1 + " today"),    # near-dup of 1
+        (4, d4),
+        (5, d4 + " slowly"),   # near-dup of 4
+        (6, d6),
+        (7, d7),
+        (8, d7),               # exact dup of 7
+        (9, d9),
+    ]
+
+
+def test_curate_documents_stream_matches_batch(spark, tmp_path):
+    """Round-4 VERDICT item 5: the flagship curation pipeline's streaming
+    twin — 3-micro-batch ascending-id replay must reproduce the batch
+    pipeline's survivors (first-arrived == lowest-id under this order)."""
+    from kafi_spark.functions.pipeline import curate_documents
+    from kafi_spark.streaming.stateful import curate_documents_stream
+
+    corpus = _curation_corpus()
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    want = sorted(
+        (r.doc_id, r.n_tokens, round(r.quality, 9))
+        for r in curate_documents(df, min_quality=0.0).collect()
+    )
+    # the planted dups actually exercised both dedup stages
+    want_ids = [i for i, _, _ in want]
+    assert 2 not in want_ids and 3 not in want_ids and 8 not in want_ids
+    assert 5 not in want_ids
+    assert {1, 4, 6, 7, 9} == set(want_ids)
+
+    got = []
+    proc = curate_documents_stream(
+        "text", "doc_id", state_dir=str(tmp_path / "state"),
+        min_quality=0.0,
+        sink=lambda out, e: got.extend(
+            (r.doc_id, r.n_tokens, round(r.quality, 9))
+            for r in out.collect()),
+    )
+    for i, lo in enumerate(range(0, 9, 3)):
+        proc(spark.createDataFrame(corpus[lo:lo + 3],
+                                   "doc_id long, text string"), i)
+    assert sorted(got) == want
+
+
+def test_curate_documents_stream_epoch_replay_idempotent(spark, tmp_path):
+    from kafi_spark.streaming.stateful import curate_documents_stream
+
+    corpus = _curation_corpus()
+    got = []
+    proc = curate_documents_stream(
+        "text", "doc_id", state_dir=str(tmp_path / "state"),
+        min_quality=0.0,
+        sink=lambda out, e: got.extend(r.doc_id for r in out.collect()),
+    )
+    b0 = spark.createDataFrame(corpus[:3], "doc_id long, text string")
+    proc(b0, 0)
+    first = sorted(got)
+    assert first == [1]  # 2 exact-dropped, 3 near-dropped in-batch
+    got.clear()
+    # crash-before-commit replay: both state loads exclude epoch 0's own
+    # deltas, so the replay re-emits exactly attempt one's survivors
+    proc(b0, 0)
+    assert sorted(got) == first
+    got.clear()
+    # and the replay must not have un-seen epoch 0: an exact copy of doc
+    # 1 and a near-copy of doc 1 both drop next epoch; fresh doc passes
+    proc(spark.createDataFrame(
+        [(10, corpus[0][1]),
+         (11, corpus[2][1] + " anew"),
+         (12, "fresh bakers knead warm dough at five in the morning so "
+              "the small town wakes to the smell of sweet crusty bread")],
+        "doc_id long, text string"), 1)
+    assert sorted(got) == [12]
