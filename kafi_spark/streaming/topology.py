@@ -35,6 +35,15 @@ from kafi_spark.streams.zset import (
 )
 
 
+def _has_watermark(df: DataFrame) -> bool:
+    """True iff the frame's analyzed plan carries an event-time
+    watermark (``withWatermark`` somewhere upstream)."""
+    try:
+        return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — connect-mode / plan access failure
+        return True  # cannot introspect: don't block the build
+
+
 class Topology:
     """Builder container: tracks sources and sinks by name
     (kafi/streams/streams.py:33-51)."""
@@ -265,8 +274,36 @@ class TNode:
         """Theta join with arbitrary predicate; output weight = w_l * w_r
         (bilinear, topologynode.py:354-388). Catalyst picks BNLJ/cartesian.
         Column name collisions are the caller's to alias (as in the
-        reference's projection_fun)."""
+        reference's projection_fun).
+
+        Streaming: a stream-stream theta join keeps BOTH sides' rows in
+        state and, unlike an equi join, every stored row stays a match
+        candidate for every future row — without event-time bounds the
+        state grows with the stream, unboundedly. Building this node
+        over two streaming inputs therefore REQUIRES a watermark on
+        each side (``withWatermark`` before the topology source), and
+        the predicate must include a time-range constraint between the
+        watermarked columns for Spark to actually evict state (the
+        watermark alone only bounds lateness). Spark additionally
+        requires at least one EQUALITY conjunct in a stream-stream join
+        predicate (its analyzer rejects pure theta at query start); a
+        genuinely equality-free theta topology runs incrementally
+        through :class:`~kafi_spark.streaming.incremental.
+        IncrementalRunner` instead."""
         def op(l: DataFrame, r: DataFrame) -> DataFrame:
+            if l.isStreaming and r.isStreaming:
+                missing = [s for s, d in (("left", l), ("right", r))
+                           if not _has_watermark(d)]
+                if missing:
+                    raise ValueError(
+                        "streaming theta join with unbounded state: the "
+                        f"{' and '.join(missing)} side(s) have no event-time "
+                        "watermark, so joined state is never evicted and "
+                        "grows with the stream. Apply withWatermark() to "
+                        "both source streams and include a time-range "
+                        "constraint between the watermarked columns in the "
+                        "join predicate."
+                    )
             lw = l.withColumnRenamed(WEIGHT, "__wl")
             rw = r.withColumnRenamed(WEIGHT, "__wr")
             return (

@@ -419,3 +419,120 @@ def test_mermaid_node_surface_dedups_shared_edges():
     # diamond: ev -> filter -> {union, neg}; neg -> union. 4 edges, each once.
     assert len(body.splitlines()) == 4
     assert len(set(body.splitlines())) == 4
+
+
+def test_streaming_theta_join_without_watermark_raises(spark, tmp_path):
+    """Round-4 VERDICT item 8: a stream-stream theta join holds both
+    sides' state forever without event-time bounds — building one over
+    unwatermarked streams must refuse."""
+    import os
+
+    import pytest as _pytest
+
+    src_a = tmp_path / "a"; os.makedirs(src_a)
+    src_b = tmp_path / "b"; os.makedirs(src_b)
+    (src_a / "x.json").write_text('{"ka": 1, "va": 2}\n')
+    (src_b / "x.json").write_text('{"kb": 1, "vb": 3}\n')
+
+    t = Topology()
+    a = t.source("a")
+    b = t.source("b")
+    a.join(b, F.col("va") < F.col("vb"), ["ka", "kb"]).sink("j")
+
+    sa = spark.readStream.schema("ka int, va int").json(str(src_a))
+    sb = spark.readStream.schema("kb int, vb int").json(str(src_b))
+    from kafi_spark.streaming.runner import run_streaming
+
+    with _pytest.raises(ValueError, match="watermark"):
+        run_streaming(
+            t, {"a": sa, "b": sb}, {"j": lambda df, e: None},
+            checkpoint_root=str(tmp_path / "ckpt"),
+            output_mode="append", trigger_available_now=True,
+        )
+
+
+def test_streaming_theta_join_watermark_bounds_state(spark, tmp_path):
+    """With watermarks on both sides and a time-range predicate, the
+    theta join runs AND Spark evicts state once the watermark passes:
+    rows fed in early micro-batches leave the state store."""
+    import json
+    import os
+    import time as _time
+
+    src_a = tmp_path / "a"; os.makedirs(src_a)
+    src_b = tmp_path / "b"; os.makedirs(src_b)
+
+    def write(d, name, rows, mtime):
+        p = d / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    base = _time.time() - 3600
+    # batch 0: early events; batch 1: an hour later (watermark jumps past
+    # every batch-0 row + its 30s join range + the 10s lateness bound)
+    write(src_a, "b0.json", [
+        {"ka": 1, "tsa": "2026-01-01 00:00:01", "va": 1},
+        {"ka": 2, "tsa": "2026-01-01 00:00:02", "va": 2},
+    ], base)
+    write(src_b, "b0.json", [
+        {"kb": 1, "tsb": "2026-01-01 00:00:03", "vb": 5},
+    ], base)
+    write(src_a, "b1.json", [
+        {"ka": 3, "tsa": "2026-01-01 01:00:00", "va": 3},
+    ], base + 60)
+    write(src_b, "b1.json", [
+        {"kb": 3, "tsb": "2026-01-01 01:00:01", "vb": 9},
+    ], base + 60)
+
+    def src(d, ddl, ts):
+        return (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1).json(str(d))
+            .withColumn(ts, F.to_timestamp(ts))
+            .withWatermark(ts, "10 seconds")
+        )
+
+    sa = src(src_a, "ka int, tsa string, va int", "tsa")
+    sb = src(src_b, "kb int, tsb string, vb int", "tsb")
+
+    t = Topology()
+    a = t.source("a")
+    b = t.source("b")
+    # Spark stream-stream joins need >= 1 equality conjunct (its own
+    # analysis error otherwise); the theta part rides alongside it
+    a.join(
+        b,
+        (F.col("ka") == F.col("kb"))
+        & (F.col("va") < F.col("vb"))  # theta conjunct
+        & (F.col("tsb") >= F.col("tsa"))
+        & (F.col("tsb") <= F.col("tsa") + F.expr("INTERVAL 30 seconds")),
+        ["ka", "kb", "va", "vb"],
+    ).sink("j")
+
+    from kafi_spark.streaming.runner import run_streaming
+
+    collected = []
+    qs = run_streaming(
+        t, {"a": sa, "b": sb},
+        {"j": lambda df, e: collected.extend(df.collect())},
+        checkpoint_root=str(tmp_path / "ckpt"),
+        output_mode="append", trigger_available_now=True,
+    )
+    q = qs["j"]
+    q.awaitTermination(120)
+    got = sorted((r.ka, r.kb, r.va, r.vb) for r in collected)
+    assert got == [(1, 1, 1, 5), (3, 3, 3, 9)]
+
+    # state eviction: the last progress with state metrics must show
+    # fewer buffered rows than the 5 fed (batch-0 rows evicted when the
+    # hour-later watermark passed their 30s range + 10s lateness)
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    state = [
+        p["stateOperators"][0] for p in progresses
+        if p.get("stateOperators")
+    ]
+    assert state, "no state operator metrics recorded"
+    assert state[-1]["numRowsTotal"] < 5, state[-1]
+    assert any(s.get("numRowsRemoved", 0) > 0 for s in state), state
