@@ -1125,7 +1125,22 @@ def q_dedup_span_bloom(spark, sf_dir):
         "text",
         F.col("probably_seen").cast("long").alias("metric"),
     )
-    return spans.unionByName(seen)
+    # boiler — C4/RefinedWeb DOCUMENT-frequency boilerplate removal
+    # (functions/spans.py:boilerplate_filter): a word appearing in >=390
+    # of the docs is chrome and every copy is dropped; within-doc
+    # repeats count once toward the frequency (the property that
+    # distinguishes this from line_dedup's occurrence counting)
+    from kafi_spark.functions.spans import boilerplate_filter
+
+    boiler = boilerplate_filter(
+        d, "text", "doc_id", sep=" ", min_doc_frequency=390
+    ).select(
+        F.lit("boiler").alias("op"),
+        "doc_id",
+        "text",
+        F.col("n_lines_kept").cast("long").alias("metric"),
+    )
+    return spans.unionByName(seen).unionByName(boiler)
 
 
 _NGRAM_PAIRS_SQL = """
@@ -1257,8 +1272,24 @@ _DEDUP_SQL["dedup_span_bloom"] = """
              CAST(MIN(CASE WHEN h.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS metric
       FROM probes p LEFT JOIN hist h ON p.pos = h.pos
-      GROUP BY p.doc_id, p.text)
+      GROUP BY p.doc_id, p.text),
+    blines AS (
+      SELECT doc_id, CAST(s.i AS INT) AS span_id, w[s.i+1] AS span,
+             md5(lower(trim(w[s.i+1]))) AS fp
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE text IS NOT NULL),
+           LATERAL (SELECT unnest(range(0, len(w))) AS i) s),
+    bset AS (
+      SELECT fp FROM (SELECT fp, doc_id FROM blines GROUP BY fp, doc_id)
+      GROUP BY fp HAVING COUNT(*) >= 390),
+    boiler_out AS (
+      SELECT 'boiler' AS op, doc_id,
+             string_agg(span, ' ' ORDER BY span_id) AS text,
+             CAST(COUNT(*) AS BIGINT) AS metric
+      FROM blines WHERE fp NOT IN (SELECT fp FROM bset)
+      GROUP BY doc_id)
     SELECT * FROM span_out UNION ALL SELECT * FROM bloom_out
+    UNION ALL SELECT * FROM boiler_out
 """
 
 

@@ -207,6 +207,128 @@ def line_dedup(
     return _dedup_spans(spans, id_col, sep, max_occurrences, keep, skew_safe)
 
 
+def _boilerplate_keys(
+    lines: DataFrame, id_col: str, normalize: bool
+) -> DataFrame:
+    """(id, span_id, span, __fp) with the md5 doc-frequency key applied."""
+    norm = F.trim(F.lower(F.col("span"))) if normalize else F.col("span")
+    return lines.select(
+        F.col(id_col), "span_id", "span", F.md5(norm).alias("__fp")
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_doc_frequency: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus boilerplate report: lines ranked by DOCUMENT frequency.
+
+    :func:`line_dedup` counts *occurrences* — a line repeated 5× inside
+    one page already trips ``max_occurrences``. CCNet/RefinedWeb-style
+    boilerplate detection counts *documents*: navigation chrome is a
+    line that appears on MANY PAGES, however many times per page. This
+    returns one row per over-represented line:
+    ``(line, doc_frequency, occurrences)`` for every line whose distinct
+    document count is ≥ ``min_doc_frequency``.
+
+    ``normalize=True`` folds case and surrounding whitespace into the
+    frequency key (``"  Home  "`` and ``"home"`` count as one line); the
+    reported ``line`` is then the lexicographic min of the raw variants
+    (deterministic representative).
+
+    Plan: two hash aggregations, both with map-side partial combine —
+    ``(fp, doc)`` first (collapses within-doc repeats locally), then
+    ``fp`` (doc_frequency = count of surviving pairs). No window, no
+    join, no countDistinct expand. The second shuffle's volume is the
+    number of DISTINCT (line, doc) pairs, not corpus size.
+
+    Reference scope note: beyond-reference LLM-pipeline layer
+    (SURVEY.md §2 extension); the reference engine has no dedup ops.
+    """
+    if min_doc_frequency < 1:
+        raise ValueError(
+            f"min_doc_frequency must be >= 1, got {min_doc_frequency}"
+        )
+    keyed = _boilerplate_keys(
+        text_lines(df, text_col, id_col, sep), id_col, normalize
+    )
+    per_doc = keyed.groupBy("__fp", id_col).agg(
+        F.count(F.lit(1)).alias("__occ"), F.min("span").alias("__rep")
+    )
+    return (
+        per_doc.groupBy("__fp")
+        .agg(
+            F.min("__rep").alias("line"),
+            F.count(F.lit(1)).cast("long").alias("doc_frequency"),
+            F.sum("__occ").cast("long").alias("occurrences"),
+        )
+        .filter(F.col("doc_frequency") >= min_doc_frequency)
+        .select("line", "doc_frequency", "occurrences")
+    )
+
+
+def boilerplate_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_doc_frequency: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Remove corpus-frequent boilerplate lines from every document.
+
+    Drops EVERY copy (including the first) of any line whose document
+    frequency is ≥ ``min_doc_frequency`` — C4/RefinedWeb semantics:
+    chrome that appears on many pages carries no signal, so no copy is
+    worth keeping. Returns ``(id, text, n_lines_kept)``; documents whose
+    every line was boilerplate disappear from the output (same
+    filter-then-groupBy contract as :func:`span_dedup`).
+
+    Plan: the boilerplate fingerprint set (aggregated exactly as in
+    :func:`boilerplate_lines`, then projected to ``__fp`` only) is
+    LEFT ANTI-joined against the exploded lines. The boilerplate side is
+    tiny by construction — it is the set of lines crossing the
+    frequency threshold, not the corpus — so AQE's runtime size check
+    converts the join to broadcast and the corpus-side lines never
+    shuffle for it (deliberately NOT a compile-time ``F.broadcast``
+    hint: a pathological threshold on a duplicate-saturated corpus can
+    make the set large, and the hint would force it onto the driver
+    anyway; AQE degrades to shuffle join instead). The only
+    unconditionally corpus-sized shuffle is the final per-document
+    reassembly groupBy.
+    """
+    if min_doc_frequency < 1:
+        raise ValueError(
+            f"min_doc_frequency must be >= 1, got {min_doc_frequency}"
+        )
+    keyed = _boilerplate_keys(
+        text_lines(df, text_col, id_col, sep), id_col, normalize
+    )
+    boiler = (
+        keyed.groupBy("__fp", id_col)
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_doc_frequency)
+        .select("__fp")
+    )
+    kept = keyed.join(boiler, "__fp", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_id", "span"))),
+                lambda x: x["span"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     text_col: str = "text",

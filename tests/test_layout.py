@@ -1,0 +1,122 @@
+"""Z-order layout clustering (kafi_spark.functions.layout)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafi_spark.functions import layout as ly
+from tests.conftest import rows
+
+
+def test_zorder_key_range_and_determinism(spark):
+    df = spark.range(0, 256).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 256).alias("b")
+    )
+    z1 = rows(ly.zorder_key(df, ["a", "b"], bits=4), "a", "b", "__z")
+    z2 = rows(ly.zorder_key(df, ["a", "b"], bits=4), "a", "b", "__z")
+    assert z1 == z2
+    zs = [z for *_, z in z1]
+    assert all(0 <= z < (1 << 8) for z in zs)
+    assert len(set(zs)) > 1  # actually discriminates
+
+
+def test_zorder_key_morton_monotone(spark):
+    # one column degenerates to plain quantile bucketing: z must be
+    # monotone in the column's order
+    df = spark.range(0, 1000).select(F.col("id").alias("a"))
+    got = rows(ly.zorder_key(df, ["a"], bits=4), "a", "__z")
+    zs = [z for _, z in got]  # rows() sorts by a
+    assert zs == sorted(zs)
+    # approxQuantile cuts at relativeError 1/16 may merge a few adjacent
+    # buckets; most of the 16 must still materialize on uniform data
+    assert len(set(zs)) >= 12
+
+
+def test_zorder_key_nulls_first(spark):
+    df = spark.createDataFrame(
+        [(None, 1), (5, 2), (900, 3)], "a int, k int"
+    )
+    got = {r["k"]: r["__z"] for r in ly.zorder_key(df, ["a"], bits=2).collect()}
+    assert got[1] == 0  # null → bucket 0
+    assert got[1] <= got[2] <= got[3]
+
+
+def test_zorder_validation(spark):
+    df = spark.range(4).select(
+        F.col("id").alias("a"),
+        F.array(F.lit(1)).alias("arr"),
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        ly.zorder_key(df, [])
+    with pytest.raises(ValueError, match="exceeds a signed long"):
+        ly.zorder_key(df, ["a"], bits=63)
+    with pytest.raises(ValueError, match="unsupported type"):
+        ly.zorder_key(df, ["arr"])
+
+
+def test_zorder_write_preserves_rows(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = str(tmp_path / "zli")
+    ly.zorder_write(li, out, ["l_orderkey", "l_partkey"], bits=4,
+                    num_files=8)
+    back = spark.read.parquet(out)
+    assert "__z" not in back.columns
+    assert rows(back) == rows(li)
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The point of the layout: a z-ordered table is min-max prunable on
+    EVERY clustered column; a linear sort only on its leading column."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    ly.zorder_write(li, zdir, ["l_orderkey", "l_partkey"], bits=4,
+                    num_files=8)
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(ldir)
+    )
+    lo_p, hi_p = (
+        li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    )
+    probes = [lo_p + (hi_p - lo_p) * i // 4 for i in range(5)]
+
+    def avg_pruned(path, col, vals):
+        st = ly.pruning_stats(path, col)
+        assert sum(r for *_, r in st) == li.count()
+        return sum(ly.pruned_fraction(st, v) for v in vals) / len(vals)
+
+    z_part = avg_pruned(zdir, "l_partkey", probes)
+    lin_part = avg_pruned(ldir, "l_partkey", probes)
+    # the linear layout cannot prune the secondary column at all;
+    # z-order must skip a material fraction of files for it
+    assert lin_part == 0.0
+    assert z_part >= 0.4
+    # and the leading column still prunes fine under z-order
+    lo_o, hi_o = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    oprobes = [lo_o + (hi_o - lo_o) * i // 4 for i in range(5)]
+    assert avg_pruned(zdir, "l_orderkey", oprobes) >= 0.4
+
+
+def test_zorder_string_column(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = str(tmp_path / "zdocs")
+    ly.zorder_write(docs, out, ["source", "n_chars"], bits=3, num_files=4)
+    assert rows(spark.read.parquet(out)) == rows(docs)
+    # clustering on the string column must leave at least one file with
+    # a narrower source range than the global one (i.e. prunable for
+    # some probe value), which a layout ignoring `source` wouldn't give
+    st = ly.pruning_stats(out, "source")
+    glo = min(lo for lo, _, _ in st if lo is not None)
+    ghi = max(hi for _, hi, _ in st if hi is not None)
+    assert any(
+        (lo, hi) != (glo, ghi) for lo, hi, _ in st if lo is not None
+    )

@@ -293,3 +293,104 @@ def test_substring_dedup_matches_duckdb_oracle(spark, sf_dir):
         FROM ws w
     """).fetchall()}
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    # newline-separated "pages": "home" is chrome on 3 pages (twice on
+    # page 1 — within-doc repeats must count ONCE toward doc frequency);
+    # "  HOME  " on page 3 folds into the same key under normalize
+    data = [
+        (1, "home\nwelcome to page one\nhome\nfooter"),
+        (2, "home\nsecond page body\nfooter"),
+        (3, "  HOME  \nthird page body"),
+        (4, "only original content"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_boilerplate_lines_doc_frequency(pages):
+    got = {r.line: (r.doc_frequency, r.occurrences)
+           for r in sp.boilerplate_lines(pages, min_doc_frequency=2).collect()}
+    # "home": pages 1 (×2), 2, 3 → df=3, occ=4; rep is lexicographic min
+    # of raw variants ("  HOME  " < "home")
+    assert got == {"  HOME  ": (3, 4), "footer": (2, 2)}
+
+
+def test_boilerplate_lines_no_normalize(pages):
+    got = {r.line: (r.doc_frequency, r.occurrences)
+           for r in sp.boilerplate_lines(
+               pages, min_doc_frequency=2, normalize=False).collect()}
+    # raw keys: "  HOME  " no longer folds into "home"
+    assert got == {"home": (2, 3), "footer": (2, 2)}
+
+
+def test_boilerplate_filter_drops_every_copy(pages):
+    got = {r.doc_id: (r.text, r.n_lines_kept)
+           for r in sp.boilerplate_filter(pages, min_doc_frequency=2).collect()}
+    assert got == {
+        1: ("welcome to page one", 1),
+        2: ("second page body", 1),
+        3: ("third page body", 1),
+        4: ("only original content", 1),
+    }
+
+
+def test_boilerplate_filter_all_boilerplate_doc_disappears(spark):
+    df = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\ny"), (3, "x\nkeep me")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text
+           for r in sp.boilerplate_filter(df, min_doc_frequency=2).collect()}
+    assert got == {3: "keep me"}
+
+
+def test_boilerplate_validation(pages):
+    with pytest.raises(ValueError):
+        sp.boilerplate_lines(pages, min_doc_frequency=0)
+    with pytest.raises(ValueError):
+        sp.boilerplate_filter(pages, min_doc_frequency=0)
+
+
+def test_boilerplate_matches_duckdb_oracle(spark, sf_dir):
+    """Word-level (sep=' ') doc-frequency differential on the real table."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL")
+    got = {r.line: (r.doc_frequency, r.occurrences)
+           for r in sp.boilerplate_lines(
+               df, sep=" ", min_doc_frequency=50).collect()}
+    got_f = {r.doc_id: (r.text, r.n_lines_kept)
+             for r in sp.boilerplate_filter(
+                 df, sep=" ", min_doc_frequency=50).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = {r[0]: (r[1], r[2]) for r in con.sql("""
+        WITH lines AS (
+          SELECT doc_id, CAST(s.i AS INT) AS span_id, w[s.i+1] AS span,
+                 md5(lower(trim(w[s.i+1]))) AS fp
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE text IS NOT NULL),
+               LATERAL (SELECT unnest(range(0, len(w))) AS i) s),
+        per_doc AS (
+          SELECT fp, doc_id, COUNT(*) AS occ, MIN(span) AS rep
+          FROM lines GROUP BY fp, doc_id)
+        SELECT MIN(rep), COUNT(*), SUM(occ) FROM per_doc
+        GROUP BY fp HAVING COUNT(*) >= 50
+    """).fetchall()}
+    assert got == want
+    want_f = {r[0]: (r[1], r[2]) for r in con.sql("""
+        WITH lines AS (
+          SELECT doc_id, CAST(s.i AS INT) AS span_id, w[s.i+1] AS span,
+                 md5(lower(trim(w[s.i+1]))) AS fp
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE text IS NOT NULL),
+               LATERAL (SELECT unnest(range(0, len(w))) AS i) s),
+        boiler AS (
+          SELECT fp FROM (SELECT fp, doc_id FROM lines GROUP BY fp, doc_id)
+          GROUP BY fp HAVING COUNT(*) >= 50)
+        SELECT doc_id, string_agg(span, ' ' ORDER BY span_id), COUNT(*)
+        FROM lines WHERE fp NOT IN (SELECT fp FROM boiler)
+        GROUP BY doc_id
+    """).fetchall()}
+    assert got_f == want_f
