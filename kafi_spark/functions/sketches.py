@@ -1,0 +1,105 @@
+"""Mergeable cardinality sketches — incremental distinct counts at scale.
+
+``approx_count_distinct`` answers "how many distinct X" for ONE query
+over ONE scan. At 100 TB the question recurs over shifting slices
+("distinct users per day / per week / this quarter"), and rescanning a
+quarter of raw events for every roll-up is the scale killer. The
+standard fix is to persist MERGEABLE sketches at the finest grain
+(day × dimension) and answer every coarser slice by unioning sketches —
+bytes-sized reads instead of re-scans, and the union is exactly
+associative (an HLL union is lossless over HLLs of the same precision;
+the error bound of the merged sketch equals that of a sketch built
+directly over the union of the inputs).
+
+Built entirely on Spark's public Apache DataSketches bindings
+(`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`, JVM-side
+aggregates with map-side partial combine — no UDFs, no driver state).
+The sketch column is a plain ``binary`` — it survives parquet
+round-trips, so a daily pipeline appends one small row-set per day and
+any later query merges an arbitrary subset.
+
+Reference scope note: the reference engine has no sketch layer; this is
+part of the beyond-reference LLM-pipeline / analytics extension
+(SURVEY.md §2 extension).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+# Spark's hll_sketch_agg supports lgConfigK in [4, 21]; 12 ≈ 1.6% RSE
+# at 16 KiB max sketch size — the DataSketches default.
+_DEFAULT_LGK = 12
+
+
+def distinct_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    lgk: int = _DEFAULT_LGK,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """One HLL sketch of distinct ``key_col`` per ``group_cols`` group.
+
+    The finest-grain build step: run once per ingest batch/day and
+    persist the result (sketch is a ``binary`` column). One hash
+    aggregation — partial sketches combine map-side, so the shuffle
+    carries one ≤ 2^lgk-byte sketch per (partition, group), never keys.
+    """
+    if not 4 <= lgk <= 21:
+        raise ValueError(f"lgk must be in [4, 21], got {lgk}")
+    agg = F.hll_sketch_agg(F.col(key_col), lgk).alias(sketch_col)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def merge_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str] = (),
+    sketch_col: str = "sketch",
+    allow_different_lgk: bool = False,
+) -> DataFrame:
+    """Union persisted sketches up to a coarser grain.
+
+    ``group_cols`` is the (possibly empty) subset of grouping columns to
+    keep; everything else is merged away. Union is associative and
+    idempotent, so daily → monthly → yearly roll-ups can themselves be
+    persisted and re-merged. ``allow_different_lgk=True`` lets sketches
+    of mixed precision merge (result degrades to the coarsest input).
+    """
+    agg = F.hll_union_agg(
+        F.col(sketch_col), allow_different_lgk
+    ).alias(sketch_col)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def estimate(sketch_col: str = "sketch", name: str = "distinct_est"):
+    """Column expression: estimated cardinality of an HLL sketch."""
+    return F.hll_sketch_estimate(F.col(sketch_col)).alias(name)
+
+
+def distinct_over_time(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    grain: str = "day",
+    dims: Sequence[str] = (),
+    lgk: int = _DEFAULT_LGK,
+) -> DataFrame:
+    """Convenience composition: per-``grain`` (+dims) distinct sketches.
+
+    Returns ``(bucket, *dims, sketch, distinct_est)`` where ``bucket``
+    is ``date_trunc(grain, time_col)``. Persist this frame; answer any
+    date-range/dim slice later with :func:`merge_sketches` +
+    :func:`estimate` over the selected rows.
+    """
+    bucketed = df.withColumn(
+        "bucket", F.date_trunc(grain, F.col(time_col))
+    )
+    out = distinct_sketch(bucketed, key_col, ["bucket", *dims], lgk)
+    return out.select("bucket", *dims, "sketch", estimate())

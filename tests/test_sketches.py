@@ -1,0 +1,94 @@
+"""Mergeable HLL distinct sketches (kafi_spark.functions.sketches)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafi_spark.functions import sketches as sk
+from kafi_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events")
+
+
+def _est(df):
+    return df.select(sk.estimate()).first()["distinct_est"]
+
+
+def test_sketch_estimate_close_to_exact(events):
+    exact = events.select("user_id").distinct().count()
+    est = _est(sk.distinct_sketch(events, "user_id"))
+    assert abs(est - exact) / exact < 0.05  # lgk=12 → ~1.6% RSE
+
+
+def test_grouped_sketches_match_exact_per_group(events):
+    got = {
+        r["event_type"]: r["distinct_est"]
+        for r in sk.distinct_sketch(events, "user_id", ["event_type"])
+        .select("event_type", sk.estimate())
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) / max(want[k], 1) < 0.05
+
+
+def test_merge_equals_direct_build(events):
+    """The contract that makes persisted sketches useful: union of
+    per-slice sketches == one sketch over the whole data, exactly (same
+    serialized estimate, not just close)."""
+    per_type = sk.distinct_sketch(events, "user_id", ["event_type"])
+    merged = _est(sk.merge_sketches(per_type))
+    direct = _est(sk.distinct_sketch(events, "user_id"))
+    assert merged == direct
+
+
+def test_merge_partial_rollup(events):
+    """Merging a SUBSET of slices == direct sketch over that subset."""
+    some = ["click", "view"]
+    per_type = sk.distinct_sketch(events, "user_id", ["event_type"])
+    merged = _est(
+        sk.merge_sketches(per_type.filter(F.col("event_type").isin(some)))
+    )
+    direct = _est(
+        sk.distinct_sketch(
+            events.filter(F.col("event_type").isin(some)), "user_id"
+        )
+    )
+    assert merged == direct
+
+
+def test_sketch_survives_parquet(events, tmp_path):
+    out = str(tmp_path / "sketches")
+    sk.distinct_sketch(events, "user_id", ["event_type"]).write.parquet(out)
+    spark = events.sparkSession
+    back = spark.read.parquet(out)
+    assert _est(sk.merge_sketches(back)) == _est(
+        sk.distinct_sketch(events, "user_id")
+    )
+
+
+def test_distinct_over_time(events):
+    daily = sk.distinct_over_time(events, "user_id", "ts", grain="day")
+    assert set(daily.columns) == {"bucket", "sketch", "distinct_est"}
+    n_days = daily.count()
+    assert n_days >= 1
+    # roll the daily sketches up to the global number
+    total = _est(sk.merge_sketches(daily.select("sketch")))
+    exact = events.select("user_id").distinct().count()
+    assert abs(total - exact) / exact < 0.05
+
+
+def test_lgk_validation(events):
+    with pytest.raises(ValueError, match="lgk"):
+        sk.distinct_sketch(events, "user_id", lgk=2)
