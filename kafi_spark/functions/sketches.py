@@ -103,3 +103,53 @@ def distinct_over_time(
     )
     out = distinct_sketch(bucketed, key_col, ["bucket", *dims], lgk)
     return out.select("bucket", *dims, "sketch", estimate())
+
+
+def sketch_save_delta(
+    sketches: DataFrame, state_dir: str, version: int | str
+) -> None:
+    """Persist one batch's grouped sketches under ``state_dir/v=<version>``.
+
+    Versioned deltas make saves idempotent per version (a retried
+    streaming epoch overwrites its own directory), and because HLL
+    union is register-wise max — an idempotent commutative monoid, the
+    same algebra as :func:`bloom.bloom_save_delta`'s bit_or — merging a
+    delta twice or in any order never changes the merged state."""
+    sketches.write.mode("overwrite").parquet(
+        f"{state_dir.rstrip('/')}/v={version}"
+    )
+
+
+def sketch_totals(
+    spark,
+    state_dir: str,
+    group_cols: Sequence[str] = (),
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merged estimates over every persisted delta: one row per
+    ``group_cols`` group with ``(sketch, distinct_est)``. This is the
+    read path of the persisted-sketch pattern — answering a roll-up
+    means scanning only the delta rows (bytes per group per epoch),
+    never the raw data."""
+    df = spark.read.parquet(state_dir)
+    merged = merge_sketches(df, group_cols, sketch_col)
+    return merged.withColumn(
+        "distinct_est", F.hll_sketch_estimate(F.col(sketch_col))
+    )
+
+
+def sketch_compact(
+    spark,
+    state_dir: str,
+    version: int | str,
+    group_cols: Sequence[str] = (),
+    sketch_col: str = "sketch",
+) -> None:
+    """Fold all deltas into a single delta at ``version`` (pick one ≥
+    every existing epoch). Union idempotence makes readers merging the
+    compacted delta with stale leftovers still correct, so compaction
+    needs no coordination; delete old ``v=`` dirs at leisure."""
+    merged = merge_sketches(
+        spark.read.parquet(state_dir), group_cols, sketch_col
+    ).localCheckpoint()
+    sketch_save_delta(merged, state_dir, version)

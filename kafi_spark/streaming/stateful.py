@@ -590,3 +590,50 @@ def curate_documents_stream(
         bloom_save_delta(delta, bands_dir, ver)
 
     return process
+
+
+def distinct_sketch_stream(
+    key_col: str,
+    time_col: str,
+    state_dir: str,
+    grain: str = "day",
+    dims=(),
+    lgk: int = 12,
+    sink=None,
+    version_prefix: str = "",
+):
+    """Streaming twin of :func:`kafi_spark.functions.sketches.
+    distinct_over_time`: a ``foreachBatch`` callable maintaining
+    persisted per-bucket HLL distinct sketches incrementally.
+
+    Per micro-batch: (1) sketch the batch's keys per
+    ``(date_trunc(grain), *dims)`` group, (2) persist as this epoch's
+    delta (``v=<epoch>``, idempotent overwrite), (3) hand ``sink`` the
+    RUNNING totals — merged estimates over the whole state, i.e. the
+    same frame :func:`sketches.sketch_totals` serves ad hoc.
+
+    Unlike the bloom/fingerprint twins, the emission here is a state
+    SUMMARY, so no own-epoch exclusion is needed for replay safety:
+    HLL union is idempotent (register-wise max) and a replayed epoch
+    rebuilds a delta over the identical batch, so totals after the
+    replay equal totals after the first attempt — crash-replay
+    emissions match without excluding anything. State volume is one
+    sketch (≤ 2^lgk bytes) per group per epoch; fold with
+    :func:`sketches.sketch_compact` on long-running streams.
+    """
+    from kafi_spark.functions.sketches import (
+        distinct_over_time, sketch_save_delta, sketch_totals)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = distinct_over_time(
+            batch_df, key_col, time_col, grain, dims, lgk
+        ).drop("distinct_est")
+        sketch_save_delta(delta, state_dir,
+                          f"{version_prefix}{epoch_id}")
+        if sink is not None:
+            totals = sketch_totals(
+                batch_df.sparkSession, state_dir, ["bucket", *dims]
+            )
+            sink(totals, epoch_id)
+
+    return process

@@ -92,3 +92,47 @@ def test_distinct_over_time(events):
 def test_lgk_validation(events):
     with pytest.raises(ValueError, match="lgk"):
         sk.distinct_sketch(events, "user_id", lgk=2)
+
+
+def test_distinct_sketch_stream_matches_batch(spark, events, tmp_path):
+    """3-micro-batch replay == the batch distinct_over_time estimates."""
+    from kafi_spark.streaming.stateful import distinct_sketch_stream
+
+    want = {
+        r["bucket"]: r["distinct_est"]
+        for r in sk.distinct_over_time(events, "user_id", "ts").collect()
+    }
+    finals = {}
+    proc = distinct_sketch_stream(
+        "user_id", "ts", str(tmp_path / "state"),
+        sink=lambda tot, e: finals.update(
+            {r["bucket"]: r["distinct_est"] for r in tot.collect()}),
+    )
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=7)
+    for i, p in enumerate(parts):
+        proc(p, i)
+    assert finals == want
+
+
+def test_distinct_sketch_stream_replay_idempotent(spark, events, tmp_path):
+    from kafi_spark.streaming.stateful import distinct_sketch_stream
+
+    emitted = []
+    proc = distinct_sketch_stream(
+        "user_id", "ts", str(tmp_path / "state"),
+        sink=lambda tot, e: emitted.append(
+            sorted((r["bucket"], r["distinct_est"]) for r in tot.collect())),
+    )
+    b0 = events.limit(200)
+    proc(b0, 0)
+    # crash-before-commit replay of the same epoch: identical totals
+    proc(b0, 0)
+    assert emitted[0] == emitted[1]
+    # and compaction preserves the merged estimates
+    sk.sketch_compact(spark, str(tmp_path / "state"), 99, ["bucket"])
+    after = sorted(
+        (r["bucket"], r["distinct_est"])
+        for r in sk.sketch_totals(
+            spark, str(tmp_path / "state"), ["bucket"]).collect()
+    )
+    assert after == emitted[1]
