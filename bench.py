@@ -330,6 +330,44 @@ def bench_queries(entry_mod) -> dict:
 
     qs["substring_dedup"] = q_substring_dedup
 
+    def q_sketch_daily_distinct(spark, sf_dir):
+        # mergeable-HLL roll-up path: per-day user sketches off events,
+        # then a lossless union back to the global estimate — both
+        # aggregation levels in one plan (map-side partial sketches;
+        # the shuffle carries <= 2^12-byte sketches, never user ids)
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.sketches import (
+            distinct_over_time, estimate, merge_sketches)
+        from kafi_spark.session import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        daily = distinct_over_time(ev, "user_id", "ts", grain="day")
+        total = merge_sketches(daily.select("sketch")).select(
+            F.lit(None).cast("timestamp").alias("bucket"), estimate()
+        )
+        return daily.select("bucket", "distinct_est").unionByName(
+            total.select("bucket", F.col("distinct_est"))
+        )
+
+    qs["sketch_daily_distinct"] = q_sketch_daily_distinct
+
+    def q_boilerplate_filter(spark, sf_dir):
+        # standalone timing for the doc-frequency boilerplate filter
+        # (the contract query times it inside the dedup_span_bloom
+        # union); word-grain, threshold at the corpus-chrome knee
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.spans import boilerplate_filter
+        from kafi_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        return boilerplate_filter(d, sep=" ", min_doc_frequency=390)
+
+    qs["boilerplate_filter"] = q_boilerplate_filter
+
     return qs
 
 
