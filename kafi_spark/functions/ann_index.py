@@ -1,0 +1,164 @@
+"""Persisted IVF ANN index — build once, serve many query batches.
+
+:func:`similarity.cosine_topk_ivf` trains k-means and assigns every
+corpus vector on EVERY call — the right shape for a one-shot query, the
+wrong one for a serving pattern where the same 100 TB corpus answers
+query batches all day. This module splits the lifecycle:
+
+- **build** (once): fit centroids, assign cells, write the corpus
+  parquet **partitioned by cell** plus a tiny centroids table;
+- **search** (many): load the centroid matrix (n_cells × dim — driver-
+  small by construction), pick each query's probe cells, and scan ONLY
+  the probed cells' partition directories. The cell filter is a
+  partition-pruning predicate, so a probe of ``n_probe`` of
+  ``n_cells`` cells reads ~n_probe/n_cells of the corpus bytes —
+  at scale the index IS the layout (the same footer/directory pruning
+  argument as :mod:`kafi_spark.functions.layout`, applied to vectors).
+
+Centroids depend on the k-means seed (rows-only checkable, like
+``cosine_topk_ivf``); a full-probe search is mathematically exact
+regardless of the centroids, which is the equivalence the tests pin.
+
+Reference scope note: the reference engine has no vector indexes; this
+is part of the beyond-reference LLM-pipeline layer (SURVEY.md §2
+extension).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from .similarity import _fit_centroids, _mat, cosine_pairs_udf
+
+
+def _corpus_dir(path: str) -> str:
+    return f"{path.rstrip('/')}/corpus"
+
+
+def _centroids_dir(path: str) -> str:
+    return f"{path.rstrip('/')}/centroids"
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Fit, assign, and persist the index under ``path``.
+
+    One training sample pass + one assignment pass over the corpus; the
+    corpus write is ``partitionBy("cell")`` so searches prune at the
+    directory level. Centroids go to a second tiny parquet
+    (``n_cells`` rows) — the only part a search ever collects.
+    """
+    C = _fit_centroids(corpus, corpus, id_col, vec_col, n_cells, seed,
+                       train_cap)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = _mat(v)
+        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col),
+            nearest_cell(F.col(vec_col)).alias("cell"),
+        )
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(_corpus_dir(path))
+    )
+    cent = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(C)],
+        "cell int, centroid array<double>",
+    )
+    cent.write.mode(mode).parquet(_centroids_dir(path))
+
+
+def load_centroids(spark, path: str) -> np.ndarray:
+    """The centroid matrix (n_cells × dim). Driver-side by design:
+    n_cells rows — the index metadata, not the corpus."""
+    rows = (
+        spark.read.parquet(_centroids_dir(path))
+        .orderBy("cell")
+        .collect()
+    )
+    return np.array([r["centroid"] for r in rows], dtype="float64")
+
+
+def probed_corpus(spark, path: str, cells: list[int]) -> DataFrame:
+    """The pruned corpus scan: only the probed cells' partition
+    directories are read (the ``cell`` filter is a partition-pruning
+    predicate over the ``cell=`` layout — check ``inputFiles()``)."""
+    scan = spark.read.parquet(_corpus_dir(path))
+    return scan.filter(F.col("cell").isin([int(c) for c in cells]))
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine search against a persisted index — no training, no
+    full-corpus scan.
+
+    The probe-cell union across the query batch is collected driver-side
+    to drive partition pruning; it is bounded by ``n_cells`` ints
+    (index metadata, not data — sanctioned small collect). Queries are
+    broadcast onto the pruned corpus scan exactly as in
+    ``cosine_topk_ivf``; scoring and the per-query top-k window are
+    unchanged.
+    """
+    C = load_centroids(spark, path)
+    n_cells = len(C)
+    if not 1 <= n_probe <= n_cells:
+        raise ValueError(f"n_probe must be in [1, {n_cells}], got {n_probe}")
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = _mat(v)
+        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    ).localCheckpoint()  # consumed twice: cell-union collect + the join
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    corpus = probed_corpus(spark, path, cells)
+    cos = cosine_pairs_udf()
+    scored = corpus.join(F.broadcast(probes), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cos(F.col("__qvec"), F.col(vec_col)).alias("score"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,100 @@
+"""Persisted IVF index (kafi_spark.functions.ann_index)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafi_spark.functions import ann_index as ai
+from kafi_spark.functions.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_path(emb, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ivf") / "idx")
+    ai.ivf_build(emb.filter(F.col("vec_id") >= 10), p, n_cells=8)
+    return p
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _key(df):
+    return sorted(
+        (r["query_id"], r["vec_id"], r["rank"], round(r["score"], 9))
+        for r in df.collect()
+    )
+
+
+def test_full_probe_equals_exact(spark, emb, index_path):
+    """n_probe = n_cells makes the index search mathematically exact
+    regardless of the learned centroids — the same equivalence the
+    contract query pins for cosine_topk_ivf."""
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    got = ai.ivf_search(spark, index_path, _queries(emb), k=5, n_probe=8)
+    want = cosine_topk(corpus, _queries(emb), k=5)
+    assert _key(got) == _key(want)
+
+
+def test_search_reuses_index_without_rebuild(spark, emb, index_path):
+    """Two searches against one build: same results, nothing retrained
+    (ivf_search never calls _fit_centroids — structural, but assert the
+    behavioral half: results are stable across calls)."""
+    a = _key(ai.ivf_search(spark, index_path, _queries(emb), k=3, n_probe=2))
+    b = _key(ai.ivf_search(spark, index_path, _queries(emb), k=3, n_probe=2))
+    assert a == b and len(a) > 0
+
+
+def test_partition_pruning_reads_only_probed_cells(spark, index_path):
+    """The scale property: the cell filter reaches the scan as a
+    PARTITION filter (directory-level pruning), not a post-scan row
+    filter. (inputFiles() reports the pre-pruning listing, so the
+    physical plan is the honest witness.)"""
+    import contextlib
+    import io
+
+    pruned = ai.probed_corpus(spark, index_path, [0, 3])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    txt = buf.getvalue()
+    pf = [l for l in txt.splitlines() if "PartitionFilters" in l]
+    assert pf and "IN (0,3)" in pf[0].replace("cell#", "#")
+    # and the rows really are only those cells'
+    cells = {r["cell"] for r in pruned.select("cell").distinct().collect()}
+    assert cells <= {0, 3}
+
+
+def test_probe_recall_reasonable(spark, emb, index_path):
+    """Realistic probe (2 of 8 cells) keeps usable recall vs exact."""
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ai.ivf_search(
+            spark, index_path, _queries(emb), k=5, n_probe=2
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(corpus, _queries(emb), k=5).collect()
+    }
+    assert len(got & want) / len(want) >= 0.5
+
+
+def test_centroids_roundtrip(spark, index_path):
+    C = ai.load_centroids(spark, index_path)
+    assert C.shape[0] == 8 and C.shape[1] > 0
+
+
+def test_n_probe_validation(spark, emb, index_path):
+    with pytest.raises(ValueError, match="n_probe"):
+        ai.ivf_search(spark, index_path, _queries(emb), n_probe=9)
