@@ -162,3 +162,143 @@ def ivf_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _codebooks_dir(path: str) -> str:
+    return f"{path.rstrip('/')}/codebooks"
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF-PQ index: partition-pruned cells AND compact
+    codes — the standard composition for billion-vector corpora
+    (Jégou et al. 2011's IVFADC). The cell layout bounds how many BYTES
+    a search reads (n_probe/n_cells of the corpus); the PQ codes bound
+    how much FLOAT MATH the ADC scan does per byte read; the exact
+    rescore (vectors ride along in the same files) restores precision.
+
+    Build: one centroid fit + one codebook fit (both capped driver
+    samples), then a single Arrow pass encoding codes AND assigning
+    cells — the corpus is scanned once and never joined or shuffled
+    except by the partitioned write.
+    """
+    from .pq import pq_encode, pq_train
+
+    C = _fit_centroids(corpus, corpus, id_col, vec_col, n_cells, seed,
+                       train_cap)
+    cb = pq_train(corpus, m_subspaces, n_codes, id_col, vec_col, seed,
+                  train_cap, normalize=True)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = _mat(v)
+        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    encoded = pq_encode(
+        corpus, cb, id_col, vec_col, normalize=True, keep_vec=True
+    ).withColumn("cell", nearest_cell(F.col(vec_col)))
+    (
+        encoded.write.mode(mode).partitionBy("cell")
+        .parquet(_corpus_dir(path))
+    )
+    cent = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(C)],
+        "cell int, centroid array<double>",
+    )
+    cent.write.mode(mode).parquet(_centroids_dir(path))
+    books = spark.createDataFrame(
+        [
+            (j, c, cb[j, c].tolist())
+            for j in range(cb.shape[0])
+            for c in range(cb.shape[1])
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    books.write.mode(mode).parquet(_codebooks_dir(path))
+
+
+def load_codebooks(spark, path: str) -> np.ndarray:
+    """(M, n_codes, d/M) codebook tensor — index metadata
+    (M·n_codes rows), driver-side by design."""
+    rows = (
+        spark.read.parquet(_codebooks_dir(path))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = max(r["subspace"] for r in rows) + 1
+    n = max(r["code"] for r in rows) + 1
+    w = len(rows[0]["centroid"])
+    out = np.empty((m, n, w), dtype="float64")
+    for r in rows:
+        out[r["subspace"], r["code"]] = r["centroid"]
+    return out
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rescore_factor: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine against a persisted IVF-PQ index: partition-pruned
+    cell scan → ADC code scan → exact rescore → global top-k.
+
+    The batch's probe-cell UNION drives the pruning, and the ADC scan
+    scores every query against every scanned row — rows from cells a
+    query did not probe are extra candidates that can only improve its
+    recall (restricting per query would trade a corpus-side join
+    shuffle for fewer table lookups; at PQ lookup cost the union scan
+    wins). Lists collected driver-side are bounded by n_cells and
+    M·n_codes — index metadata, never data.
+    """
+    from .pq import adc_rescore_topk
+
+    C = load_centroids(spark, path)
+    n_cells = len(C)
+    if not 1 <= n_probe <= n_cells:
+        raise ValueError(f"n_probe must be in [1, {n_cells}], got {n_probe}")
+    cb = load_codebooks(spark, path)
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = _mat(v)
+        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    cells = [
+        r["cell"]
+        for r in queries.select(
+            F.explode(probe_cells(F.col(vec_col))).alias("cell")
+        )
+        .distinct()
+        .collect()
+    ]
+    scan = probed_corpus(spark, path, cells)
+    return adc_rescore_topk(
+        scan, cb, queries, k, rescore_factor, id_col, vec_col,
+        query_id_col,
+    )

@@ -167,13 +167,35 @@ def cosine_topk_pq(
     # codes + vectors from ONE encode pass — no join back to the corpus
     # (a corpus-sized shuffle of every embedding)
     encoded = pq_encode(corpus, cb, id_col, vec_col, normalize=True, keep_vec=True)
+    return adc_rescore_topk(
+        encoded, cb, queries, k, rescore_factor, id_col, vec_col,
+        query_id_col,
+    )
 
+
+def adc_rescore_topk(
+    encoded: DataFrame,
+    cb: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The ADC scan + exact-rescore + global top-k tail, over an already
+    ENCODED frame ``(id, pq_code, vec)`` — shared by
+    :func:`cosine_topk_pq` (which encodes inline) and the persisted
+    IVF-PQ index (:mod:`kafi_spark.functions.ann_index`, which scans
+    pre-encoded, partition-pruned cells). Phase semantics as documented
+    on :func:`cosine_topk_pq`.
+    """
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     if len(qpdf) == 0:
         raise ValueError("empty query set")
     Q = _unit(_mat(qpdf[vec_col]))
     qids = qpdf[query_id_col].to_numpy()
-    spark = corpus.sparkSession
+    spark = encoded.sparkSession
     m, _, w = cb.shape
     # ADC tables: lut[q, j, code] = Q_sub(q,j) · codebook(j, code)
     lut = np.einsum("qjw,jcw->qjc", Q.reshape(len(Q), m, w), cb)
@@ -214,7 +236,7 @@ def cosine_topk_pq(
                 {query_id_col: out_q, id_col: out_id, "score": out_s}
             )
 
-    id_t = corpus.schema[id_col].dataType.simpleString()
+    id_t = encoded.schema[id_col].dataType.simpleString()
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     c = encoded.select(
         F.col(id_col).alias("__id"), "pq_code", F.col(vec_col).alias("__vec")

@@ -98,3 +98,67 @@ def test_centroids_roundtrip(spark, index_path):
 def test_n_probe_validation(spark, emb, index_path):
     with pytest.raises(ValueError, match="n_probe"):
         ai.ivf_search(spark, index_path, _queries(emb), n_probe=9)
+
+
+@pytest.fixture(scope="module")
+def pq_index_path(emb, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    ai.ivfpq_build(
+        emb.filter(F.col("vec_id") >= 10), p, n_cells=8, m_subspaces=8
+    )
+    return p
+
+
+def test_ivfpq_recall_vs_exact(spark, emb, pq_index_path):
+    """Full probe + generous rescore: the ADC phase is the only loss
+    source, and the exact rescore must keep recall high."""
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ai.ivfpq_search(
+            spark, pq_index_path, _queries(emb), k=5, n_probe=8,
+            rescore_factor=8,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(corpus, _queries(emb), k=5).collect()
+    }
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_ivfpq_scores_are_exact_cosine(spark, emb, pq_index_path):
+    """Returned scores come from the exact rescore, not ADC estimates:
+    every (query, hit) score must equal the true cosine."""
+    from kafi_spark.functions.similarity import cosine_topk as _ct
+
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 6)
+        for r in _ct(corpus, _queries(emb), k=200).collect()
+    }
+    for r in ai.ivfpq_search(
+        spark, pq_index_path, _queries(emb), k=5, n_probe=8
+    ).collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:  # k=200 covers all realistic hits
+            assert abs(round(r["score"], 6) - exact[key]) < 1e-5
+
+
+def test_ivfpq_partition_pruning(spark, pq_index_path):
+    import contextlib
+    import io
+
+    pruned = ai.probed_corpus(spark, pq_index_path, [1, 5])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    assert any(
+        "PartitionFilters" in l and "IN (1,5)" in l
+        for l in buf.getvalue().splitlines()
+    )
+
+
+def test_ivfpq_codebook_roundtrip(spark, pq_index_path):
+    cb = ai.load_codebooks(spark, pq_index_path)
+    assert cb.shape[0] == 8 and cb.shape[1] == 256
