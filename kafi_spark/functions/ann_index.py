@@ -302,3 +302,47 @@ def ivfpq_search(
         scan, cb, queries, k, rescore_factor, id_col, vec_col,
         query_id_col,
     )
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign NEW vectors to the existing centroids and append them to
+    the cell partitions — the daily-ingest path: the index absorbs new
+    data without retraining or rewriting (centroid drift is the
+    documented trade; rebuild on a cadence, e.g. when appended volume
+    rivals the original corpus). Works for both plain-IVF and IVF-PQ
+    indexes (the latter re-encodes with the persisted codebooks so the
+    appended rows carry codes too)."""
+    spark = new_vectors.sparkSession
+    C = load_centroids(spark, path)
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = _mat(v)
+        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    existing = spark.read.parquet(_corpus_dir(path))
+    if "pq_code" in existing.columns:
+        from .pq import pq_encode
+
+        cb = load_codebooks(spark, path)
+        rows = pq_encode(
+            new_vectors, cb, id_col, vec_col, normalize=True,
+            keep_vec=True,
+        )
+    else:
+        rows = new_vectors.select(F.col(id_col), F.col(vec_col))
+    (
+        rows.withColumn("cell", nearest_cell(F.col(vec_col)))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(_corpus_dir(path))
+    )

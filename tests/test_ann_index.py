@@ -162,3 +162,41 @@ def test_ivfpq_partition_pruning(spark, pq_index_path):
 def test_ivfpq_codebook_roundtrip(spark, pq_index_path):
     cb = ai.load_codebooks(spark, pq_index_path)
     assert cb.shape[0] == 8 and cb.shape[1] == 256
+
+
+def test_ivf_append_absorbs_new_vectors(spark, emb, tmp_path):
+    """Appended vectors become searchable without retraining; a
+    self-query of an appended vector returns itself at rank 1."""
+    p = str(tmp_path / "idx")
+    ai.ivf_build(
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 300)),
+        p, n_cells=4,
+    )
+    new = emb.filter(F.col("vec_id") >= 300)
+    n_new = new.count()
+    assert n_new > 0
+    ai.ivf_append(new, p)
+    probe = new.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qid = probe.first()["query_id"]
+    hits = ai.ivf_search(spark, p, probe, k=1, n_probe=4).collect()
+    assert hits and hits[0]["vec_id"] == qid and hits[0]["rank"] == 1
+
+
+def test_ivfpq_append_carries_codes(spark, emb, tmp_path):
+    p = str(tmp_path / "idx")
+    ai.ivfpq_build(
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 300)),
+        p, n_cells=4, m_subspaces=8,
+    )
+    new = emb.filter(F.col("vec_id") >= 300)
+    ai.ivf_append(new, p)
+    back = spark.read.parquet(f"{p}/corpus")
+    assert back.filter(F.col("pq_code").isNull()).count() == 0
+    probe = new.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qid = probe.first()["query_id"]
+    hits = ai.ivfpq_search(spark, p, probe, k=1, n_probe=4).collect()
+    assert hits and hits[0]["vec_id"] == qid
