@@ -19,6 +19,13 @@ Centroids depend on the k-means seed (rows-only checkable, like
 ``cosine_topk_ivf``); a full-probe search is mathematically exact
 regardless of the centroids, which is the equivalence the tests pin.
 
+Builds are not atomic across the corpus/centroids/codebooks writes —
+treat index paths as IMMUTABLE VERSIONS (build to a fresh
+``path/v=N``, flip readers after the build returns), the standard
+serving practice; :func:`ivf_append` is the one sanctioned in-place
+mutation (an appended file set is consistent with the existing
+centroids by construction).
+
 Reference scope note: the reference engine has no vector indexes; this
 is part of the beyond-reference LLM-pipeline layer (SURVEY.md §2
 extension).

@@ -56,13 +56,17 @@ def _rankable(df: DataFrame, col: str) -> tuple[str, object]:
 
 
 def _str_rank(c) -> object:
-    """Order-preserving double from a string's first 8 bytes.
+    """Order-preserving double from a string's first 8 UTF-8 BYTES.
 
-    conv(hex, 16, 10) of the zero-padded 8-byte prefix → a uint64 in a
-    double (53-bit precision truncates the tail — acceptable for BUCKET
-    boundaries, which only need coarse order)."""
-    prefix = F.rpad(F.substring(c, 1, 8), 8, "\x00")
-    return F.conv(F.hex(F.encode(prefix, "UTF-8")), 16, 10).cast("double")
+    The prefix is taken from the hex of the encoded bytes (16 nibbles,
+    zero-padded low) — not from the first 8 *characters*, whose UTF-8
+    encoding can exceed 8 bytes and overflow conv's 64-bit range,
+    corrupting the order for non-ASCII keys. Byte-wise order equals
+    UTF-8 lexicographic order, and a uint64 in a double keeps ~53 bits
+    of it — plenty for BUCKET boundaries, which only need coarse
+    order."""
+    hx = F.rpad(F.substring(F.hex(F.encode(c, "UTF-8")), 1, 16), 16, "0")
+    return F.conv(hx, 16, 10).cast("double")
 
 
 def zorder_key(

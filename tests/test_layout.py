@@ -120,3 +120,17 @@ def test_zorder_string_column(spark, sf_dir, tmp_path):
     assert any(
         (lo, hi) != (glo, ghi) for lo, hi, _ in st if lo is not None
     )
+
+
+def test_str_rank_non_ascii_order_preserved(spark):
+    """Multi-byte UTF-8 keys must still bucket in lexicographic-byte
+    order (the rank is built from the byte prefix, not the character
+    prefix, so wide characters can't overflow the 64-bit range)."""
+    vals = ["aaa", "zzz", "ää", "日本語テキスト", "!bang"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "k int, s string")
+    got = {r["k"]: r["__z"]
+           for r in ly.zorder_key(df, ["s"], bits=4).collect()}
+    by_bytes = sorted(range(len(vals)), key=lambda i: vals[i].encode())
+    zs = [got[i] for i in by_bytes]
+    assert zs == sorted(zs)
