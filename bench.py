@@ -86,6 +86,8 @@ HEADLINE = [
     "pipeline_curate_minhash",
     "pipeline_dupheavy_exact",
     "pipeline_dupheavy_minhash",
+    "sketch_daily_distinct",
+    "boilerplate_filter",
 ]
 
 
