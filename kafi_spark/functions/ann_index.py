@@ -34,11 +34,10 @@ extension).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
-from pyspark.sql.pandas.functions import pandas_udf
 
-from .similarity import _fit_centroids, _mat, cosine_pairs_udf
+from .similarity import (
+    _fit_centroids, _nearest_cell_udf, _probe_cells_udf, cosine_pairs_udf)
 
 
 def _corpus_dir(path: str) -> str:
@@ -69,15 +68,7 @@ def ivf_build(
     C = _fit_centroids(corpus, corpus, id_col, vec_col, n_cells, seed,
                        train_cap)
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(C)
-
-    @pandas_udf("int")
-    def nearest_cell(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int32")
-        X = _mat(v)
-        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+    nearest_cell = _nearest_cell_udf(spark, C)
 
     (
         corpus.select(
@@ -138,16 +129,7 @@ def ivf_search(
     n_cells = len(C)
     if not 1 <= n_probe <= n_cells:
         raise ValueError(f"n_probe must be in [1, {n_cells}], got {n_probe}")
-    bc = spark.sparkContext.broadcast(C)
-
-    @pandas_udf("array<int>")
-    def probe_cells(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        X = _mat(v)
-        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
+    probe_cells = _probe_cells_udf(spark, C, n_probe)
 
     probes = queries.select(
         F.col(query_id_col),
@@ -206,15 +188,7 @@ def ivfpq_build(
     cb = pq_train(corpus, m_subspaces, n_codes, id_col, vec_col, seed,
                   train_cap, normalize=True)
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(C)
-
-    @pandas_udf("int")
-    def nearest_cell(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int32")
-        X = _mat(v)
-        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+    nearest_cell = _nearest_cell_udf(spark, C)
 
     encoded = pq_encode(
         corpus, cb, id_col, vec_col, normalize=True, keep_vec=True
@@ -285,16 +259,7 @@ def ivfpq_search(
     if not 1 <= n_probe <= n_cells:
         raise ValueError(f"n_probe must be in [1, {n_cells}], got {n_probe}")
     cb = load_codebooks(spark, path)
-    bc = spark.sparkContext.broadcast(C)
-
-    @pandas_udf("array<int>")
-    def probe_cells(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        X = _mat(v)
-        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
+    probe_cells = _probe_cells_udf(spark, C, n_probe)
 
     cells = [
         r["cell"]
@@ -326,15 +291,7 @@ def ivf_append(
     appended rows carry codes too)."""
     spark = new_vectors.sparkSession
     C = load_centroids(spark, path)
-    bc = spark.sparkContext.broadcast(C)
-
-    @pandas_udf("int")
-    def nearest_cell(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int32")
-        X = _mat(v)
-        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+    nearest_cell = _nearest_cell_udf(spark, C)
 
     existing = spark.read.parquet(_corpus_dir(path))
     if "pq_code" in existing.columns:

@@ -48,8 +48,16 @@ def _rankable(df: DataFrame, col: str) -> tuple[str, object]:
         # stable 64-bit big-endian prefix: preserves lexicographic order
         # for the first 8 bytes, which is what quantile bucketing needs
         return "str", _str_rank(F.col(col))
-    if field.dataType.typeName() in ("date", "timestamp", "timestamp_ntz"):
+    tn = field.dataType.typeName()
+    # only TimestampType casts to double directly; DATE needs epoch-days
+    # and TIMESTAMP_NTZ a timestamp hop first (both rejected by a bare
+    # double cast on Spark 4)
+    if tn == "timestamp":
         return "num", F.col(col).cast("double")
+    if tn == "date":
+        return "num", F.unix_date(F.col(col)).cast("double")
+    if tn == "timestamp_ntz":
+        return "num", F.col(col).cast("timestamp").cast("double")
     raise ValueError(
         f"zorder column {col!r} has unsupported type {field.dataType}"
     )
@@ -96,11 +104,13 @@ def zorder_key(
         _, rc = _rankable(df, c)
         rank_cols.append(f"__r{i}")
         ranked = ranked.withColumn(f"__r{i}", rc)
-    cuts = {}
-    for i, c in enumerate(cols):
-        # B-1 interior cut points; relativeError matched to bucket width
-        qs = [j / n_buckets for j in range(1, n_buckets)]
-        cuts[i] = ranked.approxQuantile(f"__r{i}", qs, 1.0 / n_buckets)
+    # B-1 interior cut points; relativeError matched to bucket width.
+    # ONE approxQuantile call for every rank column — the list form
+    # computes all sketches in a single input pass (per-column calls
+    # would scan the input len(cols) times)
+    qs = [j / n_buckets for j in range(1, n_buckets)]
+    all_cuts = ranked.approxQuantile(rank_cols, qs, 1.0 / n_buckets)
+    cuts = dict(enumerate(all_cuts))
     z = F.lit(0).cast("long")
     for i in range(len(cols)):
         # bucket index: count of cut points strictly below the value

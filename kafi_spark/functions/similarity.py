@@ -454,6 +454,44 @@ def _estimate_rows(corpus: DataFrame, queries: DataFrame, vec_col: str) -> int:
         return corpus.count()
 
 
+def _nearest_cell_udf(spark, C: np.ndarray):
+    """Pandas UDF assigning each vector its nearest centroid's index.
+
+    THE single assignment kernel — build, search, append, and k-means
+    labeling must all route through here so they can never disagree on
+    cell membership. argmin of |x-c|² == argmin of -2x·C + |c|²
+    (|x|² constant per row): one BLAS matmul instead of an O(n·k·d)
+    broadcast temporary."""
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = _mat(v)
+        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return nearest_cell
+
+
+def _probe_cells_udf(spark, C: np.ndarray, n_probe: int):
+    """Pandas UDF listing each query's ``n_probe`` nearest centroids
+    (same distance identity as :func:`_nearest_cell_udf`)."""
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = _mat(v)
+        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    return probe_cells
+
+
 def _fit_centroids(
     corpus: DataFrame,
     queries: DataFrame,
@@ -525,29 +563,8 @@ def cosine_topk_ivf(
     """
     C = _fit_centroids(corpus, queries, id_col, vec_col, n_cells, seed, train_cap)
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(C)
-
-    @pandas_udf("int")
-    def nearest_cell(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int32")
-        X = _mat(v)
-        # nearest centroid by euclidean distance (KMeans' metric)
-        # argmin of |x-c|² == argmin of -2x·C + |c|² (|x|² constant per
-        # row): one BLAS matmul instead of an O(n·k·d) broadcast temporary
-        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
-
-    @pandas_udf("array<int>")
-    def probe_cells(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        X = _mat(v)
-        # argmin of |x-c|² == argmin of -2x·C + |c|² (|x|² constant per
-        # row): one BLAS matmul instead of an O(n·k·d) broadcast temporary
-        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
+    nearest_cell = _nearest_cell_udf(spark, C)
+    probe_cells = _probe_cells_udf(spark, C, n_probe)
 
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("cell")
@@ -703,17 +720,7 @@ def kmeans_assign(
     the centroid matrix broadcast — the corpus is scanned once, never
     shuffled."""
     C = _fit_centroids(df, df, id_col, vec_col, n_clusters, seed, train_cap)
-    bc = df.sparkSession.sparkContext.broadcast(C)
-
-    @pandas_udf("int")
-    def nearest_cell(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int32")
-        X = _mat(v)
-        # argmin of |x-c|² == argmin of -2x·C + |c|² (|x|² constant per
-        # row): one BLAS matmul instead of an O(n·k·d) broadcast temporary
-        d = -2 * X @ bc.value.T + (bc.value**2).sum(axis=1)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+    nearest_cell = _nearest_cell_udf(df.sparkSession, C)
 
     return df.select(
         F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("cell")

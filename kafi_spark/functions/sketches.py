@@ -145,11 +145,18 @@ def sketch_compact(
     group_cols: Sequence[str] = (),
     sketch_col: str = "sketch",
 ) -> None:
-    """Fold all deltas into a single delta at ``version`` (pick one ≥
-    every existing epoch). Union idempotence makes readers merging the
-    compacted delta with stale leftovers still correct, so compaction
-    needs no coordination; delete old ``v=`` dirs at leisure."""
+    """Fold all deltas into a single delta at ``v=compact-<version>``.
+
+    The ``compact-`` prefix keeps compaction keys in a namespace
+    DISJOINT from stream epoch ids — without it, a later epoch whose id
+    equals ``version`` would idempotently OVERWRITE the compacted delta
+    (which holds the entire folded history) with one batch's sketches,
+    silently shrinking every total. Pick ``version`` monotonically
+    across compactions (e.g. the epoch id at compaction time). Union
+    idempotence makes readers merging the compacted delta with stale
+    leftovers still correct, so compaction needs no coordination;
+    delete old ``v=`` dirs at leisure."""
     merged = merge_sketches(
         spark.read.parquet(state_dir), group_cols, sketch_col
     ).localCheckpoint()
-    sketch_save_delta(merged, state_dir, version)
+    sketch_save_delta(merged, state_dir, f"compact-{version}")

@@ -134,3 +134,26 @@ def test_str_rank_non_ascii_order_preserved(spark):
     by_bytes = sorted(range(len(vals)), key=lambda i: vals[i].encode())
     zs = [got[i] for i in by_bytes]
     assert zs == sorted(zs)
+
+
+def test_zorder_date_and_timestamp_columns(spark):
+    """Date and timestamp(_ntz) columns must rank (review finding: a
+    bare double cast is rejected for DATE/TIMESTAMP_NTZ on Spark 4)."""
+    import datetime as dt
+
+    rows_in = [
+        (i, dt.date(2024, 1, 1 + i), dt.datetime(2024, 1, 1, i))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows_in, "k int, d date, t timestamp"
+    )
+    got = rows(ly.zorder_key(df, ["d"], bits=2), "k", "__z")
+    zs = [z for _, z in got]
+    assert zs == sorted(zs) and len(set(zs)) > 1
+    got_t = rows(ly.zorder_key(df, ["t"], bits=2), "k", "__z")
+    zs_t = [z for _, z in got_t]
+    assert zs_t == sorted(zs_t)
+    ntz = df.select("k", F.col("t").cast("timestamp_ntz").alias("tn"))
+    got_n = rows(ly.zorder_key(ntz, ["tn"], bits=2), "k", "__z")
+    assert [z for _, z in got_n] == zs_t

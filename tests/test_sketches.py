@@ -136,3 +136,31 @@ def test_distinct_sketch_stream_replay_idempotent(spark, events, tmp_path):
             spark, str(tmp_path / "state"), ["bucket"]).collect()
     )
     assert after == emitted[1]
+
+
+def test_compact_namespace_disjoint_from_epochs(spark, events, tmp_path):
+    """Review finding: a stream epoch id equal to the compact version
+    must NOT overwrite the compacted delta."""
+    from kafi_spark.streaming.stateful import distinct_sketch_stream
+
+    state = str(tmp_path / "state")
+    proc = distinct_sketch_stream("user_id", "ts", state)
+    proc(events.limit(200), 0)
+    proc(events.filter(F.col("event_id") % 3 == 0), 1)
+    before = sorted(
+        (r["bucket"], r["distinct_est"])
+        for r in sk.sketch_totals(spark, state, ["bucket"]).collect()
+    )
+    # compact at "version 5", then a later epoch with id 5 arrives
+    sk.sketch_compact(spark, state, 5, ["bucket"])
+    proc(events.filter(F.col("event_id") % 7 == 0), 5)
+    after = sorted(
+        (r["bucket"], r["distinct_est"])
+        for r in sk.sketch_totals(spark, state, ["bucket"]).collect()
+    )
+    # totals can only grow (union is monotone); the epoch-5 write must
+    # not have clobbered the folded history
+    b = dict(before)
+    for bucket, est in after:
+        assert est >= b.get(bucket, 0)
+    assert len(after) >= len(before)
