@@ -1327,7 +1327,11 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     )
 
 
-def q_ann_cosine_topk_ivf(spark, sf_dir):
+def _ann_ivf(spark, sf_dir, n_probe: int):
+    """Shared builder for the IVF contract query and its bench twin —
+    ONE definition of the corpus/query split and parameters, so the
+    realistic-probe twin can never drift from the workload it claims
+    to twin (only n_probe differs)."""
     from kafi_spark.functions.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1335,6 +1339,17 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
+    out = cosine_topk_ivf(corpus, queries_df, k=5, n_cells=16,
+                          n_probe=n_probe)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+    )
+
+
+def q_ann_cosine_topk_ivf(spark, sf_dir):
     # Full-probe config (n_probe == n_cells): every query probes every
     # cell, so the result is mathematically the exact top-k REGARDLESS of
     # the learned (seed-dependent, non-SQL-reproducible) centroids — the
@@ -1342,13 +1357,7 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
     # IVF plan (k-means fit, cell assignment, probe join, rescore, rank).
     # The realistic n_probe=4 config is benched as ann_cosine_topk_ivf_probe
     # and recall-gated against the exact operator in tests/test_similarity.py.
-    out = cosine_topk_ivf(corpus, queries_df, k=5, n_cells=16, n_probe=16)
-    return out.select(
-        "query_id",
-        "vec_id",
-        F.col("rank").cast("long").alias("rank"),
-        F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
-    )
+    return _ann_ivf(spark, sf_dir, n_probe=16)
 
 
 def q_emb_neardup(spark, sf_dir):

@@ -212,18 +212,9 @@ def bench_queries(entry_mod) -> dict:
     def q_ann_ivf_probe(spark, sf_dir):
         # realistic IVF config (n_probe << n_cells) — the 100 TB scale
         # path; the contract query runs full-probe so the exact oracle
-        # applies, this twin times the approximate plan users deploy
-        from pyspark.sql import functions as F
-
-        from kafi_spark.functions.similarity import cosine_topk_ivf
-        from kafi_spark.session import read_table
-
-        emb = read_table(spark, sf_dir, "embeddings")
-        queries_df = emb.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        corpus = emb.filter(F.col("vec_id") >= 10)
-        return cosine_topk_ivf(corpus, queries_df, k=5, n_cells=16, n_probe=4)
+        # applies. Same builder as the contract query (entry's _ann_ivf)
+        # so the twin can never drift from the workload it twins.
+        return entry_mod._ann_ivf(spark, sf_dir, n_probe=4)
 
     qs["ann_cosine_topk_ivf_probe"] = q_ann_ivf_probe
 
@@ -406,6 +397,20 @@ def main() -> None:
     prior = _load_prior_bench(sf_path, sf_val) or _load_prior_bench(
         out_path, sf_val)
 
+    def timed_run(fn):
+        """One timed execution with its /proc/stat steal delta — THE
+        timing body for both the best-of-3 loop and the steal-proofing
+        reruns (a single definition keeps the two comparable)."""
+        st0 = _read_steal_jiffies()
+        t0 = time.time()
+        run(fn(spark, sf_dir))
+        dt = time.time() - t0
+        st1 = _read_steal_jiffies()
+        steal = st1 - st0 if st0 is not None and st1 is not None else None
+        # drop cache entries a query pinned; keeps timings independent
+        spark.catalog.clearCache()
+        return dt, steal
+
     timings: dict[str, float] = {}
     plans: dict[str, dict] = {}
     for name in HEADLINE:
@@ -419,20 +424,13 @@ def main() -> None:
         sbytes = None
         for i in range(3):
             pre = _shuffle_bytes_total(spark) if i == 0 else None
-            st0 = _read_steal_jiffies()
-            t0 = time.time()
-            run(qs[name](spark, sf_dir))
-            dt = time.time() - t0
-            st1 = _read_steal_jiffies()
-            steal = st1 - st0 if st0 is not None and st1 is not None else None
+            dt, steal = timed_run(qs[name])
             if i == 0 and pre is not None:
                 post = _shuffle_bytes_total(spark)
                 if post is not None:
                     sbytes = post - pre
             if best is None or dt < best:
                 best, best_steal = dt, steal
-            # drop cache entries a query pinned; keeps timings independent
-            spark.catalog.clearCache()
 
         exchanges = _exchange_count(qs[name](spark, sf_dir))
 
@@ -452,16 +450,9 @@ def main() -> None:
             and _plan_unchanged(prev_plan, exchanges, sbytes)
         ):
             while reruns < 3 and best > 1.5 * prev_t:
-                st0 = _read_steal_jiffies()
-                t0 = time.time()
-                run(qs[name](spark, sf_dir))
-                dt = time.time() - t0
-                st1 = _read_steal_jiffies()
+                dt, steal = timed_run(qs[name])
                 if dt < best:
-                    best = dt
-                    best_steal = (st1 - st0 if st0 is not None
-                                  and st1 is not None else None)
-                spark.catalog.clearCache()
+                    best, best_steal = dt, steal
                 reruns += 1
 
         timings[name] = round(best, 3)

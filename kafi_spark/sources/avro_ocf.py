@@ -292,7 +292,11 @@ def _read_header_of(path: str) -> tuple[dict, str, bytes, int]:
             head = f.read(want)
         try:
             return read_ocf_header(head)
-        except (EOFError, IndexError, ValueError, KeyError):
+        except (EOFError, IndexError):
+            # truncation errors are the ONLY ones more bytes can cure;
+            # bad magic / malformed schema JSON (ValueError/KeyError)
+            # must raise immediately — doubling would re-read a possibly
+            # multi-GB non-Avro file prefix by prefix before failing
             if want >= size:
                 raise
             want = min(size, want * 2)

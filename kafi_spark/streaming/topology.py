@@ -35,13 +35,17 @@ from kafi_spark.streams.zset import (
 )
 
 
-def _has_watermark(df: DataFrame) -> bool:
-    """True iff the frame's analyzed plan carries an event-time
-    watermark (``withWatermark`` somewhere upstream)."""
+def _has_watermark(df: DataFrame) -> bool | None:
+    """True/False iff the frame's analyzed plan does/doesn't carry an
+    event-time watermark (``withWatermark`` somewhere upstream); None
+    when the plan can't be introspected (Spark Connect has no _jdf) —
+    the caller must treat None as "unverifiable", not as "safe",
+    otherwise the unbounded-state guard silently fails open exactly
+    where it can't look."""
     try:
         return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
     except Exception:  # noqa: BLE001 — connect-mode / plan access failure
-        return True  # cannot introspect: don't block the build
+        return None
 
 
 class Topology:
@@ -292,8 +296,25 @@ class TNode:
         IncrementalRunner` instead."""
         def op(l: DataFrame, r: DataFrame) -> DataFrame:
             if l.isStreaming and r.isStreaming:
-                missing = [s for s, d in (("left", l), ("right", r))
-                           if not _has_watermark(d)]
+                marks = {s: _has_watermark(d)
+                         for s, d in (("left", l), ("right", r))}
+                unverifiable = [s for s, m in marks.items() if m is None]
+                if unverifiable:
+                    # plan introspection unavailable (Spark Connect):
+                    # warn loudly rather than fail open OR block builds
+                    # that may well be correctly watermarked
+                    import warnings
+
+                    warnings.warn(
+                        "cannot verify event-time watermarks on the "
+                        f"{' and '.join(unverifiable)} side(s) of a "
+                        "streaming theta join (plan introspection "
+                        "unavailable); without withWatermark() on both "
+                        "sources plus a time-range conjunct, join state "
+                        "grows unboundedly",
+                        stacklevel=3,
+                    )
+                missing = [s for s, m in marks.items() if m is False]
                 if missing:
                     raise ValueError(
                         "streaming theta join with unbounded state: the "

@@ -176,3 +176,67 @@ def test_files_py_routing(spark, tmp_path):
 def test_unsupported_codec_rejected():
     with pytest.raises(NotImplementedError):
         AO.write_ocf([], json.dumps(REC), io.BytesIO(), codec="snappy")
+
+
+def test_orphan_tmp_invisible_and_cleaned(spark, tmp_path):
+    """Task-retry atomicity: a leftover dot-prefixed .tmp (simulating a
+    failed/speculative attempt that never committed) is (a) invisible to
+    the reader glob, and (b) removed by the next overwrite."""
+    AO.register(spark)
+    out = str(tmp_path / "at")
+    df = spark.range(10).selectExpr("id", "cast(id as string) name")
+    df.repartition(1).write.format("kafi_avro").mode("overwrite").save(out)
+    orphan = os.path.join(out, ".part-99999-deadbeef.avro.tmp")
+    with open(orphan, "wb") as f:
+        f.write(b"half-written garbage")
+    # (a) invisible: read succeeds and sees only committed rows
+    assert spark.read.format("kafi_avro").load(out).count() == 10
+    # (b) cleaned: the next overwrite removes the orphan
+    df.repartition(1).write.format("kafi_avro").mode("overwrite").save(out)
+    assert not os.path.exists(orphan)
+    assert spark.read.format("kafi_avro").load(out).count() == 10
+
+
+def test_commit_renames_tmp_to_final(spark, tmp_path):
+    """After a successful write no .tmp remains, every data file is a
+    final part-*.avro, and _SUCCESS marks the commit."""
+    AO.register(spark)
+    out = str(tmp_path / "cm")
+    df = spark.range(20).selectExpr("id", "cast(id as string) name")
+    df.repartition(2).write.format("kafi_avro").mode("overwrite").save(out)
+    names = os.listdir(out)
+    assert not [n for n in names if n.endswith(".tmp")]
+    parts = [n for n in names if n.endswith(".avro")]
+    assert len(parts) == 2 and all(n.startswith("part-") for n in parts)
+    assert "_SUCCESS" in names
+
+
+def test_header_over_initial_read_doubles(tmp_path):
+    """A header whose schema JSON exceeds the 1 MiB initial read must
+    still parse via the truncation-driven doubling re-read."""
+    wide = "f" + "x" * (2 << 20)  # one valid-but-huge field name
+    big_schema = AO.parse_schema(json.dumps(
+        {"type": "record", "name": "r",
+         "fields": [{"name": wide, "type": "long"}]}))
+    buf = io.BytesIO()
+    AO.write_ocf([{wide: 1}, {wide: 2}], big_schema, buf, codec="null")
+    p = str(tmp_path / "big.avro")
+    with open(p, "wb") as f:
+        f.write(buf.getvalue())
+    sch, codec, sync, pos = AO._read_header_of(p)
+    assert sch["fields"][0]["name"] == wide and codec == "null"
+    assert pos > (1 << 20)  # the header genuinely exceeded the first read
+
+
+def test_bad_magic_fails_fast_no_doubling(tmp_path):
+    """A non-Avro file must raise immediately — the doubling loop no
+    longer re-reads a possibly huge file for errors bytes can't fix."""
+    p = str(tmp_path / "junk.avro")
+    with open(p, "wb") as f:
+        f.write(b"NOPE" + b"\x00" * (4 << 20))
+    import time as _t
+
+    t0 = _t.time()
+    with pytest.raises(ValueError, match="bad magic"):
+        AO._read_header_of(p)
+    assert _t.time() - t0 < 1.0  # one 1 MiB read, not a doubling crawl

@@ -333,7 +333,7 @@ def _wordcount_topology():
     return t
 
 
-def test_topology_term_wordcount():
+def test_topology_term_wordcount(spark):
     """Recursive term matches the reference's display shape
     (topologynode.py:1252-1287): names nest root-first into inputs."""
     t = _wordcount_topology()
@@ -352,7 +352,7 @@ def test_topology_term_wordcount():
     )
 
 
-def test_topology_term_join_two_sources():
+def test_topology_term_join_two_sources(spark):
     """Binary nodes render name(left, right) (reference case 2)."""
     t = Topology()
     orders = t.source("orders")
@@ -368,7 +368,7 @@ def test_topology_term_join_two_sources():
     )
 
 
-def test_topology_term_shared_subdag_refs():
+def test_topology_term_shared_subdag_refs(spark):
     """A node consumed twice renders once and REFs after (reference:
     REF:name for already-visited nodes, topologynode.py:1256-1260)."""
     t = Topology()
@@ -381,7 +381,7 @@ def test_topology_term_shared_subdag_refs():
     )
 
 
-def test_mermaid_wordcount():
+def test_mermaid_wordcount(spark):
     """graph TD block: one child[label] --> parent[label] per edge, plus
     the sink frame edge; fenced exactly like the reference's output."""
     t = _wordcount_topology()
@@ -410,7 +410,7 @@ def test_mermaid_join_include_ids():
     ])
 
 
-def test_mermaid_node_surface_dedups_shared_edges():
+def test_mermaid_node_surface_dedups_shared_edges(spark):
     t = Topology()
     src = t.source("ev")
     filtered = src.filter(F.col("x") > 0)
