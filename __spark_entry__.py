@@ -2041,6 +2041,69 @@ def q_jsonschema_filter(spark, sf_dir):
     return typed.select(F.col("v.id").alias("event_id"), F.col("v.value").alias("value"))
 
 
+# ---------------------------------------------------------------------------
+# Mergeable-sketch layer: theta set-algebra retention (sketches.py)
+# ---------------------------------------------------------------------------
+
+def q_cdc_debezium(spark, sf_dir):
+    """Debezium decode→apply and encode merged into one tagged row set
+    (same consolidation pattern as fn_ops/analytic_ops): op='apply'
+    rows carry the surviving key in ``after``; op='encode' rows carry
+    the full envelope (before, after, dz_op)."""
+    applied = q_cdc_debezium_apply(spark, sf_dir).select(
+        F.lit("apply").alias("op"),
+        F.lit(None).cast("long").alias("before"),
+        F.col("o_orderkey").alias("after"),
+        F.lit(None).cast("string").alias("dz_op"),
+    )
+    encoded = q_cdc_debezium_encode(spark, sf_dir).select(
+        F.lit("encode").alias("op"),
+        "before",
+        "after",
+        F.col("op").alias("dz_op"),
+    )
+    return applied.unionByName(encoded)
+
+
+def q_sketch_retention_theta(spark, sf_dir):
+    """Day-over-day retention computed from per-day THETA SKETCHES alone
+    (sketches.py:sketch_retention): daily distinct-user sketches are the
+    only input to the retention join — the raw events are scanned once
+    to build state, never re-scanned per output row. Below 2^lgk
+    distinct users/day the sketches are in exact mode, so every count is
+    an exact long and the DuckDB set-algebra oracle matches exactly."""
+    from kafi_spark.functions.sketches import sketch_retention, theta_over_time
+
+    events = _t(spark, sf_dir, "events")
+    daily = theta_over_time(events, "user_id", "ts", grain="day")
+    return sketch_retention(daily).select(
+        F.col("bucket").cast("date").alias("bucket"),
+        "active", "prev_active", "retained", "churned", "new_keys",
+    )
+
+
+_SKETCH_SQL = {
+    "sketch_retention_theta": """
+        WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS bucket, user_id
+                   FROM events),
+        act AS (SELECT bucket, COUNT(*) AS n FROM d GROUP BY bucket),
+        ret AS (SELECT a.bucket, COUNT(*) AS r FROM d a JOIN d b
+                ON a.user_id = b.user_id
+                AND b.bucket = a.bucket - INTERVAL 1 DAY
+                GROUP BY a.bucket)
+        SELECT a.bucket,
+               a.n AS active,
+               p.n AS prev_active,
+               COALESCE(r.r, 0) AS retained,
+               p.n - COALESCE(r.r, 0) AS churned,
+               a.n - COALESCE(r.r, 0) AS new_keys
+        FROM act a
+        JOIN act p ON p.bucket = a.bucket - INTERVAL 1 DAY
+        LEFT JOIN ret r ON r.bucket = a.bucket
+    """,
+}
+
+
 _MERGED_SQL = {}
 
 
@@ -2075,6 +2138,14 @@ def _build_merged_sql():
             ("distinct", _EXTRA_SQL["zset_distinct"]),
         ]
     )
+    _MERGED_SQL["cdc_debezium"] = f"""
+        SELECT 'apply' AS op, CAST(NULL AS BIGINT) AS before,
+               o_orderkey AS after, CAST(NULL AS VARCHAR) AS dz_op
+        FROM ({_ZSET_SQL["cdc_debezium_apply"]})
+        UNION ALL
+        SELECT 'encode', before, after, op
+        FROM ({_EXTRA_SQL["cdc_debezium_encode"]})
+    """
     _MERGED_SQL["wire_roundtrip"] = "SELECT doc_id, lang, text FROM documents"
     _MERGED_SQL["jsonschema_filter"] = """
         SELECT event_id, value FROM events
@@ -2105,6 +2176,7 @@ _MERGED_AWAY = (
     "analytic_topn", "analytic_lag",       # -> analytic_ops (tagged union)
     "dedup_minhash_lsh", "dedup_simhash",  # -> dedup_fast_pairs (tagged union)
     "addon_value_set", "addon_offsets_diff",  # -> addon_probe_ops (tagged union)
+    "cdc_debezium_apply", "cdc_debezium_encode",  # -> cdc_debezium (tagged union)
 )
 
 
@@ -2126,8 +2198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "addon_diff": q_addon_diff,
         "fn_ops": q_fn_ops,
         "zset_ops": q_zset_ops,
-        "cdc_debezium_apply": q_cdc_debezium_apply,
-        "cdc_debezium_encode": q_cdc_debezium_encode,
+        "cdc_debezium": q_cdc_debezium,
+        "sketch_retention_theta": q_sketch_retention_theta,
         "join_equi_agg": q_join_equi_agg,
         "join_theta_pairs": q_join_theta_pairs,
         "join_anti": q_join_anti,
@@ -2188,6 +2260,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_HELPER_SQL)
     out.update(_TOPOLOGY_SQL)
     out.update(_EXTRA_SQL)
+    out.update(_SKETCH_SQL)
     out.update(_MERGED_SQL)
     out["ann_cosine_topk_lsh"] = _ann_lsh_oracle_sql()
     # full-probe IVF == exact top-k (same tie-break: score desc, vec_id)

@@ -56,7 +56,7 @@ HEADLINE = [
     "window_sliding",
     "window_session",
     "wordcount",
-    "cdc_debezium_apply",
+    "cdc_debezium",
     # LLM-pipeline operators
     "text_stats",
     "dedup_exact",
@@ -80,13 +80,14 @@ HEADLINE = [
     "analytic_ops",
     "rollup_agg",
     "zset_ops",
-    "cdc_debezium_encode",
     "wire_roundtrip",
     "pipeline_curate",
     "pipeline_curate_minhash",
     "pipeline_dupheavy_exact",
     "pipeline_dupheavy_minhash",
     "sketch_daily_distinct",
+    "sketch_retention_theta",
+    "quantile_rollup_kll",
     "boilerplate_filter",
 ]
 
@@ -360,6 +361,25 @@ def bench_queries(entry_mod) -> dict:
         return boilerplate_filter(d, sep=" ", min_doc_frequency=390)
 
     qs["boilerplate_filter"] = q_boilerplate_filter
+
+    def q_quantile_rollup_kll(spark, sf_dir):
+        # mergeable-KLL roll-up path: per-(day, event_type) quantile
+        # sketches off events, merged up to per-type and queried for
+        # p50/p95/p99 — the "percentiles over any slice without raw
+        # rescan" plan; the shuffle carries few-KiB sketches, not values
+        from kafi_spark.functions.sketches import (
+            quantile_merge, quantile_values, quantiles_over_time)
+        from kafi_spark.session import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        daily = quantiles_over_time(
+            ev, "value", "ts", grain="day", dims=["event_type"])
+        per_type = quantile_merge(daily, ["event_type"], dtype="double")
+        return quantile_values(
+            per_type, [0.5, 0.95, 0.99], "double",
+            keep_cols=["event_type"])
+
+    qs["quantile_rollup_kll"] = q_quantile_rollup_kll
 
     return qs
 

@@ -1,4 +1,5 @@
-"""Mergeable cardinality sketches — incremental distinct counts at scale.
+"""Mergeable sketches — incremental distinct counts, set algebra, and
+quantiles at scale.
 
 ``approx_count_distinct`` answers "how many distinct X" for ONE query
 over ONE scan. At 100 TB the question recurs over shifting slices
@@ -11,12 +12,29 @@ associative (an HLL union is lossless over HLLs of the same precision;
 the error bound of the merged sketch equals that of a sketch built
 directly over the union of the inputs).
 
-Built entirely on Spark's public Apache DataSketches bindings
-(`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`, JVM-side
-aggregates with map-side partial combine — no UDFs, no driver state).
-The sketch column is a plain ``binary`` — it survives parquet
-round-trips, so a daily pipeline appends one small row-set per day and
-any later query merges an arbitrary subset.
+Three sketch families, all on Spark's public Apache DataSketches
+bindings (JVM-side aggregates with map-side partial combine — no UDFs,
+no driver state), each a plain ``binary`` column that survives parquet
+round-trips:
+
+- **HLL** (`distinct_sketch` & co): distinct counts, union-only. The
+  smallest state per group; use when only "how many distinct" roll-ups
+  are needed.
+- **Theta** (`theta_sketch` & co): distinct counts WITH set algebra —
+  intersection and difference, which HLL fundamentally cannot express.
+  Pays ~8 bytes/entry up to ``2^lgk`` entries, but answers "users
+  active on day d AND day d+1" (retention), "in segment A but not B"
+  (churn/exclusive reach) from per-grain sketches alone. Below
+  ``2^lgk`` distinct keys a theta sketch is in EXACT mode: estimates
+  are exact integers, and intersections/differences of exact sketches
+  are exact — the basis of :func:`sketch_retention`'s oracle test.
+- **KLL** (`quantile_sketch` & co): mergeable quantiles with a proven
+  rank-error bound (~1.65% at k=200). Unlike HLL/theta union, KLL
+  merge is ADDITIVE (a counting monoid, not an idempotent one):
+  merging the same sketch twice double-counts. The persisted-state
+  helpers below encode that difference — HLL/theta state tolerates
+  re-merged leftovers, KLL state gets a watermark-manifest compaction
+  (:func:`kll_compact`) that never relies on idempotence.
 
 Reference scope note: the reference engine has no sketch layer; this is
 part of the beyond-reference LLM-pipeline / analytics extension
@@ -120,22 +138,33 @@ def sketch_save_delta(
     )
 
 
+def _merge_for(kind: str):
+    """(merge_fn, estimate_fn) for an idempotent-union sketch kind."""
+    if kind == "hll":
+        return merge_sketches, F.hll_sketch_estimate
+    if kind == "theta":
+        return theta_merge, F.theta_sketch_estimate
+    raise ValueError(f"kind must be 'hll' or 'theta', got {kind!r}")
+
+
 def sketch_totals(
     spark,
     state_dir: str,
     group_cols: Sequence[str] = (),
     sketch_col: str = "sketch",
+    kind: str = "hll",
 ) -> DataFrame:
     """Merged estimates over every persisted delta: one row per
     ``group_cols`` group with ``(sketch, distinct_est)``. This is the
     read path of the persisted-sketch pattern — answering a roll-up
     means scanning only the delta rows (bytes per group per epoch),
-    never the raw data."""
+    never the raw data. Works for the idempotent-union kinds (``hll``,
+    ``theta``); KLL state goes through :func:`kll_totals`, whose read
+    path must respect the compaction watermark."""
+    merge_fn, est_fn = _merge_for(kind)
     df = spark.read.parquet(state_dir)
-    merged = merge_sketches(df, group_cols, sketch_col)
-    return merged.withColumn(
-        "distinct_est", F.hll_sketch_estimate(F.col(sketch_col))
-    )
+    merged = merge_fn(df, group_cols, sketch_col=sketch_col)
+    return merged.withColumn("distinct_est", est_fn(F.col(sketch_col)))
 
 
 def sketch_compact(
@@ -144,6 +173,7 @@ def sketch_compact(
     version: int | str,
     group_cols: Sequence[str] = (),
     sketch_col: str = "sketch",
+    kind: str = "hll",
 ) -> None:
     """Fold all deltas into a single delta at ``v=compact-<version>``.
 
@@ -156,7 +186,398 @@ def sketch_compact(
     idempotence makes readers merging the compacted delta with stale
     leftovers still correct, so compaction needs no coordination;
     delete old ``v=`` dirs at leisure."""
-    merged = merge_sketches(
-        spark.read.parquet(state_dir), group_cols, sketch_col
+    merge_fn, _ = _merge_for(kind)
+    merged = merge_fn(
+        spark.read.parquet(state_dir), group_cols, sketch_col=sketch_col
     ).localCheckpoint()
     sketch_save_delta(merged, state_dir, f"compact-{version}")
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches: distinct counts WITH set algebra (intersection/difference)
+# ---------------------------------------------------------------------------
+
+# Spark's theta_sketch_agg accepts lgNomEntries in [4, 26]; 14 → 16384
+# nominal entries, i.e. EXACT results up to 16k distinct keys per group
+# and ~1% RSE beyond, at ≤ 128 KiB per sketch.
+_DEFAULT_THETA_LGK = 14
+
+
+def theta_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    lgk: int = _DEFAULT_THETA_LGK,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """One theta sketch of distinct ``key_col`` per ``group_cols`` group.
+
+    Same build shape as :func:`distinct_sketch` (one hash aggregation,
+    partial sketches combine map-side), but the resulting binaries also
+    support :func:`F.theta_intersection` / :func:`F.theta_difference` —
+    the roll-ups HLL cannot answer. Below ``2^lgk`` distinct keys the
+    sketch is in exact mode and every estimate is an exact integer.
+    """
+    if not 4 <= lgk <= 26:
+        raise ValueError(f"lgk must be in [4, 26], got {lgk}")
+    agg = F.theta_sketch_agg(F.col(key_col), lgk).alias(sketch_col)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def theta_merge(
+    df: DataFrame,
+    group_cols: Sequence[str] = (),
+    sketch_col: str = "sketch",
+    lgk: int = _DEFAULT_THETA_LGK,
+) -> DataFrame:
+    """Union persisted theta sketches up to a coarser grain (the theta
+    twin of :func:`merge_sketches`; union is associative and idempotent,
+    so compaction and re-merged leftovers stay correct)."""
+    agg = F.theta_union_agg(F.col(sketch_col), lgk).alias(sketch_col)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def theta_intersect(
+    df: DataFrame,
+    group_cols: Sequence[str] = (),
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Intersect ALL sketches per group: "distinct keys present in
+    EVERY slice" (e.g. users active on every one of N days). The
+    aggregate form of :func:`F.theta_intersection`."""
+    agg = F.theta_intersection_agg(F.col(sketch_col)).alias(sketch_col)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def theta_estimate(sketch_col: str = "sketch", name: str = "distinct_est"):
+    """Column expression: estimated cardinality of a theta sketch
+    (exact — a long equal to the true distinct count — while the sketch
+    is below its ``2^lgk`` exact-mode capacity)."""
+    return F.theta_sketch_estimate(F.col(sketch_col)).alias(name)
+
+
+def theta_over_time(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    grain: str = "day",
+    dims: Sequence[str] = (),
+    lgk: int = _DEFAULT_THETA_LGK,
+) -> DataFrame:
+    """Per-``grain`` (+dims) theta sketches — the finest-grain build of
+    the set-algebra state (theta twin of :func:`distinct_over_time`).
+    Persist this frame; any later range/dim slice merges it, and any
+    overlap/retention question intersects it."""
+    bucketed = df.withColumn(
+        "bucket", F.date_trunc(grain, F.col(time_col))
+    )
+    out = theta_sketch(bucketed, key_col, ["bucket", *dims], lgk)
+    return out.select("bucket", *dims, "sketch", theta_estimate())
+
+
+def sketch_retention(
+    daily: DataFrame,
+    bucket_col: str = "bucket",
+    sketch_col: str = "sketch",
+    step: str = "1 day",
+) -> DataFrame:
+    """Period-over-period retention from per-period theta sketches ALONE.
+
+    For each bucket with a predecessor at ``bucket - step`` emits::
+
+        (bucket, active, prev_active, retained, churned, new_keys)
+
+    where ``retained = |cur ∩ prev|``, ``churned = |prev \\ cur|``,
+    ``new_keys = |cur \\ prev|`` — exact longs while the sketches are in
+    exact mode. This is the 100 TB win of the theta layer: the classic
+    retention query re-scans two days of raw events per output row
+    (then can't be rolled up), while this joins two rows of bytes-sized
+    state per output row. The join inputs are one row per period —
+    trivially broadcast at runtime by AQE; no hint needed.
+    """
+    cur = daily.select(
+        F.col(bucket_col).alias("bucket"), F.col(sketch_col).alias("__cur")
+    )
+    prev = daily.select(
+        (F.col(bucket_col) + F.expr(f"interval {step}")).alias("bucket"),
+        F.col(sketch_col).alias("__prev"),
+    )
+    return (
+        cur.join(prev, "bucket")
+        .select(
+            "bucket",
+            F.theta_sketch_estimate("__cur").alias("active"),
+            F.theta_sketch_estimate("__prev").alias("prev_active"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("__cur", "__prev")
+            ).alias("retained"),
+            F.theta_sketch_estimate(
+                F.theta_difference("__prev", "__cur")
+            ).alias("churned"),
+            F.theta_sketch_estimate(
+                F.theta_difference("__cur", "__prev")
+            ).alias("new_keys"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches: mergeable percentiles (additive, NOT idempotent)
+# ---------------------------------------------------------------------------
+
+# k=200 is the DataSketches default: ~1.65% worst-case rank error with
+# 99% confidence, a few KiB per sketch.
+_DEFAULT_KLL_K = 200
+
+_KLL_SUFFIX = {"double": "double", "float": "float", "bigint": "bigint"}
+
+
+def _kll_fns(dtype: str):
+    """The typed KLL function family for ``dtype`` ∈ {bigint, float,
+    double} (Spark ships one function set per input type; the sketch
+    binaries are NOT cross-type mergeable, so the dtype is part of the
+    state contract and callers pass it to every query helper)."""
+    sfx = _KLL_SUFFIX.get(dtype)
+    if sfx is None:
+        raise ValueError(
+            f"dtype must be one of {sorted(_KLL_SUFFIX)}, got {dtype!r}"
+        )
+    return {
+        "agg": getattr(F, f"kll_sketch_agg_{sfx}"),
+        "merge": getattr(F, f"kll_merge_agg_{sfx}"),
+        "quantile": getattr(F, f"kll_sketch_get_quantile_{sfx}"),
+        "rank": getattr(F, f"kll_sketch_get_rank_{sfx}"),
+        "n": getattr(F, f"kll_sketch_get_n_{sfx}"),
+    }
+
+
+def _kll_dtype_of(df: DataFrame, value_col: str) -> str:
+    t = df.schema[value_col].dataType.typeName()
+    return {
+        "double": "double", "float": "float",
+        "long": "bigint", "integer": "bigint",
+        "short": "bigint", "byte": "bigint",
+    }.get(t, t)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = _DEFAULT_KLL_K,
+    dtype: str | None = None,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """One KLL quantile sketch of ``value_col`` per ``group_cols`` group.
+
+    One hash aggregation with map-side partial combine; the shuffle
+    carries a few KiB per (partition, group). Narrow integer columns
+    are widened to bigint automatically; anything else needs an
+    explicit cast (the typed sketch families don't cross-merge).
+    """
+    dtype = dtype or _kll_dtype_of(df, value_col)
+    fns = _kll_fns(dtype)
+    val = F.col(value_col)
+    if dtype == "bigint":
+        val = val.cast("bigint")
+    agg = fns["agg"](val, k).alias(sketch_col)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def quantile_merge(
+    df: DataFrame,
+    group_cols: Sequence[str] = (),
+    dtype: str = "double",
+    k: int = _DEFAULT_KLL_K,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Merge persisted KLL sketches up to a coarser grain.
+
+    ADDITIVE, not idempotent: the merged sketch behaves as if built
+    over the CONCATENATION of the inputs' streams, so feeding the same
+    sketch in twice double-weights its values. Persisted KLL state must
+    therefore never re-merge a delta that a compacted delta already
+    folded — that discipline is :func:`kll_totals`'s watermark read
+    path, not something the algebra forgives."""
+    agg = _kll_fns(dtype)["merge"](F.col(sketch_col), k).alias(sketch_col)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def quantile_values(
+    df: DataFrame,
+    qs: Sequence[float],
+    dtype: str = "double",
+    sketch_col: str = "qsketch",
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Query quantiles out of sketch rows: one ``q<percent>`` column per
+    requested rank (e.g. ``q50``, ``q99``), plus ``n`` (the exact count
+    of values the sketch absorbed — KLL tracks it losslessly)."""
+    fns = _kll_fns(dtype)
+    cols = [F.col(c) for c in keep_cols]
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile rank must be in [0, 1], got {q}")
+        name = f"q{round(q * 100)}" if (q * 100) % 1 == 0 else f"q{q}"
+        cols.append(fns["quantile"](F.col(sketch_col), F.lit(q)).alias(name))
+    cols.append(fns["n"](F.col(sketch_col)).alias("n"))
+    return df.select(*cols)
+
+
+def quantile_rank(
+    sketch_col: str, value, dtype: str = "double", name: str = "rank"
+):
+    """Column expression: the (approximate) rank of ``value`` in the
+    sketched distribution — the inverse of the quantile query, and the
+    form KLL's error guarantee is stated in (±1.65% of rank at k=200)."""
+    return _kll_fns(dtype)["rank"](F.col(sketch_col), F.lit(value)).alias(name)
+
+
+def quantiles_over_time(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    grain: str = "day",
+    dims: Sequence[str] = (),
+    k: int = _DEFAULT_KLL_K,
+    dtype: str | None = None,
+) -> DataFrame:
+    """Per-``grain`` (+dims) KLL sketches — the finest-grain build of
+    the quantile state. Persist this frame; any later "p99 over this
+    date range × dims" merges the selected rows instead of re-scanning
+    raw data."""
+    dtype = dtype or _kll_dtype_of(df, value_col)
+    bucketed = df.withColumn(
+        "bucket", F.date_trunc(grain, F.col(time_col))
+    )
+    return quantile_sketch(
+        bucketed, value_col, ["bucket", *dims], k, dtype
+    )
+
+
+def kll_save_delta(
+    sketches: DataFrame, state_dir: str, epoch: int
+) -> None:
+    """Persist one epoch's grouped KLL sketches at ``state_dir/v=<epoch>``.
+
+    Epochs MUST be numeric and monotone — :func:`kll_totals` uses them
+    as a fold watermark. The write is an idempotent per-epoch overwrite
+    (a retried streaming epoch replaces its own directory), which is the
+    ONLY idempotence KLL state gets: each input row lands in exactly one
+    epoch directory, and every directory is merged exactly once."""
+    int(epoch)  # raises early on non-numeric epochs
+    sketches.write.mode("overwrite").parquet(
+        f"{state_dir.rstrip('/')}/v={epoch}"
+    )
+
+
+def _kll_state_dirs(state_dir: str):
+    """(best_compact_epoch_or_None, compact_path_or_None, live_epochs)
+    where live_epochs are the numeric deltas NEWER than the compaction
+    watermark. Incomplete writes (no _SUCCESS) are ignored — a crashed
+    compaction is invisible rather than double-counted or half-read."""
+    import os
+
+    best_n, best_path, epochs = None, None, []
+    if not os.path.isdir(state_dir):
+        raise FileNotFoundError(f"no KLL state at {state_dir}")
+    for name in os.listdir(state_dir):
+        path = os.path.join(state_dir, name)
+        if not (name.startswith("v=") and os.path.isdir(path)):
+            continue
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue  # uncommitted write: ignore
+        tag = name[2:]
+        if tag.startswith("compact-"):
+            n = int(tag[len("compact-"):])
+            if best_n is None or n > best_n:
+                best_n, best_path = n, path
+        else:
+            epochs.append((int(tag), path))
+    live = [p for e, p in epochs if best_n is None or e > best_n]
+    return best_n, best_path, live
+
+
+def kll_totals(
+    spark,
+    state_dir: str,
+    group_cols: Sequence[str] = (),
+    dtype: str = "double",
+    k: int = _DEFAULT_KLL_K,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Merged KLL sketches over the persisted state, watermark-aware.
+
+    Reads the NEWEST committed compacted delta (``v=compact-<N>``,
+    which folds every epoch ≤ N) plus only the epoch deltas > N —
+    never both a compacted fold and the epochs inside it, because KLL
+    merge double-counts. Stale epoch dirs ≤ N are simply ignored (and
+    can be deleted at leisure), so compaction needs no coordination
+    with readers and a crash mid-compaction (no ``_SUCCESS``) leaves
+    the previous watermark in force."""
+    _, compact_path, live = _kll_state_dirs(state_dir)
+    paths = ([compact_path] if compact_path else []) + live
+    if not paths:
+        raise FileNotFoundError(f"no committed KLL deltas in {state_dir}")
+    df = spark.read.parquet(*paths)
+    return quantile_merge(df, group_cols, dtype, k, sketch_col)
+
+
+def kll_compact(
+    spark,
+    state_dir: str,
+    group_cols: Sequence[str] = (),
+    dtype: str = "double",
+    k: int = _DEFAULT_KLL_K,
+    sketch_col: str = "qsketch",
+    prune: bool = False,
+) -> int:
+    """Fold the current watermark-consistent state into one compacted
+    delta ``v=compact-<N>`` where N is the newest live epoch.
+
+    Crash-safe without relying on idempotence: the fold is computed via
+    :func:`kll_totals` (so it never double-reads), written with Spark's
+    normal ``_SUCCESS`` commit, and becomes the read watermark only
+    once committed. ``prune=True`` afterwards deletes the superseded
+    epoch dirs and older compacts — safe at leisure because readers
+    already ignore everything ≤ N. Returns N."""
+    import shutil
+
+    best_n, _, live = _kll_state_dirs(state_dir)
+    if not live:
+        return best_n if best_n is not None else -1
+    watermark = max(
+        int(p.rsplit("v=", 1)[1]) for p in live
+    )
+    merged = kll_totals(
+        spark, state_dir, group_cols, dtype, k, sketch_col
+    ).localCheckpoint()
+    merged.write.mode("overwrite").parquet(
+        f"{state_dir.rstrip('/')}/v=compact-{watermark}"
+    )
+    if prune:
+        import os
+
+        for name in os.listdir(state_dir):
+            path = os.path.join(state_dir, name)
+            if not (name.startswith("v=") and os.path.isdir(path)):
+                continue
+            tag = name[2:]
+            folded = (
+                (not tag.startswith("compact-") and int(tag) <= watermark)
+                or (tag.startswith("compact-")
+                    and int(tag[len("compact-"):]) < watermark)
+            )
+            if folded:
+                shutil.rmtree(path)
+    return watermark

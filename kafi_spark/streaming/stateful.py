@@ -637,3 +637,49 @@ def distinct_sketch_stream(
             sink(totals, epoch_id)
 
     return process
+
+
+def quantile_sketch_stream(
+    value_col: str,
+    time_col: str,
+    state_dir: str,
+    grain: str = "day",
+    dims=(),
+    k: int = 200,
+    dtype: str | None = None,
+    sink=None,
+):
+    """Streaming twin of :func:`kafi_spark.functions.sketches.
+    quantiles_over_time`: a ``foreachBatch`` callable maintaining
+    persisted per-bucket KLL quantile sketches incrementally.
+
+    KLL merge is ADDITIVE (not idempotent), so the replay discipline
+    differs from the HLL/bloom twins in mechanism but not in outcome:
+    each epoch's rows land in exactly one ``v=<epoch>`` delta, a
+    replayed epoch OVERWRITES its own delta (so its values are counted
+    once, never twice), and the read path (:func:`sketches.kll_totals`)
+    merges each committed delta exactly once under the compaction
+    watermark. The emission is a state summary, so crash-replay
+    emissions match the first attempt's byte-for-byte.
+    """
+    from kafi_spark.functions.sketches import (
+        _kll_dtype_of, kll_save_delta, kll_totals, quantiles_over_time)
+
+    resolved = {"dtype": dtype}
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if resolved["dtype"] is None:
+            resolved["dtype"] = _kll_dtype_of(batch_df, value_col)
+        delta = quantiles_over_time(
+            batch_df, value_col, time_col, grain, dims, k,
+            resolved["dtype"],
+        )
+        kll_save_delta(delta, state_dir, epoch_id)
+        if sink is not None:
+            totals = kll_totals(
+                batch_df.sparkSession, state_dir, ["bucket", *dims],
+                resolved["dtype"], k,
+            )
+            sink(totals, epoch_id)
+
+    return process

@@ -164,3 +164,266 @@ def test_compact_namespace_disjoint_from_epochs(spark, events, tmp_path):
     for bucket, est in after:
         assert est >= b.get(bucket, 0)
     assert len(after) >= len(before)
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches: set algebra
+# ---------------------------------------------------------------------------
+
+
+def _test(df):
+    return df.select(sk.theta_estimate()).first()["distinct_est"]
+
+
+def test_theta_exact_mode_matches_exact_distinct(events):
+    """Below 2^lgk distinct keys theta estimates are EXACT longs."""
+    got = {
+        r["event_type"]: r["distinct_est"]
+        for r in sk.theta_sketch(events, "user_id", ["event_type"])
+        .select("event_type", sk.theta_estimate())
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_theta_merge_equals_direct(events):
+    per_type = sk.theta_sketch(events, "user_id", ["event_type"])
+    merged = _test(sk.theta_merge(per_type))
+    direct = _test(sk.theta_sketch(events, "user_id"))
+    assert merged == direct == events.select("user_id").distinct().count()
+
+
+def test_theta_intersect_agg_exact(events):
+    """|∩ over all event types| == users that appear in EVERY type."""
+    n_types = events.select("event_type").distinct().count()
+    want = (
+        events.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("t"))
+        .filter(F.col("t") == n_types)
+        .count()
+    )
+    per_type = sk.theta_sketch(events, "user_id", ["event_type"])
+    got = _test(sk.theta_intersect(per_type))
+    assert got == want
+
+
+def test_sketch_retention_exact(events):
+    """retained/churned/new from sketches == exact set algebra on raw
+    events, bucket by bucket (theta sketches in exact mode)."""
+    daily = sk.theta_over_time(events, "user_id", "ts", grain="day")
+    got = {
+        r["bucket"]: (r["active"], r["prev_active"], r["retained"],
+                      r["churned"], r["new_keys"])
+        for r in sk.sketch_retention(daily).collect()
+    }
+    rows = (
+        events.select(F.date_trunc("day", "ts").alias("b"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["b"], set()).add(r["user_id"])
+    import datetime
+
+    want = {}
+    for b, cur in by_day.items():
+        prev = by_day.get(b - datetime.timedelta(days=1))
+        if prev is None:
+            continue
+        want[b] = (len(cur), len(prev), len(cur & prev),
+                   len(prev - cur), len(cur - prev))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_theta_lgk_validation(events):
+    with pytest.raises(ValueError, match="lgk"):
+        sk.theta_sketch(events, "user_id", lgk=30)
+
+
+def test_theta_state_totals_and_reremerge_idempotent(spark, events, tmp_path):
+    """Persisted theta deltas: totals == direct distinct; merging a
+    stale leftover copy of a delta changes nothing (union idempotence —
+    the property KLL state does NOT have)."""
+    state = str(tmp_path / "tstate")
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    for i, part in enumerate((a, b)):
+        sk.sketch_save_delta(
+            sk.theta_sketch(part, "user_id", ["event_type"]), state, i)
+    tot = {
+        r["event_type"]: r["distinct_est"]
+        for r in sk.sketch_totals(
+            spark, state, ["event_type"], kind="theta").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert tot == want
+    # duplicate delta 0 as a stale leftover under a new version
+    sk.sketch_save_delta(
+        sk.theta_sketch(a, "user_id", ["event_type"]), state, 7)
+    sk.sketch_compact(spark, state, 1, ["event_type"], kind="theta")
+    after = {
+        r["event_type"]: r["distinct_est"]
+        for r in sk.sketch_totals(
+            spark, state, ["event_type"], kind="theta").collect()
+    }
+    assert after == want
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_exact_below_capacity(spark):
+    """n ≤ k means no compaction has happened: quantiles are exact."""
+    vals = [float(v) for v in range(150)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qdf = sk.quantile_sketch(df, "v", k=200)
+    out = sk.quantile_values(qdf, [0.0, 0.5, 1.0], "double").first()
+    assert out["n"] == 150
+    assert out["q0"] == 0.0 and out["q100"] == 149.0
+    assert abs(out["q50"] - 74.0) <= 1.0  # midpoint convention ±1 rank
+
+
+def test_quantile_merge_rank_bound(events):
+    """Merged per-type sketches answer global quantiles within the
+    published KLL rank-error bound (~1.65% at k=200; assert 2.5%)."""
+    per_type = sk.quantile_sketch(events, "value", ["event_type"])
+    merged = sk.quantile_merge(per_type, dtype="double")
+    out = sk.quantile_values(
+        merged, [0.1, 0.5, 0.9, 0.99], "double").first()
+    vals = sorted(r["value"] for r in events.select("value").collect())
+    n = len(vals)
+    assert out["n"] == n
+    import bisect
+
+    for q, col in ((0.1, "q10"), (0.5, "q50"), (0.9, "q90"),
+                   (0.99, "q99")):
+        got_rank = bisect.bisect_right(vals, out[col]) / n
+        assert abs(got_rank - q) <= 0.025, (q, out[col], got_rank)
+
+
+def test_quantile_dtype_inference_and_errors(events, spark):
+    # bigint inference from a long column
+    qdf = sk.quantile_sketch(events, "user_id", k=200)
+    out = sk.quantile_values(qdf, [0.5], "bigint").first()
+    assert out["n"] == events.count()
+    # unsupported dtype: clear error, not a JVM analysis exception
+    sdf = spark.createDataFrame([("a",)], "s string")
+    with pytest.raises(ValueError, match="dtype"):
+        sk.quantile_sketch(sdf, "s")
+    with pytest.raises(ValueError, match="rank"):
+        sk.quantile_values(qdf, [1.5], "bigint")
+
+
+def test_kll_state_watermark_no_double_count(spark, events, tmp_path):
+    """The KLL compaction watermark: totals read compact-N + epochs>N,
+    never a folded epoch twice — n (exact in KLL) is the detector."""
+    state = str(tmp_path / "qstate")
+    thirds = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    for i in range(2):
+        sk.kll_save_delta(
+            sk.quantiles_over_time(thirds[i], "value", "ts"), state, i)
+    n_all = sum(t.count() for t in thirds[:2])
+    tot = sk.quantile_values(
+        sk.kll_totals(spark, state, dtype="double"), [0.5], "double"
+    ).first()
+    assert tot["n"] == n_all
+    wm = sk.kll_compact(spark, state, ["bucket"], dtype="double")
+    assert wm == 1
+    # after compaction: same n (folded epochs ignored, not re-merged)
+    tot2 = sk.quantile_values(
+        sk.kll_totals(spark, state, dtype="double"), [0.5], "double"
+    ).first()
+    assert tot2["n"] == n_all
+    # a post-compaction epoch adds exactly its own rows
+    sk.kll_save_delta(
+        sk.quantiles_over_time(thirds[2], "value", "ts"), state, 2)
+    tot3 = sk.quantile_values(
+        sk.kll_totals(spark, state, dtype="double"), [0.5], "double"
+    ).first()
+    assert tot3["n"] == n_all + thirds[2].count()
+
+
+def test_kll_compact_crash_invisible(spark, events, tmp_path):
+    """A compaction that died before _SUCCESS must be ignored."""
+    import os
+
+    state = str(tmp_path / "qstate")
+    sk.kll_save_delta(
+        sk.quantiles_over_time(events, "value", "ts"), state, 0)
+    n = events.count()
+    crashed = os.path.join(state, "v=compact-0")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial garbage")
+    tot = sk.quantile_values(
+        sk.kll_totals(spark, state, dtype="double"), [0.5], "double"
+    ).first()
+    assert tot["n"] == n
+
+
+def test_kll_prune_removes_folded(spark, events, tmp_path):
+    import os
+
+    state = str(tmp_path / "qstate")
+    for i in range(3):
+        sk.kll_save_delta(
+            sk.quantiles_over_time(
+                events.filter(F.col("event_id") % 3 == i), "value", "ts"),
+            state, i)
+    sk.kll_compact(spark, state, ["bucket"], dtype="double", prune=True)
+    left = sorted(d for d in os.listdir(state) if d.startswith("v="))
+    assert left == ["v=compact-2"]
+    tot = sk.quantile_values(
+        sk.kll_totals(spark, state, dtype="double"), [0.5], "double"
+    ).first()
+    assert tot["n"] == events.count()
+
+
+def test_kll_non_numeric_epoch_rejected(events, tmp_path):
+    with pytest.raises(ValueError):
+        sk.kll_save_delta(
+            sk.quantile_sketch(events, "value"), str(tmp_path / "x"),
+            "final")
+
+
+def test_quantile_sketch_stream_matches_batch(spark, events, tmp_path):
+    """3-micro-batch replay: final totals == one batch build; replaying
+    an epoch (crash-before-commit) never double-counts."""
+    from kafi_spark.streaming.stateful import quantile_sketch_stream
+
+    state = str(tmp_path / "qs")
+    seen = []
+    proc = quantile_sketch_stream(
+        "value", "ts", state,
+        sink=lambda tot, e: seen.append(
+            sorted((r["bucket"], r["n"], r["q50"]) for r in
+                   sk.quantile_values(
+                       tot, [0.5], "double", keep_cols=["bucket"]
+                   ).collect())))
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=11)
+    proc(parts[0], 0)
+    proc(parts[1], 1)
+    proc(parts[1], 1)  # replayed epoch: overwrites its own delta
+    proc(parts[2], 2)
+    assert seen[1] == seen[2]  # replay emission byte-identical
+    want_n = {
+        r["bucket"]: r["n"] for r in
+        events.groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.count("value").alias("n")).collect()
+    }
+    final_n = {b: n for b, n, _ in seen[-1]}
+    assert final_n == want_n
