@@ -1,0 +1,238 @@
+"""File-level bloom skip-index: point lookups without the full scan.
+
+``layout.zorder_write`` makes RANGE predicates prunable from parquet
+footer min/max stats, but a point lookup on an unclustered
+high-cardinality key ("fetch these 5 doc_ids out of 100 TB") defeats
+min/max: every file's [min, max] spans the whole key space, so every
+file is a candidate and the scan is full. The standard fix (Parquet
+bloom filters help only at row-group grain inside files Spark already
+opened; external data-skipping indexes as in Delta/Iceberg work at FILE
+grain) is a per-file bloom over the indexed column: the reader probes
+the index first and hands Spark only the files that can contain the
+keys.
+
+Design points, all chosen for the 1000-executor case:
+
+- **The index IS a parquet table** (``<data>/_kafi_skip_index/``) built
+  by one distributed scan — per-file bloom words are aggregated with
+  ``bit_or`` inside Spark and written straight out; NOTHING is
+  collected to the driver at build time, so index build scales with the
+  cluster exactly like any aggregation. The underscore prefix keeps
+  Spark's own directory listing from reading the index as data.
+- **Probes read the index with pushdown**: a lookup needs exactly the
+  k bloom words per (file, value), and the probe filters the index on
+  ``word_idx IN (...)`` — parquet min/max on the sorted index prunes
+  the index read itself. Only those few words reach the driver, which
+  then evaluates membership and returns the candidate file list.
+- **No false negatives by construction**: build and probe share one
+  hash family (``xxhash64(value, seed)``, JVM-side), and a bloom
+  admits every inserted key. False positives only cost extra files
+  scanned — the result is re-filtered, so correctness never depends on
+  the index.
+- **Min/max rides along**: the index stores per-file (min, max, rows)
+  too, so range-clustered layouts prune on stats before blooms are even
+  consulted.
+
+Sizing: ``num_bits`` is per file; m ≈ 14.4 × n_distinct gives ~1% false
+positives with the default k=7 (larger m only costs index bytes, never
+correctness). The index is static — rebuild after rewriting data files
+(``build_skip_index`` overwrites atomically per Spark's normal commit).
+
+Reference scope note: the reference engine has no skipping index; this
+is part of the beyond-reference 100 TB layout/efficiency layer, a
+sibling of ``layout.py``'s z-order clustering.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+_INDEX_DIR = "_kafi_skip_index"
+_DEFAULT_NUM_BITS = 1 << 20  # 128 KiB of bloom per file per column
+_DEFAULT_K = 7
+
+
+def _bit_cols(col: str, num_bits: int, k: int):
+    """The k bloom bit positions of a value — one Column per seed.
+    xxhash64 is signed; the double-mod folds negatives into [0, m)."""
+    m = F.lit(num_bits).cast("long")
+    return [
+        ((F.xxhash64(F.col(col), F.lit(seed)) % m) + m) % m
+        for seed in range(1, k + 1)
+    ]
+
+
+def index_path_of(data_path: str) -> str:
+    return f"{data_path.rstrip('/')}/{_INDEX_DIR}"
+
+
+def build_skip_index(
+    spark,
+    data_path: str,
+    cols: Sequence[str],
+    num_bits: int = _DEFAULT_NUM_BITS,
+    k: int = _DEFAULT_K,
+) -> None:
+    """Build (or rebuild) the skip index for ``cols`` under
+    ``data_path/_kafi_skip_index``.
+
+    One distributed scan of the indexed columns: explode each value
+    into its k bit positions, fold to 64-bit words with map-side
+    ``bit_or``, and write ``(col, file, word_idx, word)`` sorted by
+    ``(col, file, word_idx)`` so probe-time ``word_idx`` filters push
+    down. Nulls are not indexed (a bloom can't represent null; probe
+    for nulls with an ordinary scan).
+    """
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    df = spark.read.parquet(data_path)
+    blooms = []
+    metas = []
+    for col in cols:
+        base = df.select(
+            F.input_file_name().alias("file"), F.col(col).alias("__v")
+        ).filter(F.col("__v").isNotNull())
+        bits = F.array(*_bit_cols("__v", num_bits, k))
+        words = (
+            base.select("file", F.explode(bits).alias("__bit"))
+            .select(
+                "file",
+                F.shiftright(F.col("__bit"), 6).cast("int").alias("word_idx"),
+                # shiftleft with a column-valued amount needs the SQL
+                # form (the DSL's numBits is a Python int only)
+                F.expr("shiftleft(1L, int(__bit % 64))").alias("__mask"),
+            )
+            .groupBy("file", "word_idx")
+            .agg(F.bit_or("__mask").alias("word"))
+            .select(F.lit(col).alias("col"), "file", "word_idx", "word")
+        )
+        blooms.append(words)
+        metas.append(
+            base.groupBy("file").agg(
+                F.min("__v").cast("string").alias("min_v"),
+                F.max("__v").cast("string").alias("max_v"),
+                F.count(F.lit(1)).alias("rows"),
+            ).select(F.lit(col).alias("col"), "file", "min_v", "max_v", "rows")
+        )
+    root = index_path_of(data_path)
+    all_blooms = blooms[0]
+    for b in blooms[1:]:
+        all_blooms = all_blooms.unionByName(b)
+    (
+        all_blooms.repartition("col")
+        .sortWithinPartitions("col", "file", "word_idx")
+        .write.mode("overwrite")
+        .parquet(f"{root}/bloom")
+    )
+    all_meta = metas[0]
+    for m_ in metas[1:]:
+        all_meta = all_meta.unionByName(m_)
+    all_meta.coalesce(1).write.mode("overwrite").parquet(f"{root}/minmax")
+    # manifest pins the hash geometry the probes must reuse
+    import json
+
+    manifest = spark.createDataFrame(
+        [(json.dumps({"num_bits": num_bits, "k": k, "cols": list(cols)}),)],
+        "manifest string",
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{root}/manifest")
+
+
+def _load_manifest(spark, data_path: str) -> dict:
+    import json
+
+    row = spark.read.parquet(
+        f"{index_path_of(data_path)}/manifest"
+    ).first()
+    return json.loads(row["manifest"])
+
+
+def _probe_bits(spark, values, num_bits: int, k: int) -> dict:
+    """{value: [k bit positions]} computed with the SAME JVM xxhash64
+    expressions as the build (one tiny local job — build and probe can
+    never disagree on hash/encoding)."""
+    vdf = spark.createDataFrame([(v,) for v in values], ["__v"])
+    rows = vdf.select(
+        "__v", *[
+            b.alias(f"b{i}")
+            for i, b in enumerate(_bit_cols("__v", num_bits, k))
+        ]
+    ).collect()
+    return {r["__v"]: [r[f"b{i}"] for i in range(k)] for r in rows}
+
+
+def skip_index_candidates(
+    spark, data_path: str, col: str, values: Sequence
+) -> list[str]:
+    """Files that MAY contain any of ``values`` in ``col`` — every file
+    that truly contains one is returned (no false negatives); a small
+    false-positive tail is expected and harmless.
+
+    Reads k·|values| words per file from the index (``word_idx IN``
+    pushdown), plus the per-file min/max row; a value outside a file's
+    [min, max] skips the file without consulting its bloom.
+    """
+    if not values:
+        return []
+    if any(v is None for v in values):
+        raise ValueError("cannot probe the skip index for NULL")
+    man = _load_manifest(spark, data_path)
+    if col not in man["cols"]:
+        raise ValueError(
+            f"column {col!r} not indexed (have {man['cols']})")
+    num_bits, k = man["num_bits"], man["k"]
+    bits = _probe_bits(spark, list(dict.fromkeys(values)), num_bits, k)
+    root = index_path_of(data_path)
+    needed = sorted({b >> 6 for bs in bits.values() for b in bs})
+    words = (
+        spark.read.parquet(f"{root}/bloom")
+        .filter((F.col("col") == col) & F.col("word_idx").isin(needed))
+        .collect()
+    )
+    by_file: dict[str, dict[int, int]] = {}
+    for r in words:
+        by_file.setdefault(r["file"], {})[r["word_idx"]] = r["word"]
+    meta = {
+        r["file"]: (r["min_v"], r["max_v"])
+        for r in spark.read.parquet(f"{root}/minmax")
+        .filter(F.col("col") == col)
+        .collect()
+    }
+    out = []
+    for file, fwords in by_file.items():
+        lo_hi = meta.get(file)
+        for v, bs in bits.items():
+            if lo_hi is not None and lo_hi[0] is not None:
+                # min/max are stored as strings; compare stringified
+                # probe values only when the column itself is a string —
+                # for other types the bloom alone decides (stats stay
+                # advisory, never a correctness risk)
+                if isinstance(v, str) and not (lo_hi[0] <= v <= lo_hi[1]):
+                    continue
+            if all(
+                (fwords.get(b >> 6, 0) >> (b % 64)) & 1 for b in bs
+            ):
+                out.append(file)
+                break
+    return sorted(out)
+
+
+def pruned_point_read(
+    spark, data_path: str, col: str, values: Sequence
+) -> DataFrame:
+    """``SELECT * FROM data WHERE col IN (values)`` scanning only the
+    skip-index candidate files. The filter is re-applied on the pruned
+    scan, so bloom false positives cannot leak rows; an empty candidate
+    list returns an empty frame with the data's schema without reading
+    any data file."""
+    cands = skip_index_candidates(spark, data_path, col, values)
+    if not cands:
+        schema = spark.read.parquet(data_path).schema
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(spark.read.parquet(data_path).schema)
+        .parquet(*cands)
+        .filter(F.col(col).isin(list(values)))
+    )

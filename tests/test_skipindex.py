@@ -1,0 +1,117 @@
+"""File-level bloom skip-index (kafi_spark.functions.skipindex)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafi_spark.functions import skipindex as si
+from kafi_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def data_path(spark, sf_dir, tmp_path_factory):
+    """documents written as 8 files in RANDOM doc_id layout — the case
+    min/max stats cannot prune and only the bloom can."""
+    out = str(tmp_path_factory.mktemp("skip") / "docs")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    d.repartition(8, F.col("text")).write.parquet(out)
+    si.build_skip_index(spark, out, ["doc_id", "lang"], num_bits=1 << 14)
+    return out
+
+
+def test_index_invisible_to_plain_reads(spark, data_path, sf_dir):
+    want = read_table(spark, sf_dir, "documents").count()
+    assert spark.read.parquet(data_path).count() == want
+    assert os.path.isdir(os.path.join(data_path, "_kafi_skip_index"))
+
+
+def test_no_false_negatives_and_exact_read(spark, data_path):
+    """For present keys: pruned read == full-scan filter, row for row."""
+    some = [r["doc_id"] for r in
+            spark.read.parquet(data_path).select("doc_id").limit(5).collect()]
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in si.pruned_point_read(
+            spark, data_path, "doc_id", some).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["lang"])
+        for r in spark.read.parquet(data_path)
+        .filter(F.col("doc_id").isin(some)).collect()
+    )
+    assert got == want and len(got) == len(some)
+
+
+def test_every_owning_file_is_candidate(spark, data_path):
+    """The no-false-negative property, checked against ground truth."""
+    rows = (
+        spark.read.parquet(data_path)
+        .select("doc_id", F.input_file_name().alias("f"))
+        .limit(200)
+        .collect()
+    )
+    for r in rows[:20]:
+        cands = si.skip_index_candidates(
+            spark, data_path, "doc_id", [r["doc_id"]])
+        assert r["f"] in cands, r["doc_id"]
+
+
+def test_point_lookup_prunes_most_files(spark, data_path):
+    """One doc_id lives in one of 8 files; the bloom must rule out most
+    of the rest (at 14 bits for ~60-ish distinct ids per file the
+    false-positive rate is far below 1/8)."""
+    n_files = len(glob.glob(f"{data_path}/part-*.parquet"))
+    assert n_files == 8
+    one = spark.read.parquet(data_path).select("doc_id").first()["doc_id"]
+    cands = si.skip_index_candidates(spark, data_path, "doc_id", [one])
+    assert 1 <= len(cands) <= 2
+
+
+def test_absent_key_scans_nothing(spark, data_path):
+    cands = si.skip_index_candidates(
+        spark, data_path, "doc_id", [10**12 + 7])
+    assert cands == []
+    out = si.pruned_point_read(spark, data_path, "doc_id", [10**12 + 7])
+    assert out.count() == 0
+    assert out.schema == spark.read.parquet(data_path).schema
+
+
+def test_string_column_and_multivalue(spark, data_path):
+    langs = [r["lang"] for r in
+             spark.read.parquet(data_path).select("lang")
+             .distinct().limit(2).collect()]
+    got = si.pruned_point_read(spark, data_path, "lang", langs).count()
+    want = spark.read.parquet(data_path).filter(
+        F.col("lang").isin(langs)).count()
+    assert got == want > 0
+
+
+def test_unindexed_column_and_null_probe_rejected(spark, data_path):
+    with pytest.raises(ValueError, match="not indexed"):
+        si.skip_index_candidates(spark, data_path, "text", ["x"])
+    with pytest.raises(ValueError, match="NULL"):
+        si.skip_index_candidates(spark, data_path, "doc_id", [None])
+
+
+def test_rebuild_overwrites(spark, data_path):
+    """Rebuilding with different geometry replaces the manifest and the
+    probes keep working (no stale-geometry mixing)."""
+    si.build_skip_index(spark, data_path, ["doc_id"], num_bits=1 << 15, k=5)
+    one = spark.read.parquet(data_path).select("doc_id").first()["doc_id"]
+    assert len(si.skip_index_candidates(
+        spark, data_path, "doc_id", [one])) >= 1
+    # restore the module-scoped fixture's geometry for later tests
+    si.build_skip_index(
+        spark, data_path, ["doc_id", "lang"], num_bits=1 << 14)
+
+
+def test_num_bits_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="num_bits"):
+        si.build_skip_index(spark, str(tmp_path), ["x"], num_bits=100)
