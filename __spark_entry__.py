@@ -2075,7 +2075,13 @@ def q_sketch_retention_theta(spark, sf_dir):
     from kafi_spark.functions.sketches import sketch_retention, theta_over_time
 
     events = _t(spark, sf_dir, "events")
-    daily = theta_over_time(events, "user_id", "ts", grain="day")
+    # localCheckpoint mimics the real deployment, where `daily` is
+    # PERSISTED state read back from parquet: the retention self-join
+    # must consume the tiny sketch frame twice, not scan raw events
+    # twice (at 100 TB the second scan is the bug this layer removes)
+    daily = theta_over_time(
+        events, "user_id", "ts", grain="day"
+    ).localCheckpoint()
     return sketch_retention(daily).select(
         F.col("bucket").cast("date").alias("bucket"),
         "active", "prev_active", "retained", "churned", "new_keys",

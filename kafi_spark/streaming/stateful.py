@@ -598,13 +598,18 @@ def distinct_sketch_stream(
     state_dir: str,
     grain: str = "day",
     dims=(),
-    lgk: int = 12,
+    lgk: int | None = None,
     sink=None,
     version_prefix: str = "",
+    kind: str = "hll",
 ):
     """Streaming twin of :func:`kafi_spark.functions.sketches.
-    distinct_over_time`: a ``foreachBatch`` callable maintaining
-    persisted per-bucket HLL distinct sketches incrementally.
+    distinct_over_time` / :func:`theta_over_time`: a ``foreachBatch``
+    callable maintaining persisted per-bucket distinct sketches
+    incrementally. ``kind="theta"`` keeps the same state discipline
+    (theta union is just as idempotent) while the persisted binaries
+    additionally answer intersection/difference roll-ups — e.g. feed
+    :func:`sketches.sketch_retention` the totals frame.
 
     Per micro-batch: (1) sketch the batch's keys per
     ``(date_trunc(grain), *dims)`` group, (2) persist as this epoch's
@@ -622,17 +627,25 @@ def distinct_sketch_stream(
     :func:`sketches.sketch_compact` on long-running streams.
     """
     from kafi_spark.functions.sketches import (
-        distinct_over_time, sketch_save_delta, sketch_totals)
+        _DEFAULT_LGK, _DEFAULT_THETA_LGK, distinct_over_time,
+        sketch_save_delta, sketch_totals, theta_over_time)
+
+    if kind not in ("hll", "theta"):
+        raise ValueError(f"kind must be 'hll' or 'theta', got {kind!r}")
+    build = distinct_over_time if kind == "hll" else theta_over_time
+    if lgk is None:
+        lgk = _DEFAULT_LGK if kind == "hll" else _DEFAULT_THETA_LGK
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        delta = distinct_over_time(
+        delta = build(
             batch_df, key_col, time_col, grain, dims, lgk
         ).drop("distinct_est")
         sketch_save_delta(delta, state_dir,
                           f"{version_prefix}{epoch_id}")
         if sink is not None:
             totals = sketch_totals(
-                batch_df.sparkSession, state_dir, ["bucket", *dims]
+                batch_df.sparkSession, state_dir, ["bucket", *dims],
+                kind=kind,
             )
             sink(totals, epoch_id)
 

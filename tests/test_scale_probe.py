@@ -229,3 +229,43 @@ def test_substring_dedup_at_50k_hot_gram(spark, big_corpus):
         # A quadratic hot-gram blow-up would be GBs; bound at ~12×
         # the linear estimate.
         assert moved < 500_000_000
+
+
+def test_theta_retention_shuffle_carries_sketches_not_keys(spark):
+    """500k events / 10k users / 30 days: the daily theta build +
+    retention join must move SKETCHES (≤ 8·2^lgk bytes per partition ×
+    bucket), never user ids — the property that makes the state table
+    KiB-sized while raw events are TB-sized at 100 TB. Totals stay
+    exact (exact-mode sketches) so the probe is correctness-shaped,
+    not just a byte bound."""
+    from kafi_spark.functions.sketches import (
+        sketch_retention, theta_over_time)
+
+    n, users, days = 500_000, 10_000, 30
+    events = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(users)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + (F.col("id") % days) * 86_400
+        ).alias("ts"),
+    )
+    def run():
+        daily = theta_over_time(
+            events, "user_id", "ts", grain="day", lgk=14
+        ).localCheckpoint()
+        return sketch_retention(daily).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("retained").alias("min_ret"),
+            F.max("active").alias("max_act"),
+        ).first()
+
+    stats, moved = _shuffle_delta(spark, run)
+    assert stats.rows == days - 1
+    # id % days stripes every user over every day ⇒ full retention
+    assert stats.max_act <= users
+    if moved is not None:
+        # 30 buckets × 32 partitions × ≤128 KiB/sketch ≈ ≤ 120 MB hard
+        # ceiling; actual is far less (exact-mode sketches are n·8 B).
+        # 500k raw (user_id, ts) rows would be ~8 MB ALONE if shuffled —
+        # the bound proves only per-partition partial sketches moved.
+        assert moved < 120 * 1024 * 1024

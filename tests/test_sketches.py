@@ -427,3 +427,34 @@ def test_quantile_sketch_stream_matches_batch(spark, events, tmp_path):
     }
     final_n = {b: n for b, n, _ in seen[-1]}
     assert final_n == want_n
+
+
+def test_theta_sketch_stream_exact_and_retention_ready(
+        spark, events, tmp_path):
+    """kind='theta' streaming twin: running totals stay EXACT (exact
+    mode) across micro-batches, and the final state frame feeds
+    sketch_retention directly."""
+    from kafi_spark.streaming.stateful import distinct_sketch_stream
+
+    state = str(tmp_path / "thstate")
+    finals = {}
+    proc = distinct_sketch_stream(
+        "user_id", "ts", state, kind="theta",
+        sink=lambda tot, e: finals.update(
+            {r["bucket"]: r["distinct_est"] for r in tot.collect()}))
+    parts = events.randomSplit([1.0, 1.0], seed=3)
+    proc(parts[0], 0)
+    proc(parts[1], 1)
+    want = {
+        r["bucket"]: r["n"] for r in
+        events.groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert finals == want
+    # the persisted state answers retention without re-reading events
+    tot = sk.sketch_totals(spark, state, ["bucket"], kind="theta")
+    ret = sk.sketch_retention(tot).collect()
+    assert len(ret) > 0
+    for r in ret:
+        assert r["retained"] + r["new_keys"] == r["active"]
+        assert r["retained"] + r["churned"] == r["prev_active"]
