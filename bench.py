@@ -88,6 +88,7 @@ HEADLINE = [
     "sketch_daily_distinct",
     "sketch_retention_theta",
     "quantile_rollup_kll",
+    "cms_heavy_hitters",
     "boilerplate_filter",
 ]
 
@@ -380,6 +381,19 @@ def bench_queries(entry_mod) -> dict:
             keep_cols=["event_type"])
 
     qs["quantile_rollup_kll"] = q_quantile_rollup_kll
+
+    def q_cms_heavy_hitters(spark, sf_dir):
+        # count-min frequency path: counter build (bounded shuffle:
+        # depth*width rows per partition) + distinct-key probe join —
+        # the high-cardinality heavy-hitter shape where exact
+        # groupBy-count shuffles every key
+        from kafi_spark.functions.sketches import cms_heavy_hitters
+        from kafi_spark.session import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        return cms_heavy_hitters(ev, "user_id", threshold=50)
+
+    qs["cms_heavy_hitters"] = q_cms_heavy_hitters
 
     return qs
 

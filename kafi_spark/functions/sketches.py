@@ -12,10 +12,12 @@ associative (an HLL union is lossless over HLLs of the same precision;
 the error bound of the merged sketch equals that of a sketch built
 directly over the union of the inputs).
 
-Three sketch families, all on Spark's public Apache DataSketches
-bindings (JVM-side aggregates with map-side partial combine — no UDFs,
-no driver state), each a plain ``binary`` column that survives parquet
-round-trips:
+Four sketch families — HLL/theta/KLL on Spark's public Apache
+DataSketches bindings (JVM-side aggregates with map-side partial
+combine — no UDFs, no driver state), each a plain ``binary`` column
+that survives parquet round-trips, plus a count-min counter TABLE
+(plain rows, because Spark's ``count_min_sketch`` binary has no SQL
+merge/query):
 
 - **HLL** (`distinct_sketch` & co): distinct counts, union-only. The
   smallest state per group; use when only "how many distinct" roll-ups
@@ -35,6 +37,11 @@ round-trips:
   helpers below encode that difference — HLL/theta state tolerates
   re-merged leftovers, KLL state gets a watermark-manifest compaction
   (:func:`kll_compact`) that never relies on idempotence.
+- **Count-min** (`cms_sketch` & co): mergeable per-key FREQUENCIES —
+  "how often did key X appear", heavy hitters with a no-miss
+  guarantee (est ≥ true always). Additive like KLL, so its persisted
+  state reuses the same watermark discipline (:func:`cms_totals` /
+  :func:`cms_compact`).
 
 Reference scope note: the reference engine has no sketch layer; this is
 part of the beyond-reference LLM-pipeline / analytics extension
@@ -565,6 +572,201 @@ def kll_compact(
     merged.write.mode("overwrite").parquet(
         f"{state_dir.rstrip('/')}/v=compact-{watermark}"
     )
+    if prune:
+        import os
+
+        for name in os.listdir(state_dir):
+            path = os.path.join(state_dir, name)
+            if not (name.startswith("v=") and os.path.isdir(path)):
+                continue
+            tag = name[2:]
+            folded = (
+                (not tag.startswith("compact-") and int(tag) <= watermark)
+                or (tag.startswith("compact-")
+                    and int(tag[len("compact-"):]) < watermark)
+            )
+            if folded:
+                shutil.rmtree(path)
+    return watermark
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketches: mergeable per-key counts (additive state)
+# ---------------------------------------------------------------------------
+
+# depth 5 / width 4096: overestimate ≤ e/4096 ≈ 0.07% of total weight
+# with probability 1 - e^-5 ≈ 99.3%; 20480 counter rows per group.
+_DEFAULT_CMS_DEPTH = 5
+_DEFAULT_CMS_WIDTH = 4096
+
+
+def _cms_cells(col: str, depth: int, width: int):
+    """array of (d, w) cell coordinates for a key — row d hashes with
+    seed d+1; the double-mod folds xxhash64's sign into [0, width)."""
+    wl = F.lit(width).cast("long")
+    return F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            (((F.xxhash64(F.col(col), F.lit(d + 1)) % wl) + wl) % wl)
+            .cast("int").alias("w"),
+        )
+        for d in range(depth)
+    ])
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = _DEFAULT_CMS_DEPTH,
+    width: int = _DEFAULT_CMS_WIDTH,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min counter table of ``key_col`` occurrences per group:
+    ``(*group_cols, d, w, cnt)`` rows, ``depth × width`` cells per group.
+
+    Unlike Spark's ``count_min_sketch`` aggregate (an opaque binary with
+    no SQL merge/query), the counter TABLE is the sketch: merge is a
+    cell-wise SUM (plain groupBy — additive state, same watermark
+    discipline as KLL), and point queries are a join (see
+    :func:`cms_estimate`) — both distributed, nothing driver-side.
+    One explode of ``depth`` cells per row, then a hash aggregation
+    with map-side combine: the shuffle carries at most depth × width
+    counter rows per (partition, group), never keys.
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        *group_cols, F.explode(_cms_cells(key_col, depth, width)).alias("__c"),
+        w.alias("__w"),
+    )
+    return (
+        base.select(*group_cols, "__c.d", "__c.w", "__w")
+        .groupBy(*group_cols, "d", "w")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(
+    cms: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge counter tables up to a coarser grain: cell-wise sum.
+    ADDITIVE like KLL — never feed the same delta in twice."""
+    return cms.groupBy(*group_cols, "d", "w").agg(
+        F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = _DEFAULT_CMS_DEPTH,
+    width: int = _DEFAULT_CMS_WIDTH,
+) -> DataFrame:
+    """Estimated count of each key in ``keys`` (per remaining group):
+    ``(*group_cols, key_col, est)`` with the count-min guarantee
+    ``est ≥ true`` always, ``est ≤ true + e/width · total_weight`` with
+    probability ``1 - e^-depth``.
+
+    Distributed probe: keys explode into their depth cells, join the
+    counter table on (group, d, w) — the join's build side is
+    depth·|keys| rows, broadcast by AQE when small — and the min over
+    depth rows is the estimate. A key absent from the data still gets
+    its cells' collision mass (standard CMS behavior: absent ⇒ est is
+    pure overcount, small by the same bound).
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(_cms_cells(key_col, depth, width)).alias("__c"),
+    ).select(key_col, "__c.d", "__c.w")
+    joined = probes.join(cms, ["d", "w"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+    )
+    return joined.groupBy(*group_cols, key_col).agg(
+        F.min("cnt").alias("est"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = _DEFAULT_CMS_DEPTH,
+    width: int = _DEFAULT_CMS_WIDTH,
+) -> DataFrame:
+    """Keys whose estimated frequency ≥ threshold: ``(key, est)``.
+
+    The one-sided error means NO true heavy hitter is ever missed
+    (est ≥ true); a light key can slip in only by collision overcount.
+    Two aggregations over the data — one to build counters, one over
+    distinct keys to probe them — instead of an exact
+    groupBy-count-filter whose shuffle carries every distinct key with
+    its full count. Here the counter build shuffles ≤ depth × width
+    rows per partition and the probe shuffles distinct keys once with
+    map-side distinct. (For small key spaces exact groupBy wins; this
+    is the 10^9-distinct-URLs shape.)
+    """
+    cms = cms_sketch(df, key_col, depth=depth, width=width)
+    keys = df.select(key_col).filter(
+        F.col(key_col).isNotNull()).distinct()
+    est = cms_estimate(cms, keys, key_col, depth=depth, width=width)
+    return est.filter(F.col("est") >= threshold)
+
+
+def cms_over_time(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    grain: str = "day",
+    dims: Sequence[str] = (),
+    depth: int = _DEFAULT_CMS_DEPTH,
+    width: int = _DEFAULT_CMS_WIDTH,
+) -> DataFrame:
+    """Per-``grain`` (+dims) counter tables — the finest-grain build of
+    the frequency state. Persist with :func:`kll_save_delta` (additive
+    state shares the KLL watermark discipline); answer "how often did
+    key X appear in this date range" later via :func:`cms_totals` +
+    :func:`cms_estimate` without rescanning raw data."""
+    bucketed = df.withColumn(
+        "bucket", F.date_trunc(grain, F.col(time_col))
+    )
+    return cms_sketch(
+        bucketed, key_col, ["bucket", *dims], depth, width)
+
+
+def cms_totals(
+    spark,
+    state_dir: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Watermark-aware merged counter table over persisted CMS deltas
+    (saved via :func:`kll_save_delta` — numeric epochs). Reads the
+    newest committed ``v=compact-<N>`` plus epochs > N only; same
+    crash-safety argument as :func:`kll_totals`."""
+    _, compact_path, live = _kll_state_dirs(state_dir)
+    paths = ([compact_path] if compact_path else []) + live
+    if not paths:
+        raise FileNotFoundError(f"no committed CMS deltas in {state_dir}")
+    return cms_merge(spark.read.parquet(*paths), group_cols)
+
+
+def cms_compact(
+    spark,
+    state_dir: str,
+    group_cols: Sequence[str] = (),
+    prune: bool = False,
+) -> int:
+    """Fold CMS state into ``v=compact-<N>`` (N = newest live epoch);
+    additive-state compaction with the same committed-watermark
+    crash-safety as :func:`kll_compact`. Returns N."""
+    import shutil
+
+    best_n, _, live = _kll_state_dirs(state_dir)
+    if not live:
+        return best_n if best_n is not None else -1
+    watermark = max(int(p.rsplit("v=", 1)[1]) for p in live)
+    merged = cms_totals(spark, state_dir, group_cols).localCheckpoint()
+    merged.write.mode("overwrite").parquet(
+        f"{state_dir.rstrip('/')}/v=compact-{watermark}")
     if prune:
         import os
 

@@ -458,3 +458,106 @@ def test_theta_sketch_stream_exact_and_retention_ready(
     for r in ret:
         assert r["retained"] + r["new_keys"] == r["active"]
         assert r["retained"] + r["churned"] == r["prev_active"]
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketches
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_one_sided_and_tight(events):
+    """est ≥ true for every key (hard guarantee), and at depth 5 ×
+    width 4096 over 10k rows the overestimate is ~always 0."""
+    from kafi_spark.functions.sketches import cms_estimate, cms_sketch
+
+    cms = cms_sketch(events, "event_type")
+    keys = events.select("event_type").distinct()
+    got = {
+        r["event_type"]: r["est"]
+        for r in cms_estimate(cms, keys, "event_type").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] >= want[k]            # one-sided, always
+        assert got[k] <= want[k] + 10       # collision mass ~0 here
+
+
+def test_cms_heavy_hitters_no_misses(events):
+    from kafi_spark.functions.sketches import cms_heavy_hitters
+
+    want = {
+        r["user_id"]
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 80).collect()
+    }
+    got = {
+        r["user_id"]
+        for r in cms_heavy_hitters(events, "user_id", 80).collect()
+    }
+    assert want <= got          # every true heavy hitter surfaces
+    # light keys can only slip in by collision; none expected here
+    assert len(got - want) <= 2
+
+
+def test_cms_merge_equals_direct(events):
+    """Cell-wise sum of per-slice counter tables == one table over the
+    whole data (the mergeability that makes persisted CMS state work)."""
+    from kafi_spark.functions.sketches import cms_merge, cms_sketch
+
+    per_type = cms_sketch(events, "user_id", ["event_type"])
+    merged = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in cms_merge(per_type).collect()
+    }
+    direct = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in cms_sketch(events, "user_id").collect()
+    }
+    assert merged == direct
+
+
+def test_cms_weighted(spark):
+    from kafi_spark.functions.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "k string, wt int")
+    cms = cms_sketch(df, "k", weight_col="wt")
+    got = {
+        r["k"]: r["est"]
+        for r in cms_estimate(
+            cms, df.select("k").distinct(), "k").collect()
+    }
+    assert got["a"] == 12 and got["b"] == 1
+
+
+def test_cms_state_watermark(spark, events, tmp_path):
+    """CMS persisted state shares the KLL watermark discipline: totals
+    after compaction + a new epoch count every row exactly once."""
+    from kafi_spark.functions.sketches import (
+        cms_compact, cms_estimate, cms_over_time, cms_totals)
+    from kafi_spark.functions.sketches import kll_save_delta
+
+    state = str(tmp_path / "cstate")
+    halves = [events.filter(F.col("event_id") % 2 == i) for i in range(2)]
+    kll_save_delta(cms_over_time(halves[0], "event_type", "ts"), state, 0)
+    cms_compact(spark, state, ["bucket"], prune=True)
+    kll_save_delta(cms_over_time(halves[1], "event_type", "ts"), state, 1)
+    tot = cms_totals(spark, state)  # merge buckets away too
+    keys = events.select("event_type").distinct()
+    got = {
+        r["event_type"]: r["est"]
+        for r in cms_estimate(tot, keys, "event_type").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k in want:
+        assert want[k] <= got[k] <= want[k] + 10
