@@ -87,7 +87,8 @@ def build_skip_index(
     """
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
-    df = spark.read.parquet(data_path)
+    df = spark.read.option("basePath", data_path).parquet(data_path)
+    indexed_files = sorted(df.inputFiles())
     blooms = []
     metas = []
     for col in cols:
@@ -130,11 +131,17 @@ def build_skip_index(
     for m_ in metas[1:]:
         all_meta = all_meta.unionByName(m_)
     all_meta.coalesce(1).write.mode("overwrite").parquet(f"{root}/minmax")
-    # manifest pins the hash geometry the probes must reuse
+    # manifest pins the hash geometry the probes must reuse, plus the
+    # SNAPSHOT of files the index covers — probes treat files appended
+    # after the build as unindexed (always scanned) and files deleted
+    # since as gone, so drift degrades pruning, never correctness
     import json
 
     manifest = spark.createDataFrame(
-        [(json.dumps({"num_bits": num_bits, "k": k, "cols": list(cols)}),)],
+        [(json.dumps({
+            "num_bits": num_bits, "k": k, "cols": list(cols),
+            "files": indexed_files,
+        }),)],
         "manifest string",
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{root}/manifest")
@@ -163,6 +170,15 @@ def _probe_bits(spark, values, num_bits: int, k: int) -> dict:
     return {r["__v"]: [r[f"b{i}"] for i in range(k)] for r in rows}
 
 
+def _norm_uri(u: str) -> str:
+    """Canonicalize 'file:/p', 'file:///p', '/p' to one form so file
+    identities from ``input_file_name()`` (build) and ``inputFiles()``
+    (probe) always compare equal."""
+    import re as _re
+
+    return _re.sub(r"^file:/+", "/", u)
+
+
 def skip_index_candidates(
     spark, data_path: str, col: str, values: Sequence
 ) -> list[str]:
@@ -173,6 +189,13 @@ def skip_index_candidates(
     Reads k·|values| words per file from the index (``word_idx IN``
     pushdown), plus the per-file min/max row; a value outside a file's
     [min, max] skips the file without consulting its bloom.
+
+    Drift-safe against append-only layouts (e.g. FS topics): the
+    manifest records the file snapshot the index covers, so files
+    APPENDED since the build are returned unconditionally (unindexed ⇒
+    must be scanned — pruning degrades, correctness doesn't) and files
+    DELETED since are dropped. Rebuild the index to restore pruning
+    after heavy drift.
     """
     if not values:
         return []
@@ -183,6 +206,13 @@ def skip_index_candidates(
         raise ValueError(
             f"column {col!r} not indexed (have {man['cols']})")
     num_bits, k = man["num_bits"], man["k"]
+    current = {
+        _norm_uri(f)
+        for f in spark.read.option("basePath", data_path)
+        .parquet(data_path).inputFiles()
+    }
+    indexed = {_norm_uri(f) for f in man.get("files", [])}
+    unindexed = [n for n in current if n not in indexed]
     bits = _probe_bits(spark, list(dict.fromkeys(values)), num_bits, k)
     root = index_path_of(data_path)
     needed = sorted({b >> 6 for bs in bits.values() for b in bs})
@@ -200,8 +230,10 @@ def skip_index_candidates(
         .filter(F.col("col") == col)
         .collect()
     }
-    out = []
+    out = list(unindexed)
     for file, fwords in by_file.items():
+        if _norm_uri(file) not in current:
+            continue  # deleted since the build
         lo_hi = meta.get(file)
         for v, bs in bits.items():
             if lo_hi is not None and lo_hi[0] is not None:
@@ -214,7 +246,7 @@ def skip_index_candidates(
             if all(
                 (fwords.get(b >> 6, 0) >> (b % 64)) & 1 for b in bs
             ):
-                out.append(file)
+                out.append(_norm_uri(file))
                 break
     return sorted(out)
 
@@ -226,13 +258,14 @@ def pruned_point_read(
     skip-index candidate files. The filter is re-applied on the pruned
     scan, so bloom false positives cannot leak rows; an empty candidate
     list returns an empty frame with the data's schema without reading
-    any data file."""
+    any data file. ``basePath`` keeps hive-partition directory columns
+    (e.g. an FS topic's ``partition=N``) in the pruned scan's schema."""
+    full = spark.read.option("basePath", data_path).parquet(data_path)
     cands = skip_index_candidates(spark, data_path, col, values)
     if not cands:
-        schema = spark.read.parquet(data_path).schema
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], full.schema)
     return (
-        spark.read.schema(spark.read.parquet(data_path).schema)
+        spark.read.option("basePath", data_path)
         .parquet(*cands)
         .filter(F.col(col).isin(list(values)))
     )

@@ -584,6 +584,37 @@ class FSTopicStorage:
         out.update({r["partition"]: r["o"] for r in rows})
         return out
 
+    # -- keyed point lookup (beyond-reference: the reference consumer can
+    #    only scan; at 100 TB "fetch messages for these keys" needs a
+    #    skipping index) ----------------------------------------------------
+
+    def index_topic(
+        self, topic: str, cols=("key",), num_bits: int = 1 << 20
+    ) -> None:
+        """Build a file-level bloom skip index over the topic's data
+        (:mod:`kafi_spark.functions.skipindex`). Produce appends new
+        files — they stay un-indexed (seek scans them in full) until
+        the next ``index_topic`` call, so the index can be refreshed on
+        any cadence without ever costing correctness."""
+        from kafi_spark.functions.skipindex import build_skip_index
+
+        build_skip_index(self.spark, self._data_dir(topic), list(cols),
+                         num_bits)
+
+    def seek(self, topic: str, keys, col: str = "key") -> DataFrame:
+        """Messages whose ``col`` equals any of ``keys``, scanning only
+        skip-index candidate files plus any files produced since the
+        last :meth:`index_topic` — the point-lookup path a full
+        ``consume`` + filter can't prune. ``str`` keys are encoded
+        utf-8 when probing the binary ``key`` column."""
+        from kafi_spark.functions.skipindex import pruned_point_read
+
+        keys = [k.encode() if isinstance(k, str) and col == "key" else k
+                for k in keys]
+        out = pruned_point_read(
+            self.spark, self._data_dir(topic), col, keys)
+        return out.withColumn("topic", F.coalesce("topic", F.lit(topic)))
+
     # -- pipes (kafi/shell.py:38-42 cp; kafi/addons.py:57-65 repeat) --------
 
     def cp(

@@ -60,7 +60,7 @@ def test_every_owning_file_is_candidate(spark, data_path):
     for r in rows[:20]:
         cands = si.skip_index_candidates(
             spark, data_path, "doc_id", [r["doc_id"]])
-        assert r["f"] in cands, r["doc_id"]
+        assert si._norm_uri(r["f"]) in cands, r["doc_id"]
 
 
 def test_point_lookup_prunes_most_files(spark, data_path):
@@ -115,3 +115,53 @@ def test_rebuild_overwrites(spark, data_path):
 def test_num_bits_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="num_bits"):
         si.build_skip_index(spark, str(tmp_path), ["x"], num_bits=100)
+
+
+def test_append_drift_no_false_negatives(spark, tmp_path):
+    """Files appended AFTER the index build are unindexed ⇒ always
+    candidates: lookups of brand-new keys still find them."""
+    out = str(tmp_path / "drift")
+    spark.range(100).selectExpr("id", "id * 2 AS v").repartition(2) \
+        .write.parquet(out)
+    si.build_skip_index(spark, out, ["id"], num_bits=1 << 12)
+    # append new rows with keys far outside the indexed range
+    spark.range(1000, 1010).selectExpr("id", "id * 2 AS v") \
+        .repartition(1).write.mode("append").parquet(out)
+    got = si.pruned_point_read(spark, out, "id", [1005]).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(1005, 2010)]
+    # and the pruning still works for indexed keys: 2 indexed files
+    # bloom-pruned + 1 unindexed file always scanned ⇒ ≤ 2 candidates
+    cands = si.skip_index_candidates(spark, out, "id", [7])
+    assert 1 <= len(cands) <= 2
+
+
+def test_delete_drift_no_error(spark, tmp_path):
+    """Files deleted after the build drop out of the candidate set
+    instead of crashing the pruned read."""
+    import glob as _g
+    import os as _os
+
+    out = str(tmp_path / "del")
+    spark.range(100).selectExpr("id", "id * 2 AS v").repartition(4) \
+        .write.parquet(out)
+    si.build_skip_index(spark, out, ["id"], num_bits=1 << 12)
+    victim = sorted(_g.glob(f"{out}/part-*.parquet"))[0]
+    _os.remove(victim)
+    left = spark.read.parquet(out).count()
+    got = si.pruned_point_read(
+        spark, out, "id", list(range(100))).count()
+    assert got == left < 100
+
+
+def test_partitioned_layout_keeps_partition_column(spark, tmp_path):
+    """Hive-partitioned data (an FS topic's layout): the pruned read
+    preserves the directory-derived partition column via basePath."""
+    out = str(tmp_path / "hive")
+    spark.range(200).selectExpr(
+        "id", "cast(id % 4 AS int) AS part", "id * 3 AS v"
+    ).write.partitionBy("part").parquet(out)
+    si.build_skip_index(spark, out, ["id"], num_bits=1 << 12)
+    got = si.pruned_point_read(spark, out, "id", [42]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["part"] == 42 % 4 and r["v"] == 126

@@ -452,3 +452,22 @@ def test_export_shards_deterministic_and_complete(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         export_shards(df, str(tmp_path / "x"), 0, "doc_id")
+
+
+def test_seek_by_key_with_index(storage, spark):
+    """index_topic + seek: keyed point lookup returns exactly the
+    matching messages; produce after indexing stays visible (appended
+    files are unindexed ⇒ always scanned)."""
+    storage.create("kv", partitions=4)
+    many = [(f"k{i}", f"v{i}") for i in range(200)]
+    storage.produce("kv", msgs(spark, *many))
+    storage.index_topic("kv", num_bits=1 << 12)
+    out = storage.seek("kv", ["k42", "k7"]).collect()
+    assert sorted(bytes(r.value).decode() for r in out) == ["v42", "v7"]
+    assert all(r.topic == "kv" for r in out)
+    # post-index produce: still found without reindexing
+    storage.produce("kv", msgs(spark, ("fresh", "new")))
+    got = storage.seek("kv", ["fresh"]).collect()
+    assert [bytes(r.value).decode() for r in got] == ["new"]
+    # absent key: nothing, and schema intact
+    assert storage.seek("kv", ["nope"]).count() == 0
