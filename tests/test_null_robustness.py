@@ -88,3 +88,45 @@ def test_bloom_and_contamination_handle_dirty(dirty, tmp_path):
     filt = bloom_build(dirty.select("text"), "text", 512, 3)
     bloom_contains(dirty, filt, "text", 512, 3).count()
     decontaminate(dirty, dirty.filter("doc_id = 5").select("doc_id", "text")).count()
+
+
+def test_sketch_families_handle_nulls(spark):
+    """HLL/theta/KLL/CMS all ignore null keys/values (the DataSketches
+    aggregates skip nulls; CMS filters them) — estimates equal those
+    over the non-null subset, never a crash or a phantom key."""
+    from kafi_spark.functions import sketches as sk
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (None, 30.0), (4, 40.0), (None, None)],
+        "k long, v double")
+    assert sk.distinct_sketch(df, "k").select(
+        sk.estimate()).first()["distinct_est"] == 3
+    assert sk.theta_sketch(df, "k").select(
+        sk.theta_estimate()).first()["distinct_est"] == 3
+    out = sk.quantile_values(
+        sk.quantile_sketch(df, "v"), [0.5], "double").first()
+    assert out["n"] == 3  # null values not absorbed
+    cms = sk.cms_sketch(df, "k")
+    got = {
+        r["k"]: r["est"] for r in sk.cms_estimate(
+            cms, df.filter(F.col("k").isNotNull()).select("k").distinct(),
+            "k").collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 1}
+
+
+def test_skipindex_handles_null_rows(spark, tmp_path):
+    """Null cells in an indexed column are skipped at build; lookups of
+    real keys in files that also contain nulls stay exact."""
+    from kafi_spark.functions import skipindex as si
+
+    out = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, None), (4, "d")],
+        "id long, s string",
+    ).repartition(2).write.parquet(out)
+    si.build_skip_index(spark, out, ["id", "s"], num_bits=1 << 12)
+    assert [r["s"] for r in
+            si.pruned_point_read(spark, out, "id", [4]).collect()] == ["d"]
+    assert [r["id"] for r in
+            si.pruned_point_read(spark, out, "s", ["b"]).collect()] == [None]
