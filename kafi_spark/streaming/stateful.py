@@ -696,3 +696,39 @@ def quantile_sketch_stream(
             sink(totals, epoch_id)
 
     return process
+
+
+def cms_sketch_stream(
+    key_col: str,
+    time_col: str,
+    state_dir: str,
+    grain: str = "day",
+    dims=(),
+    depth: int = 5,
+    width: int = 4096,
+    sink=None,
+):
+    """Streaming twin of :func:`kafi_spark.functions.sketches.
+    cms_over_time`: a ``foreachBatch`` callable maintaining persisted
+    per-bucket count-min counter tables incrementally.
+
+    Additive state with the KLL replay discipline: each epoch's rows
+    land in exactly one ``v=<epoch>`` delta (replay = overwrite own
+    delta), and :func:`sketches.cms_totals` merges each committed delta
+    exactly once under the compaction watermark. ``sink`` receives the
+    RUNNING merged counter table — probe it with
+    :func:`sketches.cms_estimate` for frequencies over the whole
+    history so far."""
+    from kafi_spark.functions.sketches import (
+        cms_over_time, cms_totals, kll_save_delta)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = cms_over_time(
+            batch_df, key_col, time_col, grain, dims, depth, width)
+        kll_save_delta(delta, state_dir, epoch_id)
+        if sink is not None:
+            totals = cms_totals(
+                batch_df.sparkSession, state_dir, ["bucket", *dims])
+            sink(totals, epoch_id)
+
+    return process

@@ -561,3 +561,36 @@ def test_cms_state_watermark(spark, events, tmp_path):
     }
     for k in want:
         assert want[k] <= got[k] <= want[k] + 10
+
+
+def test_cms_sketch_stream_matches_batch(spark, events, tmp_path):
+    """3-micro-batch CMS replay == one batch build, with an epoch
+    replayed mid-stream (overwrite-own-delta keeps counts exact)."""
+    from kafi_spark.functions.sketches import cms_estimate, cms_over_time
+    from kafi_spark.streaming.stateful import cms_sketch_stream
+
+    state = str(tmp_path / "cs")
+    proc = cms_sketch_stream("event_type", "ts", state)
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=5)
+    proc(parts[0], 0)
+    proc(parts[1], 1)
+    proc(parts[1], 1)  # crash replay
+    proc(parts[2], 2)
+    from kafi_spark.functions.sketches import cms_totals
+
+    tot = cms_totals(spark, state, ["bucket"])
+    keys = events.select("event_type").distinct()
+    got = {
+        (r["bucket"], r["event_type"]): r["est"]
+        for r in cms_estimate(
+            tot, keys, "event_type", ["bucket"]).collect()
+        if r["est"] > 0
+    }
+    want = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for kk, n in want.items():
+        assert n <= got[kk] <= n + 5
