@@ -1,0 +1,147 @@
+"""Trainable quality classifier — fastText-style curated-vs-crawl
+filtering, fit IN the cluster.
+
+The GPT-3 / LLaMA / RedPajama pipelines all train a linear classifier
+("is this page curated-corpus-like?") over hashed n-gram features and
+keep the high-scoring crawl pages. The scoring half of that story
+already exists here (``classify.score_text`` plugs in any scorer,
+``importance.lm_quality_score`` gives a unigram-LM signal); this module
+adds the TRAINING half, with the model fit as a distributed job rather
+than a driver-side scikit loop.
+
+Spark-first construction — every stage is a JVM transformer, no Python
+in the loop:
+
+- ``RegexTokenizer`` → ``NGram`` → ``HashingTF`` per n-gram order,
+  ``VectorAssembler`` to one sparse vector (hashing bounds the feature
+  space at ``n_features`` regardless of vocabulary, the same trick as
+  ``importance.hashed_ngram_features``);
+- ``LogisticRegression`` (L-BFGS, elastic-net regularized) — a linear
+  model over hashed n-grams IS the fastText classifier shape, and it
+  trains with map-side gradient aggregation, so fitting scales with
+  executors while the model stays a few MB;
+- scoring is ``model.transform`` + ``vector_to_array`` — whole-stage
+  codegen'd featurization, one broadcast of the coefficient vector.
+
+At 100 TB: fit on a SAMPLE (curated corpora are small; the negative
+class is a tiny fraction of the crawl — ``fit``'s inputs are whatever
+the caller samples), then ``score``/``keep`` stream the full corpus
+through the fitted pipeline in one pass.
+
+Reference scope note: the reference's classify.py runs a pretrained
+HuggingFace model per record (kafi/addons/classify.py:3-27); training
+in-engine has no reference counterpart — beyond-reference LLM-pipeline
+extension (SURVEY.md §2 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_DEFAULT_FEATURES = 1 << 18
+
+
+def _featurizer_stages(text_col: str, n_features: int, ns: tuple[int, ...]):
+    from pyspark.ml.feature import (
+        HashingTF, NGram, RegexTokenizer, VectorAssembler)
+
+    stages = [RegexTokenizer(
+        inputCol=text_col, outputCol="__words", pattern=r"\s+")]
+    vec_cols = []
+    for n in ns:
+        col = "__words" if n == 1 else f"__grams{n}"
+        if n > 1:
+            stages.append(NGram(n=n, inputCol="__words", outputCol=col))
+        out = f"__tf{n}"
+        # one hashed space per order: an n-gram can never collide away
+        # a unigram's signal
+        stages.append(HashingTF(
+            inputCol=col, outputCol=out, numFeatures=n_features))
+        vec_cols.append(out)
+    stages.append(VectorAssembler(
+        inputCols=vec_cols, outputCol="__features"))
+    return stages
+
+
+def quality_fit(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    n_features: int = _DEFAULT_FEATURES,
+    ns: tuple[int, ...] = (1, 2),
+    max_iter: int = 50,
+    reg_param: float = 1e-4,
+    elastic_net: float = 0.0,
+):
+    """Fit the curated-vs-crawl classifier: ``positive`` = reference
+    corpus rows, ``negative`` = raw-crawl sample rows. Returns a fitted
+    ``PipelineModel`` (save with ``model.write().overwrite().save(path)``,
+    reload with :func:`quality_load`). Null/empty text rows are dropped
+    from training (they carry no signal either way)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+
+    labeled = (
+        positive.select(F.col(text_col)).filter(
+            F.col(text_col).isNotNull() & (F.trim(text_col) != ""))
+        .withColumn("__label", F.lit(1.0))
+        .unionByName(
+            negative.select(F.col(text_col)).filter(
+                F.col(text_col).isNotNull() & (F.trim(text_col) != ""))
+            .withColumn("__label", F.lit(0.0)))
+    )
+    lr = LogisticRegression(
+        featuresCol="__features", labelCol="__label",
+        maxIter=max_iter, regParam=reg_param,
+        elasticNetParam=elastic_net,
+    )
+    pipe = Pipeline(stages=[
+        *_featurizer_stages(text_col, n_features, ns), lr])
+    return pipe.fit(labeled)
+
+
+def quality_score(
+    model,
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Append ``out_col`` = P(curated-like) ∈ [0, 1] to ``df``.
+
+    Null/empty text scores null (no signal ≠ low quality — let the
+    caller's policy decide). One pass; the model's coefficient vector
+    broadcasts once."""
+    from pyspark.ml.functions import vector_to_array
+
+    has_signal = F.col("__qs_orig").isNotNull() & (
+        F.trim("__qs_orig") != "")
+    # the tokenizer's input column is text_col (fixed at fit time) and
+    # must be non-null; stash the original, feed "" for nulls, restore
+    clean = df.withColumn("__qs_orig", F.col(text_col)).withColumn(
+        text_col, F.coalesce(text_col, F.lit("")))
+    scored = model.transform(clean)
+    prob = vector_to_array(F.col("probability")).getItem(1)
+    out = scored.withColumn(
+        text_col, F.col("__qs_orig")
+    ).withColumn(out_col, F.when(has_signal, prob))
+    return out.select(*df.columns, out_col)
+
+
+def quality_keep(
+    model,
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows scoring ≥ threshold (null-text rows drop: a keep-filter is
+    a policy, and the default policy is conservative)."""
+    scored = quality_score(model, df, text_col)
+    return scored.filter(
+        F.col("quality_prob") >= threshold).select(*df.columns)
+
+
+def quality_load(spark, path: str):
+    """Reload a saved classifier pipeline."""
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
