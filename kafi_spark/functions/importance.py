@@ -221,3 +221,74 @@ def lm_quality_score(
             (F.sum(F.col("cnt") * F.log("prob")) / F.sum("cnt")).alias(out_col)
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str | None = None,
+    cuts: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    n_buckets: int = 65_536,
+    accuracy: int = 10_000,
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style head/middle/tail split: score every document with
+    :func:`lm_quality_score`, find the ``cuts`` quantiles of the score
+    (per ``by`` group when given — CCNet cuts per LANGUAGE, so a
+    low-resource language isn't judged against English fluency), and
+    label each document with the band it falls in. ``labels`` are in
+    ASCENDING score order, so the default maps lowest-scoring (least
+    reference-like) to ``tail`` and highest to ``head``.
+
+    Plan shape at 100 TB: the LM fit/score is the bounded-hash
+    aggregation :func:`lm_quality_score` documents; the cut points are
+    ONE ``percentile_approx`` sketch aggregation (constant memory per
+    group, a handful of doubles to the driver-side broadcast); the
+    label assignment is a broadcast join plus a codegen CASE chain.
+    Nothing corpus-sized ever sits on the driver, and no second scan
+    of the text happens — bucketing reads only (id, score).
+
+    Documents with no scoreable tokens (null/empty text) get a null
+    score and a null bucket — policy belongs to the caller, as with
+    ``quality.quality_score``.
+
+    Output: ``df`` + ``lm_score`` + ``out_col``.
+
+    Reference scope: the reference has no perplexity machinery; this is
+    the CCNet bucketing step (Wenzek et al. 2020) re-expressed on the
+    engine's hashed unigram LM — beyond-reference LLM-pipeline
+    extension (SURVEY.md §2 extension).
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(labels) == len(cuts)+1, got {len(labels)} labels "
+            f"for {len(cuts)} cuts")
+    if list(cuts) != sorted(set(cuts)) or not all(0 < c < 1 for c in cuts):
+        raise ValueError(f"cuts must be strictly increasing in (0,1): {cuts}")
+
+    lm = lm_quality_score(df, reference, text_col, id_col,
+                          n_buckets=n_buckets, out_col="lm_score")
+    scored = df.join(lm, id_col, "left")
+
+    qs = F.percentile_approx(
+        "lm_score", F.array(*[F.lit(float(c)) for c in cuts]), accuracy
+    ).alias("__cuts")
+    if by is not None:
+        cut_rows = scored.groupBy(by).agg(qs)
+        banded = scored.join(F.broadcast(cut_rows), by, "left")
+    else:
+        banded = scored.crossJoin(F.broadcast(scored.agg(qs)))
+
+    # ascending CASE chain: score <= cut_i -> labels[i], else top label
+    expr = F.lit(labels[-1])
+    for i in range(len(cuts) - 1, -1, -1):
+        expr = F.when(
+            F.col("lm_score") <= F.col("__cuts").getItem(i), F.lit(labels[i])
+        ).otherwise(expr)
+    out = banded.withColumn(
+        out_col, F.when(F.col("lm_score").isNotNull(), expr)
+    ).drop("__cuts")
+    return out.select(*df.columns, "lm_score", out_col)

@@ -114,6 +114,8 @@ def curate_documents_extended(
     decontam_n: int = 8,
     ref_df: DataFrame | None = None,
     min_lm_score: float | None = None,
+    clf_model=None,
+    min_clf_prob: float = 0.5,
 ) -> DataFrame:
     """:func:`curate_documents` with the full stage menu switched on:
 
@@ -127,7 +129,13 @@ def curate_documents_extended(
     4. MinHash near-dup with raw-text verification;
     5. (``ref_df``) LM-perplexity quality floor: keep documents whose
        mean token log-prob under the reference unigram LM is ≥
-       ``min_lm_score`` (importance.lm_quality_score).
+       ``min_lm_score`` (importance.lm_quality_score);
+    6. (``clf_model``) trained-classifier gate: keep documents the
+       fitted :mod:`.quality` pipeline scores ≥ ``min_clf_prob``.
+       Runs EARLY (right after the optional rewrite stages, before
+       stats/dedup) so the model's one-pass transform prunes every
+       downstream shuffle — the fastText-filter placement the GPT-3 /
+       CCNet pipelines use.
 
     Optional stages off (None) ⇒ exactly the base pipeline's semantics.
     Output: (id, n_tokens, quality[, lm_score]). Every stage is one of
@@ -151,6 +159,11 @@ def curate_documents_extended(
         src = decontaminate(src, eval_df, text_col=text_col, id_col=id_col,
                             n=decontam_n)
         src = src.select(id_col, text_col)
+    if clf_model is not None:
+        from kafi_spark.functions.quality import quality_keep
+
+        src = quality_keep(clf_model, src, threshold=min_clf_prob,
+                           text_col=text_col)
     if span_tokens is not None or eval_df is not None:
         # the rewritten source feeds MANY consumers inside
         # curate_documents (stats, near-dup docs, verification texts)

@@ -230,3 +230,31 @@ def test_curate_documents_extended_stage_composition(spark, sf_dir):
     assert full.columns == ["doc_id", "n_tokens", "quality", "lm_score"]
     assert 0 < len(rows) <= len(base_ids) + len(base_ids)  # sane bound
     assert all(r.lm_score >= -20.0 for r in rows)
+
+
+def test_curate_documents_extended_classifier_gate(spark, sf_dir):
+    """Stage 6: a fitted quality classifier prunes the corpus before
+    stats/dedup — survivors are a subset of the base pipeline's, and a
+    permissive threshold reproduces the base output exactly."""
+    from kafi_spark.functions.pipeline import (
+        curate_documents, curate_documents_extended)
+    from kafi_spark.functions.quality import quality_fit
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = df.filter("doc_id % 3 = 0").select("doc_id", "text")
+    neg = pos.select(
+        "doc_id",
+        F.concat_ws(" ", *[F.lit(f"zxqv{i}kpwj") for i in range(12)]
+                    ).alias("text"))
+    model = quality_fit(pos, neg, max_iter=10, n_features=1 << 14)
+
+    base_ids = {r.doc_id for r in curate_documents(df).collect()}
+    gated = {r.doc_id for r in curate_documents_extended(
+        df, clf_model=model, min_clf_prob=0.5).collect()}
+    assert gated <= base_ids
+    # real documents look like the positive class: the gate keeps most
+    assert len(gated) >= len(base_ids) * 0.5
+    # threshold 0 keeps everything scoreable -> base output exactly
+    all_kept = {r.doc_id for r in curate_documents_extended(
+        df, clf_model=model, min_clf_prob=0.0).collect()}
+    assert all_kept == base_ids

@@ -177,3 +177,71 @@ def test_lm_quality_score_matches_duckdb_oracle(spark, sf_dir):
     assert set(got) == set(want)
     for d in got:
         assert got[d] == pytest.approx(want[d], rel=1e-9), d
+
+
+# ---------------------------------------------------------------- buckets
+
+
+@pytest.fixture(scope="module")
+def bucketed_corpus(spark):
+    """Two 'languages': lang a draws from a clean vocab its reference
+    also uses (with a graded amount of off-model junk so scores spread);
+    lang b is a separate vocabulary with its own reference."""
+    va = "the quick brown fox jumps over lazy dog".split()
+    vb = "der schnelle braune fuchs springt hund katze haus".split()
+
+    def doc(vocab, i, junk):
+        words = [vocab[(i * 7 + j) % len(vocab)] for j in range(12)]
+        words += [f"zzq{i}x{j}" for j in range(junk)]
+        return " ".join(words)
+
+    rows = [(i, "a", doc(va, i, junk=i % 10)) for i in range(120)]
+    rows += [(1000 + i, "b", doc(vb, i, junk=i % 10)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    ref = spark.createDataFrame(
+        [(i, "a", " ".join(va)) for i in range(10)]
+        + [(100 + i, "b", " ".join(vb)) for i in range(10)],
+        "doc_id long, lang string, text string")
+    return df, ref
+
+
+def test_perplexity_buckets_band_order_and_proportions(spark, bucketed_corpus):
+    df, ref = bucketed_corpus
+    out = imp.perplexity_buckets(df, ref, n_buckets=4096).collect()
+    assert len(out) == df.count()
+    by_band = {}
+    for r in out:
+        by_band.setdefault(r.ppl_bucket, []).append(r.lm_score)
+    assert set(by_band) == {"head", "middle", "tail"}
+    # bands are ordered by score: every head score >= every tail score
+    assert min(by_band["head"]) >= max(by_band["tail"])
+    assert min(by_band["head"]) >= min(by_band["middle"]) 
+    # default thirds: no band grabs everything
+    for band, scores in by_band.items():
+        assert 20 <= len(scores) <= 160, (band, len(scores))
+
+
+def test_perplexity_buckets_per_language_cuts(spark, bucketed_corpus):
+    df, ref = bucketed_corpus
+    out = imp.perplexity_buckets(df, ref, by="lang", n_buckets=4096)
+    # each language gets its own head band (global cuts would let one
+    # language's fluency dominate)
+    heads = out.filter("ppl_bucket = 'head'").groupBy("lang").count().collect()
+    assert {r.lang for r in heads} == {"a", "b"}
+    for r in heads:
+        assert r["count"] >= 20
+    # schema: original columns + score + band
+    assert out.columns == ["doc_id", "lang", "text", "lm_score", "ppl_bucket"]
+
+
+def test_perplexity_buckets_null_text_and_validation(spark, bucketed_corpus):
+    df, ref = bucketed_corpus
+    extra = df.limit(5).unionByName(spark.createDataFrame(
+        [(9999, "a", None)], "doc_id long, lang string, text string"))
+    rows = {r.doc_id: r for r in
+            imp.perplexity_buckets(extra, ref, n_buckets=4096).collect()}
+    assert rows[9999].lm_score is None and rows[9999].ppl_bucket is None
+    with pytest.raises(ValueError):
+        imp.perplexity_buckets(df, ref, cuts=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        imp.perplexity_buckets(df, ref, cuts=(0.7, 0.3), labels=("a", "b", "c"))
