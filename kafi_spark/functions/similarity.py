@@ -805,3 +805,95 @@ def mean_pool_embeddings(
             lambda x: x["__m"].cast("float"),
         ).alias(out_col)
     )
+
+
+def _cell_cosine_udf(spark, C: np.ndarray):
+    """Pandas UDF: cosine between a vector and ITS OWN cell's centroid
+    (cell assignment comes from :func:`_nearest_cell_udf` — this kernel
+    only scores, so assignment can never disagree with the rest of the
+    IVF family)."""
+    bc = spark.sparkContext.broadcast(_unit(C))
+
+    @pandas_udf("double")
+    def cell_cosine(v: pd.Series, cell: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        X = _unit(_mat(v))
+        cen = bc.value[cell.to_numpy()]
+        return pd.Series((X * cen).sum(axis=1))
+
+    return cell_cosine
+
+
+def prototypicality_scores(
+    df: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 100_000,
+    out_col: str = "proto_score",
+) -> DataFrame:
+    """Per-row prototypicality: cosine similarity to the row's k-means
+    cluster centroid (Sorscher et al. 2022, "Beyond neural scaling
+    laws" — the SSL-prototype difficulty metric: high cosine ⇒ the
+    example is prototypical/easy, low cosine ⇒ rare/hard).
+
+    Output: (id, vec, cell, ``out_col``). One corpus scan, zero
+    shuffle: centroids fit on the capped sample
+    (:func:`_fit_centroids`), then assignment and scoring are two
+    Arrow-batched UDFs in the SAME stage with the centroid matrix
+    broadcast once each."""
+    spark = df.sparkSession
+    C = _fit_centroids(df, df, id_col, vec_col, n_clusters, seed, train_cap)
+    nearest = _nearest_cell_udf(spark, C)
+    score = _cell_cosine_udf(spark, C)
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        nearest(F.col(vec_col)).alias("cell"),
+    ).withColumn(out_col, score(F.col(vec_col), F.col("cell")))
+
+
+def prototype_prune(
+    df: DataFrame,
+    keep_frac: float = 0.7,
+    n_clusters: int = 16,
+    policy: str = "keep_hard",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 100_000,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Data pruning by prototypicality (Sorscher et al. 2022): keep
+    ``keep_frac`` of each cluster, dropping the most prototypical
+    examples (``keep_hard`` — the right policy for abundant data) or
+    the hardest (``keep_easy`` — the paper's small-data regime).
+
+    The cut is PER CLUSTER via one ``percentile_approx`` sketch
+    aggregation broadcast back — no window, no per-cluster sort, so a
+    hot cluster costs a bigger aggregation partial, never a single-task
+    sort. Per-cluster cuts keep retention balanced across the embedding
+    space (the paper's class-balance discipline). keep_frac is honored
+    to sketch accuracy, not exactly.
+
+    Output: surviving rows of :func:`prototypicality_scores` (id, vec,
+    cell, proto_score)."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if policy not in ("keep_hard", "keep_easy"):
+        raise ValueError(f"policy must be keep_hard|keep_easy, got {policy!r}")
+    scored = prototypicality_scores(
+        df, n_clusters, id_col, vec_col, seed, train_cap)
+    if keep_frac == 1.0:
+        return scored
+    q = keep_frac if policy == "keep_hard" else 1.0 - keep_frac
+    cuts = scored.groupBy("cell").agg(
+        F.percentile_approx("proto_score", F.lit(float(q)), accuracy)
+        .alias("__cut"))
+    out = scored.join(F.broadcast(cuts), "cell")
+    if policy == "keep_hard":
+        out = out.filter(F.col("proto_score") <= F.col("__cut"))
+    else:
+        out = out.filter(F.col("proto_score") >= F.col("__cut"))
+    return out.drop("__cut").select(id_col, vec_col, "cell", "proto_score")

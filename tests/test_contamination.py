@@ -132,3 +132,84 @@ def test_contamination_matches_python_oracle_hypothesis(spark):
     got = {r.doc_id: r.n_contaminated_ngrams
            for r in contamination_report(corpus, bench, n=n).collect()}
     assert got == want
+
+
+# ------------------------------------------------- embedding-space gate
+
+
+@pytest.fixture(scope="module")
+def emb_corpus(spark):
+    """4 corpus vectors: two aligned with eval directions (planted
+    leaks, one verbatim, one slightly rotated), one orthogonal, one
+    null."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),       # verbatim eval vector
+        (2, [0.99, 0.14, 0.0, 0.0]),     # paraphrase-ish: cos ~0.99
+        (3, [0.0, 0.0, 0.0, 1.0]),       # orthogonal to eval
+        (4, None),                       # no signal
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def emb_bench(spark):
+    return spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0, 0.0]),    # scale-invariant: unit-normed
+         (101, [0.0, 1.0, 0.0, 0.0])],
+        "eval_id long, embedding array<float>")
+
+
+def test_semantic_contamination_report(spark, emb_corpus, emb_bench):
+    from kafi_spark.functions.contamination import (
+        semantic_contamination_report)
+
+    hits = {r.vec_id: r.max_eval_sim for r in semantic_contamination_report(
+        emb_corpus, emb_bench, threshold=0.95).collect()}
+    assert set(hits) == {1, 2}
+    assert hits[1] == pytest.approx(1.0, abs=1e-6)
+    assert 0.95 < hits[2] < 1.0
+
+
+def test_semantic_decontaminate_survivors_and_null_policy(
+        spark, emb_corpus, emb_bench):
+    from kafi_spark.functions.contamination import semantic_decontaminate
+
+    kept = {r.vec_id for r in semantic_decontaminate(
+        emb_corpus, emb_bench, threshold=0.95).collect()}
+    # orthogonal survives; null embedding survives (no evidence)
+    assert kept == {3, 4}
+    # a looser threshold keeps everything below it
+    assert {r.vec_id for r in semantic_decontaminate(
+        emb_corpus, emb_bench, threshold=1.01).collect()} == {1, 2, 3, 4}
+
+
+def test_semantic_contamination_matches_numpy_oracle(spark, sf_dir):
+    import numpy as np
+
+    from kafi_spark.functions.contamination import (
+        semantic_contamination_report)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter("vec_id % 97 = 0").selectExpr(
+        "vec_id as eval_id", "embedding")
+    got = {r.vec_id: r.max_eval_sim for r in semantic_contamination_report(
+        emb, bench, threshold=0.8).collect()}
+
+    P = emb.toPandas()
+    X = np.stack(P["embedding"].to_numpy())
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sel = (P["vec_id"] % 97 == 0).to_numpy()
+    sims = (X @ X[sel].T).max(axis=1)
+    want = {int(i): float(s)
+            for i, s in zip(P["vec_id"], sims) if s >= 0.8}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_semantic_eval_cap_guard(spark, emb_corpus, emb_bench):
+    from kafi_spark.functions.contamination import (
+        semantic_contamination_report)
+
+    with pytest.raises(ValueError, match="eval_cap"):
+        semantic_contamination_report(emb_corpus, emb_bench, eval_cap=1)

@@ -236,3 +236,53 @@ def test_kmeans_empty_training_sample_raises_clearly():
 
     with _pytest.raises(ValueError, match="empty training sample"):
         _kmeans_np(np.zeros((0, 4)), n_codes=4, seed=0)
+
+
+def test_prototypicality_scores_shape_and_range(spark, sf_dir):
+    from kafi_spark.functions.similarity import prototypicality_scores
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = prototypicality_scores(emb, n_clusters=8)
+    rows = out.collect()
+    assert out.columns == ["vec_id", "embedding", "cell", "proto_score"]
+    assert len(rows) == emb.count()
+    assert all(-1.0 - 1e-6 <= r.proto_score <= 1.0 + 1e-6 for r in rows)
+    assert {r.cell for r in rows} <= set(range(8))
+    # determinism (seeded centroids, pure scoring)
+    again = {r.vec_id: (r.cell, r.proto_score)
+             for r in prototypicality_scores(emb, n_clusters=8).collect()}
+    for r in rows:
+        assert again[r.vec_id] == (r.cell, r.proto_score)
+
+
+def test_prototype_prune_policies(spark, sf_dir):
+    from kafi_spark.functions.similarity import (
+        prototype_prune, prototypicality_scores)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    hard = prototype_prune(emb, keep_frac=0.5, n_clusters=8).collect()
+    easy = prototype_prune(emb, keep_frac=0.5, n_clusters=8,
+                           policy="keep_easy").collect()
+    # approximate halves (sketch cuts; ties may wobble a few rows)
+    assert 0.35 * n <= len(hard) <= 0.65 * n
+    assert 0.35 * n <= len(easy) <= 0.65 * n
+    # the two policies partition by difficulty: within any cell, every
+    # kept-hard score <= every kept-easy score (they can share only the
+    # cut value itself)
+    from collections import defaultdict
+    h, e = defaultdict(list), defaultdict(list)
+    for r in hard:
+        h[r.cell].append(r.proto_score)
+    for r in easy:
+        e[r.cell].append(r.proto_score)
+    for c in set(h) & set(e):
+        assert max(h[c]) <= min(e[c]) + 1e-9
+    # keep_frac=1.0 is the identity on scored rows
+    assert len(prototype_prune(emb, keep_frac=1.0,
+                               n_clusters=8).collect()) == n
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        prototype_prune(emb, keep_frac=0.0)
+    with _pt.raises(ValueError):
+        prototype_prune(emb, policy="bogus")
