@@ -90,6 +90,11 @@ HEADLINE = [
     "quantile_rollup_kll",
     "cms_heavy_hitters",
     "boilerplate_filter",
+    "quality_classifier",
+    "perplexity_buckets",
+    "semantic_decontaminate",
+    "prototype_prune",
+    "corpus_report",
 ]
 
 
@@ -394,6 +399,82 @@ def bench_queries(entry_mod) -> dict:
         return cms_heavy_hitters(ev, "user_id", threshold=50)
 
     qs["cms_heavy_hitters"] = q_cms_heavy_hitters
+
+    def q_quality_classifier(spark, sf_dir):
+        # fastText-shape filter: fit on a capped sample (positive =
+        # long-ish real docs, negative = token-shuffled copies), then
+        # one transform pass over the full corpus — times BOTH the
+        # distributed L-BFGS fit and the codegen scoring scan
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.quality import quality_fit, quality_score
+        from kafi_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        pos = d.filter(F.col("doc_id") % 5 == 0)
+        neg = pos.select(
+            "doc_id",
+            F.array_join(F.shuffle(F.split(F.reverse("text"), " ")), " ")
+            .alias("text"))
+        # iteration count dominates (each L-BFGS step is a treeAggregate
+        # of an n_features-dense gradient): 6 iterations already fully
+        # separates the classes on this corpus; the scoring scan is the
+        # part whose throughput matters at corpus scale
+        model = quality_fit(pos, neg, max_iter=6, n_features=1 << 15)
+        return quality_score(model, d)
+
+    qs["quality_classifier"] = q_quality_classifier
+
+    def q_perplexity_buckets(spark, sf_dir):
+        # CCNet banding: hashed-unigram LM fit on a clean slice +
+        # percentile_approx cuts per language + CASE banding
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.importance import perplexity_buckets
+        from kafi_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        ref = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+        return perplexity_buckets(d, ref, by="lang")
+
+    qs["perplexity_buckets"] = q_perplexity_buckets
+
+    def q_semantic_decontaminate(spark, sf_dir):
+        # embedding-space eval gate: broadcast eval matrix, one Arrow
+        # matmul pass over the corpus, anti-join survivors
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.contamination import semantic_decontaminate
+        from kafi_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        bench = emb.filter(F.col("vec_id") % 50 == 0).selectExpr(
+            "vec_id as eval_id", "embedding")
+        return semantic_decontaminate(emb, bench, threshold=0.9)
+
+    qs["semantic_decontaminate"] = q_semantic_decontaminate
+
+    def q_prototype_prune(spark, sf_dir):
+        # Sorscher-style pruning: centroid fit on capped sample, one
+        # scan to score, per-cluster sketch cuts broadcast back
+        from kafi_spark.functions.similarity import prototype_prune
+        from kafi_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        return prototype_prune(emb, keep_frac=0.7, n_clusters=16)
+
+    qs["prototype_prune"] = q_prototype_prune
+
+    def q_corpus_report(spark, sf_dir):
+        # dataset-card summary: one text_stats scan, one global sketch
+        # aggregate + two small hash aggregations
+        from kafi_spark.functions.profile import corpus_report
+        from kafi_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        return corpus_report(d, group_col="source")
+
+    qs["corpus_report"] = q_corpus_report
 
     return qs
 

@@ -271,16 +271,23 @@ def perplexity_buckets(
 
     lm = lm_quality_score(df, reference, text_col, id_col,
                           n_buckets=n_buckets, out_col="lm_score")
-    scored = df.join(lm, id_col, "left")
+    # two consumers (the cuts aggregation and the band join) would
+    # otherwise re-execute the whole LM shingle/join/agg subtree; the
+    # checkpointed frame is (id[, by], score) — narrow at any corpus
+    # size (same sanctioned barrier the curation pipeline uses)
+    proj = [id_col] + ([by] if by is not None else [])
+    keyed = (
+        df.select(*proj).join(lm, id_col, "left").localCheckpoint()
+    )
 
     qs = F.percentile_approx(
         "lm_score", F.array(*[F.lit(float(c)) for c in cuts]), accuracy
     ).alias("__cuts")
     if by is not None:
-        cut_rows = scored.groupBy(by).agg(qs)
-        banded = scored.join(F.broadcast(cut_rows), by, "left")
+        cut_rows = keyed.groupBy(by).agg(qs)
+        banded = keyed.join(F.broadcast(cut_rows), by, "left")
     else:
-        banded = scored.crossJoin(F.broadcast(scored.agg(qs)))
+        banded = keyed.crossJoin(F.broadcast(keyed.agg(qs)))
 
     # ascending CASE chain: score <= cut_i -> labels[i], else top label
     expr = F.lit(labels[-1])
@@ -288,7 +295,10 @@ def perplexity_buckets(
         expr = F.when(
             F.col("lm_score") <= F.col("__cuts").getItem(i), F.lit(labels[i])
         ).otherwise(expr)
-    out = banded.withColumn(
-        out_col, F.when(F.col("lm_score").isNotNull(), expr)
-    ).drop("__cuts")
-    return out.select(*df.columns, "lm_score", out_col)
+    labeled = banded.select(
+        F.col(id_col),
+        F.col("lm_score"),
+        F.when(F.col("lm_score").isNotNull(), expr).alias(out_col),
+    )
+    return df.join(labeled, id_col, "left").select(
+        *df.columns, "lm_score", out_col)

@@ -84,3 +84,88 @@ def profile_table(
     return wide.select(F.explode(F.array(*entries)).alias("p")).select(
         "p.column", "p.metric", "p.value"
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    top_langs: int = 10,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Dataset-card summary of a document corpus: one long-format
+    (section, metric, value STRING) table covering size, exact-duplicate
+    rate, token/char distributions, quality moments, Gopher pass rate,
+    and the language mix — the numbers every corpus release publishes.
+
+    Cost shape: :func:`~kafi_spark.functions.text.text_stats` is
+    computed ONCE (a single scan's projection); the global section is
+    one aggregate pass over it (HLL for distinct fingerprints,
+    percentile_approx sketches for the distributions — constant memory
+    at any corpus size), and the language mix is one small hash
+    aggregation. Nothing corpus-sized reaches the driver; the output is
+    a few dozen rows. ``group_col`` adds a per-group size section
+    (e.g. ``source``) from the same scan.
+
+    Verbosity note: values are STRINGS (like :func:`profile_table`) so
+    one schema carries counts, ratios, and language names alike.
+    """
+    from kafi_spark.functions.text import gopher_rules, text_stats
+
+    stats = text_stats(df, text_col, id_col)
+    gopher_ok = None
+    for rule in gopher_rules(F.col(text_col)).values():
+        gopher_ok = rule if gopher_ok is None else (gopher_ok & rule)
+    flags = df.select(
+        F.col(id_col),
+        gopher_ok.alias("__gopher"),
+        *( [F.col(group_col)] if group_col else [] ),
+    )
+    j = stats.join(flags, id_col)
+
+    pa = lambda c, q: F.percentile_approx(c, F.lit(q), accuracy)
+    g = j.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.approx_count_distinct("fingerprint").alias("distinct_texts"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("mean_tokens"),
+        pa("n_tokens", 0.5).alias("p50_tokens"),
+        pa("n_tokens", 0.95).alias("p95_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.avg("quality").alias("mean_quality"),
+        pa("quality", 0.5).alias("p50_quality"),
+        F.avg(F.col("__gopher").cast("double")).alias("gopher_pass_rate"),
+    ).withColumn(
+        "dup_rate",
+        (F.lit(1.0) - F.col("distinct_texts") / F.col("rows"))
+    )
+    order = ["rows", "distinct_texts", "dup_rate", "total_tokens",
+             "mean_tokens", "p50_tokens", "p95_tokens", "total_chars",
+             "mean_quality", "p50_quality", "gopher_pass_rate"]
+    global_rows = g.select(F.explode(F.array(*[
+        F.struct(
+            F.lit("global").alias("section"),
+            F.lit(m).alias("metric"),
+            F.col(m).cast("string").alias("value"),
+        ) for m in order
+    ])).alias("e")).select("e.*")
+
+    lang_rows = (
+        j.groupBy("lang_guess").count()
+        .orderBy(F.col("count").desc(), "lang_guess").limit(top_langs)
+        .select(
+            F.lit("lang").alias("section"),
+            F.coalesce(F.col("lang_guess"), F.lit("unknown")).alias("metric"),
+            F.col("count").cast("string").alias("value"),
+        )
+    )
+    out = global_rows.unionByName(lang_rows)
+    if group_col:
+        out = out.unionByName(
+            j.groupBy(group_col).count().select(
+                F.lit(f"group:{group_col}").alias("section"),
+                F.col(group_col).cast("string").alias("metric"),
+                F.col("count").cast("string").alias("value"),
+            ))
+    return out

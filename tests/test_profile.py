@@ -69,3 +69,55 @@ def test_profile_similar_column_names_do_not_collide(spark):
     assert d[("a.b", "count")] == "2"
     assert d[("a_b", "count")] == "1"
     assert d[("a_b", "nulls")] == "1"
+
+
+def test_corpus_report_values_match_duckdb(spark, sf_dir):
+    """Global section values replayed exactly (counts/sums) or to float
+    tolerance (means) by DuckDB over the same text_stats frame."""
+    from kafi_spark.functions.profile import corpus_report
+    from kafi_spark.functions.text import text_stats
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = {(r.section, r.metric): r.value
+           for r in corpus_report(df, group_col="source").collect()}
+
+    stats_pd = text_stats(df).toPandas()
+    con = duckdb.connect()
+    con.register("s", stats_pd)
+    n, total_tok, mean_tok, total_ch = con.execute(
+        "SELECT count(*), sum(n_tokens), avg(n_tokens), sum(n_chars) FROM s"
+    ).fetchone()
+    assert int(rep[("global", "rows")]) == n
+    assert int(rep[("global", "total_tokens")]) == total_tok
+    assert float(rep[("global", "mean_tokens")]) == pytest.approx(mean_tok)
+    assert int(rep[("global", "total_chars")]) == total_ch
+    assert 0.0 <= float(rep[("global", "dup_rate")]) < 1.0
+    assert 0.0 <= float(rep[("global", "gopher_pass_rate")]) <= 1.0
+
+    # language mix: counts replayed exactly for every listed language
+    langs = {r.metric: int(r.value) for r in corpus_report(df).collect()
+             if r.section == "lang"}
+    want = dict(con.execute(
+        "SELECT coalesce(lang_guess,'unknown'), count(*) FROM s "
+        "GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10").fetchall())
+    assert langs == {k: int(v) for k, v in want.items()}
+
+    # group section covers every source value
+    srcs = {r.metric: int(r.value)
+            for r in corpus_report(df, group_col="source").collect()
+            if r.section == "group:source"}
+    assert sum(srcs.values()) == n and len(srcs) >= 2
+
+
+def test_corpus_report_duplicate_rate(spark):
+    from kafi_spark.functions.profile import corpus_report
+
+    df = spark.createDataFrame(
+        [(i, "identical text body") for i in range(8)]
+        + [(100 + i, f"unique text number {i}") for i in range(2)],
+        "doc_id long, text string")
+    rep = {r.metric: r.value for r in corpus_report(df).collect()
+           if r.section == "global"}
+    assert int(rep["rows"]) == 10
+    assert int(rep["distinct_texts"]) == 3
+    assert float(rep["dup_rate"]) == pytest.approx(0.7, abs=0.01)
