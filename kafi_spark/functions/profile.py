@@ -137,8 +137,12 @@ def corpus_report(
         pa("quality", 0.5).alias("p50_quality"),
         F.avg(F.col("__gopher").cast("double")).alias("gopher_pass_rate"),
     ).withColumn(
+        # clamp: the HLL estimate can overshoot the true row count by a
+        # fraction of a percent, which would print a negative dup rate
         "dup_rate",
-        (F.lit(1.0) - F.col("distinct_texts") / F.col("rows"))
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.col("distinct_texts") / F.col("rows")),
     )
     order = ["rows", "distinct_texts", "dup_rate", "total_tokens",
              "mean_tokens", "p50_tokens", "p95_tokens", "total_chars",

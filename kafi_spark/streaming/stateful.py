@@ -36,7 +36,7 @@ import pickle
 from collections.abc import Callable, Iterator, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 _STATE_SCHEMA = "events binary, max_ts long, fired binary"
 
@@ -732,3 +732,135 @@ def cms_sketch_stream(
             sink(totals, epoch_id)
 
     return process
+
+
+def corpus_report_stream(
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lgk: int = 12,
+    kll_k: int = 200,
+    sink=None,
+):
+    """Streaming twin of :func:`kafi_spark.functions.profile.
+    corpus_report`: a ``foreachBatch`` callable maintaining a live
+    dataset card — size, duplicate rate, token distribution, quality
+    moments, language mix — as documents land, WITHOUT ever rescanning
+    the corpus.
+
+    Three state families under ``state_dir``, each on the discipline
+    its algebra requires:
+
+    - ``hll/`` — distinct-text sketches (fingerprint HLL). Idempotent
+      union: replay-safe by algebra alone.
+    - ``kll/`` — token-count quantile sketches. Additive: the epoch
+      delta + watermark read discipline (`kll_totals`).
+    - ``counters/`` — additive long-format counter rows (rows, token/
+      char totals, quality sum, per-language counts). Same epoch
+      discipline as KLL (each row in exactly one ``v=<epoch>``, replay
+      overwrites its own delta, reads fold each committed delta once
+      via the shared `_kll_state_dirs` watermark reader).
+
+    Per micro-batch: one `text_stats` pass over the batch feeds all
+    three deltas; the batch frame is checkpointed so the regex scan
+    runs once, not once per aggregate. ``sink`` (if given) receives
+    :func:`corpus_report_totals`'s frame — the same (section, metric,
+    value) schema the batch report emits. Totals derived from exact
+    counters (rows, totals, means, language mix) match the batch
+    report exactly; ``distinct_texts``/``dup_rate`` and the token
+    percentiles are sketch estimates.
+    """
+    from kafi_spark.functions.sketches import (
+        distinct_sketch, kll_save_delta, quantile_sketch, sketch_save_delta)
+    from kafi_spark.functions.text import text_stats
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        stats = text_stats(batch_df, text_col, id_col).localCheckpoint()
+        root = state_dir.rstrip("/")
+        sketch_save_delta(
+            distinct_sketch(stats, "fingerprint", lgk=lgk),
+            f"{root}/hll", epoch_id)
+        kll_save_delta(
+            quantile_sketch(stats, "n_tokens", dtype="bigint", k=kll_k),
+            f"{root}/kll", epoch_id)
+        counters = stats.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("quality").alias("sum_quality"),
+        ).select(F.explode(F.array(*[
+            F.struct(F.lit("global").alias("section"),
+                     F.lit(m).alias("metric"),
+                     F.col(m).cast("double").alias("value"))
+            for m in ("rows", "total_tokens", "total_chars", "sum_quality")
+        ])).alias("e")).select("e.*").unionByName(
+            stats.groupBy("lang_guess").count().select(
+                F.lit("lang").alias("section"),
+                F.coalesce("lang_guess", F.lit("unknown")).alias("metric"),
+                F.col("count").cast("double").alias("value"),
+            ))
+        kll_save_delta(counters, f"{root}/counters", epoch_id)
+        if sink is not None:
+            sink(corpus_report_totals(batch_df.sparkSession, state_dir,
+                                      kll_k=kll_k), epoch_id)
+
+    return process
+
+
+def corpus_report_totals(spark, state_dir: str, kll_k: int = 200) -> DataFrame:
+    """Assemble the live dataset card from
+    :func:`corpus_report_stream`'s persisted state — (section, metric,
+    value STRING), the same shape as the batch
+    :func:`~kafi_spark.functions.profile.corpus_report`. Reads ONLY
+    state rows (sketches + counters): cost is independent of corpus
+    size."""
+    from kafi_spark.functions.sketches import (
+        _kll_state_dirs, kll_totals, quantile_values, sketch_totals)
+
+    root = state_dir.rstrip("/")
+    _, compact_path, live = _kll_state_dirs(f"{root}/counters")
+    paths = ([compact_path] if compact_path else []) + live
+    counters = (
+        spark.read.parquet(*paths)
+        .groupBy("section", "metric").agg(F.sum("value").alias("value"))
+    )
+    hll = sketch_totals(spark, f"{root}/hll").select(
+        F.lit("global").alias("section"),
+        F.lit("distinct_texts").alias("metric"),
+        F.col("distinct_est").cast("double").alias("value"))
+    kll = quantile_values(
+        kll_totals(spark, f"{root}/kll", dtype="bigint", k=kll_k),
+        [0.5, 0.95], dtype="bigint",
+    ).select(F.explode(F.array(
+        F.struct(F.lit("global").alias("section"),
+                 F.lit("p50_tokens").alias("metric"),
+                 F.col("q50").cast("double").alias("value")),
+        F.struct(F.lit("global").alias("section"),
+                 F.lit("p95_tokens").alias("metric"),
+                 F.col("q95").cast("double").alias("value")),
+    )).alias("e")).select("e.*")
+
+    base = counters.unionByName(hll).unionByName(kll)
+    # derived metrics need the scalar counters; they are a handful of
+    # rows — pivot via a broadcast self-join on the tiny frame
+    wide = (
+        base.filter("section = 'global'")
+        .groupBy().pivot("metric").agg(F.first("value"))
+    )
+    derived = wide.select(F.explode(F.array(
+        F.struct(F.lit("global").alias("section"),
+                 F.lit("mean_tokens").alias("metric"),
+                 (F.col("total_tokens") / F.col("rows")).alias("value")),
+        F.struct(F.lit("global").alias("section"),
+                 F.lit("mean_quality").alias("metric"),
+                 (F.col("sum_quality") / F.col("rows")).alias("value")),
+        F.struct(F.lit("global").alias("section"),
+                 F.lit("dup_rate").alias("metric"),
+                 # clamp: HLL can overshoot the true row count slightly
+                 F.greatest(
+                     F.lit(0.0),
+                     F.lit(1.0) - F.col("distinct_texts") / F.col("rows"))
+                 .alias("value")),
+    )).alias("e")).select("e.*")
+    return base.unionByName(derived).select(
+        "section", "metric", F.col("value").cast("string").alias("value"))

@@ -594,3 +594,59 @@ def test_cms_sketch_stream_matches_batch(spark, events, tmp_path):
     }
     for kk, n in want.items():
         assert n <= got[kk] <= n + 5
+
+
+def test_corpus_report_stream_matches_batch(spark, sf_dir, tmp_path):
+    """3-micro-batch replay of the documents table: exact counters and
+    the language mix equal the batch corpus_report; the sketch-backed
+    metrics land within estimator tolerance of the exact values."""
+    from kafi_spark.functions.profile import corpus_report
+    from kafi_spark.streaming.stateful import (
+        corpus_report_stream, corpus_report_totals)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {(r.section, r.metric): r.value
+             for r in corpus_report(docs).collect()}
+
+    state = str(tmp_path / "card")
+    proc = corpus_report_stream(state)
+    for i, p in enumerate(docs.randomSplit([1.0, 1.0, 1.0], seed=3)):
+        proc(p, i)
+    live = {(r.section, r.metric): r.value
+            for r in corpus_report_totals(spark, state).collect()}
+
+    for m in ("rows", "total_tokens", "total_chars"):
+        assert float(live[("global", m)]) == float(batch[("global", m)]), m
+    assert float(live[("global", "mean_tokens")]) == pytest.approx(
+        float(batch[("global", "mean_tokens")]))
+    # language mix: exact counters, every batch-report lang replayed
+    for (sec, m), v in batch.items():
+        if sec == "lang":
+            assert float(live[("lang", m)]) == float(v), m
+    # sketch-backed: within 5% of the batch (itself HLL++/sketch-based)
+    n = float(batch[("global", "rows")])
+    assert abs(float(live[("global", "distinct_texts")])
+               - float(batch[("global", "distinct_texts")])) <= 0.05 * n
+    assert 0.0 <= float(live[("global", "dup_rate")]) < 1.0
+    for m in ("p50_tokens", "p95_tokens"):
+        assert abs(float(live[("global", m)])
+                   - float(batch[("global", m)])) \
+            <= 0.1 * float(batch[("global", m)]) + 2.0, m
+
+
+def test_corpus_report_stream_replay_idempotent(spark, sf_dir, tmp_path):
+    from kafi_spark.streaming.stateful import (
+        corpus_report_stream, corpus_report_totals)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "card")
+    proc = corpus_report_stream(state)
+    b0 = docs.limit(120)
+    proc(b0, 0)
+    first = sorted((r.section, r.metric, r.value)
+                   for r in corpus_report_totals(spark, state).collect())
+    # crash-before-commit replay of the same epoch: byte-identical card
+    proc(b0, 0)
+    again = sorted((r.section, r.metric, r.value)
+                   for r in corpus_report_totals(spark, state).collect())
+    assert first == again
