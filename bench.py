@@ -95,6 +95,7 @@ HEADLINE = [
     "semantic_decontaminate",
     "prototype_prune",
     "corpus_report",
+    "lsh_join_incremental",
 ]
 
 
@@ -475,6 +476,24 @@ def bench_queries(entry_mod) -> dict:
         return corpus_report(d, group_col="source")
 
     qs["corpus_report"] = q_corpus_report
+
+    def q_lsh_join_incremental(spark, sf_dir):
+        # incremental-ingest gate: a 20% "new batch" (half verbatim
+        # leaks, half genuinely new) LSH-joined against the corpus —
+        # the cross-corpus two-sided banding path
+        from pyspark.sql import functions as F
+
+        from kafi_spark.functions.dedup import dedup_against
+        from kafi_spark.session import read_table
+
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        reference = d.filter(F.col("doc_id") % 5 != 0)
+        leaked = reference.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(leaked)
+        return dedup_against(batch, reference, threshold=0.7)
+
+    qs["lsh_join_incremental"] = q_lsh_join_incremental
 
     return qs
 

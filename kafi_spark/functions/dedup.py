@@ -734,3 +734,100 @@ def keep_representatives(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> D
     """
     losers = pairs.select(F.col("id_2").alias(id_col)).distinct()
     return all_ids.join(losers, id_col, "left_anti")
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    right_text_col: str | None = None,
+    right_id_col: str | None = None,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Cross-corpus set-similarity JOIN: near-matches of ``left``
+    documents against ``right`` documents by MinHash+LSH banding with
+    exact Jaccard verification — the two-sided generalization of
+    :func:`minhash_lsh_pairs` (record linkage / incremental-batch
+    dedup: "which of today's documents near-match the corpus we
+    already have?").
+
+    Both sides are banded with the SAME (k, num_hashes, bands, seed)
+    through :func:`_band_keys`, so identical texts collide on every
+    band by construction. Candidates come from joining the two sides'
+    per-bucket id LISTS (each capped at ``max_bucket``) and exploding
+    the cross product — the join itself carries one row per non-empty
+    bucket per side, and a degenerate bucket is truncated BEFORE the
+    pair fan-out, exactly like the self-join path. Verification is
+    per-pair set arithmetic against each side's own text frame (the
+    candidate subtree appears once; see :func:`_jaccard_verify`).
+
+    ``left`` and ``right`` ids are independent namespaces — if the same
+    document appears on both sides it WILL match itself; filter
+    ``left_id != right_id`` downstream when the sides overlap.
+
+    Output: (left_id, right_id, jaccard) with jaccard ≥ threshold.
+    """
+    rtc = right_text_col or text_col
+    ric = right_id_col or id_col
+    lb = _band_keys(left, text_col, id_col, k, num_hashes, bands, seed)
+    rb = _band_keys(
+        right.select(F.col(ric).alias(id_col), F.col(rtc).alias(text_col)),
+        text_col, id_col, k, num_hashes, bands, seed)
+    lagg = (
+        lb.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("lids"))
+        .withColumn("lids", F.slice("lids", 1, max_bucket))
+    )
+    ragg = (
+        rb.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("rids"))
+        .withColumn("rids", F.slice("rids", 1, max_bucket))
+    )
+    candidates = (
+        lagg.join(ragg, ["band_id", "band_hash"])
+        .select(F.explode("lids").alias("left_id"), "rids")
+        .select("left_id", F.explode("rids").alias("right_id"))
+        .distinct()
+    )
+    bind = lambda df, idc, tc, ida, sha: df.select(
+        F.col(idc).alias(ida),
+        F.split(F.trim(F.col(tc)), r"\s+").alias("__words"),
+    ).select(ida, _shingle_set_col(k).alias(sha))
+    t1 = bind(left, id_col, text_col, "left_id", "sh_1")
+    t2 = bind(right, ric, rtc, "right_id", "sh_2")
+    n_inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
+    return (
+        candidates.join(t1, "left_id")
+        .join(t2, "right_id")
+        .withColumn(
+            "jaccard",
+            n_inter.cast("double")
+            / (F.size("sh_1") + F.size("sh_2") - n_inter).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Rows of ``df`` that do NOT near-match any ``reference`` document
+    — the incremental-ingest gate ("drop today's near-dups of the
+    existing corpus" — within-batch dedup is :func:`minhash_lsh_pairs`'
+    job, run separately). One LSH join + one anti-join."""
+    hits = minhash_lsh_join(
+        df, reference, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    return df.join(
+        hits.select(F.col("left_id").alias(id_col)).distinct(),
+        id_col, "left_anti")

@@ -258,3 +258,66 @@ def test_curate_documents_extended_classifier_gate(spark, sf_dir):
     all_kept = {r.doc_id for r in curate_documents_extended(
         df, clf_model=model, min_clf_prob=0.0).collect()}
     assert all_kept == base_ids
+
+
+def test_minhash_lsh_join_cross_corpus(spark):
+    """Left batch vs right corpus: planted near-matches found, unrelated
+    docs silent, and results agree with a brute-force Jaccard oracle."""
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog every day"),
+         (101, "completely different content about cooking pasta dishes"),
+         (102, "a third document describing spark shuffle partitions")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog every day"),   # verbatim of 100
+         (2, "the quick brown fox jumps over the lazy cat every day"),   # near-dup of 100
+         (3, "totally novel text that matches nothing in the corpus")],
+        "doc_id long, text string")
+    got = {(r.left_id, r.right_id): r.jaccard
+           for r in dedup.minhash_lsh_join(
+               batch, corpus, threshold=0.5).collect()}
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    assert (2, 100) in got and 0.5 <= got[(2, 100)] < 1.0
+    assert all(l != 3 for (l, _r) in got)
+
+    # brute-force oracle at threshold 0.5: same pair set
+    def sh(t, k=3):
+        w = t.split()
+        return {" ".join(w[i:i + k]) for i in range(max(len(w) - k + 1, 1))}
+    want = set()
+    for l_id, lt in [(1, batch.collect()), ]:
+        pass
+    brows = {r.doc_id: r.text for r in batch.collect()}
+    crows = {r.doc_id: r.text for r in corpus.collect()}
+    for bi, bt in brows.items():
+        for ci, ct in crows.items():
+            a, b = sh(bt), sh(ct)
+            j = len(a & b) / len(a | b)
+            if j >= 0.5:
+                want.add((bi, ci))
+    assert set(got) == want
+
+
+def test_dedup_against_incremental_gate(spark, sf_dir):
+    """New batch vs existing corpus: survivors are exactly the docs with
+    no near-match in the reference; within-batch dups survive (the gate
+    is cross-corpus only, as documented)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    reference = docs.filter("doc_id % 2 = 0")
+    # batch: verbatim copies of reference docs (new ids) + docs the
+    # reference has never seen (odd ids are disjoint from reference);
+    # selections are PREDICATES, not limit() — a limit re-evaluates
+    # per plan branch and would leak different rows into each subtree
+    leaked = reference.filter("doc_id < 60").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    fresh = docs.filter("doc_id % 2 = 1 and doc_id < 60")
+    batch = leaked.unionByName(fresh)
+    kept = {r.doc_id for r in dedup.dedup_against(
+        batch, reference, threshold=0.7).collect()}
+    assert not any(i >= 1_000_000 for i in kept)        # all leaks dropped
+    # fresh docs survive unless they genuinely near-match an even doc
+    hits = dedup.minhash_lsh_join(
+        fresh, reference, threshold=0.7)
+    fresh_hit = {r.left_id for r in hits.collect()}
+    assert kept == {r.doc_id for r in fresh.collect()} - fresh_hit
