@@ -276,8 +276,19 @@ def perplexity_buckets(
     # checkpointed frame is (id[, by], score) — narrow at any corpus
     # size (same sanctioned barrier the curation pipeline uses)
     proj = [id_col] + ([by] if by is not None else [])
+    # no-token documents (null/empty/whitespace text) carry no signal:
+    # null their score HERE so they neither band nor drag the tail cut
+    # down (lm_quality_score itself scores an empty doc via the
+    # single-gram shingle convention — fine for filtering floors, wrong
+    # for quantile banding)
+    has_signal = (F.trim(F.col(text_col)) != "").alias("__has")
     keyed = (
-        df.select(*proj).join(lm, id_col, "left").localCheckpoint()
+        df.select(*proj, has_signal)
+        .join(lm, id_col, "left")
+        .withColumn("lm_score",
+                    F.when(F.col("__has"), F.col("lm_score")))
+        .drop("__has")
+        .localCheckpoint()
     )
 
     qs = F.percentile_approx(

@@ -130,3 +130,56 @@ def test_skipindex_handles_null_rows(spark, tmp_path):
             si.pruned_point_read(spark, out, "id", [4]).collect()] == ["d"]
     assert [r["id"] for r in
             si.pruned_point_read(spark, out, "s", ["b"]).collect()] == [None]
+
+
+def test_round5_operators_handle_dirty(dirty, spark):
+    from kafi_spark.functions.dedup import dedup_against, minhash_lsh_join
+    from kafi_spark.functions.importance import perplexity_buckets
+    from kafi_spark.functions.profile import corpus_report
+    from kafi_spark.functions.quality import quality_fit, quality_score
+
+    ref = dirty.filter("doc_id in (1, 5)")
+
+    # CCNet bucketing: null/empty docs get null score AND null band
+    rows = {r.doc_id: r for r in perplexity_buckets(
+        dirty, ref, n_buckets=256, accuracy=100).collect()}
+    assert len(rows) == 5
+    for i in (2, 3, 4):
+        assert rows[i].lm_score is None and rows[i].ppl_bucket is None
+
+    # dataset card: dirty rows counted, no raise, sane values
+    rep = {(r.section, r.metric): r.value
+           for r in corpus_report(dirty).collect()}
+    assert int(rep[("global", "rows")]) == 5
+    assert float(rep[("global", "dup_rate")]) >= 0.0
+
+    # cross-corpus LSH join: dirty rows simply can't match
+    assert minhash_lsh_join(dirty, ref, threshold=0.5).filter(
+        "left_id in (2, 3, 4)").count() == 0
+    kept = {r.doc_id for r in dedup_against(dirty, ref).collect()}
+    assert {2, 3, 4} <= kept                       # null/empty survive
+
+    # trainable classifier: null-text training rows dropped, scoring
+    # nulls score null (both documented policies)
+    model = quality_fit(dirty.filter("doc_id in (1, 5)"), dirty,
+                        max_iter=3, n_features=256)
+    scored = {r.doc_id: r.quality_prob
+              for r in quality_score(model, dirty).collect()}
+    for i in (2, 3, 4):
+        assert scored[i] is None
+
+
+def test_round5_embedding_ops_handle_dirty(spark):
+    from kafi_spark.functions.contamination import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (10, None)],
+        "eval_id long, embedding array<float>")
+    # null benchmark vectors are dropped from the matrix; null corpus
+    # vectors survive the gate (no evidence)
+    kept = {r.vec_id for r in semantic_decontaminate(
+        corpus, bench, threshold=0.95).collect()}
+    assert kept == {2, 3}
