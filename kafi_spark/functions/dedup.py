@@ -779,6 +779,29 @@ def minhash_lsh_join(
     rb = _band_keys(
         right.select(F.col(ric).alias(id_col), F.col(rtc).alias(text_col)),
         text_col, id_col, k, num_hashes, bands, seed)
+    return _lsh_join_from_bands(
+        lb, rb, left, right.select(
+            F.col(ric).alias(id_col), F.col(rtc).alias(text_col)),
+        text_col, id_col, k, threshold, max_bucket)
+
+
+def _lsh_join_from_bands(
+    lb: DataFrame,
+    rb: DataFrame,
+    left_texts: DataFrame,
+    right_texts: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Candidate + verify core of :func:`minhash_lsh_join`, taking the
+    two sides' band-key frames directly. Exists so callers that PERSIST
+    band keys (the streaming incremental-ingest gate) can join a new
+    batch against accumulated state without re-banding the whole
+    corpus every epoch — both frames must come from :func:`_band_keys`
+    with identical (k, num_hashes, bands, seed)."""
     lagg = (
         lb.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_set(id_col)).alias("lids"))
@@ -799,8 +822,8 @@ def minhash_lsh_join(
         F.col(idc).alias(ida),
         F.split(F.trim(F.col(tc)), r"\s+").alias("__words"),
     ).select(ida, _shingle_set_col(k).alias(sha))
-    t1 = bind(left, id_col, text_col, "left_id", "sh_1")
-    t2 = bind(right, ric, rtc, "right_id", "sh_2")
+    t1 = bind(left_texts, id_col, text_col, "left_id", "sh_1")
+    t2 = bind(right_texts, id_col, text_col, "right_id", "sh_2")
     n_inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
     return (
         candidates.join(t1, "left_id")

@@ -864,3 +864,95 @@ def corpus_report_totals(spark, state_dir: str, kll_k: int = 200) -> DataFrame:
     )).alias("e")).select("e.*")
     return base.unionByName(derived).select(
         "section", "metric", F.col("value").cast("string").alias("value"))
+
+
+def dedup_against_stream(
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 10_000,
+    sink=None,
+):
+    """Streaming twin of :func:`kafi_spark.functions.dedup.
+    dedup_against`: a ``foreachBatch`` callable maintaining the
+    ACCUMULATED deduped corpus as persisted state — each micro-batch is
+    LSH-joined against every prior survivor, survivors append to state,
+    near-matches of history drop.
+
+    State under ``state_dir``, two families per epoch:
+
+    - ``bands/v=<epoch>`` — survivors' band keys (id, band_id,
+      band_hash). The next epoch joins the NEW batch's band keys
+      against these directly (:func:`dedup._lsh_join_from_bands`), so
+      the accumulated corpus is never re-shingled or re-hashed — the
+      per-epoch cost is O(batch) band computation plus a join whose
+      state side carries ``bands``-many longs per historical doc.
+    - ``docs/v=<epoch>`` — survivors' (id, text), the verification
+      store for candidate pairs. Only candidate ids' texts are ever
+      read into the join (column-pruned parquet scan).
+
+    Replay discipline: the bloom family's — state loads EXCLUDE the
+    current epoch's own delta (a crash-replayed epoch would otherwise
+    find its own previous partial write and drop every row as a
+    self-match), writes are idempotent per-epoch overwrites, and
+    uncommitted deltas (no ``_SUCCESS``) are invisible.
+
+    Within-batch near-dups both survive, exactly like the batch gate
+    (its documented contract — run :func:`dedup.minhash_lsh_pairs` on
+    the batch first when within-batch dedup is also wanted).
+
+    ``sink`` (if given) receives the epoch's SURVIVOR frame.
+    """
+    import os
+
+    from kafi_spark.functions.dedup import _band_keys, _lsh_join_from_bands
+
+    def _committed(root: str, exclude_epoch: int) -> list[str]:
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for name in sorted(os.listdir(root)):
+            path = os.path.join(root, name)
+            if not (name.startswith("v=") and os.path.isdir(path)):
+                continue
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                continue  # uncommitted write: invisible
+            if name == f"v={exclude_epoch}":
+                continue  # own-epoch exclusion (crash-replay safety)
+            out.append(path)
+        return out
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = state_dir.rstrip("/")
+        batch = batch_df.select(id_col, text_col).localCheckpoint()
+        bb = _band_keys(
+            batch, text_col, id_col, k, num_hashes, bands, seed
+        ).localCheckpoint()
+
+        band_dirs = _committed(f"{root}/bands", epoch_id)
+        if band_dirs:
+            state_bands = spark.read.parquet(*band_dirs)
+            state_docs = spark.read.parquet(
+                *_committed(f"{root}/docs", epoch_id))
+            hits = _lsh_join_from_bands(
+                bb, state_bands, batch, state_docs,
+                text_col, id_col, k, threshold, max_bucket)
+            survivors = batch.join(
+                hits.select(F.col("left_id").alias(id_col)).distinct(),
+                id_col, "left_anti").localCheckpoint()
+        else:
+            survivors = batch
+        sb = bb.join(survivors.select(id_col), id_col, "left_semi")
+        sb.write.mode("overwrite").parquet(f"{root}/bands/v={epoch_id}")
+        survivors.write.mode("overwrite").parquet(
+            f"{root}/docs/v={epoch_id}")
+        if sink is not None:
+            sink(survivors, epoch_id)
+
+    return process

@@ -477,3 +477,69 @@ def test_curate_documents_stream_epoch_replay_idempotent(spark, tmp_path):
               "the small town wakes to the smell of sweet crusty bread")],
         "doc_id long, text string"), 1)
     assert sorted(got) == [12]
+
+
+def test_dedup_against_stream_matches_sequential_batch(spark, sf_dir, tmp_path):
+    """3-micro-batch replay == folding dedup_against sequentially with
+    an accumulating reference (the batch-operator semantics applied
+    epoch by epoch)."""
+    from kafi_spark.functions.dedup import dedup_against
+    from kafi_spark.streaming.stateful import dedup_against_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    # deterministic thirds with planted cross-batch near-dups: batch i
+    # re-contains verbatim copies of earlier batches' docs under new ids
+    b0 = docs.filter("doc_id % 3 = 0")
+    b1 = docs.filter("doc_id % 3 = 1").unionByName(
+        docs.filter("doc_id % 3 = 0 and doc_id < 90").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    b2 = docs.filter("doc_id % 3 = 2").unionByName(
+        docs.filter("doc_id % 3 = 1 and doc_id < 91").select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+
+    survivors = {}
+    proc = dedup_against_stream(
+        str(tmp_path / "state"),
+        sink=lambda s, e: survivors.update({e: {r.doc_id for r in s.collect()}}))
+    for i, b in enumerate([b0, b1, b2]):
+        proc(b, i)
+
+    # sequential batch fold over the same epochs
+    want0 = {r.doc_id for r in b0.collect()}
+    ref = b0
+    got1 = dedup_against(b1, ref)
+    want1 = {r.doc_id for r in got1.collect()}
+    ref = ref.unionByName(got1)
+    want2 = {r.doc_id for r in dedup_against(b2, ref).collect()}
+
+    assert survivors[0] == want0
+    assert survivors[1] == want1
+    assert survivors[2] == want2
+    # the planted verbatim leaks were all dropped
+    assert not any(i >= 1_000_000 for i in survivors[1] | survivors[2])
+
+
+def test_dedup_against_stream_replay_idempotent(spark, sf_dir, tmp_path):
+    from kafi_spark.streaming.stateful import dedup_against_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    emitted = []
+    proc = dedup_against_stream(
+        str(tmp_path / "state"),
+        sink=lambda s, e: emitted.append(sorted(
+            r.doc_id for r in s.collect())))
+    b0 = docs.filter("doc_id < 100")
+    b1 = docs.filter("doc_id >= 100 and doc_id < 200")
+    proc(b0, 0)
+    proc(b1, 1)
+    # crash-before-commit replay of epoch 1: its own partial state is
+    # excluded from the load, so survivors are identical — nothing
+    # self-matches into oblivion
+    proc(b1, 1)
+    assert emitted[1] == emitted[2]
+    import os
+    # state holds exactly the two epochs' band + doc deltas
+    assert sorted(os.listdir(tmp_path / "state")) == ["bands", "docs"]
+    assert sorted(os.listdir(tmp_path / "state" / "bands")) == ["v=0", "v=1"]
