@@ -38,4 +38,11 @@ training-data pipeline needs:
                    _SUCCESS markers, force-invalidation)
 * ``graph``      — (also) weighted dangling-aware PageRank
 * ``helpers``    — explode_normalize, dotted paths, ts/bytes coercions
+* ``quality``    — trainable fastText-shape quality classifier
+                   (hashed n-grams → distributed logistic regression)
+* ``sketches``   — mergeable HLL/theta/KLL/count-min state layers
+* ``layout``     — Z-order (Morton) clustering for multi-column pruning
+* ``skipindex``  — file-level bloom skip-index for point lookups
+* ``contamination`` — n-gram + embedding-space benchmark
+                   decontamination
 """

@@ -817,13 +817,27 @@ def _lsh_join_from_bands(
         .select(F.explode("lids").alias("left_id"), "rids")
         .select("left_id", F.explode("rids").alias("right_id"))
         .distinct()
+        # checkpoint: the candidate frame feeds THREE consumers (the
+        # pair join plus one semi-join per side's text pruning below);
+        # it is small by LSH construction, and without the barrier the
+        # band-join subtree re-executes per consumer
+        .localCheckpoint()
     )
     bind = lambda df, idc, tc, ida, sha: df.select(
         F.col(idc).alias(ida),
         F.split(F.trim(F.col(tc)), r"\s+").alias("__words"),
     ).select(ida, _shingle_set_col(k).alias(sha))
-    t1 = bind(left_texts, id_col, text_col, "left_id", "sh_1")
-    t2 = bind(right_texts, id_col, text_col, "right_id", "sh_2")
+    # shingle ONLY candidate ids' texts: when one side is a large
+    # accumulated corpus (the incremental-ingest gate), verification
+    # must not re-shingle the whole history to check a handful of pairs
+    lt = left_texts.join(
+        candidates.select(F.col("left_id").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    rt = right_texts.join(
+        candidates.select(F.col("right_id").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    t1 = bind(lt, id_col, text_col, "left_id", "sh_1")
+    t2 = bind(rt, id_col, text_col, "right_id", "sh_2")
     n_inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
     return (
         candidates.join(t1, "left_id")

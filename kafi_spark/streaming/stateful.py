@@ -908,24 +908,10 @@ def dedup_against_stream(
 
     ``sink`` (if given) receives the epoch's SURVIVOR frame.
     """
-    import os
-
     from kafi_spark.functions.dedup import _band_keys, _lsh_join_from_bands
 
     def _committed(root: str, exclude_epoch: int) -> list[str]:
-        if not os.path.isdir(root):
-            return []
-        out = []
-        for name in sorted(os.listdir(root)):
-            path = os.path.join(root, name)
-            if not (name.startswith("v=") and os.path.isdir(path)):
-                continue
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                continue  # uncommitted write: invisible
-            if name == f"v={exclude_epoch}":
-                continue  # own-epoch exclusion (crash-replay safety)
-            out.append(path)
-        return out
+        return _dedup_state_paths(root, exclude_epoch)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -956,3 +942,41 @@ def dedup_against_stream(
             sink(survivors, epoch_id)
 
     return process
+
+
+def _dedup_state_paths(root: str, exclude_epoch: int) -> list[str]:
+    """Committed state dirs for one dedup-state family: the newest
+    ``compact-N`` fold (if any) plus epochs > N — the shared
+    `_kll_state_dirs` watermark reader — minus the CURRENT epoch's own
+    delta (crash-replay exclusion). Band/doc rows are idempotent sets,
+    so even a stale-leftover double-read would only be wasted IO, never
+    wrong results; the watermark read keeps it from happening anyway."""
+    import os
+
+    from kafi_spark.functions.sketches import _kll_state_dirs
+
+    try:
+        _, compact_path, live = _kll_state_dirs(root)
+    except FileNotFoundError:
+        return []
+    paths = [compact_path] if compact_path else []
+    paths += [p for p in live
+              if os.path.basename(p) != f"v={exclude_epoch}"]
+    return paths
+
+
+def dedup_state_compact(spark, state_dir: str, version: int) -> None:
+    """Fold the incremental-dedup state's per-epoch deltas into one
+    ``v=compact-<version>`` dir per family (bands, docs) — distinct
+    rows, read through the same watermark discipline afterwards. Run
+    between epochs only: compacting while an epoch is in flight could
+    fold a delta the replayed epoch will overwrite. Stale ``v=`` dirs
+    ≤ version can be deleted at leisure."""
+    root = state_dir.rstrip("/")
+    for fam in ("bands", "docs"):
+        paths = _dedup_state_paths(f"{root}/{fam}", exclude_epoch=-1)
+        if not paths:
+            continue
+        folded = spark.read.parquet(*paths).distinct().localCheckpoint()
+        folded.write.mode("overwrite").parquet(
+            f"{root}/{fam}/v=compact-{version}")

@@ -543,3 +543,36 @@ def test_dedup_against_stream_replay_idempotent(spark, sf_dir, tmp_path):
     # state holds exactly the two epochs' band + doc deltas
     assert sorted(os.listdir(tmp_path / "state")) == ["bands", "docs"]
     assert sorted(os.listdir(tmp_path / "state" / "bands")) == ["v=0", "v=1"]
+
+
+def test_dedup_against_stream_compaction(spark, sf_dir, tmp_path):
+    """Folding the state between epochs preserves gate behavior, and a
+    crash-compaction (no _SUCCESS) is invisible."""
+    import os
+    import shutil
+
+    from kafi_spark.streaming.stateful import (
+        dedup_against_stream, dedup_state_compact)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    state = str(tmp_path / "state")
+    out = []
+    proc = dedup_against_stream(
+        state, sink=lambda s, e: out.append({r.doc_id for r in s.collect()}))
+    proc(docs.filter("doc_id < 100"), 0)
+    proc(docs.filter("doc_id >= 100 and doc_id < 200"), 1)
+    dedup_state_compact(spark, state, 1)
+
+    # epoch 2 re-sends epoch-0 docs verbatim: all dropped via the fold
+    proc(docs.filter("doc_id < 50").select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"), 2)
+    assert out[2] == set()
+
+    # crashed compaction: no _SUCCESS -> reader ignores the dir
+    bad = os.path.join(state, "bands", "v=compact-9")
+    shutil.copytree(os.path.join(state, "bands", "v=compact-1"), bad)
+    os.remove(os.path.join(bad, "_SUCCESS"))
+    proc(docs.filter("doc_id >= 50 and doc_id < 60").select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"), "text"), 3)
+    assert out[3] == set()                    # still all near-matched
