@@ -113,9 +113,11 @@ def semantic_contamination_report(
             f"benchmark has {n_eval} rows > eval_cap={eval_cap}; a "
             "benchmark this large would broadcast a huge matrix — raise "
             "eval_cap deliberately or pre-reduce the eval set")
-    E = _unit(_mat(
-        benchmark.select(F.col(bvc)).filter(F.col(bvc).isNotNull())
-        .toPandas()[bvc]))
+    bench_pd = benchmark.select(F.col(bvc)).filter(
+        F.col(bvc).isNotNull()).toPandas()[bvc]
+    # empty/all-null benchmark: nothing can be contaminated — an empty
+    # matrix must short-circuit here because _mat's vstack needs >= 1 row
+    E = _unit(_mat(bench_pd)) if len(bench_pd) else np.zeros((0, 0))
     dim = E.shape[1] if E.size else 0
     bc = corpus.sparkSession.sparkContext.broadcast(E)
 

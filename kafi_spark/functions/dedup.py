@@ -231,6 +231,9 @@ def _jaccard_verify(
     id_col: str,
     k: int,
     threshold: float,
+    df2: DataFrame | None = None,
+    id1: str = "id_1",
+    id2: str = "id_2",
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs as per-pair set
     arithmetic: join each pair to its two texts, build both shingle sets
@@ -246,31 +249,34 @@ def _jaccard_verify(
     candidates are few by LSH construction) and a per-row set op over
     ~doc-length arrays.
 
-    Output: (id_1, id_2, jaccard) with jaccard >= threshold.
+    ``df2``/``id1``/``id2`` generalize to TWO-SIDED verification (the
+    cross-corpus join path): the left side of each candidate pair binds
+    against ``df``, the right against ``df2`` (defaults to ``df`` — the
+    self-join case). Output: (``id1``, ``id2``, jaccard) with
+    jaccard >= threshold.
     """
     # bind the split ONCE as its own projected column: a raw split(text)
     # referenced inside the transform lambda is re-evaluated per output
     # element (the O(W²) hazard documented on shingles())
-    bound = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
-    )
-    t1 = bound.select(
-        F.col(id_col).alias("id_1"), _shingle_set_col(k).alias("sh_1")
-    )
-    t2 = bound.select(
-        F.col(id_col).alias("id_2"), _shingle_set_col(k).alias("sh_2")
-    )
+    def bound(frame: DataFrame, out_id: str, sh: str) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias(out_id),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+        ).select(out_id, _shingle_set_col(k).alias(sh))
+
+    t1 = bound(df, id1, "sh_1")
+    t2 = bound(df2 if df2 is not None else df, id2, "sh_2")
     n_inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
     return (
-        candidates.join(t1, "id_1")
-        .join(t2, "id_2")
+        candidates.join(t1, id1)
+        .join(t2, id2)
         .withColumn(
             "jaccard",
             n_inter.cast("double")
             / (F.size("sh_1") + F.size("sh_2") - n_inter).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", "jaccard")
+        .select(id1, id2, "jaccard")
     )
 
 
@@ -823,10 +829,6 @@ def _lsh_join_from_bands(
         # band-join subtree re-executes per consumer
         .localCheckpoint()
     )
-    bind = lambda df, idc, tc, ida, sha: df.select(
-        F.col(idc).alias(ida),
-        F.split(F.trim(F.col(tc)), r"\s+").alias("__words"),
-    ).select(ida, _shingle_set_col(k).alias(sha))
     # shingle ONLY candidate ids' texts: when one side is a large
     # accumulated corpus (the incremental-ingest gate), verification
     # must not re-shingle the whole history to check a handful of pairs
@@ -836,20 +838,9 @@ def _lsh_join_from_bands(
     rt = right_texts.join(
         candidates.select(F.col("right_id").alias(id_col)).distinct(),
         id_col, "left_semi")
-    t1 = bind(lt, id_col, text_col, "left_id", "sh_1")
-    t2 = bind(rt, id_col, text_col, "right_id", "sh_2")
-    n_inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
-    return (
-        candidates.join(t1, "left_id")
-        .join(t2, "right_id")
-        .withColumn(
-            "jaccard",
-            n_inter.cast("double")
-            / (F.size("sh_1") + F.size("sh_2") - n_inter).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", "jaccard")
-    )
+    return _jaccard_verify(
+        lt, candidates, text_col, id_col, k, threshold,
+        df2=rt, id1="left_id", id2="right_id")
 
 
 def dedup_against(

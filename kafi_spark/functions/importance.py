@@ -306,10 +306,17 @@ def perplexity_buckets(
         expr = F.when(
             F.col("lm_score") <= F.col("__cuts").getItem(i), F.lit(labels[i])
         ).otherwise(expr)
+    # band only when BOTH the score and the group's cuts exist: a row
+    # whose `by` value is null (or whose group produced no cuts) never
+    # equi-joins a cuts row, and an unguarded CASE chain would fall
+    # through `score <= NULL` straight to the TOP label — the worst doc
+    # in the corpus branded 'head' because its language tag was missing
     labeled = banded.select(
         F.col(id_col),
         F.col("lm_score"),
-        F.when(F.col("lm_score").isNotNull(), expr).alias(out_col),
+        F.when(
+            F.col("lm_score").isNotNull() & F.col("__cuts").isNotNull(),
+            expr).alias(out_col),
     )
     return df.join(labeled, id_col, "left").select(
         *df.columns, "lm_score", out_col)

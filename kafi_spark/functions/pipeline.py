@@ -164,7 +164,7 @@ def curate_documents_extended(
 
         src = quality_keep(clf_model, src, threshold=min_clf_prob,
                            text_col=text_col)
-    if span_tokens is not None or eval_df is not None:
+    if span_tokens is not None or eval_df is not None or clf_model is not None:
         # the rewritten source feeds MANY consumers inside
         # curate_documents (stats, near-dup docs, verification texts)
         # plus the LM scorer — without a barrier the span-dedup window

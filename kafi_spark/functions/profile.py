@@ -113,16 +113,18 @@ def corpus_report(
     """
     from kafi_spark.functions.text import gopher_rules, text_stats
 
-    stats = text_stats(df, text_col, id_col)
     gopher_ok = None
     for rule in gopher_rules(F.col(text_col)).values():
         gopher_ok = rule if gopher_ok is None else (gopher_ok & rule)
-    flags = df.select(
-        F.col(id_col),
-        gopher_ok.alias("__gopher"),
-        *( [F.col(group_col)] if group_col else [] ),
-    )
-    j = stats.join(flags, id_col)
+    # ONE projection carries stats + the gopher flag + the group column
+    # (keep_cols) — no second scan, no corpus-scale join for row-local
+    # values; the checkpoint stops the regex-heavy scan re-executing
+    # once per aggregation section below (narrow numeric rows, the
+    # sanctioned barrier the streaming twin also uses)
+    j = text_stats(
+        df.withColumn("__gopher", gopher_ok), text_col, id_col,
+        keep_cols=("__gopher", *((group_col,) if group_col else ())),
+    ).localCheckpoint()
 
     pa = lambda c, q: F.percentile_approx(c, F.lit(q), accuracy)
     g = j.agg(

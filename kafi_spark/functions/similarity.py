@@ -843,15 +843,29 @@ def prototypicality_scores(
     shuffle: centroids fit on the capped sample
     (:func:`_fit_centroids`), then assignment and scoring are two
     Arrow-batched UDFs in the SAME stage with the centroid matrix
-    broadcast once each."""
+    broadcast once each.
+
+    Null embeddings score null cell and null ``out_col`` (no signal —
+    the family's standard policy; :func:`prototype_prune`'s filters are
+    null-safe, so they drop there). They are also excluded from the
+    centroid fit. Ragged dimensionalities are NOT handled, same as the
+    rest of the ANN family — assert one ``F.size(vec_col)`` upstream if
+    the table can mix dims."""
     spark = df.sparkSession
-    C = _fit_centroids(df, df, id_col, vec_col, n_clusters, seed, train_cap)
+    ok = df.filter(F.col(vec_col).isNotNull())
+    C = _fit_centroids(ok, ok, id_col, vec_col, n_clusters, seed, train_cap)
     nearest = _nearest_cell_udf(spark, C)
     score = _cell_cosine_udf(spark, C)
-    return df.select(
+    scored = ok.select(
         F.col(id_col), F.col(vec_col),
         nearest(F.col(vec_col)).alias("cell"),
     ).withColumn(out_col, score(F.col(vec_col), F.col("cell")))
+    nulls = df.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col), F.col(vec_col),
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(None).cast("double").alias(out_col),
+    )
+    return scored.unionByName(nulls)
 
 
 def prototype_prune(

@@ -157,13 +157,17 @@ def rolling_hash_fingerprint(text: Column, base: int = 257, mod: int = (1 << 61)
     return F.when(text.isNull(), F.lit(None).cast("long")).otherwise(h)
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """One-pass per-document text-analysis table: tokens, chars, fingerprint,
-    quality features, language guess."""
+    quality features, language guess. ``keep_cols`` carries extra input
+    columns through the projection (so callers needing stats PLUS their
+    own columns stay a single scan instead of a join back)."""
     t = F.col(text_col)
     feats = quality_features(t)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         token_count(t).alias("n_tokens"),
         char_count(t).alias("n_chars"),
         fingerprint_md5(t).alias("fingerprint"),

@@ -788,11 +788,16 @@ def corpus_report_stream(
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
             F.sum("quality").alias("sum_quality"),
+            # separate divisor for the quality mean: null-text docs have
+            # null quality, and the batch report's avg() skips them —
+            # dividing by `rows` would silently deflate the mean
+            F.count("quality").alias("n_quality"),
         ).select(F.explode(F.array(*[
             F.struct(F.lit("global").alias("section"),
                      F.lit(m).alias("metric"),
                      F.col(m).cast("double").alias("value"))
-            for m in ("rows", "total_tokens", "total_chars", "sum_quality")
+            for m in ("rows", "total_tokens", "total_chars", "sum_quality",
+                      "n_quality")
         ])).alias("e")).select("e.*").unionByName(
             stats.groupBy("lang_guess").count().select(
                 F.lit("lang").alias("section"),
@@ -853,7 +858,7 @@ def corpus_report_totals(spark, state_dir: str, kll_k: int = 200) -> DataFrame:
                  (F.col("total_tokens") / F.col("rows")).alias("value")),
         F.struct(F.lit("global").alias("section"),
                  F.lit("mean_quality").alias("metric"),
-                 (F.col("sum_quality") / F.col("rows")).alias("value")),
+                 (F.col("sum_quality") / F.col("n_quality")).alias("value")),
         F.struct(F.lit("global").alias("section"),
                  F.lit("dup_rate").alias("metric"),
                  # clamp: HLL can overshoot the true row count slightly
@@ -965,18 +970,31 @@ def _dedup_state_paths(root: str, exclude_epoch: int) -> list[str]:
     return paths
 
 
-def dedup_state_compact(spark, state_dir: str, version: int) -> None:
+def dedup_state_compact(spark, state_dir: str) -> int:
     """Fold the incremental-dedup state's per-epoch deltas into one
-    ``v=compact-<version>`` dir per family (bands, docs) — distinct
-    rows, read through the same watermark discipline afterwards. Run
+    ``v=compact-<N>`` dir per family (bands, docs), where N is the
+    NEWEST live epoch — computed from the state, never caller-chosen
+    (a caller-supplied watermark above the newest epoch would make
+    every later epoch's deltas invisible to reads and silently disable
+    the gate; same discipline as :func:`sketches.kll_compact`). Run
     between epochs only: compacting while an epoch is in flight could
     fold a delta the replayed epoch will overwrite. Stale ``v=`` dirs
-    ≤ version can be deleted at leisure."""
+    ≤ N can be deleted at leisure. Returns N (or -1 on empty state)."""
+    from kafi_spark.functions.sketches import _kll_state_dirs
+
     root = state_dir.rstrip("/")
+    try:
+        best_n, _, live = _kll_state_dirs(f"{root}/bands")
+    except FileNotFoundError:
+        return -1
+    if not live:
+        return best_n if best_n is not None else -1
+    watermark = max(int(p.rsplit("v=", 1)[1]) for p in live)
     for fam in ("bands", "docs"):
         paths = _dedup_state_paths(f"{root}/{fam}", exclude_epoch=-1)
         if not paths:
             continue
         folded = spark.read.parquet(*paths).distinct().localCheckpoint()
         folded.write.mode("overwrite").parquet(
-            f"{root}/{fam}/v=compact-{version}")
+            f"{root}/{fam}/v=compact-{watermark}")
+    return watermark

@@ -213,3 +213,19 @@ def test_semantic_eval_cap_guard(spark, emb_corpus, emb_bench):
 
     with pytest.raises(ValueError, match="eval_cap"):
         semantic_contamination_report(emb_corpus, emb_bench, eval_cap=1)
+
+
+def test_semantic_empty_benchmark_is_noop(spark, emb_corpus):
+    """Empty or all-null benchmark: nothing is contaminated; the full
+    corpus survives (no numpy crash on the empty matrix)."""
+    from kafi_spark.functions.contamination import (
+        semantic_contamination_report, semantic_decontaminate)
+
+    empty = spark.createDataFrame([], "eval_id long, embedding array<float>")
+    allnull = spark.createDataFrame(
+        [(1, None)], "eval_id long, embedding array<float>")
+    for bench in (empty, allnull):
+        assert semantic_contamination_report(
+            emb_corpus, bench, threshold=0.5).count() == 0
+        assert semantic_decontaminate(
+            emb_corpus, bench, threshold=0.5).count() == emb_corpus.count()

@@ -245,3 +245,16 @@ def test_perplexity_buckets_null_text_and_validation(spark, bucketed_corpus):
         imp.perplexity_buckets(df, ref, cuts=(0.5,), labels=("a", "b", "c"))
     with pytest.raises(ValueError):
         imp.perplexity_buckets(df, ref, cuts=(0.7, 0.3), labels=("a", "b", "c"))
+
+
+def test_perplexity_buckets_null_group_value(spark, bucketed_corpus):
+    """A row whose `by` value is null never joins a cuts row — it must
+    band NULL, not fall through the CASE chain to 'head'."""
+    df, ref = bucketed_corpus
+    worst = spark.createDataFrame(
+        [(7777, None, "zzqq wwxx vvkk ppll mmnn zzqq wwxx vvkk")],
+        "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in imp.perplexity_buckets(
+        df.unionByName(worst), ref, by="lang", n_buckets=4096).collect()}
+    assert out[7777].ppl_bucket is None
+    assert out[7777].lm_score is not None      # scored, just unbandable

@@ -286,3 +286,20 @@ def test_prototype_prune_policies(spark, sf_dir):
         prototype_prune(emb, keep_frac=0.0)
     with _pt.raises(ValueError):
         prototype_prune(emb, policy="bogus")
+
+
+def test_prototypicality_null_embeddings(spark):
+    from kafi_spark.functions.similarity import (
+        prototype_prune, prototypicality_scores)
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0]) for i in range(40)] + [(99, None)],
+        "vec_id long, embedding array<float>")
+    scored = {r.vec_id: r for r in prototypicality_scores(
+        df, n_clusters=4).collect()}
+    assert len(scored) == 41
+    assert scored[99].cell is None and scored[99].proto_score is None
+    # null-safe filters: the null row drops from any pruned output
+    kept = {r.vec_id for r in prototype_prune(
+        df, keep_frac=0.5, n_clusters=4).collect()}
+    assert 99 not in kept

@@ -619,6 +619,10 @@ def test_corpus_report_stream_matches_batch(spark, sf_dir, tmp_path):
         assert float(live[("global", m)]) == float(batch[("global", m)]), m
     assert float(live[("global", "mean_tokens")]) == pytest.approx(
         float(batch[("global", "mean_tokens")]))
+    # mean_quality divides by the NON-NULL quality count, exactly like
+    # the batch report's avg() — not by rows
+    assert float(live[("global", "mean_quality")]) == pytest.approx(
+        float(batch[("global", "mean_quality")]))
     # language mix: exact counters, every batch-report lang replayed
     for (sec, m), v in batch.items():
         if sec == "lang":

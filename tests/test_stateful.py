@@ -562,7 +562,7 @@ def test_dedup_against_stream_compaction(spark, sf_dir, tmp_path):
         state, sink=lambda s, e: out.append({r.doc_id for r in s.collect()}))
     proc(docs.filter("doc_id < 100"), 0)
     proc(docs.filter("doc_id >= 100 and doc_id < 200"), 1)
-    dedup_state_compact(spark, state, 1)
+    assert dedup_state_compact(spark, state) == 1   # watermark = newest epoch
 
     # epoch 2 re-sends epoch-0 docs verbatim: all dropped via the fold
     proc(docs.filter("doc_id < 50").select(
