@@ -155,3 +155,29 @@ def bpe_encode(
         .mapInPandas(op, f"__id {id_t}, {out_col} array<string>, n_tokens long")
         .withColumnRenamed("__id", id_col)
     )
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist an ordered merge list as JSON (atomic: tmp + rename —
+    a crashed save never leaves a truncated artifact a later
+    :func:`load_bpe` would half-read). The merge list IS the tokenizer:
+    rank = list position, so order must survive the round trip."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"format": "kafi-bpe-merges", "version": 1,
+                   "merges": [[a, b] for a, b in merges]}, f)
+    os.replace(tmp, path)
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    """Reload merges saved by :func:`save_bpe` (order preserved)."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        obj = json.load(f)
+    if obj.get("format") != "kafi-bpe-merges":
+        raise ValueError(f"{path} is not a kafi BPE merge file")
+    return [(a, b) for a, b in obj["merges"]]

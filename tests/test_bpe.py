@@ -87,3 +87,25 @@ def test_bpe_tokenize_then_pack_composition(spark, sf_dir):
         # a pack exceeds the budget only as a single oversized doc
         if total > 256:
             assert len(members) == 1
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    from kafi_spark.functions.bpe import (
+        bpe_encode, load_bpe, save_bpe, train_bpe, word_histogram)
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest new newer newest"),
+         (2, "low low newer newest")],
+        "doc_id long, text string")
+    merges = train_bpe(word_histogram(df), vocab_size=40)
+    p = str(tmp_path / "merges.json")
+    save_bpe(merges, p)
+    back = load_bpe(p)
+    assert back == merges                      # order preserved
+    a = {r.doc_id: r.tokens for r in bpe_encode(df, merges).collect()}
+    b = {r.doc_id: r.tokens for r in bpe_encode(df, back).collect()}
+    assert a == b
+    import pytest as _pt
+    (tmp_path / "bad.json").write_text('{"format": "other"}')
+    with _pt.raises(ValueError):
+        load_bpe(str(tmp_path / "bad.json"))
