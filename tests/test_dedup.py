@@ -321,3 +321,19 @@ def test_dedup_against_incremental_gate(spark, sf_dir):
         fresh, reference, threshold=0.7)
     fresh_hit = {r.left_id for r in hits.collect()}
     assert kept == {r.doc_id for r in fresh.collect()} - fresh_hit
+
+
+def test_minhash_lsh_join_self_consistent_with_pairs(spark, sf_dir):
+    """Joining a corpus against ITSELF must reproduce the self-join
+    dedup's pair set exactly (same banding kernel, same verification)
+    — the differential pinning the two code paths together."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").filter("doc_id < 300")
+    pairs = {(r.id_1, r.id_2): r.jaccard
+             for r in dedup.minhash_lsh_pairs(
+                 docs, "text", "doc_id", threshold=0.5).collect()}
+    joined = {(r.left_id, r.right_id): r.jaccard
+              for r in dedup.minhash_lsh_join(
+                  docs, docs, threshold=0.5).filter(
+                  "left_id < right_id").collect()}
+    assert joined == pairs
