@@ -118,6 +118,21 @@ class Local(FSTopicStorage):
     def stat(self, topic: str, **kw) -> DataFrame:
         return shell.stat(self.consume(topic, **kw))
 
+    def report(self, topic: str, **kw) -> DataFrame:
+        """Dataset-card summary of a topic's string values
+        (:func:`kafi_spark.functions.profile.corpus_report` over the
+        message stream — size, duplicate rate, token/quality
+        distributions, language mix). Beyond-reference convenience: the
+        same card the LLM-pipeline layer publishes for corpora, bound
+        to the topic calling convention."""
+        from kafi_spark.functions.profile import corpus_report
+
+        df = self.consume(topic, **kw).select(
+            F.col("offset").alias("doc_id"),
+            F.col("value").cast("string").alias("text"),
+        )
+        return corpus_report(df)
+
     # -- addons (kafi/addons.py) --------------------------------------------
 
     def compact(self, topic: str, **kw) -> DataFrame:

@@ -258,6 +258,10 @@ def test_local_facade_verbs(spark, tmp_path):
     # l/ll = topics with sizes on by default
     assert c.ls() == c.topics() == ["snacks"]
     assert c.l() == c.ll() == {"snacks": 3}
+    # dataset-card verb over the topic's values
+    rep = {(r.section, r.metric): r.value for r in c.report("snacks").collect()}
+    assert int(rep[("global", "rows")]) == 3
+    assert int(rep[("global", "distinct_texts")]) >= 2
     assert c.l(size=False) == ["snacks"]
 
 
