@@ -310,3 +310,29 @@ def ivf_append(
         .partitionBy("cell")
         .parquet(_corpus_dir(path))
     )
+
+
+def ivf_stats(spark, path: str) -> DataFrame:
+    """Index health probe: one row per cell with its vector count, plus
+    ``frac`` (share of the corpus) and ``skew`` (count / ideal uniform
+    count). Drives the rebuild cadence :func:`ivf_append` documents —
+    e.g. rebuild when ``max(skew)`` crosses a few x, or when total
+    volume has doubled since :func:`ivf_build`.
+
+    Cost: one aggregation over the cell partition COLUMN only (parquet
+    partition pruning means no vector payload is read)."""
+    corpus = spark.read.parquet(_corpus_dir(path))
+    counts = corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    n_cells = load_centroids(spark, path).shape[0]
+    totals = counts.agg(
+        F.sum("n").alias("__total")).select(
+        "__total", (F.col("__total") / n_cells).alias("__ideal"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "cell", "n",
+            (F.col("n") / F.col("__total")).alias("frac"),
+            (F.col("n") / F.col("__ideal")).alias("skew"),
+        )
+        .orderBy(F.col("n").desc())
+    )

@@ -200,3 +200,24 @@ def test_ivfpq_append_carries_codes(spark, emb, tmp_path):
     qid = probe.first()["query_id"]
     hits = ai.ivfpq_search(spark, p, probe, k=1, n_probe=4).collect()
     assert hits and hits[0]["vec_id"] == qid
+
+
+def test_ivf_stats_balance_probe(spark, sf_dir, tmp_path):
+    from kafi_spark.functions.ann_index import ivf_append, ivf_build, ivf_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, path, n_cells=8)
+    st = ivf_stats(spark, path).collect()
+    n = emb.count()
+    assert sum(r.n for r in st) == n
+    assert abs(sum(r.frac for r in st) - 1.0) < 1e-9
+    # skew is count/ideal: weighted mean over cells is 1 by construction
+    assert all(r.skew > 0 for r in st)
+    # append a hot clump into one region and watch skew rise
+    hot = emb.limit(1).select("embedding").crossJoin(
+        spark.range(n).select((F.col("id") + 10_000_000).alias("vec_id")))
+    ivf_append(hot.select("vec_id", "embedding"), path)
+    st2 = ivf_stats(spark, path).collect()
+    assert sum(r.n for r in st2) == 2 * n
+    assert max(r.skew for r in st2) > max(r.skew for r in st)
