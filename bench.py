@@ -343,7 +343,12 @@ def bench_queries(entry_mod) -> dict:
         from kafi_spark.session import read_table
 
         ev = read_table(spark, sf_dir, "events")
-        daily = distinct_over_time(ev, "user_id", "ts", grain="day")
+        # checkpoint: daily feeds BOTH output branches; without the
+        # barrier the raw-event scan + sketch aggregation run twice —
+        # the exact re-scan this layer exists to remove (the retention
+        # twin does the same, per its comment)
+        daily = distinct_over_time(
+            ev, "user_id", "ts", grain="day").localCheckpoint()
         total = merge_sketches(daily.select("sketch")).select(
             F.lit(None).cast("timestamp").alias("bucket"), estimate()
         )

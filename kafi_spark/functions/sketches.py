@@ -145,12 +145,22 @@ def sketch_save_delta(
     )
 
 
-def _merge_for(kind: str):
-    """(merge_fn, estimate_fn) for an idempotent-union sketch kind."""
+def _merge_for(kind: str, lgk: int | None = None):
+    """(merge_fn, estimate_fn) for an idempotent-union sketch kind.
+
+    ``lgk`` matters for theta only: the union operator has its OWN
+    nominal-entries cap, and merging lgk=20 sketches through a default
+    lgk=14 union silently downsamples state persisted at higher
+    precision (and loses exact mode). HLL union preserves the inputs'
+    precision by itself."""
     if kind == "hll":
         return merge_sketches, F.hll_sketch_estimate
     if kind == "theta":
-        return theta_merge, F.theta_sketch_estimate
+        def _merge(df, group_cols=(), sketch_col="sketch"):
+            return theta_merge(
+                df, group_cols, sketch_col,
+                lgk if lgk is not None else _DEFAULT_THETA_LGK)
+        return _merge, F.theta_sketch_estimate
     raise ValueError(f"kind must be 'hll' or 'theta', got {kind!r}")
 
 
@@ -160,6 +170,7 @@ def sketch_totals(
     group_cols: Sequence[str] = (),
     sketch_col: str = "sketch",
     kind: str = "hll",
+    lgk: int | None = None,
 ) -> DataFrame:
     """Merged estimates over every persisted delta: one row per
     ``group_cols`` group with ``(sketch, distinct_est)``. This is the
@@ -167,8 +178,10 @@ def sketch_totals(
     means scanning only the delta rows (bytes per group per epoch),
     never the raw data. Works for the idempotent-union kinds (``hll``,
     ``theta``); KLL state goes through :func:`kll_totals`, whose read
-    path must respect the compaction watermark."""
-    merge_fn, est_fn = _merge_for(kind)
+    path must respect the compaction watermark. Pass the build-time
+    ``lgk`` for theta state persisted above the default precision —
+    the union cap otherwise downsamples it (see :func:`_merge_for`)."""
+    merge_fn, est_fn = _merge_for(kind, lgk)
     df = spark.read.parquet(state_dir)
     merged = merge_fn(df, group_cols, sketch_col=sketch_col)
     return merged.withColumn("distinct_est", est_fn(F.col(sketch_col)))
@@ -181,6 +194,7 @@ def sketch_compact(
     group_cols: Sequence[str] = (),
     sketch_col: str = "sketch",
     kind: str = "hll",
+    lgk: int | None = None,
 ) -> None:
     """Fold all deltas into a single delta at ``v=compact-<version>``.
 
@@ -193,7 +207,7 @@ def sketch_compact(
     idempotence makes readers merging the compacted delta with stale
     leftovers still correct, so compaction needs no coordination;
     delete old ``v=`` dirs at leisure."""
-    merge_fn, _ = _merge_for(kind)
+    merge_fn, _ = _merge_for(kind, lgk)
     merged = merge_fn(
         spark.read.parquet(state_dir), group_cols, sketch_col=sketch_col
     ).localCheckpoint()
@@ -540,41 +554,28 @@ def kll_totals(
     return quantile_merge(df, group_cols, dtype, k, sketch_col)
 
 
-def kll_compact(
-    spark,
-    state_dir: str,
-    group_cols: Sequence[str] = (),
-    dtype: str = "double",
-    k: int = _DEFAULT_KLL_K,
-    sketch_col: str = "qsketch",
-    prune: bool = False,
-) -> int:
-    """Fold the current watermark-consistent state into one compacted
-    delta ``v=compact-<N>`` where N is the newest live epoch.
-
-    Crash-safe without relying on idempotence: the fold is computed via
-    :func:`kll_totals` (so it never double-reads), written with Spark's
-    normal ``_SUCCESS`` commit, and becomes the read watermark only
-    once committed. ``prune=True`` afterwards deletes the superseded
-    epoch dirs and older compacts — safe at leisure because readers
-    already ignore everything ≤ N. Returns N."""
+def _additive_state_compact(spark, state_dir: str, merge_fn, prune: bool) -> int:
+    """Shared compaction for ADDITIVE sketch state (KLL, CMS): one
+    directory listing supplies both the watermark and the exact delta
+    paths folded. Folding via a second listing (e.g. calling the
+    totals reader) would race a concurrently-committed stream epoch:
+    an epoch landing between the two listings gets folded into
+    ``compact-N`` with N < epoch and then ALSO read as a live delta by
+    every subsequent read — double-counted forever, because additive
+    merge does not forgive it. Returns the watermark (newest folded
+    epoch), or the existing one if there is nothing live to fold."""
+    import os
     import shutil
 
-    best_n, _, live = _kll_state_dirs(state_dir)
+    best_n, compact_path, live = _kll_state_dirs(state_dir)
     if not live:
         return best_n if best_n is not None else -1
-    watermark = max(
-        int(p.rsplit("v=", 1)[1]) for p in live
-    )
-    merged = kll_totals(
-        spark, state_dir, group_cols, dtype, k, sketch_col
-    ).localCheckpoint()
+    watermark = max(int(p.rsplit("v=", 1)[1]) for p in live)
+    paths = ([compact_path] if compact_path else []) + live
+    merged = merge_fn(spark.read.parquet(*paths)).localCheckpoint()
     merged.write.mode("overwrite").parquet(
-        f"{state_dir.rstrip('/')}/v=compact-{watermark}"
-    )
+        f"{state_dir.rstrip('/')}/v=compact-{watermark}")
     if prune:
-        import os
-
         for name in os.listdir(state_dir):
             path = os.path.join(state_dir, name)
             if not (name.startswith("v=") and os.path.isdir(path)):
@@ -588,6 +589,32 @@ def kll_compact(
             if folded:
                 shutil.rmtree(path)
     return watermark
+
+
+def kll_compact(
+    spark,
+    state_dir: str,
+    group_cols: Sequence[str] = (),
+    dtype: str = "double",
+    k: int = _DEFAULT_KLL_K,
+    sketch_col: str = "qsketch",
+    prune: bool = False,
+) -> int:
+    """Fold the current watermark-consistent state into one compacted
+    delta ``v=compact-<N>`` where N is the newest live epoch.
+
+    Crash-safe without relying on idempotence: ONE directory listing
+    supplies both the watermark AND the exact delta paths folded (see
+    :func:`_additive_state_compact` — re-listing inside the fold races
+    a concurrent stream epoch), the fold is written with Spark's normal
+    ``_SUCCESS`` commit, and becomes the read watermark only once
+    committed. ``prune=True`` afterwards deletes the superseded epoch
+    dirs and older compacts — safe at leisure because readers already
+    ignore everything ≤ N. Returns N."""
+    return _additive_state_compact(
+        spark, state_dir,
+        lambda df: quantile_merge(df, group_cols, dtype, k, sketch_col),
+        prune)
 
 
 # ---------------------------------------------------------------------------
@@ -679,7 +706,19 @@ def cms_estimate(
         F.col(key_col),
         F.explode(_cms_cells(key_col, depth, width)).alias("__c"),
     ).select(key_col, "__c.d", "__c.w")
-    joined = probes.join(cms, ["d", "w"], "left").withColumn(
+    if group_cols:
+        # probe every (group × key × cell) explicitly: joining on
+        # (d, w) alone drops a group's ZERO-count cells from the
+        # depth-wise min (a left-join miss has no group value), which
+        # both inflates estimates past the CMS bound and emits a
+        # spurious all-null group row. The groups frame is one row per
+        # group — tiny by construction.
+        groups = cms.select(*group_cols).distinct()
+        probes = groups.crossJoin(probes)
+        joined = probes.join(cms, [*group_cols, "d", "w"], "left")
+    else:
+        joined = probes.join(cms, ["d", "w"], "left")
+    joined = joined.withColumn(
         "cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
     )
     return joined.groupBy(*group_cols, key_col).agg(
@@ -756,30 +795,8 @@ def cms_compact(
     prune: bool = False,
 ) -> int:
     """Fold CMS state into ``v=compact-<N>`` (N = newest live epoch);
-    additive-state compaction with the same committed-watermark
-    crash-safety as :func:`kll_compact`. Returns N."""
-    import shutil
-
-    best_n, _, live = _kll_state_dirs(state_dir)
-    if not live:
-        return best_n if best_n is not None else -1
-    watermark = max(int(p.rsplit("v=", 1)[1]) for p in live)
-    merged = cms_totals(spark, state_dir, group_cols).localCheckpoint()
-    merged.write.mode("overwrite").parquet(
-        f"{state_dir.rstrip('/')}/v=compact-{watermark}")
-    if prune:
-        import os
-
-        for name in os.listdir(state_dir):
-            path = os.path.join(state_dir, name)
-            if not (name.startswith("v=") and os.path.isdir(path)):
-                continue
-            tag = name[2:]
-            folded = (
-                (not tag.startswith("compact-") and int(tag) <= watermark)
-                or (tag.startswith("compact-")
-                    and int(tag[len("compact-"):]) < watermark)
-            )
-            if folded:
-                shutil.rmtree(path)
-    return watermark
+    additive-state compaction with the same committed-watermark and
+    single-listing crash/race safety as :func:`kll_compact`
+    (:func:`_additive_state_compact`). Returns N."""
+    return _additive_state_compact(
+        spark, state_dir, lambda df: cms_merge(df, group_cols), prune)

@@ -137,10 +137,11 @@ def build_skip_index(
     # since as gone, so drift degrades pruning, never correctness
     import json
 
+    dtypes = {c: df.schema[c].dataType.simpleString() for c in cols}
     manifest = spark.createDataFrame(
         [(json.dumps({
             "num_bits": num_bits, "k": k, "cols": list(cols),
-            "files": indexed_files,
+            "files": indexed_files, "dtypes": dtypes,
         }),)],
         "manifest string",
     )
@@ -156,15 +157,22 @@ def _load_manifest(spark, data_path: str) -> dict:
     return json.loads(row["manifest"])
 
 
-def _probe_bits(spark, values, num_bits: int, k: int) -> dict:
+def _probe_bits(spark, values, num_bits: int, k: int,
+                dtype: str | None = None) -> dict:
     """{value: [k bit positions]} computed with the SAME JVM xxhash64
-    expressions as the build (one tiny local job — build and probe can
-    never disagree on hash/encoding)."""
+    expressions as the build — INCLUDING the column's Spark type:
+    xxhash64 hashes an int and a bigint of equal value differently, so
+    a probe literal inferred as bigint against an int-column index
+    would silently miss every row (false negatives). ``dtype`` is the
+    indexed column's type from the manifest; probe values are cast to
+    it before hashing."""
     vdf = spark.createDataFrame([(v,) for v in values], ["__v"])
-    rows = vdf.select(
+    hashed = vdf.withColumn(
+        "__h", F.col("__v").cast(dtype) if dtype else F.col("__v"))
+    rows = hashed.select(
         "__v", *[
             b.alias(f"b{i}")
-            for i, b in enumerate(_bit_cols("__v", num_bits, k))
+            for i, b in enumerate(_bit_cols("__h", num_bits, k))
         ]
     ).collect()
     return {r["__v"]: [r[f"b{i}"] for i in range(k)] for r in rows}
@@ -213,7 +221,8 @@ def skip_index_candidates(
     }
     indexed = {_norm_uri(f) for f in man.get("files", [])}
     unindexed = [n for n in current if n not in indexed]
-    bits = _probe_bits(spark, list(dict.fromkeys(values)), num_bits, k)
+    bits = _probe_bits(spark, list(dict.fromkeys(values)), num_bits, k,
+                       dtype=man.get("dtypes", {}).get(col))
     root = index_path_of(data_path)
     needed = sorted({b >> 6 for bs in bits.values() for b in bs})
     words = (

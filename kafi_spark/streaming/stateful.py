@@ -646,6 +646,9 @@ def distinct_sketch_stream(
             totals = sketch_totals(
                 batch_df.sparkSession, state_dir, ["bucket", *dims],
                 kind=kind,
+                # theta union has its own precision cap: merge at the
+                # BUILD lgk so high-precision state isn't downsampled
+                lgk=lgk if kind == "theta" else None,
             )
             sink(totals, epoch_id)
 

@@ -654,3 +654,41 @@ def test_corpus_report_stream_replay_idempotent(spark, sf_dir, tmp_path):
     again = sorted((r.section, r.metric, r.value)
                    for r in corpus_report_totals(spark, state).collect())
     assert first == again
+
+
+def test_cms_estimate_grouped_absent_key_is_zero(spark):
+    """A key absent from a group must estimate 0 for that group (its
+    zero cells count in the depth-wise min) — not inflate past the CMS
+    bound or emit a spurious null-group row."""
+    df = spark.createDataFrame(
+        [("b1", "Y")] * 5, "bucket string, k string")
+    cms = sk.cms_sketch(df, "k", ["bucket"], depth=5, width=4)
+    keys = spark.createDataFrame([("Q",), ("Y",)], "k string")
+    got = {(r.bucket, r.k): r.est for r in sk.cms_estimate(
+        cms, keys, "k", ["bucket"], depth=5, width=4).collect()}
+    assert None not in {b for b, _ in got}          # no phantom group
+    assert got[("b1", "Y")] >= 5                    # est >= true
+    # absent key: every cell either collides with Y or is zero; with
+    # width=4 a collision is possible, but at least the guarantee that
+    # zero cells participate must hold: est <= total mass
+    assert 0 <= got[("b1", "Q")] <= 5
+    # wide sketch -> no collision -> exactly zero
+    cms_w = sk.cms_sketch(df, "k", ["bucket"], depth=5, width=4096)
+    got_w = {(r.bucket, r.k): r.est for r in sk.cms_estimate(
+        cms_w, keys, "k", ["bucket"], depth=5, width=4096).collect()}
+    assert got_w[("b1", "Q")] == 0
+
+
+def test_theta_totals_preserve_build_lgk(spark, events, tmp_path):
+    """High-precision theta state merged at the BUILD lgk stays in
+    exact mode; the old default-lgk union would downsample it."""
+    state = str(tmp_path / "theta")
+    daily = sk.theta_over_time(events, "user_id", "ts", lgk=20)
+    sk.sketch_save_delta(daily.drop("distinct_est"), state, 0)
+    exact = events.select("user_id").distinct().count()
+    tot = sk.sketch_totals(spark, state, kind="theta", lgk=20) \
+        .agg(F.sum("distinct_est")).first()[0]
+    # per-bucket sketches, each far below 2^20 capacity -> exact
+    got = sk.sketch_totals(spark, state, [], "sketch", "theta", 20) \
+        .first()["distinct_est"]
+    assert round(got) == exact

@@ -165,3 +165,28 @@ def test_partitioned_layout_keeps_partition_column(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert r["part"] == 42 % 4 and r["v"] == 126
+
+
+def test_probe_hashes_at_indexed_column_type(spark, tmp_path):
+    """xxhash64(int 42) != xxhash64(bigint 42): a probe that hashes
+    Python ints at Spark's inferred bigint against an int-column index
+    silently returns ZERO rows for present keys. The manifest now pins
+    each column's dtype and the probe casts to it."""
+    from kafi_spark.functions.skipindex import (
+        build_skip_index, pruned_point_read, skip_index_candidates)
+
+    path = str(tmp_path / "intdata")
+    spark.range(1000).selectExpr(
+        "cast(id as int) as id", "id * 2 as payload"
+    ).repartition(4).write.parquet(path)
+    build_skip_index(spark, path, ["id"])
+    assert skip_index_candidates(spark, path, "id", [42])
+    got = pruned_point_read(spark, path, "id", [42]).collect()
+    assert len(got) == 1 and got[0]["id"] == 42
+    # float column too (the other silently-mistyped family)
+    path2 = str(tmp_path / "floatdata")
+    spark.range(100).selectExpr(
+        "cast(id as float) as f", "id"
+    ).repartition(2).write.parquet(path2)
+    build_skip_index(spark, path2, ["f"])
+    assert pruned_point_read(spark, path2, "f", [7.0]).count() == 1
