@@ -169,6 +169,8 @@ def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"format": "kafi-bpe-merges", "version": 1,
                    "merges": [[a, b] for a, b in merges]}, f)
+        f.flush()
+        os.fsync(f.fileno())   # rename durability needs the DATA synced
     os.replace(tmp, path)
 
 

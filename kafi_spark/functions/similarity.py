@@ -900,7 +900,10 @@ def prototype_prune(
     scored = prototypicality_scores(
         df, n_clusters, id_col, vec_col, seed, train_cap)
     if keep_frac == 1.0:
-        return scored
+        # drop null-embedding rows here too: the cut-filter path drops
+        # them implicitly (null never passes a comparison), and the
+        # surviving set must be monotone in keep_frac
+        return scored.filter(F.col("proto_score").isNotNull())
     q = keep_frac if policy == "keep_hard" else 1.0 - keep_frac
     cuts = scored.groupBy("cell").agg(
         F.percentile_approx("proto_score", F.lit(float(q)), accuracy)

@@ -712,10 +712,21 @@ def cms_estimate(
         # depth-wise min (a left-join miss has no group value), which
         # both inflates estimates past the CMS bound and emits a
         # spurious all-null group row. The groups frame is one row per
-        # group — tiny by construction.
+        # group — tiny by construction. Group keys join NULL-SAFE: a
+        # null grouping value (e.g. a null time bucket) is a real
+        # group whose counts must still be found.
         groups = cms.select(*group_cols).distinct()
-        probes = groups.crossJoin(probes)
-        joined = probes.join(cms, [*group_cols, "d", "w"], "left")
+        p = groups.crossJoin(probes).alias("p")
+        c = cms.alias("c")
+        cond = [F.col(f"p.{g}").eqNullSafe(F.col(f"c.{g}"))
+                for g in group_cols]
+        cond += [F.col("p.d") == F.col("c.d"),
+                 F.col("p.w") == F.col("c.w")]
+        joined = p.join(c, cond, "left").select(
+            *[F.col(f"p.{g}").alias(g) for g in group_cols],
+            F.col(f"p.{key_col}").alias(key_col),
+            F.col("c.cnt").alias("cnt"),
+        )
     else:
         joined = probes.join(cms, ["d", "w"], "left")
     joined = joined.withColumn(

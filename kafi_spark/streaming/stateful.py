@@ -855,6 +855,11 @@ def corpus_report_totals(spark, state_dir: str, kll_k: int = 200) -> DataFrame:
         base.filter("section = 'global'")
         .groupBy().pivot("metric").agg(F.first("value"))
     )
+    if "n_quality" not in wide.columns:
+        # counters persisted before the n_quality metric existed: fall
+        # back to rows as the divisor (the old behavior) instead of
+        # failing the pivot lookup on legacy state
+        wide = wide.withColumn("n_quality", F.col("rows"))
     derived = wide.select(F.explode(F.array(
         F.struct(F.lit("global").alias("section"),
                  F.lit("mean_tokens").alias("metric"),
@@ -976,13 +981,19 @@ def _dedup_state_paths(root: str, exclude_epoch: int) -> list[str]:
 def dedup_state_compact(spark, state_dir: str) -> int:
     """Fold the incremental-dedup state's per-epoch deltas into one
     ``v=compact-<N>`` dir per family (bands, docs), where N is the
-    NEWEST live epoch — computed from the state, never caller-chosen
-    (a caller-supplied watermark above the newest epoch would make
-    every later epoch's deltas invisible to reads and silently disable
-    the gate; same discipline as :func:`sketches.kll_compact`). Run
-    between epochs only: compacting while an epoch is in flight could
-    fold a delta the replayed epoch will overwrite. Stale ``v=`` dirs
-    ≤ N can be deleted at leisure. Returns N (or -1 on empty state)."""
+    newest live epoch MINUS ONE — the newest epoch is deliberately
+    left OUT of the fold and alive as ``v=<epoch>``. foreachBatch is
+    at-least-once until the streaming checkpoint commits, so the
+    newest epoch can still be crash-replayed; if its rows were inside
+    the compact, the replay's own-epoch exclusion (which filters only
+    live ``v=`` dirs) could not hide them and every batch doc would
+    drop as its own near-match. Epochs ≤ N are fully committed in BOTH
+    families (epochs are sequential: bands+docs of epoch k complete
+    before epoch k+1 starts), so folding them is replay-safe. The
+    watermark is computed from the state, never caller-chosen (a value
+    above the newest epoch would make later deltas invisible and
+    silently disable the gate). Returns N (or the existing watermark /
+    -1 when there is nothing new to fold)."""
     from kafi_spark.functions.sketches import _kll_state_dirs
 
     root = state_dir.rstrip("/")
@@ -992,9 +1003,23 @@ def dedup_state_compact(spark, state_dir: str) -> int:
         return -1
     if not live:
         return best_n if best_n is not None else -1
-    watermark = max(int(p.rsplit("v=", 1)[1]) for p in live)
+    newest = max(int(p.rsplit("v=", 1)[1]) for p in live)
+    watermark = newest - 1
+    if best_n is not None and watermark <= best_n:
+        return best_n                      # nothing new below the fence
+    import os
+
+    def foldable(paths):
+        out = []
+        for p in paths:
+            tag = os.path.basename(p)[2:]
+            if tag.startswith("compact-") or int(tag) <= watermark:
+                out.append(p)
+        return out
+
     for fam in ("bands", "docs"):
-        paths = _dedup_state_paths(f"{root}/{fam}", exclude_epoch=-1)
+        paths = foldable(_dedup_state_paths(f"{root}/{fam}",
+                                            exclude_epoch=-1))
         if not paths:
             continue
         folded = spark.read.parquet(*paths).distinct().localCheckpoint()

@@ -692,3 +692,19 @@ def test_theta_totals_preserve_build_lgk(spark, events, tmp_path):
     got = sk.sketch_totals(spark, state, [], "sketch", "theta", 20) \
         .first()["distinct_est"]
     assert round(got) == exact
+
+
+def test_cms_estimate_null_group_value(spark):
+    """A NULL grouping value is a real group (null time bucket etc.):
+    the grouped probe must find its counts via a null-safe join, not
+    report est=0."""
+    df = spark.createDataFrame(
+        [(None, "Y")] * 7 + [("b1", "Z")] * 3,
+        "bucket string, k string")
+    cms = sk.cms_sketch(df, "k", ["bucket"], depth=5, width=4096)
+    keys = spark.createDataFrame([("Y",), ("Z",)], "k string")
+    got = {(r.bucket, r.k): r.est for r in sk.cms_estimate(
+        cms, keys, "k", ["bucket"], depth=5, width=4096).collect()}
+    assert got[(None, "Y")] == 7
+    assert got[("b1", "Z")] == 3
+    assert got[(None, "Z")] == 0 and got[("b1", "Y")] == 0

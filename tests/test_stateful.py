@@ -562,17 +562,24 @@ def test_dedup_against_stream_compaction(spark, sf_dir, tmp_path):
         state, sink=lambda s, e: out.append({r.doc_id for r in s.collect()}))
     proc(docs.filter("doc_id < 100"), 0)
     proc(docs.filter("doc_id >= 100 and doc_id < 200"), 1)
-    assert dedup_state_compact(spark, state) == 1   # watermark = newest epoch
+    # watermark = newest - 1: the newest epoch stays OUT of the fold so
+    # its crash-replay's own-epoch exclusion still works
+    assert dedup_state_compact(spark, state) == 0
+    # crash-replay of the newest epoch AFTER compaction: identical
+    # survivors (its rows are not hiding inside the compact)
+    out_before = out[1]
+    proc(docs.filter("doc_id >= 100 and doc_id < 200"), 1)
+    assert out[2] == out_before
 
     # epoch 2 re-sends epoch-0 docs verbatim: all dropped via the fold
     proc(docs.filter("doc_id < 50").select(
         (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"), 2)
-    assert out[2] == set()
+    assert out[3] == set()
 
     # crashed compaction: no _SUCCESS -> reader ignores the dir
     bad = os.path.join(state, "bands", "v=compact-9")
-    shutil.copytree(os.path.join(state, "bands", "v=compact-1"), bad)
+    shutil.copytree(os.path.join(state, "bands", "v=compact-0"), bad)
     os.remove(os.path.join(bad, "_SUCCESS"))
     proc(docs.filter("doc_id >= 50 and doc_id < 60").select(
         (F.col("doc_id") + 6_000_000).alias("doc_id"), "text"), 3)
-    assert out[3] == set()                    # still all near-matched
+    assert out[4] == set()                    # still all near-matched
