@@ -168,10 +168,21 @@ def corpus_report(
     )
     out = global_rows.unionByName(lang_rows)
     if group_col:
+        # per-group rows AND tokens (mixture planning weighs sources by
+        # token mass, not document count) — one aggregation serves both
+        per_group = j.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("n_tokens").alias("__tok"))
         out = out.unionByName(
-            j.groupBy(group_col).count().select(
+            per_group.select(
                 F.lit(f"group:{group_col}").alias("section"),
                 F.col(group_col).cast("string").alias("metric"),
-                F.col("count").cast("string").alias("value"),
+                F.col("__n").cast("string").alias("value"),
+            )
+        ).unionByName(
+            per_group.select(
+                F.lit(f"group_tokens:{group_col}").alias("section"),
+                F.col(group_col).cast("string").alias("metric"),
+                F.col("__tok").cast("string").alias("value"),
             ))
     return out

@@ -102,11 +102,16 @@ def test_corpus_report_values_match_duckdb(spark, sf_dir):
         "GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10").fetchall())
     assert langs == {k: int(v) for k, v in want.items()}
 
-    # group section covers every source value
-    srcs = {r.metric: int(r.value)
-            for r in corpus_report(df, group_col="source").collect()
+    # group section covers every source value; token masses sum to the
+    # global total (mixture-planning contract)
+    rep_rows = corpus_report(df, group_col="source").collect()
+    srcs = {r.metric: int(r.value) for r in rep_rows
             if r.section == "group:source"}
     assert sum(srcs.values()) == n and len(srcs) >= 2
+    toks = {r.metric: int(r.value) for r in rep_rows
+            if r.section == "group_tokens:source"}
+    assert toks.keys() == srcs.keys()
+    assert sum(toks.values()) == total_tok
 
 
 def test_corpus_report_duplicate_rate(spark):
