@@ -1046,34 +1046,53 @@ def q_dedup_simhash_portable(spark, sf_dir):
 
 
 def q_dedup_fast_pairs(spark, sf_dir):
-    """xxhash64 fast-path near-dup pair sets (MinHash LSH + SimHash),
-    tag-unioned into one driver row set. Both are rows-only checkable
-    (engine-internal hashing has no SQL oracle); their md5-based
-    portable twins (dedup_minhash_portable / dedup_simhash_portable)
-    carry full value-hash oracles for the same algorithms, and
-    tests/test_dedup.py asserts fast-path recall/completeness against
-    the exact operators."""
-    mh = q_dedup_minhash_lsh(spark, sf_dir).select(
+    """The GENUINE fast-path near-dup plans — MinHash LSH
+    banding/bucket-cap/verify at the production 64-hash/16-band shape,
+    SimHash minimal-pigeonhole banding (7 near-equal chunks for
+    hamming<=6, NOT the portable twin's 8 byte-slices), and the SemDeDup
+    cell plan — run under an oracle-expressible configuration and
+    tag-unioned into one driver row set. ``hasher="portable"`` swaps
+    only the hash EXPRESSIONS (md5-derived minima / token bits DuckDB
+    reproduces bit-for-bit) inside the same plan code the xxhash64
+    default runs; ``n_clusters=1`` makes the semantic cell plan exact
+    (every pair shares the one cell) — the same full-probe closure
+    pattern as ann_cosine_topk_ivf. tests/test_dedup.py pins the default
+    xxhash64 configs against exact brute-force, so this entry checks the
+    plan and the tests check the default hash."""
+    from kafi_spark.functions.dedup import minhash_lsh_pairs, simhash_pairs
+    from kafi_spark.functions.similarity import semantic_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    mh = minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, num_hashes=64, bands=16, threshold=0.7,
+        hasher="portable",
+    ).select(
         F.lit("minhash").alias("algo"), "id_1", "id_2",
         F.col("jaccard").cast("double").alias("score"),
     )
-    sh = q_dedup_simhash(spark, sf_dir).select(
+    sh = simhash_pairs(
+        d, "text", "doc_id", max_hamming=6, hasher="portable"
+    ).select(
         F.lit("simhash").alias("algo"), "id_1", "id_2",
         F.col("hamming").cast("double").alias("score"),
     )
-    sem = q_dedup_semantic(spark, sf_dir).select(
+    sem = semantic_dedup_pairs(emb, threshold=0.5, n_clusters=1).select(
         F.lit("semantic").alias("algo"), "id_1", "id_2",
-        F.col("score").cast("double").alias("score"),
+        F.round(F.col("score") * 1_000_000).cast("double").alias("score"),
     )
     return mh.unionByName(sh).unionByName(sem)
 
 
 def q_dedup_semantic(spark, sf_dir):
-    """SemDeDup-style pairs (kmeans cells → within-cell exact cosine).
+    """SemDeDup-style pairs (kmeans cells → within-cell exact cosine) at
+    the production n_clusters=8 shape — benched standalone (bench.py).
     Deterministic (seeded KMeans on a deterministic sample) but not
-    SQL-reproducible (iterative centroids) → rows-only, folded into
-    dedup_fast_pairs; tests/test_similarity.py carries the recall /
-    precision gates against the exact blocked all-pairs."""
+    SQL-reproducible at n_clusters>1 (iterative centroids); the driver's
+    oracle check runs the same plan at full probe (n_clusters=1, exact
+    by construction) inside dedup_fast_pairs, and
+    tests/test_similarity.py carries the recall / precision gates
+    against the exact blocked all-pairs."""
     from kafi_spark.functions.similarity import semantic_dedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1290,6 +1309,78 @@ _DEDUP_SQL["dedup_span_bloom"] = """
       GROUP BY doc_id)
     SELECT * FROM span_out UNION ALL SELECT * FROM bloom_out
     UNION ALL SELECT * FROM boiler_out
+"""
+
+# dedup_fast_pairs: the genuine fast-path plans under hasher="portable" /
+# full probe. minhash leg = the production 64-hash/16-band shape (same
+# rows_per_band=4 ⇒ same i//4 banding as the 24-hash twin); simhash leg =
+# candidates from 8-bit chunk digests (complete for hamming<=7, so they
+# cover Spark's 7-chunk minimal banding — both sides verify exactly, so
+# the OUTPUT sets agree); semantic leg at n_clusters=1 = exact all-pairs
+# cosine, micro-rounded like ann_cosine_topk.
+_DEDUP_SQL["dedup_fast_pairs"] = """
+    WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    msh AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     range(0, greatest(len(w) - 3, 0) + 1),
+                     x -> array_to_string(w[x+1:x+3], ' ')))) AS shingle
+            FROM ws),
+    mhs AS (SELECT doc_id, r.i AS i,
+                   substring(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 15) AS hv
+            FROM msh CROSS JOIN (SELECT unnest(range(64)) AS i) r),
+    mins AS (SELECT doc_id, i, MIN(hv) AS mh FROM mhs GROUP BY doc_id, i),
+    mbands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                      md5(string_agg(mh, '|' ORDER BY i)) AS bh
+               FROM mins GROUP BY doc_id, i // 4),
+    mcand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+              FROM mbands a JOIN mbands b ON a.band = b.band AND a.bh = b.bh
+              WHERE a.doc_id < b.doc_id),
+    msz AS (SELECT doc_id, COUNT(*) AS n_sh FROM msh GROUP BY doc_id),
+    minter AS (SELECT c.id_1, c.id_2, COUNT(*) AS n_inter
+               FROM mcand c
+               JOIN msh a ON a.doc_id = c.id_1
+               JOIN msh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+    mh_out AS (
+      SELECT id_1, id_2,
+             CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS score
+      FROM minter JOIN msz na ON na.doc_id = id_1 JOIN msz nb ON nb.doc_id = id_2
+      WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.7),
+    toks AS (SELECT doc_id, md5(t) AS h
+             FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+                   FROM documents)),
+    contrib AS (SELECT doc_id, r.b AS b,
+                       CASE WHEN ((strpos('0123456789abcdef',
+                                          substring(h, CAST(FLOOR(r.b/4) AS INT) + 1, 1)) - 1)
+                                  >> (3 - CAST(r.b % 4 AS INT))) & 1 = 1
+                            THEN 1 ELSE -1 END AS c
+                FROM toks CROSS JOIN (SELECT unnest(range(64)) AS b) r),
+    sign AS (SELECT doc_id, b, CASE WHEN SUM(c) > 0 THEN 1 ELSE 0 END AS sgn
+             FROM contrib GROUP BY doc_id, b),
+    digests AS (SELECT doc_id, CAST(FLOOR(b/8) AS INT) AS chunk,
+                       md5(string_agg(CAST(sgn AS VARCHAR), '' ORDER BY b)) AS ch
+                FROM sign GROUP BY doc_id, CAST(FLOOR(b/8) AS INT)),
+    scand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+              FROM digests a JOIN digests b ON a.chunk = b.chunk AND a.ch = b.ch
+              WHERE a.doc_id < b.doc_id),
+    sh_out AS (SELECT c.id_1, c.id_2,
+                      CAST(SUM(CASE WHEN sa.sgn <> sb.sgn THEN 1 ELSE 0 END) AS DOUBLE) AS score
+               FROM scand c
+               JOIN sign sa ON sa.doc_id = c.id_1
+               JOIN sign sb ON sb.doc_id = c.id_2 AND sb.b = sa.b
+               GROUP BY 1, 2
+               HAVING SUM(CASE WHEN sa.sgn <> sb.sgn THEN 1 ELSE 0 END) <= 6),
+    sem_out AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS s
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT 'minhash' AS algo, id_1, id_2, score FROM mh_out
+    UNION ALL
+    SELECT 'simhash' AS algo, id_1, id_2, score FROM sh_out
+    UNION ALL
+    SELECT 'semantic' AS algo, id_1, id_2, CAST(ROUND(s * 1000000) AS DOUBLE) AS score
+    FROM sem_out WHERE s >= CAST(0.5 AS DOUBLE)
 """
 
 

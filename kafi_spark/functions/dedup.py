@@ -81,7 +81,8 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
 
 
 def _minhash_long(df: DataFrame, text_col: str, id_col: str, k: int,
-                  num_hashes: int, seed: int) -> DataFrame:
+                  num_hashes: int, seed: int,
+                  hasher: str = "xxhash64") -> DataFrame:
     """Long-format minima: (id, i, mh) for i in [0, num_hashes).
 
     Shape matters for codegen here, twice over:
@@ -96,13 +97,35 @@ def _minhash_long(df: DataFrame, text_col: str, id_col: str, k: int,
     So: explode a constant seed array (foldable, re-eval is free), then
     hash once per (shingle, seed) row. One explode, one hash per output
     row, one map-side-partial groupBy whose shuffle carries ≤ docs×H rows.
+
+    ``hasher``: ``"xxhash64"`` (fast, engine-internal) or ``"portable"``
+    — h_i(x) = the first 15 hex chars of md5(i || ':' || x). Fixed-width
+    hex orders lexicographically = numerically, so the per-seed MIN is a
+    plain string min and any SQL engine with md5 reproduces the sketch
+    bit-for-bit. The portable hash family is indexed by ``i`` alone
+    (``seed`` is ignored) so an oracle needs no seed arithmetic.
     """
     sh = shingles(df, text_col, id_col, k)
-    seeds = F.lit([seed + i for i in range(num_hashes)])
-    pairs = (
-        sh.select(F.col(id_col), "shingle", F.posexplode(seeds).alias("i", "s"))
-        .select(F.col(id_col), "i", F.xxhash64("s", "shingle").alias("hv"))
-    )
+    if hasher == "xxhash64":
+        seeds = F.lit([seed + i for i in range(num_hashes)])
+        pairs = (
+            sh.select(F.col(id_col), "shingle", F.posexplode(seeds).alias("i", "s"))
+            .select(F.col(id_col), "i", F.xxhash64("s", "shingle").alias("hv"))
+        )
+    elif hasher == "portable":
+        seeds = F.lit(list(range(num_hashes)))
+        pairs = (
+            sh.select(F.col(id_col), "shingle", F.explode(seeds).alias("i"))
+            .select(
+                F.col(id_col),
+                "i",
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))), 1, 15
+                ).alias("hv"),
+            )
+        )
+    else:
+        raise ValueError(f"hasher must be 'xxhash64' or 'portable', got {hasher!r}")
     return pairs.groupBy(id_col, "i").agg(F.min("hv").alias("mh"))
 
 
@@ -281,22 +304,29 @@ def _jaccard_verify(
 
 
 def _band_keys(df: DataFrame, text_col: str, id_col: str, k: int,
-               num_hashes: int, bands: int, seed: int) -> DataFrame:
+               num_hashes: int, bands: int, seed: int,
+               hasher: str = "xxhash64") -> DataFrame:
     """LSH band keys ``(id, band_id, band_hash)`` straight from the
-    long-format minima: band hash = xxhash64 of the band's (i, mh) rows
+    long-format minima: band hash = digest of the band's (i, mh) rows
     in i-order — no pivot needed, and equal bands ⇔ equal minima
     sequences. Shared by :func:`minhash_lsh_pairs` and the streaming
-    curation twin so both sides key identically."""
+    curation twin so both sides key identically.
+
+    ``hasher="xxhash64"`` digests with xxhash64 over the (i, mh) struct
+    list (fast, engine-internal); ``"portable"`` digests with md5 over
+    the '|'-joined minima so a SQL oracle reproduces the band keys
+    (``string_agg(mh, '|' ORDER BY i)`` then md5)."""
     rows_per_band = num_hashes // bands
-    long_ = _minhash_long(df, text_col, id_col, k, num_hashes, seed)
+    long_ = _minhash_long(df, text_col, id_col, k, num_hashes, seed, hasher)
+    ordered = F.array_sort(F.collect_list(F.struct("i", "mh")))
+    if hasher == "xxhash64":
+        digest = F.xxhash64(ordered)
+    else:
+        digest = F.md5(F.array_join(F.transform(ordered, lambda x: x["mh"]), "|"))
     return (
         long_.withColumn("band_id", (F.col("i") / rows_per_band).cast("int"))
         .groupBy(id_col, "band_id")
-        .agg(
-            F.xxhash64(
-                F.array_sort(F.collect_list(F.struct("i", "mh")))
-            ).alias("band_hash")
-        )
+        .agg(digest.alias("band_hash"))
     )
 
 
@@ -311,6 +341,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int = 10_000,
     verify_df: DataFrame | None = None,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash + LSH banding, then exact
     Jaccard verification of the candidates.
@@ -326,8 +357,15 @@ def minhash_lsh_pairs(
     it here keeps verification from re-executing the expensive subplan.
     Results are identical whenever both frames agree on text per id over
     the candidate ids.
+
+    ``hasher``: ``"xxhash64"`` (default, fast) or ``"portable"``
+    (md5-derived minima and band digests a SQL oracle reproduces
+    bit-for-bit — see :func:`_minhash_long`). The banding / bucket-cap /
+    verification plan is IDENTICAL either way; only the hash expressions
+    differ, which is what lets the driver's correctness gate replay the
+    genuine production plan in DuckDB (``dedup_fast_pairs``).
     """
-    stacked = _band_keys(df, text_col, id_col, k, num_hashes, bands, seed)
+    stacked = _band_keys(df, text_col, id_col, k, num_hashes, bands, seed, hasher)
     # candidates by bucket-collect, not self-join: a self-join would plan
     # TWO full recomputes of the signature pipeline plus a shuffle join;
     # collecting each (band, hash) bucket's ids and exploding the C(m,2)
@@ -380,72 +418,22 @@ def minhash_lsh_pairs_portable(
     chars of md5(i || ':' || x). Fixed-width hex strings order
     lexicographically = numerically, so the per-seed MIN is a plain string
     min and any SQL engine with md5 reproduces the sketch bit-for-bit —
-    this variant has a full DuckDB oracle (unlike the xxhash64 fast path
+    this variant has a full DuckDB oracle (unlike the xxhash64 default of
     :func:`minhash_lsh_pairs`, which is rows-only checkable). Use the fast
-    path in production; this one exists to prove the algorithm against an
-    independent engine. Same plan shape: long-format minima, band digest,
-    bucket-collect candidates, exact Jaccard verification.
+    hash in production; this one exists to prove the algorithm against an
+    independent engine. Thin wrapper over :func:`minhash_lsh_pairs` with
+    ``hasher="portable"`` — the SAME plan code runs (long-format minima,
+    band digest, bucket-collect + cap, exact Jaccard verification), only
+    the hash expressions differ.
     """
-    rows_per_band = num_hashes // bands
-    sh = shingles(df, text_col, id_col, k)
-    seeds = F.lit(list(range(num_hashes)))
-    long_ = (
-        sh.select(F.col(id_col), "shingle", F.explode(seeds).alias("i"))
-        .select(
-            F.col(id_col),
-            "i",
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))), 1, 15
-            ).alias("hv"),
-        )
-        .groupBy(id_col, "i")
-        .agg(F.min("hv").alias("mh"))
+    return minhash_lsh_pairs(
+        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, max_bucket=max_bucket, hasher="portable",
     )
-    banded = (
-        long_.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                        lambda x: x["mh"],
-                    ),
-                    "|",
-                )
-            ).alias("bh")
-        )
-    )
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        # bucket guard: a degenerate bucket (one signature shared by a huge
-        # doc subset, i.e. mass-duplicates the exact-dedup stage should have
-        # removed) would otherwise build an O(corpus) array and a C(m,2)
-        # pair explosion in one task. Truncating to max_bucket ids keeps the
-        # bucket's pair fan-out bounded; every surviving doc still meets the
-        # others through its remaining bands with overwhelming probability.
-        .withColumn("ids", F.slice("ids", 1, max_bucket))
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
-            ),
-        )
-    )
-    candidates = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_1"), F.col("p.id_2"))
-        .distinct()
-    )
-    return _jaccard_verify(df, candidates, text_col, id_col, k, threshold)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            hasher: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document: sign-sum of token-hash bits.
 
     Long format, like :func:`_minhash_long`: explode a constant
@@ -457,19 +445,48 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     same 500-doc input depending on code-cache state); the long plan is
     three small codegen stages, stable at ~2s. Shuffles stay tiny:
     docs × 64 rows of (id, bit, ±count) with map-side partial sums.
+
+    ``hasher``: ``"xxhash64"`` takes token bit b from the xxhash64 value
+    (fast, engine-internal); ``"portable"`` takes it from the first 16
+    hex chars of md5(token) — the bit definition a SQL oracle can
+    reproduce from hex nibbles. The sign-sum / bit-pack plan is shared.
+    The md5 prefix is parsed ONCE per token into two 32-bit words
+    (bit b of the 64-bit prefix = bit (31 - b%32) of word b//32, since
+    nibble n sits at shift 28-4n within its word); the earlier
+    per-(token, bit) conv(substring(...)) form parsed hex 64× per token
+    and was ~20× slower through codegen.
     """
     tokens = _parallelize(df).select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
-    ).withColumn("hv", F.xxhash64("tok"))
+    )
     bits = F.lit(list(range(64)))
+    if hasher == "xxhash64":
+        hashed = tokens.withColumn("hv", F.xxhash64("tok"))
+        bit_expr = F.expr("shiftright(hv, b) & 1")
+        carry = ["hv"]
+    elif hasher == "portable":
+        hashed = tokens.select(
+            F.col(id_col),
+            F.md5("tok").alias("h"),
+        ).select(
+            F.col(id_col),
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("w1"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("w2"),
+        )
+        bit_expr = F.expr(
+            "CASE WHEN b < 32 THEN shiftright(w1, 31 - b)"
+            " ELSE shiftright(w2, 63 - b) END & 1"
+        )
+        carry = ["w1", "w2"]
+    else:
+        raise ValueError(f"hasher must be 'xxhash64' or 'portable', got {hasher!r}")
     contrib = (
-        tokens.select(F.col(id_col), "hv", F.explode(bits).alias("b"))
+        hashed.select(F.col(id_col), *carry, F.explode(bits).alias("b"))
         .select(
             F.col(id_col),
             "b",
-            F.when(
-                F.expr("shiftright(hv, b) & 1").cast("long") == 1, F.lit(1)
-            ).otherwise(F.lit(-1)).alias("c"),
+            F.when(bit_expr.cast("long") == 1, F.lit(1))
+            .otherwise(F.lit(-1)).alias("c"),
         )
     )
     bitsum = contrib.groupBy(id_col, "b").agg(F.sum("c").alias("s"))
@@ -518,6 +535,7 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     max_bucket: int | None = 10_000,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash with a lossless pigeonhole banding: the
     64-bit signature is split into exactly ``max_hamming + 1`` chunks of
@@ -538,10 +556,14 @@ def simhash_pairs(
     pair fan-out in the degenerate bucket (the completeness differential
     test runs both ways).
 
+    ``hasher="portable"`` swaps the token hash for md5-derived bits (see
+    :func:`simhash`) so the WHOLE plan — this minimal pigeonhole banding
+    included — is SQL-oracle-reproducible; the default stays xxhash64.
+
     Reference parity: kafi has no simhash; this is the LLM-pipeline
     extension layer. Output: (id_1, id_2, hamming), id_1 < id_2.
     """
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, hasher)
     return hamming_pairs(sh, id_col, "simhash", max_hamming, max_bucket)
 
 
@@ -551,6 +573,7 @@ def hamming_pairs(
     sig_col: str,
     max_hamming: int = 3,
     max_bucket: int | None = 10_000,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit signature column by lossless
     pigeonhole Hamming banding — the engine behind
@@ -559,8 +582,27 @@ def hamming_pairs(
     ``multimodal.image_perceptual_hash``) get the same scale-safe
     candidate generation + in-bucket ``bit_count(xor)`` verification.
     Null signatures are skipped. Output: (id_1, id_2, hamming),
-    id_1 < id_2."""
-    chunks_spec = _simhash_chunks(max_hamming)
+    id_1 < id_2.
+
+    ``n_chunks`` overrides the minimal pigeonhole banding with
+    ``n_chunks`` EQUAL-width chunks (64 must divide evenly); the
+    pigeonhole guarantee then covers ``max_hamming <= n_chunks - 1``, so
+    it must satisfy ``n_chunks >= max_hamming + 1``. Since in-bucket
+    verification is exact and both bandings are complete, the OUTPUT is
+    identical either way — the override exists for the portable twin,
+    whose SQL oracle bands on byte slices."""
+    if n_chunks is None:
+        chunks_spec = _simhash_chunks(max_hamming)
+    else:
+        if 64 % n_chunks != 0:
+            raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+        if n_chunks < max_hamming + 1:
+            raise ValueError(
+                f"n_chunks={n_chunks} chunks only guarantee completeness for "
+                f"hamming <= {n_chunks - 1}, but max_hamming={max_hamming}"
+            )
+        w = 64 // n_chunks
+        chunks_spec = [(c * w, w) for c in range(n_chunks)]
     bucket_cap = (1 << 31) - 1 if max_bucket is None else max_bucket
     chunk_vals = sigs.filter(F.col(sig_col).isNotNull()).select(
         F.posexplode(
@@ -625,110 +667,15 @@ def simhash_pairs_portable(
     one identical chunk, so banding loses nothing — this variant is EXACT
     over the simhash metric, not just deterministic.
 
-    Long-format plan: (doc, bit) sign sums → packed 64-bit signature →
-    byte-chunk bucket candidates → hamming verification as
-    bit_count(xor) of the packed signatures.
+    Thin composition of the shared plan code: :func:`simhash` with
+    ``hasher="portable"`` (md5-bit sign sums → packed 64-bit signature)
+    into :func:`hamming_pairs` with ``n_chunks`` equal byte-slices —
+    bucket-collect candidates, in-array ``bit_count(xor)`` verification.
     Output: (id_1, id_2, hamming), id_1 < id_2, hamming ≤ max_hamming.
     """
-    bits_per_chunk = 64 // chunks
-    bucket_cap = (1 << 31) - 1 if max_bucket is None else max_bucket
-    tokens = _parallelize(df).select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).select(F.col(id_col), F.md5("tok").alias("h"))
-    # parse the first 16 hex chars ONCE per token into two 32-bit words;
-    # bit b of the 64-bit prefix is then a numeric shift (identical to
-    # "bit (3 - b%4) of hex nibble b//4" — nibble n sits at global shift
-    # 28-4n within its word, so bit b = word >> (31 - b%32)). The earlier
-    # per-(token, bit) conv(substring(...)) form parsed hex 64× per token
-    # and was ~20× slower through codegen.
-    words = tokens.select(
-        F.col(id_col),
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("w1"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("w2"),
-    )
-    bits = F.lit(list(range(64)))
-    contrib = (
-        words.select(F.col(id_col), "w1", "w2", F.explode(bits).alias("b"))
-        .select(
-            F.col(id_col),
-            "b",
-            F.when(
-                F.expr(
-                    "CASE WHEN b < 32 THEN shiftright(w1, 31 - b)"
-                    " ELSE shiftright(w2, 63 - b) END & 1"
-                ) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)).alias("c"),
-        )
-    )
-    sign = (
-        contrib.groupBy(id_col, "b")
-        .agg(F.sum("c").alias("s"))
-        .select(
-            F.col(id_col), "b",
-            F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("sgn"),
-        )
-    )
-    # pack the 64 sign bits into one long per doc; chunks for pigeonhole
-    # banding are byte-slices OF the packed value (an injective encoding
-    # of the same chunk bit pattern the earlier per-chunk md5 digest
-    # hashed — identical bucket membership, two fewer corpus-wide
-    # aggregates and no string digests)
-    packed = sign.groupBy(id_col).agg(
-        F.bit_or(
-            F.when(F.col("sgn") == 1, F.expr("shiftleft(1L, b)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("ph")
-    )
-    mask = (1 << bits_per_chunk) - 1
-    chunk_vals = packed.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("ph"), bits_per_chunk * c)
-                    .bitwiseAND(F.lit(mask))
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("chunk", "ch"),
-        F.struct(F.col(id_col).alias("id"), F.col("ph").alias("sh")).alias("m"),
-    )
-    buckets = (
-        chunk_vals.groupBy("chunk", "ch")
-        .agg(F.array_sort(F.collect_set("m")).alias("mem"))
-        .filter(F.size("mem") >= 2)
-        # bucket guard: a degenerate bucket (one signature shared by a huge
-        # doc subset, i.e. mass-duplicates the exact-dedup stage should have
-        # removed) would otherwise build an O(corpus) array and a C(m,2)
-        # pair explosion in one task. Truncating to max_bucket ids keeps the
-        # bucket's pair fan-out bounded; every surviving doc still meets the
-        # others through its remaining bands with overwhelming probability.
-        .withColumn("mem", F.slice("mem", 1, bucket_cap))
-    )
-    # members carry the PACKED signature into the bucket: hamming =
-    # bit_count(xor) computed in-array, filter before distinct, and the
-    # signature subtree appears in the plan once (no joins back)
-    combos = F.flatten(
-        F.transform(
-            F.col("mem"),
-            lambda x, i: F.transform(
-                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_1"),
-                    y["id"].alias("id_2"),
-                    F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
-                    .cast("long")
-                    .alias("hamming"),
-                ),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_1"), F.col("p.id_2"), F.col("p.hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    sh = simhash(df, text_col, id_col, hasher="portable")
+    return hamming_pairs(
+        sh, id_col, "simhash", max_hamming, max_bucket, n_chunks=chunks
     )
 
 

@@ -337,3 +337,42 @@ def test_minhash_lsh_join_self_consistent_with_pairs(spark, sf_dir):
                   docs, docs, threshold=0.5).filter(
                   "left_id < right_id").collect()}
     assert joined == pairs
+
+
+def test_hasher_param_portable_equals_twin_and_validates(spark, sf_dir):
+    """hasher="portable" runs the SAME banding/bucket-cap/verify plan code
+    as the xxhash64 default (the dedup_fast_pairs oracle closure); the
+    7-chunk minimal pigeonhole banding under portable hashing must emit
+    the same pairs as the 8-byte-chunk portable twin (both bandings are
+    complete for hamming <= 6 and verification is exact), and unknown
+    hasher names fail fast."""
+    import pytest
+    from kafi_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    fast7 = {(r.id_1, r.id_2, r.hamming)
+             for r in dedup.simhash_pairs(
+                 docs, "text", "doc_id", max_hamming=6, hasher="portable"
+             ).collect()}
+    twin8 = {(r.id_1, r.id_2, r.hamming)
+             for r in dedup.simhash_pairs_portable(
+                 docs, "text", "doc_id", max_hamming=6, chunks=8
+             ).collect()}
+    assert fast7 == twin8 and fast7
+
+    mh = {(r.id_1, r.id_2) for r in dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=24, bands=6, threshold=0.7,
+        hasher="portable").collect()}
+    tw = {(r.id_1, r.id_2) for r in dedup.minhash_lsh_pairs_portable(
+        docs, "text", "doc_id", num_hashes=24, bands=6, threshold=0.7).collect()}
+    assert mh == tw and mh
+
+    with pytest.raises(ValueError, match="hasher"):
+        dedup.minhash_lsh_pairs(docs, "text", "doc_id", hasher="sha9000").collect()
+    with pytest.raises(ValueError, match="hasher"):
+        dedup.simhash(docs, "text", "doc_id", hasher="sha9000").collect()
+    sigs = dedup.simhash(docs, "text", "doc_id")
+    with pytest.raises(ValueError, match="divide"):
+        dedup.hamming_pairs(sigs, "doc_id", "simhash", 3, n_chunks=5)
+    with pytest.raises(ValueError, match="completeness"):
+        dedup.hamming_pairs(sigs, "doc_id", "simhash", 8, n_chunks=8)
