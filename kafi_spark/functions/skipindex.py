@@ -157,25 +157,34 @@ def _load_manifest(spark, data_path: str) -> dict:
     return json.loads(row["manifest"])
 
 
-def _probe_bits(spark, values, num_bits: int, k: int,
-                dtype: str | None = None) -> dict:
-    """{value: [k bit positions]} computed with the SAME JVM xxhash64
-    expressions as the build — INCLUDING the column's Spark type:
-    xxhash64 hashes an int and a bigint of equal value differently, so
-    a probe literal inferred as bigint against an int-column index
-    would silently miss every row (false negatives). ``dtype`` is the
-    indexed column's type from the manifest; probe values are cast to
-    it before hashing."""
-    vdf = spark.createDataFrame([(v,) for v in values], ["__v"])
+def _probe_frame(spark, values, num_bits: int, k: int,
+                 dtype: str | None = None) -> DataFrame:
+    """Tiny probe frame ``(__vid, __v, word_idx, mask)`` — per probe
+    value, the bloom words it needs and the required bit mask within
+    each word (bits landing in the same word fold into one mask row via
+    ``bit_or``, ≤ k rows per value). Bit positions are computed with the
+    SAME JVM xxhash64 expressions as the build — INCLUDING the column's
+    Spark type: xxhash64 hashes an int and a bigint of equal value
+    differently, so a probe literal inferred as bigint against an
+    int-column index would silently miss every row (false negatives).
+    ``dtype`` is the indexed column's type from the manifest; probe
+    values are cast to it before hashing."""
+    vdf = spark.createDataFrame(list(enumerate(values)), ["__vid", "__v"])
     hashed = vdf.withColumn(
         "__h", F.col("__v").cast(dtype) if dtype else F.col("__v"))
-    rows = hashed.select(
-        "__v", *[
-            b.alias(f"b{i}")
-            for i, b in enumerate(_bit_cols("__h", num_bits, k))
-        ]
-    ).collect()
-    return {r["__v"]: [r[f"b{i}"] for i in range(k)] for r in rows}
+    return (
+        hashed.select(
+            "__vid", "__v",
+            F.explode(F.array(*_bit_cols("__h", num_bits, k))).alias("__bit"),
+        )
+        .select(
+            "__vid", "__v",
+            F.shiftright(F.col("__bit"), 6).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, int(__bit % 64))").alias("__m"),
+        )
+        .groupBy("__vid", "__v", "word_idx")
+        .agg(F.bit_or("__m").alias("mask"))
+    )
 
 
 def _norm_uri(u: str) -> str:
@@ -194,9 +203,16 @@ def skip_index_candidates(
     that truly contains one is returned (no false negatives); a small
     false-positive tail is expected and harmless.
 
-    Reads k·|values| words per file from the index (``word_idx IN``
-    pushdown), plus the per-file min/max row; a value outside a file's
-    [min, max] skips the file without consulting its bloom.
+    The verdict is computed DISTRIBUTED, as a join/aggregation over the
+    index tables: the tiny probe frame (≤ k·|values| (word, mask) rows)
+    broadcast-joins the bloom table on ``word_idx`` (``isin`` pushdown
+    prunes the index scan), a per-(file, value) aggregate checks that
+    every needed word is present with all mask bits set, and only the
+    SURVIVING file names are collected. Driver-side rows are bounded by
+    |candidates| + |unindexed| + k·|values| — never O(indexed files),
+    which at 100 TB (10⁵–10⁶ files) is the difference between a probe
+    and a metadata full-scan. A value outside a (string) file's
+    [min, max] is discarded before the bloom verdict.
 
     Drift-safe against append-only layouts (e.g. FS topics): the
     manifest records the file snapshot the index covers, so files
@@ -214,6 +230,7 @@ def skip_index_candidates(
         raise ValueError(
             f"column {col!r} not indexed (have {man['cols']})")
     num_bits, k = man["num_bits"], man["k"]
+    dtype = man.get("dtypes", {}).get(col)
     current = {
         _norm_uri(f)
         for f in spark.read.option("basePath", data_path)
@@ -221,43 +238,59 @@ def skip_index_candidates(
     }
     indexed = {_norm_uri(f) for f in man.get("files", [])}
     unindexed = [n for n in current if n not in indexed]
-    bits = _probe_bits(spark, list(dict.fromkeys(values)), num_bits, k,
-                       dtype=man.get("dtypes", {}).get(col))
+    probe = _probe_frame(spark, list(dict.fromkeys(values)), num_bits, k,
+                         dtype=dtype)
     root = index_path_of(data_path)
-    needed = sorted({b >> 6 for bs in bits.values() for b in bs})
+    # the needed word indexes ARE collected (≤ k·|values| ints, probe-
+    # sized) — they form the isin() filter that lets parquet min/max on
+    # the sorted index prune the bloom read itself
+    needed = sorted(
+        r["word_idx"] for r in probe.select("word_idx").distinct().collect()
+    )
     words = (
         spark.read.parquet(f"{root}/bloom")
         .filter((F.col("col") == col) & F.col("word_idx").isin(needed))
-        .collect()
     )
-    by_file: dict[str, dict[int, int]] = {}
-    for r in words:
-        by_file.setdefault(r["file"], {})[r["word_idx"]] = r["word"]
-    meta = {
-        r["file"]: (r["min_v"], r["max_v"])
-        for r in spark.read.parquet(f"{root}/minmax")
-        .filter(F.col("col") == col)
-        .collect()
-    }
-    out = list(unindexed)
-    for file, fwords in by_file.items():
-        if _norm_uri(file) not in current:
-            continue  # deleted since the build
-        lo_hi = meta.get(file)
-        for v, bs in bits.items():
-            if lo_hi is not None and lo_hi[0] is not None:
-                # min/max are stored as strings; compare stringified
-                # probe values only when the column itself is a string —
-                # for other types the bloom alone decides (stats stay
-                # advisory, never a correctness risk)
-                if isinstance(v, str) and not (lo_hi[0] <= v <= lo_hi[1]):
-                    continue
-            if all(
-                (fwords.get(b >> 6, 0) >> (b % 64)) & 1 for b in bs
-            ):
-                out.append(_norm_uri(file))
-                break
-    return sorted(out)
+    # a value hits a file iff EVERY one of its needed words exists in the
+    # file's bloom with all mask bits set: inner-join then require
+    # n_matched == n_needed (a missing word row yields fewer joined rows,
+    # so absent words fail the equality exactly like an all-zero word)
+    per_file = (
+        words.join(F.broadcast(probe), "word_idx")
+        .groupBy("file", "__vid", "__v")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("word").bitwiseAND(F.col("mask")) == F.col("mask"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_ok")
+        )
+    )
+    n_need = probe.groupBy("__vid").agg(F.count(F.lit(1)).alias("n_need"))
+    hits = per_file.join(F.broadcast(n_need), "__vid").filter(
+        F.col("n_ok") == F.col("n_need")
+    )
+    if dtype == "string" and all(isinstance(v, str) for v in values):
+        # min/max are stored as strings; the range guard applies only
+        # when the column AND the probe values are strings (a non-string
+        # probe value would coerce against the string bounds and could
+        # drop a true hit) — otherwise the bloom alone decides (stats
+        # stay advisory, never a correctness risk)
+        meta = (
+            spark.read.parquet(f"{root}/minmax")
+            .filter(F.col("col") == col)
+            .select("file", "min_v", "max_v")
+        )
+        hits = hits.join(meta, "file", "left").filter(
+            F.col("min_v").isNull()
+            | ((F.col("min_v") <= F.col("__v")) & (F.col("__v") <= F.col("max_v")))
+        )
+    cand = [r["file"] for r in hits.select("file").distinct().collect()]
+    out = list(unindexed) + [
+        _norm_uri(f) for f in cand if _norm_uri(f) in current
+    ]
+    return sorted(set(out))
 
 
 def pruned_point_read(

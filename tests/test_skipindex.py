@@ -190,3 +190,38 @@ def test_probe_hashes_at_indexed_column_type(spark, tmp_path):
     ).repartition(2).write.parquet(path2)
     build_skip_index(spark, path2, ["f"])
     assert pruned_point_read(spark, path2, "f", [7.0]).count() == 1
+
+
+def test_probe_collect_bounded_not_per_file(spark, tmp_path, monkeypatch):
+    """The probe verdict is computed distributed (join/agg over the index
+    tables): driver-side collects during one probe are bounded by
+    k·|values| (needed word indexes) + |candidates| — NEVER O(indexed
+    files). Over a 64-file index a per-file implementation collects ≥ 64
+    bloom/minmax rows; the bound here is < 16."""
+    from pyspark.sql import DataFrame
+
+    out = str(tmp_path / "many")
+    df = spark.range(6400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    df.repartition(64, "k").write.parquet(out)
+    si.build_skip_index(spark, out, ["k"], num_bits=1 << 14)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 64
+
+    counts: list[int] = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        rows = orig(self)
+        counts.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    cands = si.skip_index_candidates(spark, out, "k", [1234])
+    # one value in exactly one file (+ possible bloom false positives)
+    assert 1 <= len(cands) <= 3
+    total = sum(counts)
+    assert total <= 7 + len(cands), (
+        f"driver collected {total} rows for a 1-value probe over 64 files "
+        f"(per-collect: {counts}) — the verdict is not distributed"
+    )
