@@ -223,6 +223,37 @@ def lm_quality_score(
     )
 
 
+def _validate_bands(cuts, labels) -> None:
+    """Shared cuts/labels validation for the batch and streaming CCNet
+    banding ops."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(labels) == len(cuts)+1, got {len(labels)} labels "
+            f"for {len(cuts)} cuts")
+    if list(cuts) != sorted(set(cuts)) or not all(0 < c < 1 for c in cuts):
+        raise ValueError(f"cuts must be strictly increasing in (0,1): {cuts}")
+
+
+def _band_case_expr(cuts_col: str, labels):
+    """Ascending CASE chain over an ``lm_score`` column and a cuts ARRAY
+    column: score <= cut_i -> labels[i], else the top label. Bands only
+    when BOTH the score and the group's cuts exist: a row whose group
+    value is null (or whose group produced no cuts) never equi-joins a
+    cuts row, and an unguarded chain would fall through
+    ``score <= NULL`` straight to the TOP label — the worst doc in the
+    corpus branded 'head' because its language tag was missing. Shared
+    by :func:`perplexity_buckets` and the streaming twin so both band
+    identically."""
+    expr = F.lit(labels[-1])
+    for i in range(len(labels) - 2, -1, -1):
+        expr = F.when(
+            F.col("lm_score") <= F.col(cuts_col).getItem(i), F.lit(labels[i])
+        ).otherwise(expr)
+    return F.when(
+        F.col("lm_score").isNotNull() & F.col(cuts_col).isNotNull(), expr
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     reference: DataFrame,
@@ -262,12 +293,7 @@ def perplexity_buckets(
     engine's hashed unigram LM — beyond-reference LLM-pipeline
     extension (SURVEY.md §2 extension).
     """
-    if len(labels) != len(cuts) + 1:
-        raise ValueError(
-            f"need len(labels) == len(cuts)+1, got {len(labels)} labels "
-            f"for {len(cuts)} cuts")
-    if list(cuts) != sorted(set(cuts)) or not all(0 < c < 1 for c in cuts):
-        raise ValueError(f"cuts must be strictly increasing in (0,1): {cuts}")
+    _validate_bands(cuts, labels)
 
     lm = lm_quality_score(df, reference, text_col, id_col,
                           n_buckets=n_buckets, out_col="lm_score")
@@ -300,23 +326,10 @@ def perplexity_buckets(
     else:
         banded = keyed.crossJoin(F.broadcast(keyed.agg(qs)))
 
-    # ascending CASE chain: score <= cut_i -> labels[i], else top label
-    expr = F.lit(labels[-1])
-    for i in range(len(cuts) - 1, -1, -1):
-        expr = F.when(
-            F.col("lm_score") <= F.col("__cuts").getItem(i), F.lit(labels[i])
-        ).otherwise(expr)
-    # band only when BOTH the score and the group's cuts exist: a row
-    # whose `by` value is null (or whose group produced no cuts) never
-    # equi-joins a cuts row, and an unguarded CASE chain would fall
-    # through `score <= NULL` straight to the TOP label — the worst doc
-    # in the corpus branded 'head' because its language tag was missing
     labeled = banded.select(
         F.col(id_col),
         F.col("lm_score"),
-        F.when(
-            F.col("lm_score").isNotNull() & F.col("__cuts").isNotNull(),
-            expr).alias(out_col),
+        _band_case_expr("__cuts", labels).alias(out_col),
     )
     return df.join(labeled, id_col, "left").select(
         *df.columns, "lm_score", out_col)

@@ -737,6 +737,104 @@ def cms_sketch_stream(
     return process
 
 
+def perplexity_buckets_stream(
+    reference: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str | None = None,
+    cuts=(1 / 3, 2 / 3),
+    labels=("tail", "middle", "head"),
+    n_buckets: int = 65_536,
+    k: int = 200,
+    out_col: str = "ppl_bucket",
+    sink=None,
+):
+    """Streaming twin of :func:`kafi_spark.functions.importance.
+    perplexity_buckets` — CCNet head/middle/tail banding over a live
+    stream, with the global/per-group score quantiles maintained as
+    persisted KLL state instead of a full-corpus ``percentile_approx``.
+
+    Per micro-batch: (1) score the batch against the STATIC reference
+    LM (:func:`importance.lm_quality_score` — the reference corpus is a
+    batch frame, fit once per epoch from a bounded hash model), (2)
+    persist the batch's per-group KLL score sketches as this epoch's
+    delta (idempotent per-epoch overwrite — the additive-state
+    discipline of :func:`quantile_sketch_stream`), (3) band the batch
+    against the cut points of the ACCUMULATED state (every epoch so
+    far, merged under the compaction watermark by
+    :func:`sketches.kll_totals`) and hand ``sink`` the batch rows +
+    ``lm_score`` + ``out_col``.
+
+    Semantics vs the batch op, both documented and tested: the batch
+    op's percentile_approx over the full corpus becomes KLL quantiles
+    over everything ARRIVED SO FAR — early batches band against fewer
+    observations (arrival-order semantics), and the cuts carry KLL
+    rank error (±1.65% at k=200) instead of percentile_approx's
+    ``accuracy``. Scores themselves are deterministic and identical to
+    the batch op's. Null-`by` rows and no-token docs band to null
+    exactly like the batch op (shared ``_band_case_expr``).
+
+    Replay-idempotent: a replayed epoch overwrites its own delta with
+    identical bytes and re-bands against identical totals (the delta is
+    saved BEFORE totals are read on both attempts), so emissions match
+    byte-for-byte. Long-running streams fold state with
+    :func:`sketches.kll_compact`.
+    """
+    from kafi_spark.functions.importance import (
+        _band_case_expr, _validate_bands, lm_quality_score)
+    from kafi_spark.functions.sketches import (
+        _kll_fns, kll_save_delta, kll_totals, quantile_sketch)
+
+    _validate_bands(cuts, labels)
+    group = [by] if by is not None else []
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        lm = lm_quality_score(
+            batch_df, reference, text_col, id_col, n_buckets=n_buckets)
+        # no-token docs carry no signal: null their score so they
+        # neither band nor drag the tail cut down (same policy and
+        # same sanctioned checkpoint barrier as the batch op — the
+        # scored frame feeds both the sketch delta and the band join)
+        has_signal = (F.trim(F.col(text_col)) != "").alias("__has")
+        keyed = (
+            batch_df.select(id_col, *group, has_signal)
+            .join(lm, id_col, "left")
+            .withColumn("lm_score", F.when(F.col("__has"), F.col("lm_score")))
+            .drop("__has")
+            .localCheckpoint()
+        )
+        delta = quantile_sketch(
+            keyed.filter(F.col("lm_score").isNotNull()),
+            "lm_score", group, k, "double",
+        )
+        kll_save_delta(delta, state_dir, epoch_id)
+        if sink is None:
+            return
+        totals = kll_totals(spark, state_dir, group, "double", k)
+        qfn = _kll_fns("double")["quantile"]
+        cuts_frame = totals.select(
+            *group,
+            F.array(
+                *[qfn(F.col("qsketch"), F.lit(float(c))) for c in cuts]
+            ).alias("__cuts"),
+        )
+        if group:
+            banded = keyed.join(F.broadcast(cuts_frame), by, "left")
+        else:
+            banded = keyed.crossJoin(F.broadcast(cuts_frame))
+        labeled = banded.select(
+            F.col(id_col), F.col("lm_score"),
+            _band_case_expr("__cuts", labels).alias(out_col),
+        )
+        out = batch_df.join(labeled, id_col, "left").select(
+            *batch_df.columns, "lm_score", out_col)
+        sink(out, epoch_id)
+
+    return process
+
+
 def corpus_report_stream(
     state_dir: str,
     text_col: str = "text",

@@ -583,3 +583,58 @@ def test_dedup_against_stream_compaction(spark, sf_dir, tmp_path):
     proc(docs.filter("doc_id >= 50 and doc_id < 60").select(
         (F.col("doc_id") + 6_000_000).alias("doc_id"), "text"), 3)
     assert out[4] == set()                    # still all near-matched
+
+
+def test_perplexity_buckets_stream_matches_batch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Streaming CCNet banding twin: scores are deterministic and equal
+    the batch op's; the LAST micro-batch bands against KLL state over
+    the whole arrived corpus, so its bands agree with the batch
+    percentile_approx banding up to sketch accuracy at the cut
+    boundaries; a crash-replay of an epoch re-emits identical rows."""
+    from kafi_spark.functions.importance import perplexity_buckets
+    from kafi_spark.session import read_table
+    from kafi_spark.streaming.stateful import perplexity_buckets_stream
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+
+    batch = {r["doc_id"]: (r["lm_score"], r["ppl_bucket"])
+             for r in perplexity_buckets(docs, ref, by="lang").collect()}
+
+    state = str(tmp_path / "ppl")
+    emissions: dict[int, dict] = {}
+
+    def sink(df, epoch):
+        emissions[epoch] = {
+            r["doc_id"]: (r["lm_score"], r["ppl_bucket"])
+            for r in df.collect()
+        }
+
+    proc = perplexity_buckets_stream(ref, state, by="lang", sink=sink)
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        proc(p, i)
+    assert sum(len(e) for e in emissions.values()) == docs.count()
+
+    # scores are sketch-free and must equal the batch op's exactly
+    for em in emissions.values():
+        for did, (score, _) in em.items():
+            want = batch[did][0]
+            if want is None:
+                assert score is None
+            else:
+                assert score == pytest.approx(want, rel=1e-12)
+
+    # arrival-order semantics: the final batch sees state over the whole
+    # corpus, so its bands match the batch op except within KLL rank
+    # error of the cut points
+    last = dict(emissions[2])
+    agree = sum(1 for did, (_, b) in last.items() if b == batch[did][1])
+    assert agree / len(last) >= 0.9, f"{agree}/{len(last)} bands agree"
+
+    # crash-before-commit replay of epoch 2: byte-identical emission
+    proc(parts[2], 2)
+    assert emissions[2] == last
