@@ -27,8 +27,9 @@ public primitives:
 Reference scope note: the reference engine has no storage-layout
 optimizer; this is part of the beyond-reference LLM-pipeline layer
 (SURVEY.md §2 extension). `sources/bucketed.py` solves the join-shuffle
-problem; this module solves the scan-pruning problem — the two compose
-(bucket by join key, z-order within buckets is future work).
+problem; this module solves the scan-pruning problem — and
+`zorder_write_bucketed` composes the two (bucket by join key, z-range
+file splits within, so one table both joins shuffle-free and prunes).
 """
 
 from __future__ import annotations
@@ -154,6 +155,55 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    zorder_cols: Sequence[str],
+    bits: int = 8,
+    num_z_ranges: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table that joins SHUFFLE-FREE on ``bucket_cols`` AND
+    prunes scans on ``zorder_cols`` — the composition of
+    ``sources/bucketed.py`` (join co-location) and :func:`zorder_write`
+    (multi-dimensional scan pruning) in one layout.
+
+    Mechanics: the frame is z-keyed, ``repartitionByRange`` splits it
+    into ``num_z_ranges`` tasks each owning a compact Morton range, and
+    the bucketed writer then hashes each task's rows into catalog
+    buckets — so every output file is (z-range × bucket): its footer
+    min/max on the z-ordered columns spans only its task's Morton slice
+    (file-level pruning on ANY clustered dimension), while the catalog
+    bucket metadata lets joins on ``bucket_cols`` plan with zero
+    Exchange exactly as :func:`sources.bucketed.write_bucketed` does.
+    ``sortBy`` on the persisted ``__z`` column additionally tightens
+    ROW-GROUP stats inside large files. Total files ≈ num_z_ranges ×
+    n_buckets — size num_z_ranges so files land near the rolled-up
+    target (e.g. ~1 GiB) at your scale.
+
+    The ``__z`` key is PERSISTED (8 bytes/row): the bucketed writer's
+    ``sortBy`` must name a real table column, and keeping it lets
+    readers range-filter on the Morton key directly. With multiple
+    files per bucket Spark re-sorts for a SortMergeJoin but never
+    re-shuffles — the Exchange elimination is the 100 TB win; the sort
+    is local.
+    """
+    keyed = zorder_key(df, zorder_cols, bits)
+    w = (
+        keyed.repartitionByRange(num_z_ranges, F.col("__z"))
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy("__z")
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def pruning_stats(path: str, col: str) -> list[tuple]:

@@ -157,3 +157,54 @@ def test_zorder_date_and_timestamp_columns(spark):
     ntz = df.select("k", F.col("t").cast("timestamp_ntz").alias("tn"))
     got_n = rows(ly.zorder_key(ntz, ["tn"], bits=2), "k", "__z")
     assert [z for _, z in got_n] == zs_t
+
+
+def test_zorder_write_bucketed_joins_shufflefree_and_prunes(spark, tmp_path):
+    """ONE table layout buys BOTH 100 TB properties at once: catalog
+    bucketing on the join key (zero-Exchange SortMergeJoin) and z-range
+    file splits (file-level footer pruning on every clustered column)."""
+    from kafi_spark.functions.layout import (
+        pruned_fraction, pruning_stats, zorder_write_bucketed)
+    from kafi_spark.sources.bucketed import assert_no_shuffle_join
+
+    n = 20_000
+    a = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("y"),
+        (F.col("id") * 2).alias("va"),
+    )
+    b = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1000)).alias("y"),
+        (F.col("id") * 3).alias("vb"),
+    )
+    pa, pb = str(tmp_path / "za"), str(tmp_path / "zb")
+    try:
+        zorder_write_bucketed(
+            a, "zbk_a", ["k"], 4, ["x", "y"], bits=6, num_z_ranges=4, path=pa)
+        zorder_write_bucketed(
+            b, "zbk_b", ["k"], 4, ["x", "y"], bits=6, num_z_ranges=4, path=pb)
+
+        # property 1: the join on the bucket key plans no Exchange
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("zbk_a").select("k", "va").join(
+                spark.table("zbk_b").select("k", "vb"), "k")
+            assert j.count() == n
+            assert_no_shuffle_join(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        # property 2: the SAME files prune point predicates on BOTH
+        # z-ordered columns (4 z-ranges in 2 dims: ~half the files skip)
+        for col in ("x", "y"):
+            stats = pruning_stats(pa, col)
+            assert len(stats) >= 8  # z-ranges x buckets
+            frac = pruned_fraction(stats, 500)
+            assert frac >= 0.25, f"{col}: pruned {frac}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS zbk_a")
+        spark.sql("DROP TABLE IF EXISTS zbk_b")
