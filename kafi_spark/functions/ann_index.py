@@ -48,6 +48,30 @@ def _centroids_dir(path: str) -> str:
     return f"{path.rstrip('/')}/centroids"
 
 
+def _meta_dir(path: str) -> str:
+    return f"{path.rstrip('/')}/meta"
+
+
+def _write_build_meta(spark, path: str, mode: str) -> None:
+    """Record the build-time corpus size (one row) — the baseline the
+    append-time health guard measures growth against. The count prunes
+    to footer metadata (no vector payload is read)."""
+    built = spark.read.parquet(_corpus_dir(path)).count()
+    spark.createDataFrame([(int(built),)], "built_total long").write.mode(
+        mode
+    ).parquet(_meta_dir(path))
+
+
+def _load_build_meta(spark, path: str) -> int | None:
+    """Build-time corpus size, or None for indexes persisted before the
+    meta record existed (the growth guard then degrades to skew-only)."""
+    try:
+        row = spark.read.parquet(_meta_dir(path)).first()
+    except Exception:  # noqa: BLE001 — missing dir: pre-meta index
+        return None
+    return None if row is None else int(row["built_total"])
+
+
 def ivf_build(
     corpus: DataFrame,
     path: str,
@@ -84,6 +108,7 @@ def ivf_build(
         "cell int, centroid array<double>",
     )
     cent.write.mode(mode).parquet(_centroids_dir(path))
+    _write_build_meta(spark, path, mode)
 
 
 def load_centroids(spark, path: str) -> np.ndarray:
@@ -211,6 +236,7 @@ def ivfpq_build(
         "subspace int, code int, centroid array<double>",
     )
     books.write.mode(mode).parquet(_codebooks_dir(path))
+    _write_build_meta(spark, path, mode)
 
 
 def load_codebooks(spark, path: str) -> np.ndarray:
@@ -281,14 +307,30 @@ def ivf_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    skew_warn: float = 4.0,
+    growth_warn: float = 2.0,
+) -> DataFrame:
     """Assign NEW vectors to the existing centroids and append them to
     the cell partitions — the daily-ingest path: the index absorbs new
     data without retraining or rewriting (centroid drift is the
-    documented trade; rebuild on a cadence, e.g. when appended volume
-    rivals the original corpus). Works for both plain-IVF and IVF-PQ
-    indexes (the latter re-encodes with the persisted codebooks so the
-    appended rows carry codes too)."""
+    documented trade). Works for both plain-IVF and IVF-PQ indexes (the
+    latter re-encodes with the persisted codebooks so the appended rows
+    carry codes too).
+
+    Returns the POST-append :func:`ivf_stats` frame, and SURFACES the
+    rebuild cadence that function documents instead of leaving it to
+    the operator's memory: a :class:`UserWarning` fires when the
+    appended index crosses either advisory threshold —
+    ``max(skew) > skew_warn`` (a cell holds > skew_warn× the uniform
+    share: centroid drift is concentrating ingest, probes of that cell
+    now scan a corpus-scale partition) or total volume ≥ ``growth_warn``
+    × the build-time size (recall decays once appended mass rivals what
+    the centroids were fit on). The check reads the cell partition
+    column + one meta row — index metadata, not vectors. Indexes
+    persisted before the build-size record degrade to skew-only.
+    Thresholds are advisory (append always succeeds); rebuild with
+    :func:`ivf_build`/:func:`ivfpq_build` to a fresh version path when
+    warned."""
     spark = new_vectors.sparkSession
     C = load_centroids(spark, path)
     nearest_cell = _nearest_cell_udf(spark, C)
@@ -310,6 +352,33 @@ def ivf_append(
         .partitionBy("cell")
         .parquet(_corpus_dir(path))
     )
+    import warnings
+
+    stats = ivf_stats(spark, path)
+    agg = stats.agg(
+        F.max("skew").alias("max_skew"), F.sum("n").alias("total")
+    ).first()
+    problems = []
+    if agg["max_skew"] is not None and agg["max_skew"] > skew_warn:
+        hot = stats.first()  # ordered by n desc — the hottest cell
+        problems.append(
+            f"max cell skew {agg['max_skew']:.1f}x > {skew_warn}x "
+            f"(cell {hot['cell']}: {hot['n']} vectors)"
+        )
+    built = _load_build_meta(spark, path)
+    if built and agg["total"] >= growth_warn * built:
+        problems.append(
+            f"volume {agg['total']} >= {growth_warn}x build size {built}"
+        )
+    if problems:
+        warnings.warn(
+            f"IVF index at {path} past its rebuild cadence: "
+            + "; ".join(problems)
+            + " — rebuild to a fresh version path (ivf_build/ivfpq_build)",
+            UserWarning,
+            stacklevel=2,
+        )
+    return stats
 
 
 def ivf_stats(spark, path: str) -> DataFrame:

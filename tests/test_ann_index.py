@@ -221,3 +221,30 @@ def test_ivf_stats_balance_probe(spark, sf_dir, tmp_path):
     st2 = ivf_stats(spark, path).collect()
     assert sum(r.n for r in st2) == 2 * n
     assert max(r.skew for r in st2) > max(r.skew for r in st)
+
+
+def test_ivf_append_advisory_guard(spark, sf_dir, tmp_path):
+    """ivf_append surfaces the rebuild cadence ivf_stats documents: a
+    balanced small append is silent; an append that concentrates into
+    one cell AND doubles the volume warns with the reasons."""
+    import warnings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ai.ivf_build(emb, path, n_cells=8)
+    n = emb.count()
+
+    # balanced: a same-distribution slice, far from either threshold
+    small = emb.limit(50).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        stats = ai.ivf_append(small, path)
+    assert not [w for w in rec if "rebuild" in str(w.message)]
+    assert sum(r["n"] for r in stats.collect()) == n + 50
+
+    # hot clump doubling the corpus: both thresholds crossed
+    hot = emb.limit(1).select("embedding").crossJoin(
+        spark.range(2 * n).select((F.col("id") + 10_000_000).alias("vec_id")))
+    with pytest.warns(UserWarning, match="rebuild cadence.*skew|skew.*rebuild"):
+        ai.ivf_append(hot.select("vec_id", "embedding"), path)
