@@ -583,12 +583,17 @@ def main() -> None:
         prev_t = (prior.get("queries") or {}).get(name)
         prev_plan = (prior.get("plans") or {}).get(name)
         reruns = 0
+        # trigger at 1.5x (round-5 verdict: the 2.5x trigger let 1.7x
+        # residue through unflagged), settle toward 1.2x of the prior;
+        # the 0.25 s absolute floor keeps sub-second JIT/scheduler
+        # jitter from masquerading as contention
         if (
             prev_t
-            and best > 2.5 * prev_t
+            and best > 1.5 * prev_t
+            and best - prev_t > 0.25
             and _plan_unchanged(prev_plan, exchanges, sbytes)
         ):
-            while reruns < 3 and best > 1.5 * prev_t:
+            while reruns < 3 and best > 1.2 * prev_t:
                 dt, steal = timed_run(qs[name])
                 if dt < best:
                     best, best_steal = dt, steal
@@ -603,9 +608,8 @@ def main() -> None:
             plans[name]["steal_jiffies"] = best_steal
         if reruns:
             plans[name]["reruns"] = reruns
-        if prev_t and best > 2.5 * prev_t and _plan_unchanged(
-            prev_plan, exchanges, sbytes
-        ):
+        if prev_t and best > 1.5 * prev_t and best - prev_t > 0.25 \
+                and _plan_unchanged(prev_plan, exchanges, sbytes):
             # still slow after reruns at an identical plan: the host owned
             # this number, not the engine — say so in the artifact
             plans[name]["contended"] = True
