@@ -369,10 +369,13 @@ def substring_dedup(
     Returns every input row as ``(id, text, n_tokens_removed)`` — a
     fully-duplicated document comes back with empty text rather than
     disappearing (callers filter), null/short texts come back unchanged.
-    Documents with NOTHING removed return their original text verbatim;
-    a document that HAD tokens cut is rebuilt from its whitespace-split
-    tokens joined by single spaces (runs of whitespace collapse — the
-    same token framing :func:`span_dedup` applies).
+    Documents with NOTHING removed return their original text verbatim,
+    and so does every untouched REGION of a cut document: kept runs of
+    tokens carry their original interior whitespace byte-for-byte
+    (token/whitespace segment reconstruction — see
+    :func:`_cut_marked_grams`); a single space marks the seam where a
+    removed region separated two kept runs, and leading/trailing
+    whitespace survives iff the first/last token does.
 
     Plan (3 shuffles, all on constant-width keys): narrow bound-split →
     sliding-gram explode (md5 fingerprints only — the gram text never
@@ -408,7 +411,7 @@ def substring_dedup(
     bound = _parallelize(df).select(
         F.col(id_col),
         F.col(text_col).alias("__orig"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+        ws_tokens(text_col).alias("__words"),
     )
     grams = _sliding_grams(bound, id_col, k)
     if skew_safe:
@@ -442,6 +445,20 @@ def substring_dedup(
     return _cut_marked_grams(bound, marks, id_col, k)
 
 
+def ws_tokens(text_col: str):
+    """Whitespace tokens as a Column: split on ``\\s+`` after stripping
+    leading/trailing whitespace of EVERY class. ``F.trim`` strips only
+    ASCII spaces, so a text ending in ``\\n``/``\\t`` used to grow a
+    phantom empty trailing token — which both desynchronized token
+    indexes from the ``\\S+`` runs the verbatim reconstruction
+    addresses, and made gram positions count a token that isn't one.
+    Used by :func:`substring_dedup` and its streaming twin so both
+    frame tokens identically."""
+    return F.split(
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+    )
+
+
 def _sliding_grams(bound: DataFrame, id_col: str, k: int) -> DataFrame:
     """Sliding k-gram md5 fingerprints with start positions from a
     (id, __words) frame: ``(id, start, __fp)``.
@@ -468,7 +485,19 @@ def _cut_marked_grams(bound: DataFrame, marks: DataFrame, id_col: str,
     and rebuild the text without the covered tokens. ``bound`` is the
     (id, __orig, __words) frame; ``marks`` the (id, start) removal
     marks. Untouched documents (no interval — null ``__iv``) return
-    ``__orig`` verbatim; only cut documents are rebuilt from tokens."""
+    ``__orig`` verbatim.
+
+    Cut documents preserve every untouched REGION verbatim too: the
+    original text is split into alternating token/whitespace segments
+    (a zero-width lookaround split — no bytes copied until
+    reassembly), a kept token is emitted with its ORIGINAL preceding
+    whitespace whenever the previous token also survived (so interior
+    whitespace, newlines, tabs of an untouched run come back
+    byte-for-byte), and a single space marks the seam where a cut
+    region separated two kept runs. Leading/trailing whitespace
+    survives iff the first/last token does. All in-row higher-order
+    expressions — the round-5 documented whitespace-collapse caveat is
+    gone without touching the marking plan's single window."""
     from .temporal import merge_intervals
 
     intervals = merge_intervals(
@@ -489,11 +518,47 @@ def _cut_marked_grams(bound: DataFrame, marks: DataFrame, id_col: str,
     covered = lambda i: F.exists(  # noqa: E731
         F.col("__iv"), lambda iv: (iv["__lo"] <= i) & (i < iv["__hi"])
     )
-    kept_words = F.filter(F.col("__words"), lambda w, i: ~covered(i))
+    kept = lambda t: ~covered(t)  # noqa: E731
+    # chunk the ORIGINAL text as token-plus-its-FOLLOWING-whitespace
+    # (regexp_extract_all — Spark's split() deletes zero-width
+    # lookaround separators, so a segment split can't carry the ws);
+    # the \S+ runs equal __words elementwise (same \s token framing),
+    # so chunk t is token t's original bytes through to token t+1.
+    out = out.withColumn(
+        "__chunks",
+        F.regexp_extract_all("__orig", F.lit(r"\S+\s*"), 0),
+    )
+    n = F.size("__words")
+    seq = F.sequence(F.lit(0), n - 1)
+    first_kept = F.try_element_at(F.filter(seq, kept), F.lit(1))
+    chunk = lambda t: F.element_at(  # noqa: E731
+        "__chunks", (t + 1).cast("int"))
+
+    def piece(t):
+        # prefix: the run containing the doc START keeps its leading
+        # whitespace; later runs open with the single seam space iff a
+        # cut region ended just before them
+        prefix = F.when(
+            t == first_kept,
+            F.when(t == 0, F.regexp_extract("__orig", r"^\s*", 0))
+            .otherwise(F.lit("")),
+        ).otherwise(
+            F.when(kept(t - 1), F.lit("")).otherwise(F.lit(" "))
+        )
+        # body: the chunk's trailing whitespace belongs BETWEEN t and
+        # t+1 — verbatim iff t+1 survives too (covered() is false past
+        # the last token, so the final token keeps the doc's trailing
+        # whitespace); dropped at a cut boundary
+        body = F.when(kept(t + 1), chunk(t)).otherwise(
+            F.regexp_replace(chunk(t), r"\s+$", "")
+        )
+        return F.when(kept(t), F.concat(prefix, body)).otherwise(F.lit(""))
+
+    rebuilt = F.array_join(F.transform(seq, piece), "")
     return out.select(
         F.col(id_col),
         F.when(F.col("__iv").isNull(), F.col("__orig"))
-        .otherwise(F.array_join(kept_words, " "))
+        .otherwise(rebuilt)
         .alias("text"),
         F.coalesce(F.col("__removed"), F.lit(0)).cast("long").alias(
             "n_tokens_removed"

@@ -419,10 +419,12 @@ def substring_dedup_stream(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         seen = _load_fp_state(spark, state_dir, f"{version_prefix}{epoch_id}")
+        from kafi_spark.functions.spans import ws_tokens
+
         bound = _parallelize(batch_df).select(
             F.col(id_col),
             F.col(text_col).alias("__orig"),
-            F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+            ws_tokens(text_col).alias("__words"),
         )
         # two consumers (marks + delta write): anchor the gram explode once
         grams = _sliding_grams(bound, id_col, min_tokens).localCheckpoint()

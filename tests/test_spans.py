@@ -394,3 +394,29 @@ def test_boilerplate_matches_duckdb_oracle(spark, sf_dir):
         GROUP BY doc_id
     """).fetchall()}
     assert got_f == want_f
+
+
+def test_substring_dedup_untouched_regions_verbatim(spark):
+    """Round-5 VERDICT item 8: kept runs preserve their ORIGINAL interior
+    whitespace byte-for-byte (tabs, newlines, double spaces); a single
+    space marks the seam where a cut region split two kept runs;
+    leading/trailing whitespace follows its end's first/last token."""
+    dup = "the quick brown fox"
+    data = [
+        (1, f"alpha {dup} beta gamma"),                       # first: kept
+        (2, f"keep\tme  now {dup} and\nthis   tail"),         # mid cut
+        (3, f"{dup} only\ttrailing kept\n"),                  # head cut
+        (4, f"  lead kept\t\there {dup}"),                    # tail cut
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in sp.substring_dedup(df, min_tokens=4).collect()}
+    assert out[1] == (f"alpha {dup} beta gamma", 0)
+    # interior whitespace of both kept runs intact; ONE space at the seam
+    assert out[2] == ("keep\tme  now and\nthis   tail", 4)
+    # leading region cut -> its whitespace gone; trailing \n kept with
+    # the surviving last token
+    assert out[3] == ("only\ttrailing kept\n", 4)
+    # leading "  " kept with the surviving first token; cut tail's
+    # whitespace gone
+    assert out[4] == ("  lead kept\t\there", 4)
