@@ -1064,15 +1064,20 @@ def q_dedup_fast_pairs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
+    # max_bucket uncapped: the DuckDB oracle has no bucket truncation, so
+    # the checked configuration must not either (the cap is a degenerate-
+    # bucket guard for corpora that skipped exact dedup — its OWN test is
+    # the pytest completeness differential, not this oracle)
     mh = minhash_lsh_pairs(
         d, "text", "doc_id", k=3, num_hashes=64, bands=16, threshold=0.7,
-        hasher="portable",
+        hasher="portable", max_bucket=(1 << 31) - 1,
     ).select(
         F.lit("minhash").alias("algo"), "id_1", "id_2",
         F.col("jaccard").cast("double").alias("score"),
     )
     sh = simhash_pairs(
-        d, "text", "doc_id", max_hamming=6, hasher="portable"
+        d, "text", "doc_id", max_hamming=6, hasher="portable",
+        max_bucket=None,
     ).select(
         F.lit("simhash").alias("algo"), "id_1", "id_2",
         F.col("hamming").cast("double").alias("score"),
@@ -1163,7 +1168,7 @@ def q_dedup_span_bloom(spark, sf_dir):
 
 
 _NGRAM_PAIRS_SQL = """
-        WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        WITH ws AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w FROM documents),
         sh AS (SELECT doc_id,
                       unnest(list_distinct(list_transform(
                         range(0, greatest(len(w) - 3, 0) + 1),
@@ -1195,7 +1200,7 @@ _DEDUP_SQL = {
     # minima == numeric minima), band digests, bucket candidates, exact
     # Jaccard verification — bit-for-bit the same sketch both engines
     "dedup_minhash_portable": """
-        WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        WITH ws AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w FROM documents),
         sh AS (SELECT doc_id,
                       unnest(list_distinct(list_transform(
                         range(0, greatest(len(w) - 3, 0) + 1),
@@ -1227,7 +1232,7 @@ _DEDUP_SQL = {
     # per-bit sign-mismatch count
     "dedup_simhash_portable": """
         WITH toks AS (SELECT doc_id, md5(t) AS h
-                      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+                      FROM (SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS t
                             FROM documents)),
         contrib AS (SELECT doc_id, r.b AS b,
                            CASE WHEN ((strpos('0123456789abcdef',
@@ -1319,7 +1324,7 @@ _DEDUP_SQL["dedup_span_bloom"] = """
 # the OUTPUT sets agree); semantic leg at n_clusters=1 = exact all-pairs
 # cosine, micro-rounded like ann_cosine_topk.
 _DEDUP_SQL["dedup_fast_pairs"] = """
-    WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    WITH ws AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w FROM documents),
     msh AS (SELECT doc_id,
                    unnest(list_distinct(list_transform(
                      range(0, greatest(len(w) - 3, 0) + 1),
@@ -1347,7 +1352,7 @@ _DEDUP_SQL["dedup_fast_pairs"] = """
       FROM minter JOIN msz na ON na.doc_id = id_1 JOIN msz nb ON nb.doc_id = id_2
       WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.7),
     toks AS (SELECT doc_id, md5(t) AS h
-             FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+             FROM (SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS t
                    FROM documents)),
     contrib AS (SELECT doc_id, r.b AS b,
                        CASE WHEN ((strpos('0123456789abcdef',
@@ -1856,7 +1861,7 @@ _PIPELINE_SQL = f"""
              WHERE lang_guess = 'en' AND quality >= CAST(0.5 AS DOUBLE)),
     keep1 AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fingerprint),
     s1 AS (SELECT kept.* FROM kept JOIN keep1 ON kept.doc_id = keep1.doc_id),
-    ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM s1),
+    ws AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w FROM s1),
     sh AS (SELECT doc_id,
                   unnest(list_distinct(list_transform(
                     range(0, greatest(len(w) - 3, 0) + 1),

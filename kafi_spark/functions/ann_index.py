@@ -355,18 +355,23 @@ def ivf_append(
     import warnings
 
     stats = ivf_stats(spark, path)
+    # ONE aggregation job answers every threshold question (a second
+    # stats.first() for the hot cell would recompute the whole groupBy)
     agg = stats.agg(
-        F.max("skew").alias("max_skew"), F.sum("n").alias("total")
+        F.max("skew").alias("max_skew"),
+        F.sum("n").alias("total"),
+        F.max_by(F.struct("cell", "n"), "n").alias("hot"),
     ).first()
     problems = []
     if agg["max_skew"] is not None and agg["max_skew"] > skew_warn:
-        hot = stats.first()  # ordered by n desc — the hottest cell
         problems.append(
             f"max cell skew {agg['max_skew']:.1f}x > {skew_warn}x "
-            f"(cell {hot['cell']}: {hot['n']} vectors)"
+            f"(cell {agg['hot']['cell']}: {agg['hot']['n']} vectors)"
         )
     built = _load_build_meta(spark, path)
-    if built and agg["total"] >= growth_warn * built:
+    # built == 0 must NOT disable the check (an append onto centroids fit
+    # on nothing is exactly when the rebuild warning matters most)
+    if built is not None and agg["total"] and agg["total"] >= growth_warn * built:
         problems.append(
             f"volume {agg['total']} >= {growth_warn}x build size {built}"
         )

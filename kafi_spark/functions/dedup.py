@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .text import ws_tokens
+
 # a large 61-bit Mersenne prime: (a*h + b) mod P stays in int64*-safe range
 # when computed in decimal; we use Spark's 64-bit xxhash64 then mix.
 _P = (1 << 61) - 1
@@ -68,7 +70,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
     the effect compounds ~6× more under a second downstream explode).
     """
     bound = _parallelize(df).select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+        F.col(id_col), ws_tokens(text_col).alias("__words")
     )
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("__words") - k, F.lit(0))),
@@ -284,7 +286,7 @@ def _jaccard_verify(
     def bound(frame: DataFrame, out_id: str, sh: str) -> DataFrame:
         return frame.select(
             F.col(id_col).alias(out_id),
-            F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+            ws_tokens(text_col).alias("__words"),
         ).select(out_id, _shingle_set_col(k).alias(sh))
 
     t1 = bound(df, id1, "sh_1")
@@ -457,7 +459,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     and was ~20× slower through codegen.
     """
     tokens = _parallelize(df).select(
-        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+        F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok")
     )
     bits = F.lit(list(range(64)))
     if hasher == "xxhash64":
@@ -604,12 +606,18 @@ def hamming_pairs(
         w = 64 // n_chunks
         chunks_spec = [(c * w, w) for c in range(n_chunks)]
     bucket_cap = (1 << 31) - 1 if max_bucket is None else max_bucket
+    def _mask(width: int) -> int:
+        # as a SIGNED 64-bit literal: width 64 (the max_hamming=0 single
+        # chunk) is all-ones = -1; (1 << 64) - 1 overflows py4j's long
+        m = (1 << width) - 1
+        return m - (1 << 64) if m > (1 << 63) - 1 else m
+
     chunk_vals = sigs.filter(F.col(sig_col).isNotNull()).select(
         F.posexplode(
             F.array(
                 *[
                     F.shiftrightunsigned(F.col(sig_col), off)
-                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .bitwiseAND(F.lit(_mask(width)))
                     for off, width in chunks_spec
                 ]
             )

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from .text import ws_tokens  # canonical dedup-family token framing
+
 
 def text_spans(
     df: DataFrame,
@@ -443,20 +445,6 @@ def substring_dedup(
         marks = ranked.filter(removed).select(id_col, "start")
 
     return _cut_marked_grams(bound, marks, id_col, k)
-
-
-def ws_tokens(text_col: str):
-    """Whitespace tokens as a Column: split on ``\\s+`` after stripping
-    leading/trailing whitespace of EVERY class. ``F.trim`` strips only
-    ASCII spaces, so a text ending in ``\\n``/``\\t`` used to grow a
-    phantom empty trailing token — which both desynchronized token
-    indexes from the ``\\S+`` runs the verbatim reconstruction
-    addresses, and made gram positions count a token that isn't one.
-    Used by :func:`substring_dedup` and its streaming twin so both
-    frame tokens identically."""
-    return F.split(
-        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
-    )
 
 
 def _sliding_grams(bound: DataFrame, id_col: str, k: int) -> DataFrame:

@@ -25,6 +25,22 @@ LANG_MARKERS: list[tuple[str, str]] = [
 ]
 
 
+def ws_tokens(text_col: str) -> Column:
+    """Whitespace tokens as a Column: split on ``\\s+`` after stripping
+    leading/trailing whitespace of EVERY class. ``F.trim`` strips only
+    ASCII spaces, so a text ending in ``\\n``/``\\t`` would otherwise
+    grow a phantom empty trailing token — which changes dedup RECALL
+    (an extra shingle / simhash token makes near-identical docs miss
+    the Jaccard threshold). The whole dedup family (shingles, simhash,
+    Jaccard verification, substring_dedup and its streaming twin)
+    frames tokens through this one definition; the DuckDB oracles
+    mirror it as ``string_split_regex(regexp_replace(text,
+    '^\\s+|\\s+$', '', 'g'), '\\s+')``."""
+    return F.split(
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+    )
+
+
 def words_of(text: Column, lowercase: bool = False) -> Column:
     """THE null-safe whitespace tokenizer: array of words, empty array
     for null/empty/whitespace-only text. Every operator that tokenizes

@@ -376,3 +376,29 @@ def test_hasher_param_portable_equals_twin_and_validates(spark, sf_dir):
         dedup.hamming_pairs(sigs, "doc_id", "simhash", 3, n_chunks=5)
     with pytest.raises(ValueError, match="completeness"):
         dedup.hamming_pairs(sigs, "doc_id", "simhash", 8, n_chunks=8)
+
+
+def test_trailing_newline_does_not_break_near_dup_recall(spark):
+    """Round-6 review finding: F.trim strips only ASCII spaces, so a
+    trailing newline used to grow a phantom empty token — an extra
+    shingle / simhash token that pushed near-identical docs under the
+    Jaccard threshold. The whole dedup family now frames tokens through
+    ws_tokens; docs differing ONLY in edge whitespace must pair at
+    jaccard 1.0 / hamming 0."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon\n"),
+         (3, "\t alpha beta gamma delta epsilon \n")],
+        "doc_id long, text string",
+    )
+    want = {(1, 2), (1, 3), (2, 3)}
+    ng = {(r.id_1, r.id_2): r.jaccard
+          for r in dedup.ngram_jaccard_pairs(df, "text", "doc_id").collect()}
+    assert set(ng) == want and all(j == 1.0 for j in ng.values())
+    mh = {(r.id_1, r.id_2) for r in dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", threshold=0.99).collect()}
+    assert mh == want
+    sh = {(r.id_1, r.id_2): r.hamming
+          for r in dedup.simhash_pairs(df, "text", "doc_id",
+                                       max_hamming=0).collect()}
+    assert set(sh) == want and all(h == 0 for h in sh.values())
