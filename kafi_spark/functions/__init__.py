@@ -42,7 +42,11 @@ training-data pipeline needs:
                    (hashed n-grams → distributed logistic regression)
 * ``sketches``   — mergeable HLL/theta/KLL/count-min state layers
 * ``layout``     — Z-order (Morton) clustering for multi-column pruning
+                   (+ bucket-composed writes: shuffle-free joins AND
+                   multi-column pruning from one table layout)
 * ``skipindex``  — file-level bloom skip-index for point lookups
+* ``ann_index``  — persisted IVF / IVF-PQ vector indexes (build /
+                   search / append / health stats)
 * ``contamination`` — n-gram + embedding-space benchmark
                    decontamination
 """

@@ -89,6 +89,18 @@ def build_skip_index(
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     df = spark.read.option("basePath", data_path).parquet(data_path)
     indexed_files = sorted(df.inputFiles())
+    _write_index_delta(df, data_path, cols, num_bits, k, mode="overwrite")
+    _write_manifest(spark, data_path, cols, num_bits, k, indexed_files,
+                    {c: df.schema[c].dataType.simpleString() for c in cols})
+
+
+def _write_index_delta(
+    df: DataFrame, data_path: str, cols: Sequence[str],
+    num_bits: int, k: int, mode: str,
+) -> None:
+    """Build the (bloom, minmax) index rows for ``df``'s files and write
+    them — the shared body of :func:`build_skip_index` (overwrite) and
+    :func:`skip_index_append` (append of new files only)."""
     blooms = []
     metas = []
     for col in cols:
@@ -124,28 +136,70 @@ def build_skip_index(
     (
         all_blooms.repartition("col")
         .sortWithinPartitions("col", "file", "word_idx")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{root}/bloom")
     )
     all_meta = metas[0]
     for m_ in metas[1:]:
         all_meta = all_meta.unionByName(m_)
-    all_meta.coalesce(1).write.mode("overwrite").parquet(f"{root}/minmax")
+    all_meta.coalesce(1).write.mode(mode).parquet(f"{root}/minmax")
+
+
+def _write_manifest(spark, data_path, cols, num_bits, k, files, dtypes):
     # manifest pins the hash geometry the probes must reuse, plus the
     # SNAPSHOT of files the index covers — probes treat files appended
     # after the build as unindexed (always scanned) and files deleted
     # since as gone, so drift degrades pruning, never correctness
     import json
 
-    dtypes = {c: df.schema[c].dataType.simpleString() for c in cols}
     manifest = spark.createDataFrame(
         [(json.dumps({
             "num_bits": num_bits, "k": k, "cols": list(cols),
-            "files": indexed_files, "dtypes": dtypes,
+            "files": sorted(files), "dtypes": dtypes,
         }),)],
         "manifest string",
     )
-    manifest.coalesce(1).write.mode("overwrite").parquet(f"{root}/manifest")
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path_of(data_path)}/manifest")
+
+
+def skip_index_append(spark, data_path: str) -> list[str]:
+    """Index the data files APPENDED since the last build/append —
+    the daily-ingest path (the drift story's missing half: probes
+    already treat post-build files as always-scan; this restores their
+    pruning without re-scanning the indexed corpus). Geometry
+    (cols/num_bits/k/dtypes) comes from the manifest, so appended rows
+    hash identically to the build's. Returns the newly indexed file
+    URIs (empty when the index is current).
+
+    Crash-safe by ordering + probe construction: bloom/minmax rows are
+    APPENDED first, the manifest (the read fence) is atomically
+    overwritten last. A crash in between leaves the new files listed as
+    unindexed (always scanned — correct, just unpruned), and a RETRIED
+    append may duplicate their bloom rows — harmless, because the probe
+    verdict counts DISTINCT matched words per (file, value), never raw
+    joined rows."""
+    man = _load_manifest(spark, data_path)
+    df = spark.read.option("basePath", data_path).parquet(data_path)
+    current = {_norm_uri(f): f for f in df.inputFiles()}
+    indexed = {_norm_uri(f) for f in man.get("files", [])}
+    new_raw = [raw for norm, raw in sorted(current.items())
+               if norm not in indexed]
+    if not new_raw:
+        return []
+    new_df = spark.read.option("basePath", data_path).parquet(*new_raw)
+    _write_index_delta(
+        new_df, data_path, man["cols"], man["num_bits"], man["k"],
+        mode="append",
+    )
+    # surviving manifest entries: still-present old files + the new ones
+    # (deleted files drop out so the manifest never re-grows stale names)
+    kept_old = [f for f in man.get("files", []) if _norm_uri(f) in current]
+    _write_manifest(
+        spark, data_path, man["cols"], man["num_bits"], man["k"],
+        kept_old + new_raw, man.get("dtypes", {}),
+    )
+    return new_raw
 
 
 def _load_manifest(spark, data_path: str) -> dict:
@@ -254,16 +308,20 @@ def skip_index_candidates(
     # a value hits a file iff EVERY one of its needed words exists in the
     # file's bloom with all mask bits set: inner-join then require
     # n_matched == n_needed (a missing word row yields fewer joined rows,
-    # so absent words fail the equality exactly like an all-zero word)
+    # so absent words fail the equality exactly like an all-zero word).
+    # count_distinct — not count — so a duplicated bloom row (a crashed
+    # skip_index_append retried, leaving two copies of a file's words)
+    # can never push n_ok past n_need and turn the equality into a
+    # FALSE NEGATIVE; duplicates are harmless either way.
     per_file = (
         words.join(F.broadcast(probe), "word_idx")
         .groupBy("file", "__vid", "__v")
         .agg(
-            F.sum(
+            F.count_distinct(
                 F.when(
                     F.col("word").bitwiseAND(F.col("mask")) == F.col("mask"),
-                    1,
-                ).otherwise(0)
+                    F.col("word_idx"),
+                )
             ).alias("n_ok")
         )
     )

@@ -42,10 +42,15 @@ def ws_tokens(text_col: str) -> Column:
 
 
 def words_of(text: Column, lowercase: bool = False) -> Column:
-    """THE null-safe whitespace tokenizer: array of words, empty array
-    for null/empty/whitespace-only text. Every operator that tokenizes
-    (quality features, Gopher rules, BM25 terms) goes through this one
-    definition so word semantics can never silently diverge."""
+    """THE null-safe whitespace tokenizer for COUNTING ops: array of
+    words, empty array for null/empty/whitespace-only text. Every
+    operator that tokenizes for statistics (quality features, Gopher
+    rules, BM25 terms) goes through this one definition so word
+    semantics can never silently diverge. Known quirk, shared with the
+    DuckDB oracles in lockstep: ``F.trim`` strips only ASCII spaces, so
+    text edged by ``\\n``/``\\t`` counts a phantom empty token — off-by-
+    one word counts, never a dedup decision (dedup framing goes through
+    :func:`ws_tokens`, which strips every whitespace class)."""
     t = F.trim(text)
     if lowercase:
         t = F.lower(t)

@@ -225,3 +225,47 @@ def test_probe_collect_bounded_not_per_file(spark, tmp_path, monkeypatch):
         f"driver collected {total} rows for a 1-value probe over 64 files "
         f"(per-collect: {counts}) — the verdict is not distributed"
     )
+
+
+def test_append_indexes_new_files_and_restores_pruning(spark, tmp_path):
+    """skip_index_append: appended files regain pruning without a corpus
+    re-scan; a crashed-retry double-append (duplicate bloom rows) never
+    causes a false negative; deleted files drop from the manifest."""
+    out = str(tmp_path / "grow")
+    spark.range(0, 4000).select(F.col("id").alias("k")) \
+        .repartition(8, "k").write.parquet(out)
+    si.build_skip_index(spark, out, ["k"], num_bits=1 << 14)
+
+    # drift: 8 new files appear after the build
+    spark.range(4000, 8000).select(F.col("id").alias("k")) \
+        .repartition(8, "k").write.mode("append").parquet(out)
+    new_key = 6789
+    # pre-append: every new file is a candidate (unindexed -> must scan)
+    pre = si.skip_index_candidates(spark, out, "k", [new_key])
+    assert len(pre) >= 8
+
+    added = si.skip_index_append(spark, out)
+    assert len(added) == 8
+    # post-append: the key prunes back down to its owning file (+FP tail)
+    post = si.skip_index_candidates(spark, out, "k", [new_key])
+    assert 1 <= len(post) <= 3
+    # no false negative: the owning file is among the candidates
+    own = spark.read.parquet(out).filter(F.col("k") == new_key) \
+        .select(F.input_file_name().alias("f")).first()["f"]
+    assert si._norm_uri(own) in post
+    # idempotent when current
+    assert si.skip_index_append(spark, out) == []
+
+    # crashed-retry simulation: duplicate the new files' bloom rows by
+    # appending the SAME delta again (manifest already updated), then
+    # probe — count_distinct keeps n_ok == n_need, no false negatives
+    new_df = spark.read.option("basePath", out).parquet(*added)
+    si._write_index_delta(new_df, out, ["k"], 1 << 14, si._DEFAULT_K,
+                          mode="append")
+    dup = si.skip_index_candidates(spark, out, "k", [new_key])
+    assert si._norm_uri(own) in dup
+    present = [r["k"] for r in spark.read.parquet(out)
+               .sample(0.01, seed=7).limit(5).collect()]
+    got = sorted(r["k"] for r in
+                 si.pruned_point_read(spark, out, "k", present).collect())
+    assert got == sorted(present)

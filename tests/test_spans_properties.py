@@ -165,3 +165,37 @@ def test_substring_dedup_multiplicity_envelope(spark, data, keep, max_occ):
             for p in range(s, s + k)
         }
         assert removed[did] <= over, (did, removed[did], over)
+
+
+# ------------------------------------------------------- token framing
+
+from kafi_spark.functions.text import ws_tokens  # noqa: E402
+
+_ascii_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab1.?") + [" ", "\t", "\n", "\r"]),
+        min_size=0, max_size=30,
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(texts=_ascii_texts)
+@_settings
+def test_ws_tokens_matches_python_split(spark, texts):
+    """The canonical dedup token framing equals Python's str.split() on
+    ASCII text (modulo the empty-text convention: split() gives [] where
+    the Column form gives [''] — no gram is ever built from either), so
+    the phantom-empty-token class of bug cannot reappear: no token is
+    ever the empty string when the text has any non-whitespace."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {r["i"]: r["w"] for r in
+           df.select("i", ws_tokens("text").alias("w")).collect()}
+    for i, t in enumerate(texts):
+        want = t.split()
+        if not want:
+            assert got[i] in ([], [""]), (t, got[i])
+        else:
+            assert got[i] == want, (t, got[i])
