@@ -214,8 +214,11 @@ class FSTopicStorage:
             plan = {t: {int(p): o for p, o in offs.items()}
                     for t, offs in pattern_or_offsets.items()}
         else:
+            # FSTopicStorage.topics, not self.topics: the glob form is an
+            # admin mutator and must reach internal/ignored topics exactly
+            # like set_partitions/compact_files/apply_retention do
             plan = {t: {p: self.OFFSET_END for p in range(self.partitions(t))}
-                    for t in self.topics(pattern_or_offsets)}
+                    for t in FSTopicStorage.topics(self, pattern_or_offsets)}
         applied: dict[str, dict[int, int]] = {}
         for topic, offs in plan.items():
             wm = self.watermarks(topic)
@@ -278,10 +281,21 @@ class FSTopicStorage:
                 .localCheckpoint(eager=True)
             )
             n = kept.count()
-            self._io.delete(self._data_dir(t))
+            # delete only partition=* subdirs: the topic's skip index
+            # (<data>/_kafi_skip_index) survives compaction — every old
+            # file drops out of its manifest (deleted => ignored) and the
+            # rewritten files read as unindexed (always scanned), so seek()
+            # keeps working unpruned until the next index_topic refresh.
+            # A whole-directory delete used to take the index with it and
+            # crash the point-lookup verb after routine maintenance.
+            data_dir = self._data_dir(t)
+            for child in self._io.listdir(data_dir):
+                base = child.rstrip("/").rsplit("/", 1)[-1]
+                if base.startswith("partition="):
+                    self._io.delete(self._io.join(data_dir, base))
             if n:
                 kept.write.mode("append").partitionBy("partition").parquet(
-                    self._data_dir(t)
+                    data_dir
                 )
             out[t] = n
         return out
@@ -477,6 +491,11 @@ class FSTopicStorage:
         hwm = F.create_map(
             *[x for p in range(n) for x in (F.lit(p), F.lit(wm[p][1]))]
         )
+        # ordering is load-bearing: Catalyst extracts the orderBy
+        # expression into a Project BELOW the window's Exchange (verified
+        # via explain), so monotonically_increasing_id() is evaluated
+        # PRE-shuffle — offsets follow (input split, row position), i.e.
+        # per-partition input order, not nondeterministic shuffle arrival
         w = W.partitionBy("partition").orderBy(F.monotonically_increasing_id())
         out = (
             out.withColumn("offset", hwm[F.col("partition")] + F.row_number().over(w) - 1)
@@ -492,8 +511,16 @@ class FSTopicStorage:
         try:
             df = self.spark.read.schema(MESSAGE_SCHEMA).parquet(d)
             return df.withColumn("topic", F.coalesce("topic", F.lit(topic)))
-        except Exception:  # noqa: BLE001 — empty topic: no parquet yet
-            return None
+        except Exception as e:  # noqa: BLE001
+            # ONLY "no data yet" reads as an empty topic. A blanket
+            # swallow here once masked transient FS errors as emptiness —
+            # and delete_records would then advance log_start/next_offset
+            # metadata WITHOUT having rewritten any rows (records the API
+            # reported truncated kept being served). Anything that is not
+            # a missing path propagates.
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
 
     def consume(
         self,
@@ -515,8 +542,13 @@ class FSTopicStorage:
         and offset/ts pruning (parquet min/max) happen at the scan.
         Negative start offsets count from the high watermark
         (kafi/storage_consumer.py:199-208). ``commit=True`` advances the
-        group to the end of what this call returned (the reference commits
-        after processing, kafi/storage_consumer.py:156-157).
+        group to the end of what this call returned, INSIDE this call —
+        the same point the reference commits (after materializing the
+        poll, before the caller touches a message,
+        kafi/storage_consumer.py:156-157): at-most-once with respect to
+        caller failures in both implementations. It costs one extra
+        aggregation job over the bounded scan; callers needing
+        at-least-once should commit() explicitly after processing.
         """
         df = self._read_raw(topic)
         if df is None:
@@ -607,10 +639,20 @@ class FSTopicStorage:
         last :meth:`index_topic` — the point-lookup path a full
         ``consume`` + filter can't prune. ``str`` keys are encoded
         utf-8 when probing the binary ``key`` column."""
-        from kafi_spark.functions.skipindex import pruned_point_read
+        from kafi_spark.functions.skipindex import (
+            index_path_of, pruned_point_read)
 
         keys = [k.encode() if isinstance(k, str) and col == "key" else k
                 for k in keys]
+        if not self._io.exists(
+            self._io.join(index_path_of(self._data_dir(topic)), "manifest")
+        ):
+            # never indexed (or the index was rebuilt away): degrade to a
+            # full-scan filter instead of an opaque missing-path error
+            df = self._read_raw(topic)
+            if df is None:
+                return self.spark.createDataFrame([], MESSAGE_SCHEMA)
+            return df.filter(F.col(col).isin(list(keys)))
         out = pruned_point_read(
             self.spark, self._data_dir(topic), col, keys)
         return out.withColumn("topic", F.coalesce("topic", F.lit(topic)))

@@ -9,7 +9,8 @@ ordering, streams.py:257-271).
 
 Two sink styles:
 
-* ``path`` sinks — append to files (parquet/csv/json);
+* ``path`` sinks — append files in ``path_format`` (parquet default;
+  csv/json supported) — Spark file sinks are append-only;
 * ``foreachBatch`` sinks — per-micro-batch callback receiving the
   *consolidated Z-set* of that batch; retraction-aware downstreams
   (Debezium-out via kafi_spark.streams.cdc.to_debezium) plug in here.
@@ -38,12 +39,16 @@ def run_streaming(
     output_mode: str = "update",
     trigger_available_now: bool = False,
     query_name_prefix: str = "kafi",
+    path_format: str = "parquet",
 ):
     """Start one streaming query per sink; returns {sink: StreamingQuery}.
 
     ``sources`` are streaming DataFrames (readStream). ``sinks`` map sink
     name → output path (str) or foreachBatch callable. ``availableNow``
     processes everything pending then stops — the batch-parity trigger.
+    ``output_mode`` applies to foreachBatch sinks; path sinks write
+    ``path_format`` files (parquet/csv/json) in append mode — the only
+    mode Spark's file sinks accept.
     """
     queries = {}
     for name, node in topology.sinks.items():
@@ -57,7 +62,15 @@ def run_streaming(
 
             w = plan.writeStream.foreachBatch(write).outputMode(output_mode)
         else:
-            w = plan.writeStream.format("parquet").option("path", target).outputMode("append")
+            # file sinks: Spark's file sources support ONLY append mode
+            # (update/complete raise at start), so output_mode is
+            # deliberately not applied here; the format comes from
+            # path_format (default parquet)
+            w = (
+                plan.writeStream.format(path_format)
+                .option("path", target)
+                .outputMode("append")
+            )
         w = (
             w.option("checkpointLocation", f"{checkpoint_root}/{name}")
             .queryName(f"{query_name_prefix}_{name}")
@@ -69,5 +82,20 @@ def run_streaming(
 
 
 def await_all(queries: dict, timeout_s: float | None = None) -> None:
+    """Block until every query terminates. ``timeout_s`` is an OVERALL
+    deadline shared by all queries (not per query), and ``0`` means
+    "poll without blocking" — a falsy-zero check here once turned it
+    into "wait forever"."""
+    if timeout_s is None:
+        for q in queries.values():
+            q.awaitTermination()
+        return
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
     for q in queries.values():
-        q.awaitTermination(timeout_s) if timeout_s else q.awaitTermination()
+        remaining = deadline - _time.monotonic()
+        if remaining > 0:
+            # awaitTermination rejects non-positive timeouts; an expired
+            # deadline (or timeout_s=0) just skips the wait
+            q.awaitTermination(remaining)

@@ -35,6 +35,46 @@ from kafi_spark.streams.zset import (
 )
 
 
+def _require_bounded_join_state(l: DataFrame, r: DataFrame, kind: str) -> None:
+    """Shared stream-stream join state guard: without event-time
+    watermarks on BOTH sides (plus, for full eviction, a time-range
+    conjunct in the predicate) Spark keeps every joined row in the state
+    store forever — for THETA joins because every stored row stays a
+    match candidate, and for EQUI joins just the same, because indexing
+    the state by key changes lookup cost, not retention (inner equi
+    joins run without watermarks but never evict). Fail at build time,
+    not at executor OOM."""
+    if not (l.isStreaming and r.isStreaming):
+        return
+    marks = {side: _has_watermark(d)
+             for side, d in (("left", l), ("right", r))}
+    unverifiable = [side for side, m in marks.items() if m is None]
+    if unverifiable:
+        # plan introspection unavailable (Spark Connect): warn loudly
+        # rather than fail open OR block builds that may well be
+        # correctly watermarked
+        import warnings
+
+        warnings.warn(
+            "cannot verify event-time watermarks on the "
+            f"{' and '.join(unverifiable)} side(s) of a streaming "
+            f"{kind} join (plan introspection unavailable); without "
+            "withWatermark() on both sources plus a time-range "
+            "conjunct, join state grows unboundedly",
+            stacklevel=4,
+        )
+    missing = [side for side, m in marks.items() if m is False]
+    if missing:
+        raise ValueError(
+            f"streaming {kind} join with unbounded state: the "
+            f"{' and '.join(missing)} side(s) have no event-time "
+            "watermark, so joined state is never evicted and grows "
+            "with the stream. Apply withWatermark() to both source "
+            "streams and include a time-range constraint between the "
+            "watermarked columns in the join predicate."
+        )
+
+
 def _has_watermark(df: DataFrame) -> bool | None:
     """True/False iff the frame's analyzed plan does/doesn't carry an
     event-time watermark (``withWatermark`` somewhere upstream); None
@@ -225,16 +265,22 @@ class TNode:
         """Negate weights (topologynode.py:197-204)."""
         return self._derive(lambda df: df.withColumn(WEIGHT, -F.col(WEIGHT)), "_neg_op")
 
-    def peek(self, label: str = "peek") -> "TNode":
+    def peek(self, label: str | None = None) -> "TNode":
         """Debug pass-through (topologynode.py:157-183). The reference
         prints each record; the distributed rendering is an ``observe``
         metric (row count under ``label``, readable from the query's
         observed-metrics listener) — per-row driver printing doesn't exist
-        on a cluster."""
-        return self._derive(
-            lambda df: df.observe(label, F.count(F.lit(1)).alias("rows")),
+        on a cluster. The default label is suffixed with the node id:
+        CollectMetrics names must be unique per query, so two bare
+        ``peek()`` calls in one sink plan would otherwise fail analysis."""
+        node = self._derive(
+            lambda df, _lb=label: df.observe(
+                _lb if _lb is not None else f"peek_{node.node_id}",
+                F.count(F.lit(1)).alias("rows"),
+            ),
             "peek_op",
         )
+        return node
 
     def from_value(self, value_col: str = "value") -> "TNode":
         """Project to the payload: record -> r[value] (topologynode.py:185-189).
@@ -295,36 +341,7 @@ class TNode:
         through :class:`~kafi_spark.streaming.incremental.
         IncrementalRunner` instead."""
         def op(l: DataFrame, r: DataFrame) -> DataFrame:
-            if l.isStreaming and r.isStreaming:
-                marks = {s: _has_watermark(d)
-                         for s, d in (("left", l), ("right", r))}
-                unverifiable = [s for s, m in marks.items() if m is None]
-                if unverifiable:
-                    # plan introspection unavailable (Spark Connect):
-                    # warn loudly rather than fail open OR block builds
-                    # that may well be correctly watermarked
-                    import warnings
-
-                    warnings.warn(
-                        "cannot verify event-time watermarks on the "
-                        f"{' and '.join(unverifiable)} side(s) of a "
-                        "streaming theta join (plan introspection "
-                        "unavailable); without withWatermark() on both "
-                        "sources plus a time-range conjunct, join state "
-                        "grows unboundedly",
-                        stacklevel=3,
-                    )
-                missing = [s for s, m in marks.items() if m is False]
-                if missing:
-                    raise ValueError(
-                        "streaming theta join with unbounded state: the "
-                        f"{' and '.join(missing)} side(s) have no event-time "
-                        "watermark, so joined state is never evicted and "
-                        "grows with the stream. Apply withWatermark() to "
-                        "both source streams and include a time-range "
-                        "constraint between the watermarked columns in the "
-                        "join predicate."
-                    )
+            _require_bounded_join_state(l, r, "theta")
             lw = l.withColumnRenamed(WEIGHT, "__wl")
             rw = r.withColumnRenamed(WEIGHT, "__wr")
             return (
@@ -337,8 +354,12 @@ class TNode:
     def join_equi(self, other: "TNode", on: Sequence[str] | Column,
                   select: Sequence[Column | str]) -> "TNode":
         """Equi join — indexed state in the reference (topologynode.py:
-        390-430); here Catalyst picks broadcast/hash/SMJ."""
+        390-430); here Catalyst picks broadcast/hash/SMJ. Streaming:
+        stream-stream equi-join state is retained forever without
+        watermarks just like the theta join's (the index changes lookup
+        cost, not retention), so the same build-time guard applies."""
         def op(l: DataFrame, r: DataFrame) -> DataFrame:
+            _require_bounded_join_state(l, r, "equi")
             lw = l.withColumnRenamed(WEIGHT, "__wl")
             rw = r.withColumnRenamed(WEIGHT, "__wr")
             return (
@@ -401,11 +422,17 @@ class TNode:
     def agg(self, *aggs: Column) -> "TNode":
         """Global aggregate = constant-key group (topologynode.py:515-519)."""
         def op(df: DataFrame) -> DataFrame:
+            # same group-presence filter as group_by_agg: a fully-
+            # retracted input ({r:+1, r:-1}) must yield the EMPTY Z-set,
+            # not a phantom zeroed row with weight 1 — the output may
+            # only depend on the logical multiset, not on whether the
+            # insert and the retraction arrived in one batch
             return (
                 df.withColumn("__g", F.lit(0))
                 .groupBy("__g")
-                .agg(*aggs)
-                .drop("__g")
+                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
+                .filter(F.col("__net") > 0)
+                .drop("__g", "__net")
                 .withColumn(WEIGHT, F.lit(1).cast("long"))
             )
 

@@ -475,3 +475,47 @@ def test_seek_by_key_with_index(storage, spark):
     assert [bytes(r.value).decode() for r in got] == ["new"]
     # absent key: nothing, and schema intact
     assert storage.seek("kv", ["nope"]).count() == 0
+
+
+def test_compact_files_preserves_skip_index_and_seek(storage, spark):
+    """Round-6 review: compaction used to delete the whole data dir,
+    skip index included, crashing seek() afterwards. Now only
+    partition=* subdirs are rewritten: seek degrades to a full scan of
+    the rewritten (unindexed) files and re-indexing restores pruning."""
+    storage.create("cidx", partitions=2)
+    storage.produce("cidx", msgs(spark, *[(f"k{i}", f"v{i}") for i in range(50)]))
+    storage.index_topic("cidx", num_bits=1 << 12)
+    assert [bytes(r.value).decode()
+            for r in storage.seek("cidx", ["k7"]).collect()] == ["v7"]
+    storage.compact_files("cidx")
+    # index survived; every rewritten file reads as unindexed => scanned
+    got = storage.seek("cidx", ["k7"]).collect()
+    assert [bytes(r.value).decode() for r in got] == ["v7"]
+    storage.index_topic("cidx", num_bits=1 << 12)  # refresh restores pruning
+    assert [bytes(r.value).decode()
+            for r in storage.seek("cidx", ["k7"]).collect()] == ["v7"]
+
+
+def test_seek_without_index_falls_back_to_scan(storage, spark):
+    storage.create("noidx", partitions=2)
+    storage.produce("noidx", msgs(spark, ("a", "1"), ("b", "2")))
+    out = storage.seek("noidx", ["b"]).collect()
+    assert [bytes(r.value).decode() for r in out] == ["2"]
+    storage.create("emptyseek", partitions=1)
+    assert storage.seek("emptyseek", ["a"]).count() == 0
+
+
+def test_delete_records_glob_reaches_internal_topics(spark, tmp_path):
+    """Round-6 review: the glob form must reach ignored/internal topics
+    exactly like the other admin mutators (set_partitions,
+    compact_files, apply_retention) do."""
+    from kafi_spark.storage import Local
+
+    s = Local(spark, str(tmp_path / "store"))
+    s.kafi_config = dict(s.kafi_config, **{"topic.ignore.patterns": ["__*"]})
+    s.create("__internal", partitions=1)
+    s.produce("__internal", msgs(spark, ("k", "v"), ("k2", "v2")))
+    assert "__internal" not in s.topics("*")  # listing stays filtered
+    applied = s.delete_records("*")
+    assert applied.get("__internal") == {0: 2}
+    assert s.consume("__internal").count() == 0

@@ -536,3 +536,87 @@ def test_streaming_theta_join_watermark_bounds_state(spark, tmp_path):
     assert state, "no state operator metrics recorded"
     assert state[-1]["numRowsTotal"] < 5, state[-1]
     assert any(s.get("numRowsRemoved", 0) > 0 for s in state), state
+
+
+def test_streaming_equi_join_without_watermark_raises(spark, tmp_path):
+    """Round-6 review: stream-stream EQUI join state is retained forever
+    without watermarks exactly like the theta join's (indexing changes
+    lookup cost, not retention) — the same build-time guard must fire."""
+    import os
+
+    import pytest as _pytest
+
+    src_a = tmp_path / "a"; os.makedirs(src_a)
+    src_b = tmp_path / "b"; os.makedirs(src_b)
+    (src_a / "x.json").write_text('{"k": 1, "va": 2}\n')
+    (src_b / "x.json").write_text('{"k": 1, "vb": 3}\n')
+
+    t = Topology()
+    a = t.source("a")
+    b = t.source("b")
+    a.join_equi(b, ["k"], ["k", "va", "vb"]).sink("j")
+
+    sa = spark.readStream.schema("k int, va int").json(str(src_a))
+    sb = spark.readStream.schema("k int, vb int").json(str(src_b))
+    from kafi_spark.streaming.runner import run_streaming
+
+    with _pytest.raises(ValueError, match="equi join.*watermark|watermark.*equi"):
+        run_streaming(
+            t, {"a": sa, "b": sb}, {"j": lambda df, e: None},
+            checkpoint_root=str(tmp_path / "ckpt"),
+            output_mode="append", trigger_available_now=True,
+        )
+
+
+def test_global_agg_fully_retracted_is_empty_zset(spark):
+    """Round-6 review: {r:+1, r:-1} is the EMPTY logical multiset — the
+    global agg must emit no row (a phantom zeroed row appeared before
+    and depended on whether the retraction shared the batch)."""
+    from kafi_spark.streaming.topology import Topology, wcount
+
+    t = Topology()
+    t.source("s").agg(wcount().alias("n")).sink("out")
+    cancelled = spark.createDataFrame(
+        [(1, 1), (1, -1)], "x int, weight long")
+    out = t.build_batch({"s": cancelled})["out"]
+    assert out.count() == 0
+    # and a live group still aggregates
+    live = spark.createDataFrame([(1, 1), (2, 1)], "x int, weight long")
+    rows_ = t.build_batch({"s": live})["out"].collect()
+    assert len(rows_) == 1 and rows_[0]["n"] == 2
+
+
+def test_two_bare_peeks_in_one_plan(spark):
+    """Round-6 review: CollectMetrics names must be unique per query —
+    two label-less peek() calls used to collide at analysis."""
+    t = Topology()
+    s = t.source("s")
+    s.peek().filter(F.col("x") > 0).peek().sink("out")
+    df = spark.createDataFrame([(1, 1), (-1, 1)], "x int, weight long")
+    out = t.build_batch({"s": df})["out"]
+    assert out.count() == 1
+
+
+def test_await_all_zero_timeout_polls_and_shares_deadline(spark):
+    """Round-6 review: timeout_s=0 means poll-without-blocking (a falsy
+    check used to turn it into wait-forever), and the timeout is one
+    OVERALL deadline, not per query."""
+    import time as _time
+
+    from kafi_spark.streaming.runner import await_all
+
+    q = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("noop").outputMode("append")
+        .queryName("awaitall_poll").start()
+    )
+    try:
+        t0 = _time.time()
+        await_all({"a": q, "b": q, "c": q}, timeout_s=0)
+        assert _time.time() - t0 < 10
+        t0 = _time.time()
+        await_all({"a": q, "b": q, "c": q}, timeout_s=1.5)
+        # 3 queries share ONE 1.5s deadline (per-query would be ~4.5s)
+        assert _time.time() - t0 < 4.0
+    finally:
+        q.stop()
