@@ -85,13 +85,8 @@ def ffilter_py(df: DataFrame, f: Callable[[dict], bool]) -> DataFrame:
         mask = [bool(f(r)) for r in pdf.to_dict("records")]
         return pdf[pd.Series(mask, index=pdf.index)]
 
-    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = batch(pdf)
-            if len(out):
-                yield out
-
-    return df.mapInPandas(op, df.schema)
+    op, s = _map_partitions(batch, df.schema)
+    return df.mapInPandas(op, s)
 
 
 def fflatmap_py(df: DataFrame, f: Callable[[dict], list], schema: str) -> DataFrame:

@@ -49,6 +49,17 @@ def tail(df: DataFrame, order_by: Sequence[str], n: int = 10) -> DataFrame:
     return df.orderBy(*[F.col(c).desc() for c in order_by]).limit(n)
 
 
+def _match_cond(df: DataFrame, pattern: str, cols: Sequence[str] | None):
+    """THE grep matching semantics — unanchored rlike over the string
+    form of the columns — defined once so :func:`grep` output and
+    :func:`grep_stats` counts can never silently desynchronize."""
+    cond = None
+    for c in cols or df.columns:
+        this = F.col(c).cast("string").rlike(pattern)
+        cond = this if cond is None else (cond | this)
+    return cond
+
+
 def grep(
     df: DataFrame,
     pattern: str,
@@ -62,23 +73,14 @@ def grep(
     which the reference uses. The filter is a codegen'd JVM regex — no
     Python round-trip.
     """
-    cols = cols or df.columns
-    cond = None
-    for c in cols:
-        this = F.col(c).cast("string").rlike(pattern)
-        cond = this if cond is None else (cond | this)
-    out = df.filter(cond)
+    out = df.filter(_match_cond(df, pattern, cols))
     return out.limit(n) if n is not None else out
 
 
 def grep_stats(df: DataFrame, pattern: str, cols: Sequence[str] | None = None) -> DataFrame:
     """(n_matches, n_scanned) companion to :func:`grep`
     (kafi/shell.py:95-100 returns both counts). One pass: conditional agg."""
-    cols = cols or df.columns
-    cond = None
-    for c in cols:
-        this = F.col(c).cast("string").rlike(pattern)
-        cond = this if cond is None else (cond | this)
+    cond = _match_cond(df, pattern, cols)
     return df.agg(
         F.sum(F.when(cond, 1).otherwise(0)).alias("n_matches"),
         F.count(F.lit(1)).alias("n_scanned"),

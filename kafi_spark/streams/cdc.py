@@ -62,12 +62,39 @@ def to_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def apply_cdc(deltas: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Apply a decoded CDC delta stream to produce the current table state:
-    net weight per key from the latest value wins. For the common
-    insert/delete stream (no partial updates), consolidation over the full
-    record suffices; this helper keys by ``key_cols`` and keeps records
-    whose net weight is positive."""
+def apply_cdc(
+    deltas: DataFrame, key_cols: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Apply a decoded CDC delta stream to produce the current table
+    state.
+
+    WELL-FORMED streams — every update/delete carries its before image
+    (Debezium with REPLICA IDENTITY FULL through :func:`from_debezium`)
+    — net out by full-record consolidation: rows with positive net
+    weight ARE the live state, one per ``key_cols`` by the stream's own
+    algebra, and no per-key resolution is needed.
+
+    UPSERT streams (updates WITHOUT before images — e.g. REPLICA
+    IDENTITY DEFAULT, whose null ``before`` rows :func:`from_debezium`
+    drops) leave every historical value of a key net-positive, so the
+    caller must say what "latest" means: pass ``order_col`` (a column
+    riding through the decode, e.g. the envelope's ``source.ts_ms`` or
+    LSN) and only each key's highest-ordered live row survives (weight
+    normalized to 1). Without ``order_col`` no resolution is applied —
+    a plain DataFrame has no row order to infer "latest" from, and
+    silently picking one value would hide the malformed stream.
+    """
+    from pyspark.sql import Window as W
+
     from kafi_spark.streams.zset import consolidate
 
-    return consolidate(deltas).filter(F.col(WEIGHT) > 0)
+    live = consolidate(deltas).filter(F.col(WEIGHT) > 0)
+    if order_col is None:
+        return live
+    w = W.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        live.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn(WEIGHT, F.lit(1).cast("long"))
+    )

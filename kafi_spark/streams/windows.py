@@ -35,8 +35,12 @@ def tumbling(df: DataFrame, ts_col: str, size_ms: int, start_alias: str = "w_sta
     """Assign the single tumbling window start (epoch ms)
     (topologynode.py:672-677: end = ⌊ts/size⌋*size + size)."""
     ms = _epoch_ms(F.col(ts_col))
-    # integer arithmetic (no double division) so the boundary is exact
-    return df.withColumn(start_alias, (ms - (ms % size_ms)).cast("long"))
+    # integer arithmetic (no double division) so the boundary is exact;
+    # pmod, not %, so pre-epoch (negative-ms) timestamps still FLOOR to
+    # the window start below them (Spark's % keeps the dividend's sign,
+    # which put a -5000 ms record in the window STARTING at -3000)
+    return df.withColumn(
+        start_alias, (ms - F.pmod(ms, F.lit(size_ms))).cast("long"))
 
 
 def hopping(
@@ -46,9 +50,17 @@ def hopping(
     (topologynode.py:679-687). size/hop windows per record; the explode is
     JVM-side ``sequence``."""
     ms = _epoch_ms(F.col(ts_col))
-    anchor = ms - (ms % hop_ms)
+    anchor = ms - F.pmod(ms, F.lit(hop_ms))  # pmod: pre-epoch-safe floor
+    # candidates step back (size-1)//hop hops: every hop-multiple start
+    # in (ms - size, ms]. size//hop - 1 under-stepped whenever hop does
+    # not divide size (the earliest covering window was silently
+    # dropped), and went NEGATIVE for hop > size (illegal sequence
+    # bounds at runtime). The coverage filter then drops non-covering
+    # candidates — with hop > size a record between windows correctly
+    # explodes to zero rows.
+    n_back = max((size_ms - 1) // hop_ms, 0)
     starts = F.sequence(
-        (anchor - (size_ms // hop_ms - 1) * hop_ms).cast("long"),
+        (anchor - n_back * hop_ms).cast("long"),
         anchor.cast("long"),
         F.lit(hop_ms).cast("long"),
     )
@@ -63,10 +75,23 @@ def cumulative(
     end_alias: str = "w_end",
 ) -> DataFrame:
     """Flink-style CUMULATE (topologynode.py:689-700): within each ``size``
-    period starting at the period boundary, emit a window for every step-end
-    at or after the record's timestamp. Explode over the covering ends."""
+    period starting at the period boundary, emit a window for every
+    step-end STRICTLY after the record's timestamp (half-open
+    [start, end) windows, Flink's convention — a record ON a step
+    boundary belongs to the next step, not its own). Explode over the
+    covering ends.
+
+    ``size_ms`` must be a multiple of ``step_ms`` (the same contract
+    Flink's CUMULATE enforces): with a partial final step, a record
+    landing after the last whole step has no well-defined end sequence
+    — previously that crashed data-dependently at runtime (illegal
+    sequence bounds); now it is rejected up front."""
+    if size_ms % step_ms:
+        raise ValueError(
+            f"size_ms must be a multiple of step_ms (Flink CUMULATE "
+            f"contract), got size={size_ms}, step={step_ms}")
     ms = _epoch_ms(F.col(ts_col))
-    period_start = (ms - (ms % size_ms)).cast("long")
+    period_start = (ms - F.pmod(ms, F.lit(size_ms))).cast("long")
     in_period = ms - period_start
     first_end = (period_start + (in_period - (in_period % step_ms)) + step_ms).cast("long")
     ends = F.sequence(first_end, (period_start + size_ms).cast("long"), F.lit(step_ms).cast("long"))

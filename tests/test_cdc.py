@@ -65,3 +65,19 @@ def test_debezium_diff_invariant(spark):
     deltas = cdc.from_debezium(env).select("value.k", "value.v", "weight")
     state = cdc.apply_cdc(deltas, ["k"]).drop("weight")
     assert rows(state) == rows(final)
+
+
+def test_apply_cdc_upsert_latest_wins_with_order_col(spark):
+    """Round-6 review: an upsert stream (updates without before images)
+    leaves every historical value net-positive; with order_col the
+    latest per key survives, and without it both rows remain visible
+    (no silent arbitrary pick)."""
+    deltas = spark.createDataFrame(
+        [("k1", "v1", 10, 1), ("k1", "v2", 20, 1), ("k2", "x", 5, 1)],
+        "k string, v string, ts long, weight long",
+    )
+    latest = cdc.apply_cdc(deltas, ["k"], order_col="ts")
+    assert sorted((r.k, r.v, r.weight) for r in latest.collect()) == [
+        ("k1", "v2", 1), ("k2", "x", 1)]
+    bare = cdc.apply_cdc(deltas, ["k"])
+    assert bare.count() == 3

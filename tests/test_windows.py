@@ -65,3 +65,46 @@ def test_sessionize(spark):
     out = windows.sessionize(df, "ts", 1000, ["k"])
     assert rows(out, "id", "session_id") == [
         (0, 1), (1, 1), (2, 2), (3, 2), (4, 3)]
+
+
+def test_hopping_non_divisible_and_hop_gt_size(spark):
+    """Round-6 review: (1) hop not dividing size used to under-step the
+    candidate sequence and silently DROP the earliest covering window;
+    (2) hop > size used to build an illegal sequence and crash — a
+    record between sampling windows belongs to none."""
+    df = ts_df(spark, 1000)
+    got = sorted(r.w_start for r in
+                 windows.hopping(df, "ts", 10_000, 4_000).collect())
+    # every 4000-multiple start s with s <= 1000 < s + 10000
+    assert got == [-8000, -4000, 0]
+    # hop > size: t=500 covered by [0,1000); t=2000 in the gap
+    df2 = ts_df(spark, 500, 2000)
+    got2 = rows(windows.hopping(df2, "ts", 1000, 4000), "id", "w_start")
+    assert got2 == [(0, 0)]
+
+
+def test_pre_epoch_timestamps_floor_correctly(spark):
+    """Round-6 review: Spark's % keeps the dividend's sign, so negative
+    epoch-ms floored UP — a pre-1970 record landed in the window above
+    it (or in no hopping window at all)."""
+    df = ts_df(spark, -5000)
+    assert rows(windows.tumbling(df, "ts", 3000), "w_start") == [(-6000,)]
+    got = sorted(r.w_start for r in
+                 windows.hopping(df, "ts", 8000, 4000).collect())
+    assert got == [-12000, -8000]
+    ends = sorted(r.w_end for r in
+                  windows.cumulative(df, "ts", 3000, 1000).collect())
+    assert ends == [-4000, -3000]  # period [-6000,-3000), ends after -5000
+
+
+def test_cumulative_validates_divisibility_and_boundary(spark):
+    import pytest as _pytest
+
+    df = ts_df(spark, 950)
+    with _pytest.raises(ValueError, match="multiple"):
+        windows.cumulative(df, "ts", 1000, 300)
+    # record ON a step boundary: strictly-after ends only (Flink
+    # half-open convention)
+    ends = sorted(r.w_end for r in
+                  windows.cumulative(ts_df(spark, 250), "ts", 1000, 250).collect())
+    assert ends == [500, 750, 1000]
