@@ -195,9 +195,11 @@ def funnel(
         )
         joined = nxt.join(stage, user_col).filter(F.col("__ts") > F.col("__t"))
         if within_seconds is not None:
+            # unix_micros, not cast("long"): the cast truncates to whole
+            # seconds, so sub-second slack silently widened the window
             joined = joined.filter(
-                F.col("__ts").cast("long")
-                <= F.col("__t0").cast("long") + within_seconds
+                F.unix_micros(F.col("__ts"))
+                <= F.unix_micros(F.col("__t0")) + within_seconds * 1_000_000
             )
         stage = joined.groupBy(user_col).agg(
             F.min("__ts").alias("__t"), F.min("__t0").alias("__t0")
@@ -303,9 +305,12 @@ def sessionize_labels(
     # reviewer-flagged 1000x trap)
     w = W.partitionBy(user_col).orderBy(F.col(ts_col))
     prev = F.lag(F.col(ts_col)).over(w)
+    # unix_micros, not cast("long"): the cast truncates to whole seconds,
+    # so a 1.95 s gap measured as 1 never broke a 1 s-gap session
     is_break = (
         prev.isNotNull()
-        & (F.col(ts_col).cast("long") - prev.cast("long") > gap_seconds)
+        & (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+           > gap_seconds * 1_000_000)
     ).cast("long")
     return events.withColumn(
         "session_id",

@@ -112,12 +112,21 @@ def bm25_topk(
         F.col(query_id_col),
         F.explode(F.array_distinct(_terms(F.col(query_text_col)))).alias("term"),
     )
-    idf = dfreq.crossJoin(F.broadcast(consts)).select(
-        "term",
-        F.log(
-            F.lit(1.0)
-            + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("__idf"),
+    # idf only for the QUERIED terms: dfreq is vocabulary-sized (the
+    # module's millions-of-terms case — tfidf_vectors refuses to
+    # broadcast it for exactly that reason), so semi-join it down to the
+    # query-term set first; the broadcast is then bounded by the number
+    # of distinct query terms, not the vocabulary
+    idf = (
+        dfreq.join(qterms.select("term").distinct(), "term", "left_semi")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("__idf"),
+        )
     )
     scored = (
         postings.join(F.broadcast(qterms), "term")

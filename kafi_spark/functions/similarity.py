@@ -133,9 +133,14 @@ def cosine_topk(
                 continue
             X = _mat(pdf["__vec"])
             nx = np.ones(len(X)) if assume_normalized else np.linalg.norm(X, axis=1)
+            # zero-norm guard (same convention as every sibling kernel:
+            # cosine_pairs_udf, score_vs_query): a zero vector scores
+            # 0.0, never NaN/null
+            nx = np.where(nx == 0.0, 1.0, nx)
+            nq_safe = np.where(nq == 0.0, 1.0, nq)
             # dot / (|x||q|), not normalize-then-dot: matches the SQL
             # oracle's formulation to the last float op
-            S = (X @ Q_.T) / np.outer(nx, nq)
+            S = (X @ Q_.T) / np.outer(nx, nq_safe)
             ids = pdf["__id"].to_numpy()
             out_q, out_id, out_s = [], [], []
             for j, order in _topk_per_batch(S, ids, k):
@@ -339,6 +344,8 @@ def cosine_topk_lsh(
     sig_udf = lsh_signatures_udf(tables)
 
     qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("empty query set")
     Q = _mat(qpdf[vec_col])
     qindex = {qid: i for i, qid in enumerate(qpdf[query_id_col])}
     spark = corpus.sparkSession
@@ -439,8 +446,15 @@ def _estimate_rows(corpus: DataFrame, queries: DataFrame, vec_col: str) -> int:
     larger-than-needed pre-limit stream, never driver memory; falls
     back to a real count if plan statistics are unreachable."""
     try:
+        # stats over the PROJECTED columns only: Catalyst scales a
+        # Project's sizeInBytes by output-row width, so estimating from
+        # the full frame divided corpus bytes (text, metadata, ...) by
+        # an embedding-only row width — on fat-row tables that
+        # overestimated rows by 10x+, inflating the modulus until the
+        # hash filter starved (or emptied) the training sample
+        projected = corpus.select(vec_col)
         # py4j hands BigInt back as a plain Python int
-        size = int(corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        size = int(projected._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         if size <= 0 or size >= (1 << 62):
             # stat-less plans report a Long.MaxValue-ish sentinel; an
             # unguarded sentinel would yield an astronomical modulus and
@@ -685,7 +699,10 @@ def embedding_neardup_pairs(
     sig_udf = lsh_signatures_udf(tables)
     sigs = df.select(
         F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("table_id", "sig")
-    )
+    ).localCheckpoint()  # the self-join plus the two vector re-attaches
+    # hang FOUR consumers off this subtree: unanchored, the signature
+    # UDF and the corpus scan re-execute per consumer (the same
+    # subtree-re-execution hazard bm25_index materializes against)
     l = sigs.select(F.col(id_col).alias("id_1"), "table_id", "sig")
     r = sigs.select(F.col(id_col).alias("id_2"), "table_id", "sig")
     cand = (
@@ -718,7 +735,11 @@ def kmeans_assign(
     Centroids fit on a capped deterministic sample
     (:func:`_fit_centroids`), assignment is one Arrow-batched pass with
     the centroid matrix broadcast — the corpus is scanned once, never
-    shuffled."""
+    shuffled. Null embeddings are dropped first — the family's standard
+    policy (see :func:`prototypicality_scores`): one failed-embedding
+    row must not kill a corpus-scale job with an opaque executor-side
+    numpy shape error."""
+    df = df.filter(F.col(vec_col).isNotNull())
     C = _fit_centroids(df, df, id_col, vec_col, n_clusters, seed, train_cap)
     nearest_cell = _nearest_cell_udf(df.sparkSession, C)
 

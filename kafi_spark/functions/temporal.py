@@ -33,7 +33,7 @@ def _guard_internal_names(
     clash = (set(left.columns) | set(right.columns)) & set(names)
     if clash:
         raise ValueError(
-            f"columns {sorted(clash)} collide with asof_join internals; "
+            f"columns {sorted(clash)} collide with join internals; "
             "rename them before joining"
         )
 
@@ -91,7 +91,7 @@ def asof_join(
     collide with join internals).
     """
     keys = [on] if isinstance(on, str) else list(on)
-    _guard_internal_names(left, right, ("__t", "__tag", "__r", "__m"))
+    _guard_internal_names(left, right, ("__t", "__tag", "__r", "__m", "__rts"))
     payload = [c for c in right.columns if c not in keys + [right_ts]]
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in payload
@@ -180,10 +180,19 @@ def range_join_stream(
         *[F.col(c).alias(rename[c]) for c in rename],
     ).withWatermark(rename[right_ts], watermark)
     l = left.withWatermark(left_ts, watermark)
-    lo = F.unix_micros(F.col(left_ts)) + F.lit(lower_us)
-    hi = F.unix_micros(F.col(left_ts)) + F.lit(upper_us)
-    rts = F.unix_micros(F.col(rename[right_ts]))
-    cond = (rts >= lo) & (rts <= hi)
+    # the range condition is INTERVAL arithmetic on the raw watermarked
+    # timestamp columns — the one shape StreamingJoinHelper can analyze
+    # into a state-value watermark. An earlier unix_micros() form was
+    # semantically identical but unanalyzable: results stayed correct
+    # while join state was never evicted (unbounded growth) — the plan
+    # now carries non-empty "state cleanup" predicates on both sides,
+    # which the test asserts.
+    rcol = F.col(rename[right_ts])
+    lcol = F.col(left_ts)
+    cond = (
+        (rcol >= lcol + F.expr(f"INTERVAL {int(lower_us)} MICROSECOND"))
+        & (rcol <= lcol + F.expr(f"INTERVAL {int(upper_us)} MICROSECOND"))
+    )
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"__rk_{k}"))
     return l.join(r, cond, "inner").drop(*[f"__rk_{k}" for k in keys])
@@ -218,6 +227,7 @@ def range_join(
     if upper_us < lower_us:
         raise ValueError("upper_us must be >= lower_us")
     keys = [on] if isinstance(on, str) else list(on)
+    _guard_internal_names(left, right, ("__b",))
     width = max(upper_us - lower_us, 1)
     bucket = bucket_us or width
 
@@ -267,6 +277,7 @@ def merge_intervals(
     Output: key cols + (start_col, end_col, n_merged).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    _guard_internal_names(df, df, ("__island",))
     w = W.partitionBy(*keys).orderBy(F.col(start_col), F.col(end_col))
     prev_max_end = F.max(F.col(end_col)).over(
         w.rowsBetween(W.unboundedPreceding, -1)

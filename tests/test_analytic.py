@@ -432,3 +432,21 @@ def test_cohort_retention_dst_collapse_counts_users_once(spark):
         assert got == {0: 1, 1: 1}  # count(*) would have said {0:1, 1:2}
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_sessionize_labels_subsecond_gap(spark):
+    """Round-6 review: cast('long') truncated timestamps to whole
+    seconds, so a 1.95s gap measured as 1 and never broke a 1s-gap
+    session."""
+    from kafi_spark.functions.analytic import sessionize_labels
+
+    import datetime as _dt
+
+    df = spark.createDataFrame(
+        [("u", _dt.datetime(2024, 1, 1, 0, 0, 10)),
+         ("u", _dt.datetime(2024, 1, 1, 0, 0, 11, 950_000))],
+        "user string, ts timestamp",
+    )
+    out = sorted(r["session_id"]
+                 for r in sessionize_labels(df, "user", "ts", 1).collect())
+    assert out == [0, 1]

@@ -303,3 +303,33 @@ def test_prototypicality_null_embeddings(spark):
     kept = {r.vec_id for r in prototype_prune(
         df, keep_frac=0.5, n_clusters=4).collect()}
     assert 99 not in kept
+
+
+def test_zero_norm_vectors_score_zero_not_null(spark):
+    """Round-6 review: cosine_topk's kernel lacked the den==0 guard its
+    siblings have — zero vectors yielded NaN→null scores and a zero
+    QUERY produced an all-null ranking."""
+    from kafi_spark.functions.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])], "query_id long, embedding array<float>")
+    out = cosine_topk(corpus, queries, k=2).collect()
+    assert all(r["score"] is not None for r in out)
+    z = {(r["query_id"], r["vec_id"]): r["score"] for r in out}
+    assert z[(10, 2)] == 0.0 and z[(11, 1)] == 0.0
+
+
+def test_kmeans_assign_drops_null_embeddings(spark):
+    """Round-6 review: a single null embedding used to kill the whole
+    semantic-dedup job with an executor-side numpy shape error; nulls
+    now drop up front (the family's standard policy)."""
+    from kafi_spark.functions.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_assign(df, 2)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 3]

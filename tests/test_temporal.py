@@ -364,3 +364,64 @@ def test_asof_map_payload_falls_back_to_arbitrary_ties(spark, trades):
     out = asof_join(trades, q, on="sym", left_ts="ts", right_ts="ts")
     got = {r.trade_id: dict(r.attrs) for r in out.collect()}
     assert got == {1: {"bid": "99.5"}, 2: {"bid": "99.5"}, 3: {"bid": "99.5"}}
+
+
+def test_range_join_stream_state_cleanup_predicates(spark, tmp_path):
+    """Round-6 review: the range condition must be INTERVAL arithmetic
+    on the watermarked columns — the unix_micros() form was
+    semantically identical but unanalyzable by StreamingJoinHelper, so
+    no state-value watermark was derived and join state was NEVER
+    evicted. Assert the executed plan carries non-empty cleanup
+    predicates on BOTH sides."""
+    import json
+    import os
+
+    from kafi_spark.functions.temporal import range_join_stream
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    os.makedirs(ldir), os.makedirs(rdir)
+    (ldir / "a.json").write_text(
+        json.dumps({"k": 1, "ts": "2024-01-01 10:00:00"}) + "\n")
+    (rdir / "a.json").write_text(
+        json.dumps({"k": 1, "rts": "2024-01-01 10:00:01"}) + "\n")
+    ls = spark.readStream.schema("k int, ts timestamp").json(str(ldir))
+    rs = spark.readStream.schema("k int, rts timestamp").json(str(rdir))
+    out = range_join_stream(ls, rs, "k", "ts", "rts", 0, 5_000_000)
+    q = (
+        out.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(120)
+        plan = q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+    assert "left value predicate: (ts" in plan and \
+        "right value predicate: (rts" in plan, plan[-1500:]
+
+
+def test_internal_name_guards(spark):
+    """Round-6 review: range_join silently overwrote-and-dropped a user
+    column named __b; asof_join accepted a right payload named __rts and
+    crashed with an ambiguous-field error downstream. Both now fail
+    fast."""
+    import pytest as _pytest
+
+    from kafi_spark.functions.temporal import (
+        asof_join, merge_intervals, range_join)
+
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    l = spark.createDataFrame([(1, t0, 7)], "k int, ts timestamp, __b int")
+    r = spark.createDataFrame([(1, t0)], "k int, rts timestamp")
+    with _pytest.raises(ValueError, match="__b"):
+        range_join(l, r, "k", "ts", "rts", 0, 1_000_000)
+    r2 = spark.createDataFrame([(1, t0, 5)], "k int, rts timestamp, __rts int")
+    with _pytest.raises(ValueError, match="__rts"):
+        asof_join(l.drop("__b"), r2, "k", "ts", "rts")
+    bad = spark.createDataFrame(
+        [(1, 0, 1, 9)], "k int, lo int, hi int, __island int")
+    with _pytest.raises(ValueError, match="__island"):
+        merge_intervals(bad, "k", "lo", "hi")
