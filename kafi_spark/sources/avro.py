@@ -308,6 +308,11 @@ def encode(value, schema) -> bytes:
 
 def _enc(out: BytesIO, v, s: dict) -> None:
     t = s["type"]
+    if v is None and t not in ("null", "union"):
+        # fail loudly: str(None).encode() used to serialize a null string
+        # field as the literal "None" — silent corruption; a null against
+        # a non-nullable schema is the caller's bug
+        raise TypeError(f"cannot encode None as non-null Avro {t!r}")
     if "logicalType" in s:
         v = _logical_to_base(v, s)
     if t == "null":
@@ -361,11 +366,44 @@ def _enc(out: BytesIO, v, s: dict) -> None:
             if f["name"] in rec:
                 _enc(out, rec[f["name"]], f["type"])
             elif "default" in f:
-                _enc(out, f["default"], f["type"])
+                _enc(out, _default_value(f["type"], f["default"]), f["type"])
             else:
                 raise ValueError(f"record field {f['name']} missing and has no default")
     else:
         raise ValueError(f"unknown schema type {t!r}")
+
+
+def _default_value(s, d):
+    """Avro JSON default -> the runtime value the codec works with.
+
+    Spec §Schemas: defaults are JSON-encoded — bytes/fixed as latin-1
+    strings, union defaults typed by the FIRST branch; logical types
+    annotate base defaults. Raw JSON defaults previously crashed bytes
+    encoding (bytes(str)) and leaked base ints where decode() surfaces
+    date/timestamp/Decimal objects."""
+    if not isinstance(s, dict):
+        s = {"type": s}
+    t = s["type"]
+    if t == "union":
+        return _default_value(s["branches"][0], d)
+    if d is None:
+        return None
+    if t in ("bytes", "fixed"):
+        d = d.encode("latin-1") if isinstance(d, str) else bytes(d)
+    if "logicalType" in s:
+        return _base_to_logical(d, s)
+    if t == "array":
+        return [_default_value(s["items"], x) for x in d]
+    if t == "map":
+        return {k: _default_value(s["values"], x) for k, x in d.items()}
+    if t == "record":
+        return {
+            f["name"]: _default_value(
+                f["type"], d.get(f["name"], f.get("default"))
+            )
+            for f in s["fields"]
+        }
+    return d
 
 
 def _branch_index(v, branches: list[dict]) -> int:
@@ -398,7 +436,16 @@ def _branch_index(v, branches: list[dict]) -> int:
         if isinstance(v, (list, tuple)):
             return t == "array"
         if isinstance(v, dict):
-            return t in ("record", "map")
+            # record branches must match by FIELD SHAPE, not kind: the
+            # first-record-wins rule encoded multi-record unions against
+            # the wrong schema (spec resolves named types by name; a
+            # plain dict carries no name, so shape is the proxy — every
+            # non-defaulted field present, no unknown fields)
+            if t == "record":
+                names = {f["name"] for f in s["fields"]}
+                required = {f["name"] for f in s["fields"] if "default" not in f}
+                return required <= set(v) <= names
+            return t == "map"
         return False
 
     for i, b in enumerate(branches):
@@ -503,7 +550,7 @@ def _dec(rd: _Reader, w: dict, r: dict | None):
                 if name not in out:
                     if "default" not in f:
                         raise ValueError(f"reader field {name} absent and has no default")
-                    out[name] = f["default"]
+                    out[name] = _default_value(f["type"], f["default"])
         return out
     raise ValueError(f"unknown schema type {t!r}")
 
@@ -523,6 +570,17 @@ def _promote(v: int, t: str, r: dict | None):
 
 def _resolve_branch(writer_branch: dict, reader_branches: list[dict]):
     wt = writer_branch["type"]
+    if wt in ("record", "enum", "fixed"):
+        # spec: named types resolve by (full)name, never by position —
+        # kind-only matching resolved multi-record unions to whichever
+        # record came first in the reader union
+        wname = writer_branch.get("name")
+        for rb in reader_branches:
+            if rb["type"] == wt and rb.get("name") == wname:
+                return rb
+        same_kind = [rb for rb in reader_branches if rb["type"] == wt]
+        # a single same-kind branch is unambiguous even under renaming
+        return same_kind[0] if len(same_kind) == 1 else None
     for rb in reader_branches:
         if rb["type"] == wt:
             return rb
@@ -623,6 +681,11 @@ def from_avro_df(df, col: str, schema=None, out: str | None = None,
             raise ValueError("confluent=True needs a registry")
         reader = reader_schema or schema
         if reader is None:
+            if df.isStreaming:
+                raise ValueError(
+                    "confluent=True on a streaming frame needs an explicit "
+                    "reader schema (schema=/reader_schema=): inferring one "
+                    "from the first row is a batch action streams forbid")
             # default reader = writer of the first frame, fetched driver-side
             first = df.select(col).filter(F.col(col).isNotNull()).first()
             if first is None:
@@ -631,13 +694,14 @@ def from_avro_df(df, col: str, schema=None, out: str | None = None,
             reader = registry.get_by_id(rid)
         reader_parsed = parse_schema(reader)
         spark_t = avro_to_spark(reader_parsed)
-        # snapshot writer schemas driver-side so executors don't need the
-        # registry endpoint: ids present in the data get prefetched lazily
-        # via a plain dict closure filled on the driver per distinct id.
-        ids = [int(r[0]) for r in
-               df.select(confluent_schema_id_col(col).alias("i")).distinct().collect()
-               if r[0] is not None]
-        writers = {i: parse_schema(registry.get_by_id(i)) for i in ids}
+        # writer schemas resolve INSIDE the executor UDF, memoized per
+        # worker — standard Confluent-deserializer behavior. The old
+        # driver-side distinct-id prefetch (a) ran batch actions that made
+        # streaming frames undecodable, (b) re-scanned the source before
+        # the real job, and (c) KeyError'd on schema ids first appearing
+        # at action time. The registry client is a tiny picklable closure
+        # member (url + auth), so executors can fetch each id once.
+        writers: dict[int, dict] = {}
 
         def one(b):
             if b is None:
@@ -646,7 +710,10 @@ def from_avro_df(df, col: str, schema=None, out: str | None = None,
             if not b or b[0] != CONFLUENT_MAGIC:
                 raise ValueError("not Confluent-framed avro")
             wid = int.from_bytes(b[1:5], "big")
-            return decode(b[5:], writers[wid], reader_parsed)
+            w = writers.get(wid)
+            if w is None:
+                w = writers[wid] = parse_schema(registry.get_by_id(wid))
+            return decode(b[5:], w, reader_parsed)
 
         return df.withColumn(out, _decode_udf(one, spark_t)(F.col(col)))
 

@@ -34,6 +34,11 @@ def validate_json_df(df, col: str, schema: dict | str, mode: str = "error",
     * ``mode="filter"`` — keep only valid rows;
     * ``mode="flag"``   — add a boolean ``<col>_valid`` column.
 
+    NULL payloads are Kafka tombstones, not documents: they flag as
+    null (neither valid nor invalid), survive ``filter``, and never
+    trip ``error`` — a compacted topic's deletes used to fail the job
+    (or silently vanish under ``filter``).
+
     Returns the DataFrame with ``col`` untouched; pair with
     ``schema.decode_col(col, "json", ...)`` for the typed view.
     """
@@ -52,7 +57,7 @@ def validate_json_df(df, col: str, schema: dict | str, mode: str = "error",
 
         def one(b):
             if b is None:
-                return False
+                return None  # tombstone: no document to judge
             try:
                 doc = json.loads(bytes(b).decode("utf-8") if not isinstance(b, str) else b)
             except (UnicodeDecodeError, json.JSONDecodeError):
@@ -65,14 +70,16 @@ def validate_json_df(df, col: str, schema: dict | str, mode: str = "error",
     if mode == "flag":
         return flagged
     if mode == "filter":
-        return flagged.filter(F.col(flag_col)).drop(flag_col)
+        return flagged.filter(
+            F.col(flag_col).isNull() | F.col(flag_col)
+        ).drop(flag_col)
     if mode == "error":
         # Gate the payload column itself — a dropped side-column would be
         # pruned by Catalyst, silently skipping validation.
         payload_t = df.schema[col].dataType.simpleString()
         return flagged.withColumn(
             col,
-            F.when(F.col(flag_col), F.col(col)).otherwise(
+            F.when(F.col(flag_col).isNull() | F.col(flag_col), F.col(col)).otherwise(
                 F.raise_error(
                     F.concat(F.lit("jsonschema validation failed: "),
                              F.col(col).cast("string"))

@@ -99,7 +99,10 @@ class ProtoMessage:
         self.by_name[f.name] = f
 
 
-_TOKEN = re.compile(r"[A-Za-z_][\w.]*|<|>|[{}=;,]|-?\d+|\"[^\"]*\"")
+# brackets/parens must tokenize or every .proto carrying field, enum or
+# map options ([packed = true], [(custom.opt) = x]) fails to parse — the
+# option-skip branches key off a literal "[" token
+_TOKEN = re.compile(r"[A-Za-z_][\w.]*|<|>|[{}=;,()\[\]]|-?\d+(?:\.\d+)?|\"[^\"]*\"")
 
 
 def _tokenize(text: str) -> list[str]:
@@ -673,9 +676,28 @@ def from_protobuf_df(df, col: str, schema, message: str | None = None,
                 raise ValueError("not Confluent-framed protobuf")
             _, skip = read_message_indexes(b[5:])
             b = b[5 + skip:]
-        return decode(b, mdef)
+        # codec-level decode keeps uint64 unsigned (Python ints are
+        # arbitrary precision); Spark's LongType is signed, so the
+        # documented bridge contract wraps >2^63-1 to negative here —
+        # without this the Arrow conversion raised OverflowError and
+        # failed the whole batch on the first large uint64
+        return _wrap_uint64(decode(b, mdef))
 
     return df.withColumn(out, _decode_udf(one, spark_t)(F.col(col)))
+
+
+def _wrap_uint64(v):
+    """Recursively wrap unsigned 64-bit ints into signed-long range for
+    the Spark bridge (only uint64/fixed64 can exceed 2^63-1)."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return _signed64(v)
+    if isinstance(v, list):
+        return [_wrap_uint64(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _wrap_uint64(x) for k, x in v.items()}
+    return v
 
 
 def to_protobuf_df(df, col: str, schema, message: str | None = None,

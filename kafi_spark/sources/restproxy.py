@@ -46,6 +46,15 @@ class RestProxyError(RuntimeError):
         self.status = status
 
 
+def _q(segment) -> str:
+    """URL-quote one path segment: topic/group/subject names may carry
+    '/', space, or other URL-significant characters — unquoted they
+    address the WRONG resource (or fail outright)."""
+    from urllib.parse import quote
+
+    return quote(str(segment), safe="")
+
+
 def _http(method: str, url: str, payload: dict | None = None,
           headers: dict | None = None, auth: tuple[str, str] | None = None,
           timeout: float = 10.0):
@@ -248,12 +257,17 @@ def read_restproxy(spark, url: str, topic: str, group: str = "kafi_spark",
 
     client = RestProxyClient(url, auth)
     inst = client.request(
-        "POST", f"/consumers/{group}",
-        {"format": "binary", **(instance_config or {})})
+        "POST", f"/consumers/{_q(group)}",
+        # earliest by default: a scan of EXISTING messages is this
+        # function's whole purpose, and the broker default (latest)
+        # returned an empty frame for any pre-existing topic. Callers
+        # can still override via instance_config.
+        {"format": "binary", "auto.offset.reset": "earliest",
+         **(instance_config or {})})
     instance_id = inst["instance_id"]
-    base = f"/consumers/{group}/instances/{instance_id}"
+    base = f"/consumers/{_q(group)}/instances/{_q(instance_id)}"
     try:
-        client.request("POST", f"{base}/subscription", {"topics": [topic]})
+        client.request("POST", f"{base}/subscription", {"topics": [topic]})  # topic in body: no quoting
         rows = []
         for _ in range(num_attempts):
             recs = client.request(
@@ -290,7 +304,7 @@ def write_restproxy(df, url: str, topic: str,
     assignment stays with the broker (default partitioner)."""
     client = RestProxyClient(url, auth)
     cid = client.cluster_id()  # resolved once, shipped in the closure
-    path = f"{url.rstrip('/')}/v3/clusters/{cid}/topics/{topic}/records"
+    path = f"{url.rstrip('/')}/v3/clusters/{_q(cid)}/topics/{_q(topic)}/records"
     auth_t = auth
 
     def post_partition(it):
@@ -301,8 +315,11 @@ def write_restproxy(df, url: str, topic: str,
         batch = []
 
         def flush():
-            # the v3 records endpoint is one-record-per-request JSON; batch
-            # by reusing the connection via sequential posts
+            # urllib opens a fresh connection per request (no keep-alive),
+            # so records post sequentially one request each; batch_size
+            # only bounds buffered rows. TRUE batching is the v3 streaming
+            # mode over a persistent http.client connection — requires a
+            # live proxy to exercise, so it is not pretended here.
             for payload in batch:
                 _http("POST", path, payload,
                       {"Content-Type": "application/json"}, auth_t)

@@ -25,6 +25,16 @@ class SchemaRegistryError(RuntimeError):
         self.status = status
 
 
+
+def _q(segment) -> str:
+    """URL-quote one path segment — subject names may carry '/', space,
+    or other URL-significant characters (they are arbitrary strings in
+    the registry); unquoted they address the wrong resource."""
+    from urllib.parse import quote
+
+    return quote(str(segment), safe="")
+
+
 class SchemaRegistryClient:
     def __init__(self, url: str, auth: tuple[str, str] | None = None, timeout: float = 10.0):
         self.url = url.rstrip("/")
@@ -60,9 +70,9 @@ class SchemaRegistryClient:
     sls = subjects  # shell alias
 
     def delete_subject(self, subject: str, permanent: bool = False) -> list[int]:
-        out = self._req("DELETE", f"/subjects/{subject}")
+        out = self._req("DELETE", f"/subjects/{_q(subject)}")
         if permanent:
-            out = self._req("DELETE", f"/subjects/{subject}?permanent=true")
+            out = self._req("DELETE", f"/subjects/{_q(subject)}?permanent=true")
         return out
 
     srm = delete_subject
@@ -70,27 +80,27 @@ class SchemaRegistryClient:
     # -- versions -----------------------------------------------------------
 
     def versions(self, subject: str) -> list[int]:
-        return self._req("GET", f"/subjects/{subject}/versions")
+        return self._req("GET", f"/subjects/{_q(subject)}/versions")
 
     def get_version(self, subject: str, version: int | str = "latest") -> dict:
         """-> {subject, id, version, schema, (schemaType)}"""
-        return self._req("GET", f"/subjects/{subject}/versions/{version}")
+        return self._req("GET", f"/subjects/{_q(subject)}/versions/{_q(version)}")
 
     def register(self, subject: str, schema, schema_type: str = "AVRO") -> int:
         body = {"schema": schema if isinstance(schema, str) else json.dumps(schema)}
         if schema_type != "AVRO":
             body["schemaType"] = schema_type
-        return self._req("POST", f"/subjects/{subject}/versions", body)["id"]
+        return self._req("POST", f"/subjects/{_q(subject)}/versions", body)["id"]
 
     def lookup(self, subject: str, schema, schema_type: str = "AVRO") -> dict:
         """Find the registered version of a schema under a subject."""
         body = {"schema": schema if isinstance(schema, str) else json.dumps(schema)}
         if schema_type != "AVRO":
             body["schemaType"] = schema_type
-        return self._req("POST", f"/subjects/{subject}", body)
+        return self._req("POST", f"/subjects/{_q(subject)}", body)
 
     def delete_version(self, subject: str, version: int | str) -> int:
-        return self._req("DELETE", f"/subjects/{subject}/versions/{version}")
+        return self._req("DELETE", f"/subjects/{_q(subject)}/versions/{_q(version)}")
 
     # -- schemas by id ------------------------------------------------------
 
@@ -102,11 +112,11 @@ class SchemaRegistryClient:
     # -- compatibility (kafi/schemaregistry.py:143-236) ---------------------
 
     def compatibility_get(self, subject: str | None = None) -> str:
-        path = f"/config/{subject}" if subject else "/config"
+        path = f"/config/{_q(subject)}" if subject else "/config"
         return self._req("GET", path)["compatibilityLevel"]
 
     def compatibility_set(self, level: str, subject: str | None = None) -> str:
-        path = f"/config/{subject}" if subject else "/config"
+        path = f"/config/{_q(subject)}" if subject else "/config"
         return self._req("PUT", path, {"compatibility": level})["compatibility"]
 
     def test_compatibility(self, subject: str, schema,

@@ -537,3 +537,58 @@ def test_confluent_framing_with_logical_types(spark, sr):
     back = avro.from_avro_df(framed, "v", confluent=True, registry=sr).select("v.*")
     assert back.schema.simpleString() == "struct<amount:decimal(10,2),d:date>"
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_encode_none_for_non_null_schema_raises():
+    """Round-6 review: str(None).encode() silently serialized a null
+    string field as the literal "None" — now a loud TypeError."""
+    sch = json.dumps({"type": "record", "name": "R",
+                      "fields": [{"name": "s", "type": "string"}]})
+    with pytest.raises(TypeError, match="None"):
+        avro.encode({"s": None}, sch)
+
+
+def test_multi_record_union_by_shape_and_name():
+    """Round-6 review: first-record-wins branch selection encoded
+    multi-record unions against the wrong schema; named types must
+    resolve by name on the reader side."""
+    sch = json.dumps({"type": "record", "name": "R", "fields": [{"name": "u", "type": [
+        "null",
+        {"type": "record", "name": "A", "fields": [{"name": "x", "type": "int"}]},
+        {"type": "record", "name": "B", "fields": [{"name": "y", "type": "string"}]},
+    ]}]})
+    raw = avro.encode({"u": {"y": "hi"}}, sch)
+    assert avro.decode(raw, sch) == {"u": {"y": "hi"}}
+    # reader lists the records in the OPPOSITE order: name-based
+    # resolution still finds B
+    reader = json.dumps({"type": "record", "name": "R", "fields": [{"name": "u", "type": [
+        "null",
+        {"type": "record", "name": "B", "fields": [{"name": "y", "type": "string"}]},
+        {"type": "record", "name": "A", "fields": [{"name": "x", "type": "int"}]},
+    ]}]})
+    assert avro.decode(raw, sch, reader) == {"u": {"y": "hi"}}
+
+
+def test_defaults_convert_bytes_and_logicals():
+    """Round-6 review: raw JSON defaults crashed bytes encoding and
+    leaked base ints where decode() surfaces logical objects."""
+    import datetime as dt
+
+    writer = json.dumps({"type": "record", "name": "R",
+                         "fields": [{"name": "a", "type": "int"}]})
+    reader = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "b", "type": "bytes", "default": "\u00ff\u0000"},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"},
+         "default": 3},
+    ]})
+    out = avro.decode(avro.encode({"a": 1}, writer), writer, reader)
+    assert out["b"] == b"\xff\x00"
+    assert out["d"] == dt.date(1970, 1, 4)
+    # writer-side: encoding a record that RELIES on a bytes default
+    wsch = json.dumps({"type": "record", "name": "W", "fields": [
+        {"name": "p", "type": "bytes", "default": "\u0001"}]})
+    assert avro.decode(avro.encode({}, wsch), wsch) == {"p": b"\x01"}

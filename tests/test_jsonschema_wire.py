@@ -56,3 +56,25 @@ def test_error_mode(spark):
 def test_bad_schema_rejected(spark):
     with pytest.raises(Exception):
         validate_json_df(_df(spark), "value", {"type": 12}, mode="flag")
+
+
+def test_null_payloads_are_tombstones_not_failures(spark):
+    """Round-6 review: a compacted topic's tombstones (null values) used
+    to fail mode='error' and silently vanish under mode='filter'."""
+    from kafi_spark.sources.jsonschema_wire import validate_json_df
+
+    sch = {"type": "object", "properties": {"x": {"type": "integer"}},
+           "required": ["x"]}
+    df = spark.createDataFrame(
+        [(b'{"x": 1}',), (None,), (b'{"nope": true}',)], "value binary")
+    flagged = validate_json_df(df, "value", sch, mode="flag")
+    got = {None if r["value"] is None else bytes(r["value"]): r["value_valid"]
+           for r in flagged.collect()}
+    assert got[b'{"x": 1}'] is True
+    assert got[None] is None
+    assert got[b'{"nope": true}'] is False
+    kept = validate_json_df(df, "value", sch, mode="filter").collect()
+    assert len(kept) == 2 and any(r["value"] is None for r in kept)
+    ok = validate_json_df(
+        df.filter("value IS NULL"), "value", sch, mode="error").collect()
+    assert len(ok) == 1  # tombstone passes error mode untouched

@@ -220,3 +220,36 @@ def test_proto_to_spark_types(sink):
     assert s["tags"] == "array<string>"
     assert s["hits"] == "map<string,int>"
     assert s["s32"] == "int" and s["f"] == "float"
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_parse_proto_with_options():
+    """Round-6 review: '[' was never tokenized, so any .proto carrying
+    field/enum/map options failed to parse."""
+    src = """
+    syntax = "proto3";
+    message M {
+      repeated int32 a = 1 [packed = true];
+      map<string, int64> m = 2 [(custom.opt) = "x"];
+      E e = 3 [deprecated = true];
+    }
+    enum E { E_UNSPECIFIED = 0 [(custom.ev) = 1]; E_ONE = 1; }
+    """
+    mdef = pw.parse_proto(src, "M")
+    data = {"a": [1, 2, 3], "m": {"k": 9}, "e": "E_ONE"}
+    assert pw.decode(pw.encode(data, mdef), mdef) == data
+
+
+def test_uint64_above_signed_range_wraps_in_spark_bridge(spark):
+    """Round-6 review: codec-level decode keeps uint64 unsigned, but the
+    Spark bridge maps it to LongType — values past 2^63-1 used to blow
+    up the Arrow conversion; the documented contract wraps them."""
+    mdef = pw.parse_proto("message U { uint64 v = 1; }")
+    big = (1 << 64) - 5
+    raw = pw.encode({"v": big}, mdef)
+    assert pw.decode(raw, mdef) == {"v": big}  # codec stays unsigned
+    df = spark.createDataFrame([(bytearray(raw),)], "p binary")
+    out = pw.from_protobuf_df(df, "p", mdef).collect()
+    assert out[0]["p"]["v"] == big - (1 << 64)  # signed wrap, no crash
