@@ -152,11 +152,14 @@ def bloom_contains(
         F.expr("shiftright(__bloom_bits, __bit) & 1"), F.lit(0).cast("long")
     ).alias("__hit")
     per_probe = joined.select(*df.columns, "__row_id", hit)
-    # row payload rides the agg as grouping keys; __row_id keeps
-    # duplicate payload rows distinct
-    return per_probe.groupBy("__row_id", *df.columns).agg(
-        (F.min("__hit") == 1).alias(out_col)
-    ).drop("__row_id")
+    # verdict aggregates on __row_id ALONE with the payload riding as
+    # first() (grouping on payload columns made any MapType column —
+    # non-orderable — an AnalysisException); __row_id keeps duplicate
+    # payload rows distinct
+    return per_probe.groupBy("__row_id").agg(
+        *[F.first(c).alias(c) for c in df.columns],
+        (F.min("__hit") == 1).alias(out_col),
+    ).drop("__row_id").select(*df.columns, out_col)
 
 
 def bloom_new(

@@ -115,6 +115,14 @@ def semantic_contamination_report(
             "eval_cap deliberately or pre-reduce the eval set")
     bench_pd = benchmark.select(F.col(bvc)).filter(
         F.col(bvc).isNotNull()).toPandas()[bvc]
+    # ragged benchmark guard (mixed-dim eval sets unioned together):
+    # np.vstack inside _mat would crash with an opaque shape error —
+    # reject with the actual dimensions instead
+    dims = {len(x) for x in bench_pd}
+    if len(dims) > 1:
+        raise ValueError(
+            f"benchmark embeddings have mixed dimensions {sorted(dims)}; "
+            "embed every eval set with one model (or split the report)")
     # empty/all-null benchmark: nothing can be contaminated — an empty
     # matrix must short-circuit here because _mat's vstack needs >= 1 row
     E = _unit(_mat(bench_pd)) if len(bench_pd) else np.zeros((0, 0))

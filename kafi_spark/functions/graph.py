@@ -92,12 +92,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    prev_n = e.count()
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        converged = (
-            e2.count() == e.count() and e2.subtract(e).limit(1).count() == 0
-        )
-        e = e2
+        n2 = e2.count()
+        # carry the previous round's count instead of re-counting e —
+        # one fewer cluster-wide job per iteration
+        converged = n2 == prev_n and e2.subtract(e).limit(1).count() == 0
+        e, prev_n = e2, n2
         if converged:
             # fixpoint = one star per component, centered at the min id
             return (

@@ -30,6 +30,11 @@ def mix_fractions(
     fractions never exceed 1.0) and optionally by ``total`` rows.
     Sources absent from ``targets`` get fraction 0 (dropped).
     """
+    if any(w < 0 for w in targets.values()):
+        # a negative weight silently inflated every other fraction (the
+        # normalizer shrank while the kept weights didn't) — reject like
+        # split_corpus does
+        raise ValueError(f"target weights must be >= 0, got {targets}")
     weight_sum = sum(targets.values())
     if weight_sum <= 0:
         raise ValueError("targets must contain positive weights")
@@ -121,6 +126,10 @@ def stratified_sample_exact(
 
     if k_per_stratum < 1:
         raise ValueError(f"k_per_stratum must be >= 1, got {k_per_stratum}")
+    if "__rank" in df.columns:
+        raise ValueError(
+            "input column '__rank' collides with sampling internals; "
+            "rename it before sampling")
     key = md5_long(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )

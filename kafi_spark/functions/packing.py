@@ -39,13 +39,21 @@ def pack_documents(
     ``pack_id`` is ``"<bucket>-<seq>"``, ``pack_tokens`` the pack's
     total. Documents with ``n_tokens > budget`` are emitted alone in
     their own pack (pack_tokens > budget flags them for the caller).
+    Rows with a NULL token count are dropped (nothing of unknown length
+    can be packed; a null used to surface as a NaN crash inside the
+    pandas kernel).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     if n_buckets is None:
-        n_buckets = df.sparkSession.sparkContext.defaultParallelism * 4
+        # FIXED default, not defaultParallelism: the docstring guarantees
+        # "same input => same packs, any cluster size", and a
+        # cluster-sized bucket count broke exactly that. 1024 buckets
+        # parallelize any realistic cluster; raise it explicitly when a
+        # single bucket's documents stop fitting in one task's memory.
+        n_buckets = 1024
 
-    slim = df.select(
+    slim = df.filter(F.col(tokens_col).isNotNull()).select(
         F.col(id_col),
         F.col(tokens_col).cast("long").alias(tokens_col),
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
@@ -64,21 +72,31 @@ def pack_documents(
         pdf = pdf.sort_values(
             [tokens_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
-        # first-fit-decreasing over open packs
+        # best-fit-decreasing via a bisect index on remaining capacity:
+        # the earlier linear first-fit scan over open packs was
+        # O(docs x packs) per bucket — quadratic Python time once a
+        # bucket holds ~10^5 documents. Here each placement is a
+        # binary search for the TIGHTEST pack that still fits (list
+        # insert/delete is a C memmove — fine to ~10^6 open packs), and
+        # BFD packs no worse than FFD on sorted input.
+        import bisect
+
         pack_totals: list[int] = []
+        rem: list[tuple[int, int]] = []  # sorted (remaining, pack_idx)
         assign: list[int] = []
         for n in pdf[tokens_col]:
             n = int(n)
-            placed = -1
-            for i, tot in enumerate(pack_totals):
-                if tot + n <= budget:
-                    placed = i
-                    break
-            if placed < 0:
+            j = bisect.bisect_left(rem, (n, -1))
+            if j < len(rem):
+                remaining, placed = rem.pop(j)
+                pack_totals[placed] += n
+                if remaining - n > 0:
+                    bisect.insort(rem, (remaining - n, placed))
+            else:
                 pack_totals.append(n)
                 placed = len(pack_totals) - 1
-            else:
-                pack_totals[placed] += n
+                if budget - n > 0:
+                    bisect.insort(rem, (budget - n, placed))
             assign.append(placed)
         pdf["pack_id"] = [f"{bucket}-{a}" for a in assign]
         pdf["pack_tokens"] = [pack_totals[a] for a in assign]

@@ -105,7 +105,13 @@ def run_pipeline(
     # serves (new upstream + old downstream, mixed forever).
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    for name in invalid:
+    # dependents-FIRST (reverse topological order, then set order is
+    # irrelevant): deleting upstream markers before downstream ones
+    # opens exactly the crash window this loop exists to close — crash
+    # after s3's marker went but before its dependent s4's did, and a
+    # plain resume rebuilds s3 while serving the stale committed s4
+    ordered = [st.name for st in stages if st.name in invalid]
+    for name in reversed(ordered):
         marker = jvm.org.apache.hadoop.fs.Path(
             os.path.join(_out_dir(work_dir, name), "_SUCCESS")
         )

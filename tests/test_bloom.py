@@ -258,3 +258,18 @@ def test_bloom_contains_rejects_output_collisions(spark):
                                  "text string, probably_seen boolean")
     with pytest.raises(ValueError, match="probably_seen"):
         bl.bloom_contains(bad2, filt, "text", 256, 3)
+
+
+def test_bloom_contains_with_map_column(spark):
+    """Round-6 review: grouping the probe verdict by payload columns
+    made any MapType column an AnalysisException."""
+    from kafi_spark.functions.bloom import bloom_build, bloom_contains
+
+    hist = spark.createDataFrame([("a",), ("b",)], "k string")
+    filt = bloom_build(hist, "k", 1 << 12, 5)
+    df = spark.createDataFrame(
+        [("a", {"m": "1"}), ("z", {"m": "2"})],
+        "k string, meta map<string,string>")
+    got = {r["k"]: r["probably_seen"]
+           for r in bloom_contains(df, filt, "k", 1 << 12, 5).collect()}
+    assert got == {"a": True, "z": False}

@@ -143,3 +143,11 @@ def test_shuffle_deterministic_is_a_stable_permutation(spark, sf_dir):
     assert sorted(o1) == sorted(set(o1))  # a permutation, no dup/loss
     o3 = [r.doc_id for r in shuffle_deterministic(df, seed=2).collect()]
     assert o3 != o1
+
+
+def test_mix_fractions_rejects_negative_weights():
+    from kafi_spark.functions.mixing import mix_fractions
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 0"):
+        mix_fractions({"a": 100, "b": 100}, {"a": 2, "b": -1})

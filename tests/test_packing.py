@@ -100,3 +100,16 @@ def test_packing_invariants_hypothesis(spark):
                 assert tot <= budget
 
     run()
+
+
+def test_pack_documents_null_tokens_dropped_and_fixed_buckets(spark):
+    """Round-6 review: a NULL token count crashed the pandas kernel
+    (NaN->int); the default bucket count is now cluster-independent so
+    the documented same-input-same-packs guarantee actually holds."""
+    from kafi_spark.functions.packing import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc_id long, n_tokens long")
+    out = pack_documents(df, "doc_id", "n_tokens", budget=16).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+    assert all(r["pack_tokens"] <= 16 for r in out)
