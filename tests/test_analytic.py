@@ -448,5 +448,6 @@ def test_sessionize_labels_subsecond_gap(spark):
         "user string, ts timestamp",
     )
     out = sorted(r["session_id"]
-                 for r in sessionize_labels(df, "user", "ts", 1).collect())
+                 for r in sessionize_labels(
+                     df, 1, user_col="user", ts_col="ts").collect())
     assert out == [0, 1]

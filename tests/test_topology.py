@@ -615,8 +615,9 @@ def test_await_all_zero_timeout_polls_and_shares_deadline(spark):
         await_all({"a": q, "b": q, "c": q}, timeout_s=0)
         assert _time.time() - t0 < 10
         t0 = _time.time()
-        await_all({"a": q, "b": q, "c": q}, timeout_s=1.5)
-        # 3 queries share ONE 1.5s deadline (per-query would be ~4.5s)
-        assert _time.time() - t0 < 4.0
+        await_all({"a": q, "b": q, "c": q}, timeout_s=1.0)
+        # 3 queries share ONE 1s deadline (per-query would be >= 3s);
+        # generous ceiling for a loaded box
+        assert _time.time() - t0 < 2.9
     finally:
         q.stop()
