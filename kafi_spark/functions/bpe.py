@@ -130,14 +130,24 @@ def bpe_encode(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast({p: i for i, p in enumerate(merges)})
 
+    # SAME word framing as training: Java's \s (word_histogram's split)
+    # is the ASCII class only — Python str.split() also breaks on NBSP/
+    # unicode spaces, so merges learned over 'foo\u00a0bar' would never
+    # have applied at encode time (silent train/encode divergence)
+    _ws = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
+
     def op(batches):
         ranks = bc.value
-        cache: dict[str, list[str]] = {}
         for pdf in batches:
+            # memoized WITHIN each batch, as documented — a per-partition
+            # dict grew without bound on high-distinct-word partitions
+            cache: dict[str, list[str]] = {}
             toks_col, n_col = [], []
             for t in pdf["__text"]:
                 toks: list[str] = []
-                for w in (t or "").split():
+                for w in _ws.split(t or ""):
+                    if not w:
+                        continue
                     got = cache.get(w)
                     if got is None:
                         got = cache[w] = _encode_word(w, ranks)

@@ -48,18 +48,27 @@ def explode_normalize(df: DataFrame, max_depth: int = 10) -> DataFrame:
     return df
 
 
-def get_path(col_or_name: Column | str, path: Sequence[str]) -> Column:
+def _path_keys(path: "Sequence[str] | str") -> list[str]:
+    """A plain string is a DOTTED path ("meta.lang"), not a char
+    sequence — str satisfies Sequence[str], so without this the natural
+    call get_path(c, "meta.lang") iterated characters and failed with a
+    baffling no-such-field error."""
+    return path.split(".") if isinstance(path, str) else list(path)
+
+
+def get_path(col_or_name: Column | str, path: "Sequence[str] | str") -> Column:
     """Dotted-path read into nested structs (kafi/helpers.py:325-330
-    ``get_value``)."""
+    ``get_value``). ``path`` is a key list or a dotted string."""
     c = F.col(col_or_name) if isinstance(col_or_name, str) else col_or_name
-    for key in path:
+    for key in _path_keys(path):
         c = c.getField(key)
     return c
 
 
-def set_path(col: Column, path: Sequence[str], value: Column) -> Column:
+def set_path(col: Column, path: "Sequence[str] | str", value: Column) -> Column:
     """Dotted-path write into nested structs (kafi/helpers.py:332-334
     ``set_value``) via chained ``withField``."""
+    path = _path_keys(path)
     if len(path) == 1:
         return col.withField(path[0], value)
     return col.withField(path[0], set_path(col.getField(path[0]), path[1:], value))
@@ -118,9 +127,14 @@ def hash_struct(col: Column) -> Column:
 
 
 def default_partition(key: Column, partitions: int) -> Column:
-    """hash(key) % n for non-null keys (kafi/helpers.py:338-352); null keys
-    are the caller's round-robin business (see FSTopicStorage.produce)."""
-    return F.pmod(F.xxhash64(key), F.lit(partitions)).cast("int")
+    """hash(key) % n for non-null keys (kafi/helpers.py:338-352); null
+    keys return NULL so the caller's round-robin coalesce (see
+    FSTopicStorage.produce) can actually see them — xxhash64(null)
+    silently returns the seed, which piled every keyless record into
+    one constant hot partition."""
+    return F.when(
+        key.isNotNull(), F.pmod(F.xxhash64(key), F.lit(partitions))
+    ).cast("int")
 
 
 def pattern_match(names: Sequence[str], patterns: str | Sequence[str] | None) -> list[str]:

@@ -88,7 +88,10 @@ def binary_features(
     signature for images/audio (batch shape and schema contract unchanged).
     """
     extractor = extractor or (
-        lambda b: {"n_bytes": len(b), "sha_hex": hashlib.sha256(b).hexdigest()}
+        # None-safe like every custom extractor in this module: a null
+        # payload yields null fields, never a task failure
+        lambda b: {"n_bytes": None, "sha_hex": None} if b is None else
+        {"n_bytes": len(b), "sha_hex": hashlib.sha256(b).hexdigest()}
     )
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, {feature_schema}"
@@ -202,9 +205,14 @@ def resize_image(
         for pdf in it:
             out_bytes = []
             for b in pdf[binary_col]:
-                img = PIL.Image.open(io.BytesIO(b)).resize((width, height))
+                opened = PIL.Image.open(io.BytesIO(b))
+                # capture BEFORE resize: PIL sets .format only in open(),
+                # so the resized copy's is always None — every JPEG used
+                # to come back silently re-encoded as PNG
+                fmt = opened.format or "PNG"
+                img = opened.resize((width, height))
                 buf = io.BytesIO()
-                img.save(buf, format=img.format or "PNG")
+                img.save(buf, format=fmt)
                 out_bytes.append(buf.getvalue())
             yield pd.DataFrame({id_col: pdf[id_col].values, binary_col: out_bytes})
 

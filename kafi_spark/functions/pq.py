@@ -51,6 +51,10 @@ def pq_train(
 
     if n_codes > 256:
         raise ValueError(f"n_codes must fit one byte (<= 256), got {n_codes}")
+    # null embeddings drop up front — the ANN family's standard policy
+    # (similarity.kmeans_assign/prototypicality_scores): one failed-
+    # embedding row must not kill the job with a numpy shape error
+    df = df.filter(F.col(vec_col).isNotNull())
     n_est = _estimate_rows(df, df, vec_col)
     modulus = max(1, n_est // train_cap)
     sample = df
@@ -99,6 +103,7 @@ def pq_encode(
     need codes + vectors together (the rescoring search) must use this
     rather than joining back to the corpus, which would shuffle every
     embedding across the cluster."""
+    df = df.filter(F.col(vec_col).isNotNull())  # family null policy
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
 
@@ -190,7 +195,8 @@ def adc_rescore_topk(
     pre-encoded, partition-pruned cells). Phase semantics as documented
     on :func:`cosine_topk_pq`.
     """
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qpdf = queries.select(query_id_col, vec_col).filter(
+        f"{vec_col} IS NOT NULL").toPandas()
     if len(qpdf) == 0:
         raise ValueError("empty query set")
     Q = _unit(_mat(qpdf[vec_col]))

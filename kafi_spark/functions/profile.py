@@ -54,9 +54,15 @@ def profile_table(
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nul_{i}")
         )
         per_col.append((c, "nulls", f"__nul_{i}"))
+        # map columns are not groupable/orderable: count_distinct on
+        # them throws for the WHOLE aggregate — profile their canonical
+        # JSON form instead (sort_keys-stable via to_json on a sorted
+        # entry view is overkill here; approx/count over to_json matches
+        # the intent of "how many distinct values")
+        dcol = F.to_json(col) if dtypes[c].startswith("map") else col
         distinct = (
-            F.count_distinct(col) if exact_distinct
-            else F.approx_count_distinct(col)
+            F.count_distinct(dcol) if exact_distinct
+            else F.approx_count_distinct(dcol)
         )
         aggs.append(distinct.alias(f"__dis_{i}"))
         per_col.append((c, "distinct", f"__dis_{i}"))
@@ -173,16 +179,20 @@ def corpus_report(
         per_group = j.groupBy(group_col).agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum("n_tokens").alias("__tok"))
+        # null group -> 'unknown', same convention as the lang section:
+        # a NULL metric key made the null-source mass unjoinable in
+        # downstream mixture planning
+        gname = F.coalesce(F.col(group_col).cast("string"), F.lit("unknown"))
         out = out.unionByName(
             per_group.select(
                 F.lit(f"group:{group_col}").alias("section"),
-                F.col(group_col).cast("string").alias("metric"),
+                gname.alias("metric"),
                 F.col("__n").cast("string").alias("value"),
             )
         ).unionByName(
             per_group.select(
                 F.lit(f"group_tokens:{group_col}").alias("section"),
-                F.col(group_col).cast("string").alias("metric"),
+                gname.alias("metric"),
                 F.col("__tok").cast("string").alias("value"),
             ))
     return out

@@ -113,6 +113,17 @@ def quality_score(
     broadcasts once."""
     from pyspark.ml.functions import vector_to_array
 
+    # the ML pipeline writes fixed-name temp/output columns; a frame
+    # already carrying one (e.g. scored by another model upstream) would
+    # either fail transform ("output column exists") or get silently
+    # clobbered — reject loudly
+    reserved = {"__qs_orig", "probability", "prediction", "rawPrediction",
+                out_col}
+    clash = reserved & set(df.columns) - {text_col}
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with quality_score "
+            "internals/ML outputs; rename or drop them before scoring")
     has_signal = F.col("__qs_orig").isNotNull() & (
         F.trim("__qs_orig") != "")
     # the tokenizer's input column is text_col (fixed at fit time) and

@@ -69,3 +69,19 @@ def test_pattern_match():
     assert h.pattern_match(names, None) == sorted(names)
     assert h.pattern_match(names, ["c*", "_*"]) == ["_internal", "customers"]
     assert h.is_internal("_schemas") and not h.is_internal("orders")
+
+
+def test_get_path_accepts_dotted_string(spark):
+    df = spark.createDataFrame(
+        [((("x",),),)], "a struct<b: struct<c: string>>")
+    assert rows(df.select(h.get_path("a", "b.c").alias("v"))) == [("x",)]
+
+
+def test_default_partition_null_key_is_null(spark):
+    """Round-6 review: xxhash64(null) silently returned the seed,
+    piling every keyless record into one constant partition; the caller
+    round-robin coalesce needs to SEE the null."""
+    df = spark.createDataFrame([(b"k",), (None,)], "key binary")
+    ps = [r.p for r in df.select(
+        h.default_partition(F.col("key"), 8).alias("p")).collect()]
+    assert ps[0] is not None and ps[1] is None

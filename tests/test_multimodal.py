@@ -303,3 +303,16 @@ def test_image_neardup_via_hamming_pairs(spark):
                                     max_hamming=6).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_binary_features_null_payload_yields_null_fields(spark):
+    """Round-6 review: the default extractor crashed on NULL payloads,
+    against the module's no-task-failure contract."""
+    from kafi_spark.functions.multimodal import binary_features
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None)], "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["n_bytes"], r["sha_hex"])
+           for r in binary_features(df, "payload", "doc_id").collect()}
+    assert got[1][0] == 3 and got[1][1] is not None
+    assert got[2] == (None, None)

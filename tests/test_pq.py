@@ -59,3 +59,17 @@ def test_pq_topk_recall_vs_exact(spark, sf_dir):
     for r in got_df.collect():
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_pq_paths_drop_null_embeddings(spark):
+    """Round-6 review: the ANN family's null policy now covers PQ —
+    a null embedding used to crash train/encode executor-side."""
+    from kafi_spark.functions.pq import pq_encode, pq_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (3, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_train(df, m_subspaces=2, n_codes=2)
+    out = pq_encode(df, cb)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 3]
