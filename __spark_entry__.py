@@ -928,7 +928,7 @@ _QUALITY_FEATURES_SQL = """
               THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END AS BIGINT) AS n_words,
          CAST(length(regexp_replace(trim(text), '[^.,;:!?''"()-]', '', 'g')) AS BIGINT) AS n_punct,
          CAST(length(regexp_replace(trim(text), '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
-         CAST(len(regexp_extract_all(trim(text), '\\b(the|and|of|to|in|a|is|it)\\b')) AS BIGINT) AS n_stop
+         CAST(len(regexp_extract_all(lower(trim(text)), '\\b(the|and|of|to|in|a|is|it)\\b')) AS BIGINT) AS n_stop
   FROM documents
 """
 

@@ -307,7 +307,11 @@ def perplexity_buckets(
     # down (lm_quality_score itself scores an empty doc via the
     # single-gram shingle convention — fine for filtering floors, wrong
     # for quantile banding)
-    has_signal = (F.trim(F.col(text_col)) != "").alias("__has")
+    # regexp strip, not F.trim (ASCII spaces only): a "\n\n" document
+    # is whitespace-only and must band to null per the contract
+    has_signal = (
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "") != ""
+    ).alias("__has")
     keyed = (
         df.select(*proj, has_signal)
         .join(lm, id_col, "left")

@@ -104,7 +104,12 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_words = F.size(words).cast("long")
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()-]", "")).cast("long")
     n_digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("long")
-    n_stop = F.regexp_count(t, F.lit(r"\b(the|and|of|to|in|a|is|it)\b")).cast("long")
+    # counted on LOWERED text: sentence-initial "The/It" are stopwords
+    # too (gopher_rules already lowercases — the two signals disagreed
+    # on identical prose, undercounting stopword_ratio ~40% on normal
+    # capitalized text and dragging quality_score with it)
+    n_stop = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|and|of|to|in|a|is|it)\b")).cast("long")
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
     return {
@@ -273,8 +278,10 @@ def repetition_stats(
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("credit_card", r"\b\d(?:[ -]?\d){12,15}\b", "<CC>"),
-    ("phone", r"(?<!\w)\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}(?!\w)", "<PHONE>"),
+    # ipv4 BEFORE phone: the phone pattern matches dotted quads whose
+    # last octets have 3 digits (10.234.156.189 became <PHONE>)
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"(?<!\w)\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}(?!\w)", "<PHONE>"),
 )
 
 

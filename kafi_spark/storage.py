@@ -209,4 +209,14 @@ def storage_from_config(spark, kind: str, name: str) -> Local:
     container; the config translation is what tests cover)."""
     if kind == "local":
         return Local.from_config(spark, name)
-    return Local(spark, resolve_storage_config(spark, kind, name))
+    store = Local(spark, resolve_storage_config(spark, kind, name))
+    # the YAML's `kafi` engine-knob section applies to EVERY storage
+    # kind in the reference (kafi/storage.py:29-88); constructing the
+    # remote store with defaults silently dropped e.g. its
+    # topic.ignore.patterns while the same file honored them for local
+    from kafi_spark.config import load_config
+
+    kind_dir = {"s3": "s3s", "azure_blob": "azureblobs"}[kind]
+    section = {"s3": "s3", "azure_blob": "azure_blob"}[kind]
+    store.kafi_config = load_config(name, kind_dir, mandatory=[section])["kafi"]
+    return store

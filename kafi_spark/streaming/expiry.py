@@ -38,8 +38,12 @@ def _expiry_expr(kind: str, ts: Column, size_ms: int, hop_ms: int | None) -> Col
         # record participates until the end of its large period
         return (F.floor(ms / size_ms) + 1) * size_ms
     if kind == "sliding":
-        # per-record window [ts, ts + size]
-        return ms + size_ms
+        # per-record window [ts, ts + size] is CLOSED on the right
+        # (windows.sliding_count uses rangeBetween(0, size) inclusive):
+        # an event at exactly wm = ts + size still lands in ts's window,
+        # so the last relevant end is one past it — ms + size evicted
+        # the anchor while its window could still gain members
+        return ms + size_ms + 1
     if kind == "session":
         # reference buckets by max_session for expiry (topologynode.py:709-714)
         return (F.floor(ms / size_ms) + 1) * size_ms
@@ -61,11 +65,18 @@ def window_expiry(
     cumulative, sliding, session (``size_ms`` = max session length).
     """
     def expire(df: DataFrame) -> DataFrame:
+        # anchor the integrated state ONCE: the max-agg and the filter
+        # below otherwise each re-execute the whole union+consolidate
+        # integration plan (2x the step's shuffle cost)
+        df = df.localCheckpoint(eager=True)
         wm = df.agg(F.max(F.col(ts_col).cast("long"))).first()[0]
         if wm is None:
             return df
         keep = _expiry_expr(kind, F.col(ts_col), size_ms, hop_ms) + lateness_ms
-        return df.filter(keep > F.lit(wm))
+        # null event times never expire (filter(NULL) would silently
+        # evict them and retract their contributions): timeless records
+        # are the caller's retention problem, not the watermark's
+        return df.filter(F.col(ts_col).isNull() | (keep > F.lit(wm)))
 
     return expire
 

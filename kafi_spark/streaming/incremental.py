@@ -86,6 +86,12 @@ class IncrementalRunner:
     def step(self, deltas: dict[str, DataFrame]) -> dict[str, DataFrame]:
         """Push one batch of deltas (records or weighted Z-sets), get the
         consolidated output delta per sink."""
+        unknown = set(deltas) - set(self.topology.source_names)
+        if unknown:
+            raise ValueError(
+                f"step() got deltas for undeclared sources {sorted(unknown)} "
+                f"(declared: {self.topology.source_names}) — a typo here "
+                "used to be silently dropped")
         # integrate: S_t = S_{t-1} + Δ  (then expire)
         for name in self.topology.source_names:
             d = deltas.get(name)

@@ -799,7 +799,9 @@ def perplexity_buckets_stream(
         # neither band nor drag the tail cut down (same policy and
         # same sanctioned checkpoint barrier as the batch op — the
         # scored frame feeds both the sketch delta and the band join)
-        has_signal = (F.trim(F.col(text_col)) != "").alias("__has")
+        has_signal = (
+            F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "") != ""
+        ).alias("__has")  # regexp strip: \n-only docs are no-signal too
         keyed = (
             batch_df.select(id_col, *group, has_signal)
             .join(lm, id_col, "left")

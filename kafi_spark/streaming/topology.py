@@ -111,7 +111,12 @@ class Topology:
         ``schema`` (DDL string, e.g. ``"word string, n long"``) is optional;
         when given, step runners can evaluate sinks before this source has
         received any delta by treating it as an empty Z-set."""
-        self.source_names.append(name)
+        if name not in self.source_names:
+            # a re-declared name (one source referenced from two pipeline
+            # branches) must NOT register twice: step() iterates this
+            # list, and a duplicate made it integrate the same delta into
+            # state twice — every record silently carried weight 2
+            self.source_names.append(name)
         self.source_schemas[name] = schema
         return TNode(self, lambda env: from_records(env[name]),
                      name=f"source_{name}")

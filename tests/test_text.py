@@ -354,3 +354,20 @@ def test_gopher_rules_and_filter(spark):
     assert flags[1].stopwords_ok is True
     # bullet doc: every line starts with a bullet -> bullet_ok False
     assert flags[3].bullet_ok is False
+
+
+def test_redact_pii_ip_not_phone_and_stopwords_case(spark):
+    """Round-6 review: (1) the phone pattern consumed dotted quads with
+    3-digit tail octets before the ipv4 pattern saw them; (2) stopwords
+    count case-insensitively (sentence-initial The/It)."""
+    from kafi_spark.functions.text import quality_features, redact_pii
+
+    df = spark.createDataFrame(
+        [("reach 10.234.156.189 now",)], "t string")
+    out = df.select(redact_pii(F.col("t")).alias("r")).first()["r"]
+    assert out == "reach <IP> now"
+    qf = quality_features(F.col("t"))
+    got = spark.createDataFrame(
+        [("The cat and The dog. It is fine.",)], "t string"
+    ).select(qf["stopword_ratio"].alias("s")).first()["s"]
+    assert got == 5 / 8  # The, and, The, It, is

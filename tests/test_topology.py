@@ -621,3 +621,35 @@ def test_await_all_zero_timeout_polls_and_shares_deadline(spark):
         assert _time.time() - t0 < 2.9
     finally:
         q.stop()
+
+
+def test_incremental_duplicate_source_and_unknown_delta(spark):
+    """Round-6 review: re-declaring a source name from two branches used
+    to double-integrate its deltas (every weight silently x2), and a
+    typo'd delta key was silently dropped."""
+    import pytest as _pytest
+
+    from kafi_spark.streaming.incremental import IncrementalRunner
+    from kafi_spark.streaming.topology import Topology, wcount
+
+    t = Topology()
+    a = t.source("ev", "x int")
+    b = t.source("ev", "x int")  # same source referenced twice
+    a.group_by_agg(["x"], wcount().alias("n")).sink("s1")
+    b.group_by_agg(["x"], wcount().alias("n")).sink("s2")
+    r = IncrementalRunner(t, spark)
+    out = r.step({"ev": spark.createDataFrame([(1,), (1,)], "x int")})
+    rows_ = {rr["x"]: rr["n"] for rr in out["s1"].collect()}
+    assert rows_ == {1: 2}  # not 4
+    with _pytest.raises(ValueError, match="undeclared"):
+        r.step({"evv": spark.createDataFrame([(1,)], "x int")})
+
+
+def test_expiry_null_event_time_never_evicted(spark):
+    from kafi_spark.streaming.expiry import expire_tumbling
+
+    df = spark.createDataFrame(
+        [(None, 1, 1), (100_000, 2, 1)], "ts long, x int, weight long")
+    kept = expire_tumbling("ts", 1000)(df)
+    assert sorted((r["x"], r["ts"]) for r in kept.collect()) == [
+        (1, None), (2, 100_000)]
