@@ -95,7 +95,10 @@ def await_all(queries: dict, timeout_s: float | None = None) -> None:
     deadline = _time.monotonic() + timeout_s
     for q in queries.values():
         remaining = deadline - _time.monotonic()
-        if remaining > 0:
-            # awaitTermination rejects non-positive timeouts; an expired
-            # deadline (or timeout_s=0) just skips the wait
+        if remaining >= 1e-3:
+            # awaitTermination rejects non-positive timeouts, and py4j
+            # floors the value to whole milliseconds (int(t * 1000)), so a
+            # remaining deadline in (0, 1ms) would reach the JVM as 0 and
+            # throw — skip the wait for anything under one millisecond
+            # (expired deadline, timeout_s=0, or sub-ms residue alike)
             q.awaitTermination(remaining)
