@@ -52,13 +52,17 @@ def _meta_dir(path: str) -> str:
     return f"{path.rstrip('/')}/meta"
 
 
-def _write_build_meta(spark, path: str, mode: str) -> None:
+def _write_build_meta(spark, path: str) -> None:
     """Record the build-time corpus size (one row) — the baseline the
     append-time health guard measures growth against. The count prunes
-    to footer metadata (no vector payload is read)."""
+    to footer metadata (no vector payload is read). Always written with
+    mode=overwrite regardless of the corpus write mode: the meta is a
+    single-row baseline for the CURRENT build, and an append-mode build
+    used to stack a second built_total row, making .first() (and so the
+    growth warning) nondeterministic."""
     built = spark.read.parquet(_corpus_dir(path)).count()
     spark.createDataFrame([(int(built),)], "built_total long").write.mode(
-        mode
+        "overwrite"
     ).parquet(_meta_dir(path))
 
 
@@ -108,7 +112,7 @@ def ivf_build(
         "cell int, centroid array<double>",
     )
     cent.write.mode(mode).parquet(_centroids_dir(path))
-    _write_build_meta(spark, path, mode)
+    _write_build_meta(spark, path)
 
 
 def load_centroids(spark, path: str) -> np.ndarray:
@@ -236,7 +240,7 @@ def ivfpq_build(
         "subspace int, code int, centroid array<double>",
     )
     books.write.mode(mode).parquet(_codebooks_dir(path))
-    _write_build_meta(spark, path, mode)
+    _write_build_meta(spark, path)
 
 
 def load_codebooks(spark, path: str) -> np.ndarray:

@@ -439,14 +439,43 @@ def _branch_index(v, branches: list[dict]) -> int:
             # record branches must match by FIELD SHAPE, not kind: the
             # first-record-wins rule encoded multi-record unions against
             # the wrong schema (spec resolves named types by name; a
-            # plain dict carries no name, so shape is the proxy — every
-            # non-defaulted field present, no unknown fields)
+            # plain dict carries no name, so shape is the proxy). A
+            # branch matches when every non-defaulted field is present;
+            # extra keys do NOT disqualify it (_enc ignores unknown keys,
+            # matching the reference's dict-in/dict-out tolerance) — ties
+            # between record branches break on name overlap below.
             if t == "record":
-                names = {f["name"] for f in s["fields"]}
                 required = {f["name"] for f in s["fields"] if "default" not in f}
-                return required <= set(v) <= names
+                return required <= set(v)
             return t == "map"
         return False
+
+    if isinstance(v, dict) and not isinstance(v, bool):
+        # prefer the record branch whose field names overlap v the most
+        # (then fewest stray keys, then union order); a lone map branch
+        # still wins when no record's required fields are all present
+        best, best_score = None, None
+        has_map = any(b["type"] == "map" for b in branches)
+        for i, b in enumerate(branches):
+            if b["type"] == "record" and matches(b):
+                names = {f["name"] for f in b["fields"]}
+                overlap = len(names & set(v))
+                if has_map and v and overlap == 0:
+                    # an all-defaulted record would swallow a map-shaped
+                    # dict (keys dropped, defaults written) — only claim
+                    # the value from a map branch on actual name overlap
+                    continue
+                score = (overlap, -len(set(v) - names), -i)
+                if best_score is None or score > best_score:
+                    best, best_score = i, score
+        if best is not None:
+            return best
+        for i, b in enumerate(branches):
+            # records were exhaustively considered above; a rejected one
+            # (zero-overlap beside a map) must not re-match here
+            if b["type"] != "record" and matches(b):
+                return i
+        raise TypeError(f"no union branch for dict: {v!r}")
 
     for i, b in enumerate(branches):
         if matches(b):

@@ -184,6 +184,22 @@ def test_ivf_append_absorbs_new_vectors(spark, emb, tmp_path):
     assert hits and hits[0]["vec_id"] == qid and hits[0]["rank"] == 1
 
 
+def test_build_meta_single_row_under_append_mode(spark, emb, tmp_path):
+    """Round-7 (driver advice): ivf_build(mode="append") used to append a
+    second built_total row to meta/, making the growth-warning baseline a
+    nondeterministic .first() pick. The meta is always overwritten — one
+    row, equal to the corpus size of the CURRENT build."""
+    p = str(tmp_path / "idx")
+    half = emb.filter(F.col("vec_id") < 300)
+    ai.ivf_build(half, p, n_cells=4)
+    ai.ivf_build(emb.filter(F.col("vec_id") >= 300), p, n_cells=4,
+                 mode="append")
+    meta = spark.read.parquet(f"{p}/meta")
+    assert meta.count() == 1
+    total = spark.read.parquet(f"{p}/corpus").count()
+    assert meta.first()["built_total"] == total
+
+
 def test_ivfpq_append_carries_codes(spark, emb, tmp_path):
     p = str(tmp_path / "idx")
     ai.ivfpq_build(

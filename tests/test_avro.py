@@ -572,6 +572,43 @@ def test_multi_record_union_by_shape_and_name():
     assert avro.decode(raw, sch, reader) == {"u": {"y": "hi"}}
 
 
+def test_union_record_branch_tolerates_superset_dicts():
+    """Round-7 (driver advice): requiring set(v) <= branch field names
+    made encode() raise for dicts carrying extra keys — a strictness
+    regression vs _enc, which ignores unknown keys. Extra keys must not
+    disqualify a record branch; overlap breaks multi-record ties; a map
+    branch still wins a dict with no record-name overlap."""
+    sch = json.dumps({"type": "record", "name": "R", "fields": [{"name": "u", "type": [
+        "null",
+        {"type": "record", "name": "A", "fields": [{"name": "x", "type": "int"}]},
+        {"type": "record", "name": "B", "fields": [{"name": "y", "type": "string"}]},
+    ]}]})
+    # superset dict: extra key ignored, branch picked by overlap
+    raw = avro.encode({"u": {"y": "hi", "stray": 9}}, sch)
+    assert avro.decode(raw, sch) == {"u": {"y": "hi"}}
+    raw = avro.encode({"u": {"x": 2, "_meta": "z"}}, sch)
+    assert avro.decode(raw, sch) == {"u": {"x": 2}}
+    # overlap tie-break: both branches' required fields present -> the
+    # one covering MORE of the dict's keys wins
+    sch2 = json.dumps({"type": "record", "name": "R2", "fields": [{"name": "u", "type": [
+        {"type": "record", "name": "Small", "fields": [{"name": "x", "type": "int"}]},
+        {"type": "record", "name": "Big", "fields": [
+            {"name": "x", "type": "int"},
+            {"name": "y", "type": "string", "default": "d"}]},
+    ]}]})
+    raw = avro.encode({"u": {"x": 1, "y": "v"}}, sch2)
+    assert avro.decode(raw, sch2) == {"u": {"x": 1, "y": "v"}}
+    # map branch beside an all-defaulted record: a dict with zero name
+    # overlap keeps its keys via the map, not record defaults
+    sch3 = json.dumps({"type": "record", "name": "R3", "fields": [{"name": "u", "type": [
+        {"type": "record", "name": "Dflt", "fields": [
+            {"name": "x", "type": "int", "default": 0}]},
+        {"type": "map", "values": "int"},
+    ]}]})
+    raw = avro.encode({"u": {"k1": 7}}, sch3)
+    assert avro.decode(raw, sch3) == {"u": {"k1": 7}}
+
+
 def test_defaults_convert_bytes_and_logicals():
     """Round-6 review: raw JSON defaults crashed bytes encoding and
     leaked base ints where decode() surfaces logical objects."""
