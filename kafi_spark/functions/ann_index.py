@@ -390,6 +390,96 @@ def ivf_append(
     return stats
 
 
+def ivf_delete(
+    ids,
+    path: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Remove vectors from a persisted index by id, rewriting ONLY the
+    cell partitions that contain them — the compaction half of the
+    ingest story: the engine's own dedup emits "drop these vec_ids"
+    lists, and without this every drop list forced a full rebuild.
+
+    ``ids`` is a DataFrame carrying ``id_col`` (or a plain iterable of
+    ids). Discipline mirrors :func:`ivf_append`'s cell pruning:
+
+    - one semi-join over the corpus' (id, cell) COLUMNS finds the
+      affected cells (ids don't know their cell; the id column scan is
+      the unavoidable lookup, the vector payload is never read for it);
+    - survivors of ONLY those cells are localCheckpoint-ed (bounded by
+      the touched partitions — this breaks lineage so the dynamic
+      partition overwrite never reads the files it is replacing), then
+      written back with ``partitionOverwriteMode=dynamic`` so untouched
+      cell directories keep their files byte-for-byte;
+    - cells whose every row was deleted produce no output partition for
+      the dynamic overwrite to replace, so their stale directories are
+      removed explicitly (idempotent — a crash between commit and
+      cleanup re-deletes on the next call).
+
+    Works for plain-IVF and IVF-PQ alike (survivor rows keep their
+    ``pq_code``). Deleting the LAST vector of the index is refused —
+    an empty corpus directory is not a valid index; drop the path and
+    rebuild instead. Like builds, the rewrite is not atomic across
+    cells; treat index paths as versions under concurrent readers.
+
+    Returns the post-delete :func:`ivf_stats` frame."""
+    if not isinstance(ids, DataFrame):
+        raise TypeError(
+            "ids must be a DataFrame with the id column "
+            f"({id_col!r}); got {type(ids).__name__} — "
+            "spark.createDataFrame([(i,) for i in ids], [id_col]) first"
+        )
+    spark = ids.sparkSession
+    dels = ids.select(F.col(id_col)).distinct()
+    cdir = _corpus_dir(path)
+    corpus = spark.read.parquet(cdir)
+    # affected + populated cells in ONE pass over (id, cell) only
+    probe = (
+        corpus.join(dels.hint("broadcast"), id_col, "semi")
+        .select("cell").distinct().collect()
+    )
+    affected = sorted(r["cell"] for r in probe)
+    if not affected:
+        return ivf_stats(spark, path)
+    survivors = (
+        corpus.filter(F.col("cell").isin(affected))
+        .join(dels.hint("broadcast"), id_col, "anti")
+        .localCheckpoint()
+    )
+    remaining = {
+        r["cell"] for r in survivors.select("cell").distinct().collect()
+    }
+    emptied = [c for c in affected if c not in remaining]
+    if emptied:
+        populated = {
+            r["cell"] for r in corpus.select("cell").distinct().collect()
+        }
+        if populated <= set(emptied):
+            raise ValueError(
+                "ivf_delete would remove every vector in the index at "
+                f"{path}; an empty index is not servable — drop the "
+                "path and rebuild instead"
+            )
+    if remaining:
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(cdir)
+        )
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(cdir)
+        fs = root.getFileSystem(hconf)
+        for c in emptied:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{cdir}/cell={int(c)}"),
+                True,
+            )
+    return ivf_stats(spark, path)
+
+
 def ivf_stats(spark, path: str) -> DataFrame:
     """Index health probe: one row per cell with its vector count, plus
     ``frac`` (share of the corpus) and ``skew`` (count / ideal uniform

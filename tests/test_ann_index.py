@@ -218,6 +218,90 @@ def test_ivfpq_append_carries_codes(spark, emb, tmp_path):
     assert hits and hits[0]["vec_id"] == qid
 
 
+def _cell_file_digests(corpus_dir: str) -> dict[str, str]:
+    """md5 per data file under every cell= directory — the byte-identity
+    probe for untouched partitions."""
+    import glob
+    import hashlib
+    import os
+
+    out = {}
+    for f in glob.glob(f"{corpus_dir}/cell=*/*"):
+        if os.path.basename(f).startswith(("_", ".")):
+            continue
+        with open(f, "rb") as fh:
+            out[f] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_ivf_delete_removes_at_any_probe_depth(spark, emb, tmp_path):
+    """Deleted vectors never come back at ANY n_probe (full probe is
+    exact, so presence there would be the index serving dropped data),
+    and cell directories the delete never touched keep their files
+    byte-for-byte."""
+    p = str(tmp_path / "idx")
+    ai.ivf_build(emb.filter(F.col("vec_id") >= 10), p, n_cells=8)
+    corpus = spark.read.parquet(f"{p}/corpus")
+    # drop every vector of ONE cell (directory must disappear) plus a
+    # couple of rows from another (partial rewrite)
+    cells = [r["cell"] for r in corpus.select("cell").distinct()
+             .orderBy("cell").collect()]
+    kill_cell, partial_cell = cells[0], cells[1]
+    whole = corpus.filter(F.col("cell") == kill_cell).select("vec_id")
+    part = (corpus.filter(F.col("cell") == partial_cell)
+            .select("vec_id").limit(2))
+    victims = {r["vec_id"] for r in whole.union(part).collect()}
+    before = _cell_file_digests(f"{p}/corpus")
+    stats = ai.ivf_delete(
+        whole.union(part), p).collect()
+    after = _cell_file_digests(f"{p}/corpus")
+    # untouched cells: identical file sets and bytes
+    untouched = {f: h for f, h in before.items()
+                 if f"cell={kill_cell}/" not in f
+                 and f"cell={partial_cell}/" not in f}
+    assert untouched == {f: h for f, h in after.items()
+                         if f"cell={kill_cell}/" not in f
+                         and f"cell={partial_cell}/" not in f}
+    # emptied cell directory is gone, stats has no row for it
+    assert not any(f"cell={kill_cell}/" in f for f in after)
+    assert kill_cell not in {r["cell"] for r in stats}
+    # deleted ids never surface, probing shallow AND exact-full
+    probe = emb.filter(F.col("vec_id").isin(list(victims))).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    for n_probe in (1, 8):
+        hits = ai.ivf_search(spark, p, probe, k=5, n_probe=n_probe)
+        got = {r["vec_id"] for r in hits.collect()}
+        assert not (got & victims)
+    # survivors still searchable: a kept vector finds itself at rank 1
+    kept = spark.read.parquet(f"{p}/corpus").select("vec_id").first()[0]
+    q = emb.filter(F.col("vec_id") == kept).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = ai.ivf_search(spark, p, q, k=1, n_probe=8).first()
+    assert top["vec_id"] == kept
+
+
+def test_ivf_delete_pq_and_guards(spark, emb, tmp_path):
+    """IVF-PQ survivors keep their codes; a no-op list returns stats
+    unchanged; deleting the whole index is refused; a plain list input
+    raises the documented TypeError."""
+    p = str(tmp_path / "idx")
+    sub = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 300))
+    ai.ivfpq_build(sub, p, n_cells=4, m_subspaces=8)
+    n0 = spark.read.parquet(f"{p}/corpus").count()
+    victims = sub.select("vec_id").limit(5)
+    ai.ivf_delete(victims, p)
+    back = spark.read.parquet(f"{p}/corpus")
+    assert back.count() == n0 - 5
+    assert back.filter(F.col("pq_code").isNull()).count() == 0
+    # no-op delete: ids not in the index
+    ghost = spark.createDataFrame([(10_000_000,)], "vec_id long")
+    assert ai.ivf_delete(ghost, p).agg(F.sum("n")).first()[0] == n0 - 5
+    with pytest.raises(TypeError, match="DataFrame"):
+        ai.ivf_delete([1, 2, 3], p)
+    with pytest.raises(ValueError, match="every vector"):
+        ai.ivf_delete(sub.select("vec_id"), p)
+
+
 def test_ivf_stats_balance_probe(spark, sf_dir, tmp_path):
     from kafi_spark.functions.ann_index import ivf_append, ivf_build, ivf_stats
 
