@@ -187,8 +187,11 @@ def bloom_save_delta(bloom: DataFrame, state_dir: str, version: int | str) -> No
     per version — a retried streaming epoch overwrites its own
     directory instead of double-merging — and loading stays a pure
     union+``bit_or`` (the filter algebra is an idempotent commutative
-    monoid, so replay order never matters)."""
-    bloom.write.mode("overwrite").parquet(f"{state_dir.rstrip('/')}/v={version}")
+    monoid, so replay order never matters). Shared discipline:
+    :mod:`kafi_spark.functions.state`."""
+    from kafi_spark.functions.state import save_delta
+
+    save_delta(bloom, state_dir, version)
 
 
 def bloom_load_state(spark, state_dir: str, exclude_version=None) -> DataFrame:
@@ -202,14 +205,10 @@ def bloom_load_state(spark, state_dir: str, exclude_version=None) -> DataFrame:
     partition directory name): a replaying streaming epoch passes its
     OWN version so the state it sees is exactly the pre-epoch state and
     the replayed emission is byte-identical to the first attempt."""
-    from pyspark.errors import AnalysisException
+    from kafi_spark.functions.state import load_deltas
 
-    try:
-        df = spark.read.parquet(state_dir)
-    except AnalysisException:
-        return spark.createDataFrame([], "word_idx int, bits long")
-    if exclude_version is not None and "v" in df.columns:
-        df = df.filter(F.col("v").cast("string") != str(exclude_version))
+    df = load_deltas(spark, state_dir, exclude_version,
+                     empty_schema="word_idx int, bits long")
     return df.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
 
 

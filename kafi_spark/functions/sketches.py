@@ -140,9 +140,9 @@ def sketch_save_delta(
     union is register-wise max — an idempotent commutative monoid, the
     same algebra as :func:`bloom.bloom_save_delta`'s bit_or — merging a
     delta twice or in any order never changes the merged state."""
-    sketches.write.mode("overwrite").parquet(
-        f"{state_dir.rstrip('/')}/v={version}"
-    )
+    from kafi_spark.functions.state import save_delta
+
+    save_delta(sketches, state_dir, version)
 
 
 def _merge_for(kind: str, lgk: int | None = None):
@@ -496,37 +496,19 @@ def kll_save_delta(
     (a retried streaming epoch replaces its own directory), which is the
     ONLY idempotence KLL state gets: each input row lands in exactly one
     epoch directory, and every directory is merged exactly once."""
+    from kafi_spark.functions.state import save_delta
+
     int(epoch)  # raises early on non-numeric epochs
-    sketches.write.mode("overwrite").parquet(
-        f"{state_dir.rstrip('/')}/v={epoch}"
-    )
+    save_delta(sketches, state_dir, epoch)
 
 
 def _kll_state_dirs(state_dir: str):
-    """(best_compact_epoch_or_None, compact_path_or_None, live_epochs)
-    where live_epochs are the numeric deltas NEWER than the compaction
-    watermark. Incomplete writes (no _SUCCESS) are ignored — a crashed
-    compaction is invisible rather than double-counted or half-read."""
-    import os
+    """(best_compact_epoch_or_None, compact_path_or_None, live_epochs):
+    the shared fenced-state listing — see
+    :func:`kafi_spark.functions.state.committed_dirs`."""
+    from kafi_spark.functions.state import committed_dirs
 
-    best_n, best_path, epochs = None, None, []
-    if not os.path.isdir(state_dir):
-        raise FileNotFoundError(f"no KLL state at {state_dir}")
-    for name in os.listdir(state_dir):
-        path = os.path.join(state_dir, name)
-        if not (name.startswith("v=") and os.path.isdir(path)):
-            continue
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            continue  # uncommitted write: ignore
-        tag = name[2:]
-        if tag.startswith("compact-"):
-            n = int(tag[len("compact-"):])
-            if best_n is None or n > best_n:
-                best_n, best_path = n, path
-        else:
-            epochs.append((int(tag), path))
-    live = [p for e, p in epochs if best_n is None or e > best_n]
-    return best_n, best_path, live
+    return committed_dirs(state_dir)
 
 
 def kll_totals(
@@ -564,31 +546,9 @@ def _additive_state_compact(spark, state_dir: str, merge_fn, prune: bool) -> int
     every subsequent read — double-counted forever, because additive
     merge does not forgive it. Returns the watermark (newest folded
     epoch), or the existing one if there is nothing live to fold."""
-    import os
-    import shutil
+    from kafi_spark.functions.state import compact_fold
 
-    best_n, compact_path, live = _kll_state_dirs(state_dir)
-    if not live:
-        return best_n if best_n is not None else -1
-    watermark = max(int(p.rsplit("v=", 1)[1]) for p in live)
-    paths = ([compact_path] if compact_path else []) + live
-    merged = merge_fn(spark.read.parquet(*paths)).localCheckpoint()
-    merged.write.mode("overwrite").parquet(
-        f"{state_dir.rstrip('/')}/v=compact-{watermark}")
-    if prune:
-        for name in os.listdir(state_dir):
-            path = os.path.join(state_dir, name)
-            if not (name.startswith("v=") and os.path.isdir(path)):
-                continue
-            tag = name[2:]
-            folded = (
-                (not tag.startswith("compact-") and int(tag) <= watermark)
-                or (tag.startswith("compact-")
-                    and int(tag[len("compact-"):]) < watermark)
-            )
-            if folded:
-                shutil.rmtree(path)
-    return watermark
+    return compact_fold(spark, state_dir, merge_fn, prune)
 
 
 def kll_compact(

@@ -1,0 +1,163 @@
+"""Shared versioned-delta discipline for persisted streaming state.
+
+Three state families hand-rolled the same machinery before round 7 —
+Bloom filters (:mod:`kafi_spark.functions.bloom`), KLL/CMS sketch folds
+(:mod:`kafi_spark.functions.sketches`), and the incremental-dedup
+band-key epochs (:mod:`kafi_spark.streaming.stateful`): ``v=<version>``
+delta directories, idempotent per-version overwrite, ``_SUCCESS``
+commit fences, own-epoch exclusion on crash replay, and watermark
+compaction. This module is that machinery, once; the families keep
+their public APIs and call here.
+
+Two disciplines, chosen by the state's MERGE ALGEBRA:
+
+- **idempotent** state (Bloom ``bit_or``, fingerprint sets, band-key
+  sets): re-merging a delta can never corrupt the result, so the
+  reader simply unions every delta and excludes the current epoch's
+  own delta BY COLUMN — arbitrary STRING versions are allowed (the
+  streams prepend a ``version_prefix`` run id to keep fresh-checkpoint
+  epoch sequences disjoint). Stale leftovers after compaction cost
+  only IO, never correctness. Reader: :func:`load_deltas`.
+- **additive** state (KLL, CMS): merging a delta twice double-counts,
+  so epochs must be NUMERIC and monotone, reads are watermark-fenced —
+  the newest committed ``v=compact-<N>`` fold plus only epochs > N —
+  and compaction derives its fold set AND its watermark from ONE
+  directory listing (re-listing inside the fold races a concurrently
+  committing stream epoch into being both folded and live). Readers:
+  :func:`committed_dirs` / :func:`watermark_paths`; compactor:
+  :func:`compact_fold`.
+
+Both disciplines share :func:`save_delta`: writes are idempotent
+per-version overwrites, so a retried streaming epoch replaces its own
+directory instead of double-merging, and Spark's ``_SUCCESS`` marker is
+the commit fence — a crashed write is invisible to the fenced readers.
+
+At 100 TB these state directories are index-scale, not corpus-scale
+(fingerprints, band keys, fixed-size sketch rows); every reader here
+unions parquet DIRECTORIES — no driver materialization.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def save_delta(df: DataFrame, state_dir: str, version) -> None:
+    """Persist one delta at ``state_dir/v=<version>`` — an idempotent
+    per-version overwrite (a retried epoch replaces its own directory).
+    ``version`` may be any string for idempotent-algebra state; additive
+    state must pass numeric epochs (its readers enforce it)."""
+    df.write.mode("overwrite").parquet(f"{state_dir.rstrip('/')}/v={version}")
+
+
+def load_deltas(
+    spark,
+    state_dir: str,
+    exclude_version: str | int | None = None,
+    empty_schema: str | None = None,
+) -> DataFrame:
+    """Idempotent-algebra reader: every persisted delta as ONE frame
+    (the ``v`` partition column rides along), minus the excluded
+    version's rows. A missing/empty state dir yields an empty frame of
+    ``empty_schema`` (required then). The caller applies its own merge
+    (``bit_or``, ``distinct`` …) — safe for idempotent state only."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(state_dir)
+    except AnalysisException:
+        if empty_schema is None:
+            raise
+        return spark.createDataFrame([], empty_schema)
+    if exclude_version is not None and "v" in df.columns:
+        df = df.filter(F.col("v").cast("string") != str(exclude_version))
+    return df
+
+
+def committed_dirs(state_dir: str):
+    """(watermark_or_None, compact_path_or_None, live_epoch_paths) for
+    additive state: the newest COMMITTED ``v=compact-<N>`` fold and the
+    numeric epoch deltas NEWER than N. Dirs without ``_SUCCESS`` are
+    ignored — a crashed write/compaction is invisible rather than
+    double-counted or half-read. Raises FileNotFoundError when the
+    state dir itself is absent (callers decide what "no state" means).
+    """
+    best_n, best_path, epochs = None, None, []
+    if not os.path.isdir(state_dir):
+        raise FileNotFoundError(f"no state at {state_dir}")
+    for name in os.listdir(state_dir):
+        path = os.path.join(state_dir, name)
+        if not (name.startswith("v=") and os.path.isdir(path)):
+            continue
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue  # uncommitted write: ignore
+        tag = name[2:]
+        if tag.startswith("compact-"):
+            n = int(tag[len("compact-"):])
+            if best_n is None or n > best_n:
+                best_n, best_path = n, path
+        else:
+            epochs.append((int(tag), path))
+    live = [p for e, p in epochs if best_n is None or e > best_n]
+    return best_n, best_path, live
+
+
+def watermark_paths(state_dir: str, exclude_epoch=None) -> list[str]:
+    """The committed read set for one additive/fenced state family: the
+    newest compact fold (if any) plus live epochs, minus the CURRENT
+    epoch's own delta (crash-replay exclusion). Empty list when the
+    state dir does not exist yet."""
+    try:
+        _, compact_path, live = committed_dirs(state_dir)
+    except FileNotFoundError:
+        return []
+    paths = [compact_path] if compact_path else []
+    if exclude_epoch is not None:
+        live = [p for p in live
+                if os.path.basename(p) != f"v={exclude_epoch}"]
+    return paths + live
+
+
+def compact_fold(spark, state_dir: str, merge_fn, prune: bool = False) -> int:
+    """Fold the watermark-consistent state into ``v=compact-<N>`` where
+    N is the newest live epoch. ONE directory listing supplies both the
+    watermark and the exact delta paths folded — re-listing inside the
+    fold would race a concurrently-committed stream epoch into being
+    folded under a smaller N and then ALSO read live forever after
+    (additive merge does not forgive double-counts). The fold commits
+    through Spark's normal ``_SUCCESS`` marker and becomes the read
+    watermark only once committed. ``prune=True`` deletes superseded
+    epoch dirs and older compacts afterwards — safe at leisure, fenced
+    readers already ignore them. Returns N (the existing watermark, or
+    -1, when nothing live exists to fold)."""
+    best_n, compact_path, live = committed_dirs(state_dir)
+    if not live:
+        return best_n if best_n is not None else -1
+    watermark = max(int(p.rsplit("v=", 1)[1]) for p in live)
+    paths = ([compact_path] if compact_path else []) + live
+    merged = merge_fn(spark.read.parquet(*paths)).localCheckpoint()
+    merged.write.mode("overwrite").parquet(
+        f"{state_dir.rstrip('/')}/v=compact-{watermark}")
+    if prune:
+        prune_folded(state_dir, watermark)
+    return watermark
+
+
+def prune_folded(state_dir: str, watermark: int) -> None:
+    """Delete epoch dirs ≤ watermark and compacts < watermark — the
+    state a committed ``v=compact-<watermark>`` fold supersedes."""
+    for name in os.listdir(state_dir):
+        path = os.path.join(state_dir, name)
+        if not (name.startswith("v=") and os.path.isdir(path)):
+            continue
+        tag = name[2:]
+        folded = (
+            (not tag.startswith("compact-") and int(tag) <= watermark)
+            or (tag.startswith("compact-")
+                and int(tag[len("compact-"):]) < watermark)
+        )
+        if folded:
+            shutil.rmtree(path)

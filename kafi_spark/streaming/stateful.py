@@ -38,6 +38,8 @@ from collections.abc import Callable, Iterator, Sequence
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from kafi_spark.functions.state import save_delta as _save_delta
+
 _STATE_SCHEMA = "events binary, max_ts long, fired binary"
 
 
@@ -241,15 +243,10 @@ def _load_fp_state(spark, state_dir: str, exclude_version: str) -> DataFrame:
     current epoch's own (``v=<exclude_version>``) — so a replayed epoch
     sees exactly the pre-epoch state and re-emits the same output as
     its first attempt (crash between delta write and sink commit)."""
-    from pyspark.errors import AnalysisException
-    from pyspark.sql import functions as F
+    from kafi_spark.functions.state import load_deltas
 
-    try:
-        df = spark.read.parquet(state_dir)
-    except AnalysisException:
-        return spark.createDataFrame([], "__fp string")
-    if "v" in df.columns:
-        df = df.filter(F.col("v").cast("string") != exclude_version)
+    df = load_deltas(spark, state_dir, exclude_version,
+                     empty_schema="__fp string")
     return df.select("__fp").distinct()
 
 
@@ -334,9 +331,8 @@ def span_dedup_stream(
         )
         if sink is not None:
             sink(out, epoch_id)
-        spans.select("__fp").distinct().write.mode("overwrite").parquet(
-            f"{state_dir.rstrip('/')}/v={version_prefix}{epoch_id}"
-        )
+        _save_delta(spans.select("__fp").distinct(), state_dir,
+                    f"{version_prefix}{epoch_id}")
 
     return process
 
@@ -441,9 +437,8 @@ def substring_dedup_stream(
         )
         if sink is not None:
             sink(out, epoch_id)
-        grams.select("__fp").distinct().write.mode("overwrite").parquet(
-            f"{state_dir.rstrip('/')}/v={version_prefix}{epoch_id}"
-        )
+        _save_delta(grams.select("__fp").distinct(), state_dir,
+                    f"{version_prefix}{epoch_id}")
 
     return process
 
@@ -583,9 +578,9 @@ def curate_documents_stream(
 
         # deltas from the WHOLE batch, not survivors (replay idempotence
         # + component closure — see bloom_dedup_stream's delta comment)
-        kept.select(F.col("fingerprint").alias("__fp")).distinct().write.mode(
-            "overwrite"
-        ).parquet(f"{exact_dir}/v={ver}")
+        _save_delta(
+            kept.select(F.col("fingerprint").alias("__fp")).distinct(),
+            exact_dir, ver)
         delta = bloom_build(
             keys.select("__bk"), "__bk", num_bits, bloom_hashes, seed
         )
@@ -1050,9 +1045,8 @@ def dedup_against_stream(
         else:
             survivors = batch
         sb = bb.join(survivors.select(id_col), id_col, "left_semi")
-        sb.write.mode("overwrite").parquet(f"{root}/bands/v={epoch_id}")
-        survivors.write.mode("overwrite").parquet(
-            f"{root}/docs/v={epoch_id}")
+        _save_delta(sb, f"{root}/bands", epoch_id)
+        _save_delta(survivors, f"{root}/docs", epoch_id)
         if sink is not None:
             sink(survivors, epoch_id)
 
@@ -1066,18 +1060,9 @@ def _dedup_state_paths(root: str, exclude_epoch: int) -> list[str]:
     delta (crash-replay exclusion). Band/doc rows are idempotent sets,
     so even a stale-leftover double-read would only be wasted IO, never
     wrong results; the watermark read keeps it from happening anyway."""
-    import os
+    from kafi_spark.functions.state import watermark_paths
 
-    from kafi_spark.functions.sketches import _kll_state_dirs
-
-    try:
-        _, compact_path, live = _kll_state_dirs(root)
-    except FileNotFoundError:
-        return []
-    paths = [compact_path] if compact_path else []
-    paths += [p for p in live
-              if os.path.basename(p) != f"v={exclude_epoch}"]
-    return paths
+    return watermark_paths(root, exclude_epoch)
 
 
 def dedup_state_compact(spark, state_dir: str) -> int:
@@ -1096,11 +1081,11 @@ def dedup_state_compact(spark, state_dir: str) -> int:
     above the newest epoch would make later deltas invisible and
     silently disable the gate). Returns N (or the existing watermark /
     -1 when there is nothing new to fold)."""
-    from kafi_spark.functions.sketches import _kll_state_dirs
+    from kafi_spark.functions.state import committed_dirs
 
     root = state_dir.rstrip("/")
     try:
-        best_n, _, live = _kll_state_dirs(f"{root}/bands")
+        best_n, _, live = committed_dirs(f"{root}/bands")
     except FileNotFoundError:
         return -1
     if not live:
