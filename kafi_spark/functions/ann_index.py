@@ -76,6 +76,22 @@ def _load_build_meta(spark, path: str) -> int | None:
     return None if row is None else int(row["built_total"])
 
 
+def _check_build_mode(mode: str) -> None:
+    """Builds accept overwrite/error modes only. mode="append" would
+    stack a SECOND centroid (and codebook) set with duplicate cell ids
+    onto the index — load_centroids' row-index-equals-cell-id invariant
+    breaks and every subsequent search probes misaligned cells. The
+    sanctioned way to grow an index in place is :func:`ivf_append`
+    (assigns to the EXISTING centroids); anything else is a rebuild to
+    a fresh version path."""
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(
+            f"ivf/ivfpq build mode must be overwrite or error, got "
+            f"{mode!r} — use ivf_append to add vectors to an existing "
+            "index, or rebuild to a fresh path"
+        )
+
+
 def ivf_build(
     corpus: DataFrame,
     path: str,
@@ -93,6 +109,7 @@ def ivf_build(
     directory level. Centroids go to a second tiny parquet
     (``n_cells`` rows) — the only part a search ever collects.
     """
+    _check_build_mode(mode)
     C = _fit_centroids(corpus, corpus, id_col, vec_col, n_cells, seed,
                        train_cap)
     spark = corpus.sparkSession
@@ -212,6 +229,7 @@ def ivfpq_build(
     """
     from .pq import pq_encode, pq_train
 
+    _check_build_mode(mode)
     C = _fit_centroids(corpus, corpus, id_col, vec_col, n_cells, seed,
                        train_cap)
     cb = pq_train(corpus, m_subspaces, n_codes, id_col, vec_col, seed,
@@ -430,12 +448,20 @@ def ivf_delete(
             "spark.createDataFrame([(i,) for i in ids], [id_col]) first"
         )
     spark = ids.sparkSession
-    dels = ids.select(F.col(id_col)).distinct()
+    # materialize the delete set ONCE: the semi-join probe and the
+    # anti-join rewrite are separate Spark jobs, so a nondeterministic
+    # ids frame (limit/sample) would otherwise realize two DIFFERENT id
+    # sets — an id only in the second realization lands outside the
+    # `affected` cells and silently survives. Id-column-only, so the
+    # checkpoint is delete-list-sized, not corpus-sized. No broadcast
+    # hint: drop lists can be corpus-scale; AQE broadcasts small ones
+    # on its own and shuffles the rest.
+    dels = ids.select(F.col(id_col)).distinct().localCheckpoint()
     cdir = _corpus_dir(path)
     corpus = spark.read.parquet(cdir)
     # affected + populated cells in ONE pass over (id, cell) only
     probe = (
-        corpus.join(dels.hint("broadcast"), id_col, "semi")
+        corpus.join(dels, id_col, "semi")
         .select("cell").distinct().collect()
     )
     affected = sorted(r["cell"] for r in probe)
@@ -443,7 +469,7 @@ def ivf_delete(
         return ivf_stats(spark, path)
     survivors = (
         corpus.filter(F.col("cell").isin(affected))
-        .join(dels.hint("broadcast"), id_col, "anti")
+        .join(dels, id_col, "anti")
         .localCheckpoint()
     )
     remaining = {

@@ -209,9 +209,17 @@ def ngram_jaccard_pairs(
         )
     na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
     nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
+    # SHUFFLE_HASH hints, found by the sf1 scale probe: the static
+    # planner can't see through the shingle explode, estimates the
+    # pair-counts aggregate as tiny, and BROADCASTS it — 2.2 GB at a
+    # mere 10x bench scale (candidate pairs grow with the corpus' dup
+    # mass, never index-small). Hinting the per-doc size frames forces
+    # a shuffled join with the SMALL side (|docs| rows of two longs) as
+    # the build side — both sides partition by id, nothing corpus-scale
+    # ever crosses to the driver.
     return (
-        inter.join(na, "id_1")
-        .join(nb, "id_2")
+        inter.join(na.hint("shuffle_hash"), "id_1")
+        .join(nb.hint("shuffle_hash"), "id_2")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

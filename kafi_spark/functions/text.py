@@ -27,6 +27,51 @@ LANG_MARKERS: list[tuple[str, str]] = [
     ("zh", r"[一-鿿]"),
 ]
 
+# THE stopword/punctuation definitions for every quality signal —
+# quality_features, quality_score, gopher_rules, and text_stats' fused
+# scan all read these constants (and the DuckDB oracles mirror them),
+# so the formula can't silently fork between the shared-subtree scan
+# and the per-Column API.
+STOPWORD_PAT = r"\b(?:the|and|of|to|in|a|is|it)\b"
+PUNCT_CLASS_PAT = r"[.,;:!?'\"()-]"
+DIGIT_CLASS_PAT = r"[0-9]"
+
+
+def _ratio_score_columns(n_words, n_stop, n_punct, n_digit, n_tchars):
+    """Ratios + composite quality from pre-bound COUNT Columns — the one
+    definition of the weighted formula, shared by quality_features /
+    quality_score (counts built inline) and text_stats (counts bound to
+    intermediate columns so each regex runs once)."""
+    safe_chars = F.greatest(n_tchars, F.lit(1)).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    punct_ratio = n_punct.cast("double") / safe_chars
+    digit_ratio = n_digit.cast("double") / safe_chars
+    stopword_ratio = n_stop.cast("double") / safe_words
+    length_score = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    quality = (
+        length_score * 0.4
+        + stopword_ratio * 0.3
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(digit_ratio * 5.0, F.lit(1.0))) * 0.1
+    )
+    return {
+        "avg_word_len": n_tchars.cast("double") / safe_words,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "stopword_ratio": stopword_ratio,
+        "quality": quality,
+    }
+
+
+def _lang_case(scores) -> Column:
+    """argmax CASE chain over (lang, score Column) pairs — ties to the
+    first language, 'und' when nothing matches (langid's one rule)."""
+    best = F.greatest(*[s for _, s in scores])
+    chain = F.when((scores[0][1] == best) & (best > 0), F.lit(scores[0][0]))
+    for lang, s in scores[1:]:
+        chain = chain.when((s == best) & (best > 0), F.lit(lang))
+    return chain.otherwise(F.lit("und"))
+
 
 def ws_tokens(text_col: str) -> Column:
     """Whitespace tokens as a Column: split on ``\\s+`` after stripping
@@ -100,28 +145,30 @@ def fingerprint_xxhash(text: Column) -> Column:
 def quality_features(text: Column) -> dict[str, Column]:
     """Quality-scoring features (length / punctuation / digit / stopword
     ratios) as a dict of named Columns. Ratios are double divisions of
-    integer counts — deterministic across engines."""
+    integer counts — deterministic across engines. The private
+    ``__quality`` key carries the composite score (quality_score reads
+    it; text_stats evaluates the same formula over its bound counts via
+    ``_ratio_score_columns``)."""
     t = F.trim(text)
     n_chars = F.length(t).cast("long")
     words = words_of(text)
     n_words = F.size(words).cast("long")
-    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()-]", "")).cast("long")
-    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("long")
+    n_punct = F.regexp_count(t, F.lit(PUNCT_CLASS_PAT)).cast("long")
+    n_digit = F.regexp_count(t, F.lit(DIGIT_CLASS_PAT)).cast("long")
     # counted on LOWERED text: sentence-initial "The/It" are stopwords
     # too (gopher_rules already lowercases — the two signals disagreed
     # on identical prose, undercounting stopword_ratio ~40% on normal
     # capitalized text and dragging quality_score with it)
-    n_stop = F.regexp_count(
-        F.lower(t), F.lit(r"\b(?:the|and|of|to|in|a|is|it)\b")).cast("long")
-    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
-    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    n_stop = F.regexp_count(F.lower(t), F.lit(STOPWORD_PAT)).cast("long")
+    shared = _ratio_score_columns(n_words, n_stop, n_punct, n_digit, n_chars)
     return {
         "n_chars": n_chars,
         "n_words": n_words,
-        "avg_word_len": (n_chars.cast("double") / safe_words),
-        "punct_ratio": (n_punct.cast("double") / safe_chars),
-        "digit_ratio": (n_digit.cast("double") / safe_chars),
-        "stopword_ratio": (n_stop.cast("double") / safe_words),
+        "avg_word_len": shared["avg_word_len"],
+        "punct_ratio": shared["punct_ratio"],
+        "digit_ratio": shared["digit_ratio"],
+        "stopword_ratio": shared["stopword_ratio"],
+        "__quality": shared["quality"],
     }
 
 
@@ -129,14 +176,7 @@ def quality_score(text: Column) -> Column:
     """Composite [0,1]-ish quality score: rewards mid-length documents and
     stopword presence, penalizes punctuation/digit noise. Fixed-order double
     arithmetic (portable)."""
-    f = quality_features(text)
-    length_score = F.least(f["n_words"].cast("double") / 100.0, F.lit(1.0))
-    return (
-        length_score * 0.4
-        + f["stopword_ratio"] * 0.3
-        + (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))) * 0.2
-        + (1.0 - F.least(f["digit_ratio"] * 5.0, F.lit(1.0))) * 0.1
-    )
+    return quality_features(text)["__quality"]
 
 
 def lang_scores(text: Column) -> list[tuple[str, Column]]:
@@ -146,14 +186,9 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
 def langid(text: Column) -> Column:
     """Heuristic language ID: argmax of marker-pattern hit counts, ties to
     the first language in ``LANG_MARKERS``; 'und' when nothing matches."""
-    scores = lang_scores(text)
-    best = F.greatest(*[s for _, s in scores])
     # chained CASE: the first language (in LANG_MARKERS order) hitting the
     # max wins — deterministic tie-break, reproducible in the SQL oracle
-    chain = F.when((scores[0][1] == best) & (best > 0), F.lit(scores[0][0]))
-    for lang, s in scores[1:]:
-        chain = chain.when((s == best) & (best > 0), F.lit(lang))
-    return chain.otherwise(F.lit("und"))
+    return _lang_case(lang_scores(text))
 
 
 def rolling_hash_fingerprint(text: Column, base: int = 257, mod: int = (1 << 61) - 1) -> Column:
@@ -203,12 +238,14 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # to the unshared form — same expressions, shared subtrees.
     t = F.col(text_col)
     tt = F.trim(t)
-    stop_pat = r"\b(?:the|and|of|to|in|a|is|it)\b"
     # count-equalities that dodge allocation, value-identical to the
     # original expressions: tokens of trimmed text = whitespace runs + 1
     # (no words array materialized); chars-in-class counted directly
     # instead of length(regexp_replace(strip-the-rest)) building a
-    # throwaway string per row
+    # throwaway string per row. The formula/patterns are NOT copies:
+    # ratios/score come from _ratio_score_columns and the language CASE
+    # from _lang_case — the same definitions quality_features /
+    # quality_score / langid evaluate.
     n_tokens = F.when(
         F.length(tt) > 0, F.regexp_count(tt, F.lit(r"\s+")) + 1
     ).otherwise(0).cast("long")
@@ -219,45 +256,31 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         fingerprint_md5(t).alias("fingerprint"),
         n_tokens.alias("n_tokens"),
         F.length(tt).cast("long").alias("__tchars"),
-        F.regexp_count(tt, F.lit(r"[.,;:!?'\"()-]"))
+        F.regexp_count(tt, F.lit(PUNCT_CLASS_PAT))
         .cast("long").alias("__npunct"),
-        F.regexp_count(F.lower(tt), F.lit(stop_pat))
+        F.regexp_count(F.lower(tt), F.lit(STOPWORD_PAT))
         .cast("long").alias("__nstop"),
-        F.regexp_count(tt, F.lit(r"[0-9]"))
+        F.regexp_count(tt, F.lit(DIGIT_CLASS_PAT))
         .cast("long").alias("__ndigit"),
         *[F.regexp_count(t, F.lit(pat)).alias(f"__lang_{lang}")
           for lang, pat in LANG_MARKERS],
     )
-    safe_tchars = F.greatest(F.col("__tchars"), F.lit(1)).cast("double")
-    safe_words = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
-    punct_ratio = F.col("__npunct").cast("double") / safe_tchars
-    digit_ratio = F.col("__ndigit").cast("double") / safe_tchars
-    stopword_ratio = F.col("__nstop").cast("double") / safe_words
-    length_score = F.least(
-        F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
-    quality = (
-        length_score * 0.4
-        + stopword_ratio * 0.3
-        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
-        + (1.0 - F.least(digit_ratio * 5.0, F.lit(1.0))) * 0.1
-    )
-    scores = [(lang, F.col(f"__lang_{lang}")) for lang, _ in LANG_MARKERS]
-    best = F.greatest(*[s for _, s in scores])
-    lang_chain = F.when(
-        (scores[0][1] == best) & (best > 0), F.lit(scores[0][0]))
-    for lang, s in scores[1:]:
-        lang_chain = lang_chain.when((s == best) & (best > 0), F.lit(lang))
+    shared = _ratio_score_columns(
+        F.col("n_tokens"), F.col("__nstop"), F.col("__npunct"),
+        F.col("__ndigit"), F.col("__tchars"))
+    lang_guess = _lang_case(
+        [(lang, F.col(f"__lang_{lang}")) for lang, _ in LANG_MARKERS])
     return inter.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         F.col("n_tokens"),
         F.col("n_chars"),
         F.col("fingerprint"),
-        (F.col("__tchars").cast("double") / safe_words).alias("avg_word_len"),
-        punct_ratio.alias("punct_ratio"),
-        stopword_ratio.alias("stopword_ratio"),
-        quality.alias("quality"),
-        lang_chain.otherwise(F.lit("und")).alias("lang_guess"),
+        shared["avg_word_len"].alias("avg_word_len"),
+        shared["punct_ratio"].alias("punct_ratio"),
+        shared["stopword_ratio"].alias("stopword_ratio"),
+        shared["quality"].alias("quality"),
+        lang_guess.alias("lang_guess"),
     )
 
 

@@ -455,15 +455,16 @@ def _branch_index(v, branches: list[dict]) -> int:
         # (then fewest stray keys, then union order); a lone map branch
         # still wins when no record's required fields are all present
         best, best_score = None, None
-        has_map = any(b["type"] == "map" for b in branches)
         for i, b in enumerate(branches):
             if b["type"] == "record" and matches(b):
                 names = {f["name"] for f in b["fields"]}
                 overlap = len(names & set(v))
-                if has_map and v and overlap == 0:
-                    # an all-defaulted record would swallow a map-shaped
-                    # dict (keys dropped, defaults written) — only claim
-                    # the value from a map branch on actual name overlap
+                if v and overlap == 0:
+                    # an all-defaulted record (required = ∅) matches ANY
+                    # dict; claiming one with zero name overlap would
+                    # silently drop every caller key and write defaults
+                    # (or shadow a map branch) — require actual overlap
+                    # for non-empty dicts
                     continue
                 score = (overlap, -len(set(v) - names), -i)
                 if best_score is None or score > best_score:

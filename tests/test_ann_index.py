@@ -184,20 +184,30 @@ def test_ivf_append_absorbs_new_vectors(spark, emb, tmp_path):
     assert hits and hits[0]["vec_id"] == qid and hits[0]["rank"] == 1
 
 
-def test_build_meta_single_row_under_append_mode(spark, emb, tmp_path):
-    """Round-7 (driver advice): ivf_build(mode="append") used to append a
-    second built_total row to meta/, making the growth-warning baseline a
-    nondeterministic .first() pick. The meta is always overwritten — one
-    row, equal to the corpus size of the CURRENT build."""
+def test_build_meta_single_row_and_append_mode_refused(spark, emb, tmp_path):
+    """Round-7 (driver advice + review): the meta is one overwritten row
+    equal to the current build's corpus size, and mode="append" builds
+    are refused outright — a second build would stack duplicate-cell
+    centroid (and codebook) rows, breaking load_centroids'
+    row-index-equals-cell-id invariant and silently corrupting every
+    later search. ivf_append is the sanctioned in-place growth path."""
     p = str(tmp_path / "idx")
     half = emb.filter(F.col("vec_id") < 300)
     ai.ivf_build(half, p, n_cells=4)
-    ai.ivf_build(emb.filter(F.col("vec_id") >= 300), p, n_cells=4,
-                 mode="append")
     meta = spark.read.parquet(f"{p}/meta")
     assert meta.count() == 1
-    total = spark.read.parquet(f"{p}/corpus").count()
-    assert meta.first()["built_total"] == total
+    assert meta.first()["built_total"] == \
+        spark.read.parquet(f"{p}/corpus").count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ivf_append"):
+        ai.ivf_build(emb, p, n_cells=4, mode="append")
+    with _pytest.raises(ValueError, match="ivf_append"):
+        ai.ivfpq_build(emb, p, n_cells=4, m_subspaces=8, mode="append")
+    # centroids stayed a single aligned set after the refused calls
+    cents = spark.read.parquet(f"{p}/centroids")
+    assert cents.count() == 4
+    assert cents.select("cell").distinct().count() == 4
 
 
 def test_ivfpq_append_carries_codes(spark, emb, tmp_path):

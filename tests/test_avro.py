@@ -607,6 +607,18 @@ def test_union_record_branch_tolerates_superset_dicts():
     ]}]})
     raw = avro.encode({"u": {"k1": 7}}, sch3)
     assert avro.decode(raw, sch3) == {"u": {"k1": 7}}
+    # review pass: WITHOUT a map branch, a zero-overlap dict must still
+    # not be swallowed by an all-defaulted record (silent data loss —
+    # the old upper-bound check raised here, and so must the new code);
+    # the empty dict legitimately selects the all-default record
+    sch4 = json.dumps({"type": "record", "name": "R4", "fields": [{"name": "u", "type": [
+        "null",
+        {"type": "record", "name": "Dflt2", "fields": [
+            {"name": "x", "type": "int", "default": 0}]},
+    ]}]})
+    with pytest.raises(TypeError, match="no union branch"):
+        avro.encode({"u": {"foo": 1}}, sch4)
+    assert avro.decode(avro.encode({"u": {}}, sch4), sch4) == {"u": {"x": 0}}
 
 
 def test_defaults_convert_bytes_and_logicals():

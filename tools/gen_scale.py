@@ -142,15 +142,18 @@ def gen_events(rng: np.random.Generator) -> pa.Table:
 
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
-    rng = np.random.default_rng(SEED)
-    for name, fn in (("documents", gen_documents),
-                     ("embeddings", gen_embeddings),
-                     ("events", gen_events)):
+    for idx, (name, fn) in enumerate((("documents", gen_documents),
+                                      ("embeddings", gen_embeddings),
+                                      ("events", gen_events))):
         path = os.path.join(OUT, f"{name}.parquet")
         if os.path.exists(path) and "--force" not in sys.argv:
             print(f"exists: {path}")
             continue
-        t = fn(rng)
+        # per-table RNG stream: skip-if-exists would otherwise leave one
+        # shared sequential stream in a different position depending on
+        # which tables were regenerated, breaking the determinism the
+        # scale probe's reproducibility rests on
+        t = fn(np.random.default_rng([SEED, idx]))
         pq.write_table(t, path, compression="snappy")
         print(f"wrote {path}: {t.num_rows} rows")
 

@@ -1,0 +1,150 @@
+"""sf1 scale probe: per-row cost + plan-shape stability at 10x bench scale.
+
+Every 100 TB claim in PLANS.md was, through round 6, extrapolated from
+sf0.1 measurements. This probe runs the most expensive headline queries
+at BOTH sf0.1 (the driver's bench tier) and the deterministic sf1 twin
+(``tools/gen_scale.py`` → ``var/sf1``, 10x rows) in one session and
+records, per query:
+
+- wall seconds at each tier (best of N runs, steal-adjudicated),
+- **per_row_ratio** = (t_sf1 / rows_sf1) / (t_sf01 / rows_sf01) —
+  1.0 is perfect linear scaling; sub-linear (<1) is common when fixed
+  job overhead amortizes; anything >1.5 names a super-linear operator
+  that would NOT survive a 100x scale-up and must be fixed or
+  adjudicated (VERDICT r6 "Next round" #2),
+- plan-shape equality: Exchange count identical at both tiers and no
+  broadcast join silently degrading to sort-merge (a broadcast that
+  flips at 10x would flip harder at 100x),
+- shuffle-byte growth vs the 10x row growth.
+
+Run: ``python tools/scale_probe.py`` (writes BENCH_sf1.json).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, "var", "sf1")
+ROWS = {"sf01": 5_000, "sf1": 50_000}  # documents rows per tier
+
+# the 8 most expensive headline queries (VERDICT r6 plan audit), all
+# driven off the documents table
+PROBES = [
+    "pipeline_dupheavy_minhash",
+    "pipeline_dupheavy_exact",
+    "pipeline_curate",
+    "quality_classifier",
+    "dedup_simhash",
+    "lsh_join_incremental",
+    "bm25_topk",
+    "substring_dedup",
+]
+
+
+def _plan_counts(df) -> dict:
+    buf = io.StringIO()
+    import contextlib
+
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    s = buf.getvalue()
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", s)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", s)),
+        "smj": len(re.findall(r"SortMergeJoin", s)),
+    }
+
+
+def main() -> None:
+    import bench
+    import __spark_entry__ as entry_mod
+    from kafi_spark.session import get_spark
+
+    if not os.path.isdir(SF1):
+        raise SystemExit("var/sf1 missing — run tools/gen_scale.py first")
+    # queries only read documents, but read_table of any other name
+    # should still resolve at the sf1 tier
+    for f in os.listdir(SF01):
+        dst = os.path.join(SF1, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF01, f), dst)
+
+    spark = get_spark(
+        "kafi_spark_scale_probe",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
+    qs = bench.bench_queries(entry_mod)
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    run(qs["scalar_stats"](spark, SF01))  # warm scan/shuffle/codegen
+
+    out: dict = {}
+    for name in PROBES:
+        rec: dict = {}
+        for tier, sf_dir, n_runs in (("sf01", SF01, 2), ("sf1", SF1, 2)):
+            best, steal_best = None, None
+            for _ in range(n_runs):
+                st0 = bench._read_steal_jiffies()
+                t0 = time.time()
+                run(qs[name](spark, sf_dir))
+                dt = time.time() - t0
+                st1 = bench._read_steal_jiffies()
+                spark.catalog.clearCache()
+                if best is None or dt < best:
+                    best = dt
+                    steal_best = (st1 - st0) if None not in (st0, st1) else None
+            pre = bench._shuffle_bytes_total(spark)
+            plan = _plan_counts(qs[name](spark, sf_dir))
+            rec[tier] = {
+                "sec": round(best, 3),
+                "steal_jiffies": steal_best,
+                **plan,
+            }
+            # one extra executed run for the shuffle-byte delta
+            run(qs[name](spark, sf_dir))
+            post = bench._shuffle_bytes_total(spark)
+            spark.catalog.clearCache()
+            if pre is not None and post is not None:
+                rec[tier]["shuffle_bytes"] = post - pre
+        per_row_01 = rec["sf01"]["sec"] / ROWS["sf01"]
+        per_row_1 = rec["sf1"]["sec"] / ROWS["sf1"]
+        rec["per_row_ratio"] = round(per_row_1 / per_row_01, 3)
+        rec["plan_equal"] = all(
+            rec["sf01"][k] == rec["sf1"][k]
+            for k in ("exchanges", "broadcast_joins", "smj")
+        )
+        sb0, sb1 = rec["sf01"].get("shuffle_bytes"), rec["sf1"].get("shuffle_bytes")
+        if sb0 and sb1:
+            rec["shuffle_growth"] = round(sb1 / sb0, 2)
+        out[name] = rec
+        print(json.dumps({name: rec}), flush=True)
+
+    result = {
+        "metric": "scale_probe_sf1",
+        "scale_factor": 10,
+        "rows": ROWS,
+        "unit": "sec",
+        "queries": out,
+        "worst_per_row_ratio": max(r["per_row_ratio"] for r in out.values()),
+        "all_plans_equal": all(r["plan_equal"] for r in out.values()),
+    }
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({k: result[k] for k in
+                      ("metric", "worst_per_row_ratio", "all_plans_equal")}))
+
+
+if __name__ == "__main__":
+    main()
