@@ -108,7 +108,12 @@ def quality_fit(
     feats = labeled
     for st in feat_stages:
         feats = st.transform(feats)
-    train = feats.select("__features", "__label").persist(
+    # coalesce(8): each L-BFGS iteration is a treeAggregate whose wall
+    # time on a SAMPLE-sized frame is scheduler rounds x task count, not
+    # compute — fewer, fuller partitions cut per-iteration latency and
+    # its host-load variance. 8 keeps gradient reduction parallel for
+    # samples that do carry real weight.
+    train = feats.select("__features", "__label").coalesce(8).persist(
         StorageLevel.MEMORY_AND_DISK)
     try:
         lr_model = lr.fit(train)
