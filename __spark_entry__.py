@@ -26,7 +26,17 @@ def _dsum(col, scale: int = 2, alias: str | None = None):
     quantize each row to ``scale`` decimals as an integer (round — both
     Spark and DuckDB round halves away from zero for positives), sum
     exactly as BIGINT, rescale once at the end. Avoids both float
-    summation-order drift and double→decimal cast-rounding differences."""
+    summation-order drift and double→decimal cast-rounding differences.
+
+    Headroom bound (review r7): the largest quantized term here is
+    sum_charge at scale 6 (~1e11/row), so the BIGINT accumulator holds
+    exactly through ~9e7 contributing rows — sf≈15 for lineitem — while
+    DuckDB promotes SUM(BIGINT) to HUGEINT. The driver's correctness
+    tier is sf0.01 (bench sf0.1, probe sf1), all ≥4 decades inside the
+    bound. If a future tier crosses it, accumulate as DECIMAL(38,0) on
+    BOTH engines (Spark `sum(cast(x as decimal(38,0)))` is exact and
+    matches HUGEINT values) — do it in _dsum and _dsum_sql together so
+    the hash compare never sees mixed representations."""
     m = 10 ** scale
     out = F.sum(F.round(col * m).cast("long")).cast("double") / float(m)
     return out.alias(alias) if alias else out

@@ -174,12 +174,24 @@ def _plan_unchanged(prev_plan: dict | None, exchanges, sbytes) -> bool:
     return 0.7 <= sbytes / pb <= 1.3
 
 
+# THE exchange-metric definition — BENCH.json's "exchanges", the
+# _plan_unchanged round-over-round comparison, and tools/plan_audit.py's
+# "exch" gate all count THIS regex over THIS explain mode; a second
+# hand-rolled copy once risked the steal-proofing and the audit silently
+# measuring different things.
+PLAN_EXCHANGE_RE = r"\bExchange\b"
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def _exchange_count(df) -> int | None:
     try:
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        return len(re.findall(r"\bExchange\b", buf.getvalue()))
+        return len(re.findall(PLAN_EXCHANGE_RE, plan_text(df)))
     except Exception:  # noqa: BLE001
         return None
 
@@ -537,11 +549,14 @@ def main() -> None:
     # warm-up: exercise scan + shuffle + codegen paths once
     run(qs["scalar_stats"](spark, sf_dir))
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = os.path.basename(sf_dir.rstrip("/")).rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
-        sf_val = sf
+        # non-sf-suffixed dirs (custom datasets): keep the artifact path
+        # a valid FILENAME — a raw path here once meant the per-sf file
+        # write crashed after the whole bench had already run
+        sf_val = sf = re.sub(r"[^A-Za-z0-9_.-]", "_", sf) or "custom"
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     out_path = os.path.join(repo_dir, "BENCH.json")
@@ -558,7 +573,8 @@ def main() -> None:
         st0 = _read_steal_jiffies()
         LAST_PHASES.clear()
         t0 = time.time()
-        run(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        run(df)
         dt = time.time() - t0
         st1 = _read_steal_jiffies()
         steal = st1 - st0 if st0 is not None and st1 is not None else None
@@ -568,10 +584,14 @@ def main() -> None:
             phases["score_sec"] = round(dt - phases["fit_sec"], 3)
         # drop cache entries a query pinned; keeps timings independent
         spark.catalog.clearCache()
-        return dt, steal, phases
+        return dt, steal, phases, df
 
     timings: dict[str, float] = {}
     plans: dict[str, dict] = {}
+    # a renamed/removed query must not silently deflate the headline
+    # total (it would read as a round-over-round speedup) — record it
+    missing = [n for n in HEADLINE if n not in qs]
+    errored: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -581,44 +601,63 @@ def main() -> None:
         best = None
         best_steal = None
         best_phases = None
+        best_df = None
         sbytes = None
-        for i in range(3):
-            pre = _shuffle_bytes_total(spark) if i == 0 else None
-            dt, steal, phases = timed_run(qs[name])
-            if i == 0 and pre is not None:
-                post = _shuffle_bytes_total(spark)
-                if post is not None:
-                    sbytes = post - pre
-            if best is None or dt < best:
-                best, best_steal, best_phases = dt, steal, phases
-
-        exchanges = _exchange_count(qs[name](spark, sf_dir))
-
-        # Steal-proofing (round-4 verdict: an all-3-iterations steal spike
-        # once recorded 9.6 s for a 0.69 s / 862-byte-shuffle query, and
-        # the artifact could not say so). If this run is way over the
-        # PRIOR round's committed time at an UNCHANGED plan, the engine
-        # cannot be the cause — re-run up to 3 more times for a calmer
-        # window; whatever residue remains is flagged contended so the
-        # perf gate can see host noise for what it is.
-        prev_t = (prior.get("queries") or {}).get(name)
-        prev_plan = (prior.get("plans") or {}).get(name)
-        reruns = 0
-        # trigger at 1.5x (round-5 verdict: the 2.5x trigger let 1.7x
-        # residue through unflagged), settle toward 1.2x of the prior;
-        # the 0.25 s absolute floor keeps sub-second JIT/scheduler
-        # jitter from masquerading as contention
-        if (
-            prev_t
-            and best > 1.5 * prev_t
-            and best - prev_t > 0.25
-            and _plan_unchanged(prev_plan, exchanges, sbytes)
-        ):
-            while reruns < 3 and best > 1.2 * prev_t:
-                dt, steal, phases = timed_run(qs[name])
-                if dt < best:
+        try:
+            for i in range(3):
+                pre = _shuffle_bytes_total(spark) if i == 0 else None
+                dt, steal, phases, df = timed_run(qs[name])
+                if i == 0 and pre is not None:
+                    post = _shuffle_bytes_total(spark)
+                    if post is not None:
+                        sbytes = post - pre
+                if best is None or dt < best:
                     best, best_steal, best_phases = dt, steal, phases
-                reruns += 1
+                best_df = df
+
+            # the last run's df is fully constructed — explain it instead
+            # of invoking the builder a 4th time (quality_fit, CC rounds,
+            # and localCheckpoints are eager construction work)
+            exchanges = _exchange_count(best_df)
+
+            # Steal-proofing (round-4 verdict: an all-3-iterations steal
+            # spike once recorded 9.6 s for a 0.69 s / 862-byte-shuffle
+            # query, and the artifact could not say so). If this run is
+            # way over the PRIOR round's committed time at an UNCHANGED
+            # plan, the engine cannot be the cause — re-run up to 3 more
+            # times for a calmer window; whatever residue remains is
+            # flagged contended so the perf gate can see host noise for
+            # what it is.
+            prev_t = (prior.get("queries") or {}).get(name)
+            prev_plan = (prior.get("plans") or {}).get(name)
+
+            def slow_at_same_plan(t: float) -> bool:
+                # trigger at 1.5x (round-5 verdict: the 2.5x trigger let
+                # 1.7x residue through unflagged); the 0.25 s absolute
+                # floor keeps sub-second JIT/scheduler jitter from
+                # masquerading as contention. ONE definition: the rerun
+                # trigger and the contended flag can never disagree.
+                return bool(
+                    prev_t
+                    and t > 1.5 * prev_t
+                    and t - prev_t > 0.25
+                    and _plan_unchanged(prev_plan, exchanges, sbytes)
+                )
+
+            reruns = 0
+            if slow_at_same_plan(best):
+                # settle toward 1.2x of the prior
+                while reruns < 3 and best > 1.2 * prev_t:
+                    dt, steal, phases, _ = timed_run(qs[name])
+                    if dt < best:
+                        best, best_steal, best_phases = dt, steal, phases
+                    reruns += 1
+        except Exception as ex:  # noqa: BLE001 — one broken query must
+            # not lose the whole round's artifact (the module's design
+            # goal); record it and keep benching
+            errored[name] = f"{type(ex).__name__}: {ex}"[:300]
+            spark.catalog.clearCache()
+            continue
 
         timings[name] = round(best, 3)
         plans[name] = {
@@ -631,8 +670,7 @@ def main() -> None:
             plans[name]["steal_jiffies"] = best_steal
         if reruns:
             plans[name]["reruns"] = reruns
-        if prev_t and best > 1.5 * prev_t and best - prev_t > 0.25 \
-                and _plan_unchanged(prev_plan, exchanges, sbytes):
+        if slow_at_same_plan(best):
             # still slow after reruns at an identical plan: the host owned
             # this number, not the engine — say so in the artifact
             plans[name]["contended"] = True
@@ -645,6 +683,10 @@ def main() -> None:
         "plans": plans,
         "sf": sf_val,
     }
+    if missing:
+        result["missing"] = missing
+    if errored:
+        result["errored"] = errored
     # Full artifact (timings + plan metrics) goes to a repo-root file so
     # it never depends on how much stdout the caller captures.
     for p in (out_path, sf_path):

@@ -12,6 +12,7 @@ Usage:  python tools/check.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -55,7 +56,9 @@ def main():
 
     import duckdb
 
-    sys.path.insert(0, "/root/repo")
+    # derive the repo path from THIS file so a worktree/second-clone run
+    # validates the checkout it lives in, not /root/repo
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry_mod
     from kafi_spark.session import get_spark
 
@@ -68,6 +71,13 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # a typo'd/renamed subset name must FAIL, not pass vacuously: the
+    # documented per-commit workflow is subset runs, and an unknown name
+    # silently matching nothing turns the gate green with zero checks
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"FAIL  unknown query names: {unknown}")
+        sys.exit(1)
     # driver contract: CORRECTNESS records only the first 50 queries() entries;
     # keep the registry at exactly 50 so every query gets a driver row
     if len(qs) != 50:

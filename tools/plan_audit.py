@@ -46,21 +46,18 @@ def main() -> int:
           f"{'reuse':>5} {'inmem':>5}")
     # every benched plan — the 50 driver-contract queries plus the
     # bench-only twins — passes the same gates
-    from bench import bench_queries
+    from bench import PLAN_EXCHANGE_RE, bench_queries, plan_text
 
     for name, fn in bench_queries(entry_mod).items():
         try:
             df = fn(spark, sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            p = buf.getvalue()
+            p = plan_text(df)
         except Exception as ex:  # noqa: BLE001
             print(f"{name:28s} ERROR: {ex}")
             failures.append((name, str(ex)))
             continue
         c = {
-            "exch": len(re.findall(r"\bExchange\b", p)),
+            "exch": len(re.findall(PLAN_EXCHANGE_RE, p)),
             "gen": len(re.findall(r"\bGenerate\b", p)),
             "scan": len(re.findall(r"Scan parquet|Scan ExistingRDD", p)),
             "wsc": len(re.findall(r"WholeStageCodegen", p)),
