@@ -129,12 +129,21 @@ def keep_representatives_cc(
     appears as the smaller member (c dropped via (b, c), then (c, d))
     the single-pass drops d spuriously while the closure keeps exactly
     one per component.
+
+    Schema-preserving like ``dedup.keep_representatives`` (review r7:
+    the old positional ``isolated.union(survivors)`` required all_ids
+    to be a single-column frame and threw on callers passing their full
+    document frame): the result is ``all_ids`` minus the dropped ids,
+    every input column intact.
     """
     comp = connected_components(pairs, "id_1", "id_2")
-    survivors = comp.groupBy("component").agg(F.min("id").alias(id_col)).select(id_col)
-    in_graph = comp.select(F.col("id").alias(id_col))
-    isolated = all_ids.join(in_graph, id_col, "left_anti")
-    return isolated.union(survivors)
+    # the component label IS the component's minimum id (the star
+    # fixpoint centers on it), so survivors are just the distinct
+    # labels — no extra groupBy-min
+    survivor_ids = comp.select(F.col("component").alias(id_col)).distinct()
+    losers = comp.select(F.col("id").alias(id_col)).join(
+        survivor_ids, id_col, "left_anti")
+    return all_ids.join(losers, id_col, "left_anti")
 
 
 def pagerank(

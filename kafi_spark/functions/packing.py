@@ -8,15 +8,17 @@ caller decides whether to truncate or drop them).
 
 Distribution strategy: packing is inherently sequential WITHIN a pack,
 so the corpus is hash-bucketed (``n_buckets`` ≈ cluster parallelism ×
-a small factor) and packed per bucket with first-fit-decreasing inside
-an ``applyInPandas`` group — each bucket is an independent greedy
-instance, the shuffle carries only (id, n_tokens), and pack ids are
-globally unique as (bucket, local_seq). FFD waste is bounded (≤ 11/9
-OPT + 6/9 bins classically), and bucket-local packing costs at most one
-underfull pack per bucket versus a global pass — negligible when
-buckets hold thousands of documents, which is the 100 TB case.
+a small factor) and packed per bucket with BEST-fit-decreasing inside
+an ``applyInPandas`` group (bisect over open-pack residuals — the
+kernel's in-function comments describe it) — each bucket is an
+independent greedy instance, the shuffle carries only (id, n_tokens),
+and pack ids are globally unique as (bucket, local_seq). BFD shares
+FFD's classic waste bound (≤ 11/9 OPT + 6/9 bins) while picking the
+tightest open pack instead of the first, and bucket-local packing
+costs at most one underfull pack per bucket versus a global pass —
+negligible when buckets hold thousands of documents, the 100 TB case.
 
-Determinism: bucket assignment is a hash of the id; FFD sorts by
+Determinism: bucket assignment is a hash of the id; BFD sorts by
 (-n_tokens, id). Same input ⇒ same packs, any cluster size.
 """
 

@@ -54,12 +54,13 @@ def profile_table(
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nul_{i}")
         )
         per_col.append((c, "nulls", f"__nul_{i}"))
-        # map columns are not groupable/orderable: count_distinct on
-        # them throws for the WHOLE aggregate — profile their canonical
-        # JSON form instead (sort_keys-stable via to_json on a sorted
-        # entry view is overkill here; approx/count over to_json matches
-        # the intent of "how many distinct values")
-        dcol = F.to_json(col) if dtypes[c].startswith("map") else col
+        # map-BEARING columns are not groupable/orderable:
+        # count_distinct on them throws for the WHOLE aggregate —
+        # profile their canonical JSON form instead. "map" anywhere in
+        # the dtype (array<map<...>>, struct with a map field), not just
+        # top-level: a nested map fails the same way one level down
+        # (review r7)
+        dcol = F.to_json(col) if "map<" in dtypes[c] else col
         distinct = (
             F.count_distinct(dcol) if exact_distinct
             else F.approx_count_distinct(dcol)

@@ -34,10 +34,17 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 def _terms(text_col, lowercase: bool = True):
     # the ONE tokenizer definition (text.words_of) so BM25 terms can
-    # never silently diverge from the quality-feature word semantics
+    # never silently diverge from the quality-feature word semantics —
+    # minus phantom empty tokens (review r7): words_of trims only ASCII
+    # spaces, so text edged by \n/\t grows a "" token whose posting
+    # list is CORPUS-sized; one "" query term would then pull every
+    # such doc into scoring and void the touched-postings bound
     from .text import words_of
 
-    return words_of(text_col, lowercase=lowercase)
+    return F.filter(
+        words_of(text_col, lowercase=lowercase),
+        lambda w: F.length(w) > 0,
+    )
 
 
 def bm25_index(
@@ -104,6 +111,11 @@ def bm25_topk(
     (query_id, doc_id, score, rank), ties broken by doc id.
     """
     postings, doclen, dfreq = bm25_index(corpus, text_col, id_col)
+    # doclen feeds TWO consumers (the consts aggregate and the scoring
+    # join); without a barrier each re-runs the corpus-id scan + join
+    # (the standard subtree-re-execution hazard — bounded here: one
+    # (id, dl) row per doc, same order as the checkpointed postings)
+    doclen = doclen.localCheckpoint()
     consts = doclen.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("dl").alias("__avgdl"),

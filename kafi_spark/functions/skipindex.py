@@ -80,15 +80,30 @@ def build_skip_index(
 
     One distributed scan of the indexed columns: explode each value
     into its k bit positions, fold to 64-bit words with map-side
-    ``bit_or``, and write ``(col, file, word_idx, word)`` sorted by
-    ``(col, file, word_idx)`` so probe-time ``word_idx`` filters push
-    down. Nulls are not indexed (a bloom can't represent null; probe
-    for nulls with an ordinary scan).
+    ``bit_or``, and write ``(col, file, word_idx, word)`` range-
+    clustered by ``(col, word_idx)`` so probe-time ``word_idx`` filters
+    prune files AND row groups. Nulls are not indexed (a bloom can't
+    represent null; probe for nulls with an ordinary scan).
     """
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     df = spark.read.option("basePath", data_path).parquet(data_path)
     indexed_files = sorted(df.inputFiles())
+    # crash ordering (review r7): retire the OLD manifest before the
+    # bloom overwrite. The manifest pins the hash geometry; a rebuild
+    # with different num_bits/k that dies between the bloom overwrite
+    # and the manifest write would otherwise leave probes hashing with
+    # the old modulus against the new blooms — silent FALSE NEGATIVES,
+    # the one thing the index contracts away. With the manifest gone
+    # the index reads as absent for the whole window: callers degrade
+    # to full scans (correct, just unpruned), same as the documented
+    # drift story. skip_index_append keeps its own append-then-fence
+    # ordering (geometry unchanged there).
+    jvm = spark._jvm
+    man_dir = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path_of(data_path)}/manifest")
+    man_dir.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+        man_dir, True)
     _write_index_delta(df, data_path, cols, num_bits, k, mode="overwrite")
     _write_manifest(spark, data_path, cols, num_bits, k, indexed_files,
                     {c: df.schema[c].dataType.simpleString() for c in cols})
@@ -133,9 +148,19 @@ def _write_index_delta(
     all_blooms = blooms[0]
     for b in blooms[1:]:
         all_blooms = all_blooms.unionByName(b)
+    # layout serves the PROBE's access path (filter on word_idx via
+    # isin pushdown; file is never a filter): range-partition and sort
+    # by (col, word_idx) so each output file / row group covers a
+    # NARROW word_idx band and probe scans prune to ~k·|values| bands.
+    # The old repartition("col") hashed on the column NAME — at 2
+    # indexed columns that funneled the whole index through 2 tasks
+    # (single-task sort of every bloom row at 10^5-10^6 data files),
+    # and its (col, file, word_idx) sort cycled word_idx 0..16383
+    # within every file run, voiding the very pushdown the layout
+    # claimed (review r7).
     (
-        all_blooms.repartition("col")
-        .sortWithinPartitions("col", "file", "word_idx")
+        all_blooms.repartitionByRange("col", "word_idx")
+        .sortWithinPartitions("col", "word_idx", "file")
         .write.mode(mode)
         .parquet(f"{root}/bloom")
     )

@@ -73,6 +73,14 @@ def test_keep_representatives_cc_vs_single_pass(spark):
     closure2 = {r[0] for r in keep_representatives_cc(pairs2, ids, "doc_id").collect()}
     assert closure2 == {1, 4, 5}        # component {1,2,3} -> keep 1
     assert single2 == {1, 2, 4, 5}      # single-pass keeps 2 as well
+    # review r7: "the exact upgrade" must honor keep_representatives'
+    # schema contract — a multi-column document frame survives with
+    # every column intact (the old positional union threw on it)
+    docs = ids.withColumn("text", F.concat(F.lit("t"), "doc_id"))
+    kept = keep_representatives_cc(pairs2, docs, "doc_id")
+    assert kept.columns == ["doc_id", "text"]
+    assert {(r.doc_id, r.text) for r in kept.collect()} == {
+        (1, "t1"), (4, "t4"), (5, "t5")}
 
 
 edge_lists = st.lists(

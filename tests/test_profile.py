@@ -58,6 +58,22 @@ def test_profile_nulls_and_unordered_types(spark):
         profile_table(df, ["nope"])
 
 
+def test_profile_nested_map_columns(spark):
+    """Review r7: a map nested INSIDE an array/struct breaks the wide
+    distinct aggregate the same way a top-level map does — the to_json
+    fallback must trigger on map-bearing dtypes at any depth."""
+    from kafi_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, [{"a": "x"}], {"m": {"k": 1}}), (2, [{"a": "y"}], {"m": {"k": 2}})],
+        "id long, tags array<map<string,string>>, s struct<m:map<string,int>>",
+    )
+    out = {(r.column, r.metric): r.value for r in profile_table(df).collect()}
+    assert out[("tags", "distinct")] == "2"
+    assert out[("s", "distinct")] == "2"
+    assert out[("id", "count")] == "2"
+
+
 def test_profile_similar_column_names_do_not_collide(spark):
     """Aliases are positional: columns whose names sanitize to the same
     string (a.b vs a_b) must profile independently."""

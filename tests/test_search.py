@@ -90,6 +90,25 @@ def test_bm25_matches_duckdb_oracle(spark, sf_dir):
         assert got[key] == pytest.approx(want[key], rel=1e-9), key
 
 
+def test_bm25_no_phantom_empty_term(spark):
+    """Review r7: text edged by non-space whitespace used to grow a ""
+    token (words_of trims ASCII spaces only) whose posting list was
+    corpus-sized — a query ending in \n then scored EVERY such doc.
+    Empty tokens are filtered from terms on both sides."""
+    from kafi_spark.functions.search import bm25_index, bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta\n"), (2, "gamma delta\n"), (3, "epsilon zeta\n")],
+        "doc_id long, text string",
+    )
+    postings, doclen, _ = bm25_index(corpus)
+    assert postings.filter("term = ''").count() == 0
+    assert {r.dl for r in doclen.collect()} == {2}  # no phantom +1
+    q = spark.createDataFrame([(0, "alpha\n")], "query_id long, query string")
+    hits = bm25_topk(corpus, q, k=10)
+    assert [r.doc_id for r in hits.collect()] == [1]  # not the whole corpus
+
+
 def test_reciprocal_rank_fusion(spark):
     a = spark.createDataFrame(
         [(1, 10, 5.0, 1), (1, 11, 4.0, 2), (1, 12, 3.0, 3)],
