@@ -1274,7 +1274,9 @@ _DEDUP_SQL = {
 # historical position set (exactly the bit-array semantics — a bit is
 # set iff some historical element hashed there).
 _DEDUP_SQL["dedup_span_bloom"] = """
-    WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    WITH ws AS (SELECT doc_id,
+                string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                   '\\s+') AS w
                 FROM documents WHERE text IS NOT NULL),
     spans AS (
       SELECT doc_id, CAST(s.i AS INT) AS span_id,
@@ -1309,7 +1311,7 @@ _DEDUP_SQL["dedup_span_bloom"] = """
       GROUP BY p.doc_id, p.text),
     blines AS (
       SELECT doc_id, CAST(s.i AS INT) AS span_id, w[s.i+1] AS span,
-             md5(lower(trim(w[s.i+1]))) AS fp
+             md5(regexp_replace(lower(w[s.i+1]), '^\\s+|\\s+$', '', 'g')) AS fp
       FROM (SELECT doc_id, string_split(text, ' ') AS w
             FROM documents WHERE text IS NOT NULL),
            LATERAL (SELECT unnest(range(0, len(w))) AS i) s),
@@ -1969,7 +1971,10 @@ _EXTRA_SQL = {
                  unnest(list_distinct(list_transform(
                    range(0, greatest(len(ws) - 4, 0) + 1),
                    i -> array_to_string(ws[i+1:i+4], ' ')))) AS gram
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM (SELECT doc_id,
+                       string_split_regex(
+                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                         '\s+') AS ws
                 FROM documents)
         ),
         bg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 20 = 0),

@@ -8,7 +8,7 @@ incoming row with k hash probes — no false negatives, tunable false
 positives (a "probably seen" row was CERTAINLY seen if the bits came
 only from exact fingerprints… up to the configured FP rate).
 
-Representation: a DataFrame ``(word_idx int, bits long)`` — the bit
+Representation: a DataFrame ``(word_idx long, bits long)`` — the bit
 array split into 64-bit words, ONLY non-zero words materialized. This
 is joinable state (checkpoint it to parquet between batches, union+
 ``bit_or`` to merge daily filters) rather than driver-side memory, so
@@ -81,12 +81,18 @@ def bloom_build(
     """
     if num_bits < 64:
         raise ValueError(f"num_bits must be >= 64, got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     pos = df.select(
         F.explode(_positions(F.col(col), num_bits, num_hashes, seed)).alias("__pos")
     )
     return (
         pos.select(
-            (F.col("__pos") / 64).cast("int").alias("word_idx"),
+            # integer div, LONG index: the old (/64).cast("int") clamped
+            # for num_bits > 2^37, folding all high bit positions into
+            # one saturated word (probes there always hit -> bloom_new
+            # silently dropped genuinely-new rows); review r7
+            F.expr("CAST(__pos DIV 64 AS LONG)").alias("word_idx"),
             # column-valued shift distances need expr(): the classic
             # F.shiftleft only takes a literal int
             F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))").alias("__bit"),
@@ -122,11 +128,14 @@ def bloom_contains(
     their own verdict row; the probe fan-out is a fixed k×, never
     corpus².
     """
-    for reserved in ("__row_id", out_col):
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    for reserved in ("__row_id", "__i", "__pos", "__word_idx", "__bit",
+                     "__hit", out_col):
         if reserved in df.columns:
             raise ValueError(
                 f"input column {reserved!r} collides with bloom_contains "
-                f"output — rename it (or pass a different out_col)"
+                f"internals — rename it (or pass a different out_col)"
             )
     state = bloom.select(
         F.col("word_idx").alias("__bloom_word_idx"),
@@ -142,7 +151,7 @@ def bloom_contains(
     ).select(
         *df.columns,
         "__row_id",
-        (F.col("__pos") / 64).cast("int").alias("__word_idx"),
+        F.expr("CAST(__pos DIV 64 AS LONG)").alias("__word_idx"),
         (F.col("__pos") % 64).cast("int").alias("__bit"),
     )
     joined = probes.join(
@@ -208,7 +217,7 @@ def bloom_load_state(spark, state_dir: str, exclude_version=None) -> DataFrame:
     from kafi_spark.functions.state import load_deltas
 
     df = load_deltas(spark, state_dir, exclude_version,
-                     empty_schema="word_idx int, bits long")
+                     empty_schema="word_idx long, bits long")
     return df.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
 
 

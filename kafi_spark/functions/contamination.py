@@ -54,8 +54,13 @@ def contamination_report(
         .distinct()
     )
     corpus_grams = shingles(corpus, text_col, id_col, k=n)
+    # no compile-time broadcast hint (review r7): a big benchmark suite
+    # can carry ~10^7 distinct 8-grams — the forced hint would collect
+    # it on the driver and OOM where AQE degrades to a shuffle join;
+    # AQE still broadcasts automatically while the gram set is small
+    # (the common case the docstring describes)
     return (
-        corpus_grams.join(F.broadcast(bench_grams), "shingle")
+        corpus_grams.join(bench_grams, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
     )

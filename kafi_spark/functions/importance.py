@@ -59,8 +59,16 @@ def hashed_ngram_features(
         raise ValueError(f"ns must be non-empty positive ints, got {ns}")
     from .dedup import _parallelize
 
+    # strip EVERY whitespace class before the split (review r7: F.trim
+    # left a phantom '' token on \n-edged docs, and reference corpora
+    # are typically newline-terminated — the md5('') bucket accumulated
+    # mass in p_ref and two docs differing only by a trailing newline
+    # earned different DSIR weights / lm scores)
     bound = _parallelize(df).select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+        F.col(id_col),
+        F.split(
+            F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+        ).alias("__words"),
     )
 
     def gram_expr(n: int) -> Column:

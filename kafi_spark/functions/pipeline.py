@@ -60,6 +60,12 @@ def curate_documents(
     the lowest-id representative of their exact-duplicate group, and
     (4) are not the higher-id member of any near-duplicate pair among
     the survivors."""
+    if near_dup not in ("minhash", "ngram"):
+        # a typo'd value used to fall through to the exact O(pairs)
+        # inverted-index path silently — on a full corpus that is a
+        # corpus-scale self-join nobody asked for
+        raise ValueError(
+            f"near_dup must be 'minhash' or 'ngram', got {near_dup!r}")
     stats = text_stats(df, text_col, id_col)
     kept = stats.filter(
         (F.col("lang_guess") == lang) & (F.col("quality") >= min_quality)

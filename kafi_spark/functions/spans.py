@@ -56,8 +56,13 @@ def text_spans(
 
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    # ws_tokens framing (review r7): F.trim strips ASCII spaces only, so
+    # a \n/\t-edged doc grew a phantom empty trailing token — a spurious
+    # '' span shared by every newline-terminated doc corpus-wide, and
+    # trailing-space span mutations that missed true duplicates. The
+    # DuckDB oracle mirrors this regexp-strip framing in lockstep.
     bound = _parallelize(df).select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+        F.col(id_col), ws_tokens(text_col).alias("__words")
     )
     n_spans = F.ceil(F.size("__words") / F.lit(span_tokens)).cast("int")
     chunks = F.transform(
@@ -98,6 +103,7 @@ def _dedup_spans(
     max_occurrences: int,
     keep: str,
     skew_safe: bool = False,
+    min_chars: int = 0,
 ) -> DataFrame:
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
@@ -125,6 +131,8 @@ def _dedup_spans(
                 (F.col(f"__keep.{id_col}") == F.col(id_col))
                 & (F.col("__keep.span_id") == F.col("span_id"))
             )
+        if min_chars > 0:
+            survives = survives | (F.length("span") < min_chars)
         kept = joined.filter(survives).select(id_col, "span_id", "span")
     else:
         # (doc, position) is unique per occurrence → row_number is
@@ -145,6 +153,9 @@ def _dedup_spans(
         survives = F.col("__n") <= max_occurrences
         if keep == "first":
             survives = survives | (F.col("__rn") == 1)
+        if min_chars > 0:
+            # trivial lines (blanks) are structure, not boilerplate
+            survives = survives | (F.length("span") < min_chars)
         kept = ranked.filter(survives)
     # order-preserving reassembly without a sort shuffle: collect
     # (span_id, span) structs, array_sort (struct order = field order),
@@ -187,8 +198,18 @@ def span_dedup(
     this is part of the beyond-reference LLM-pipeline layer
     (SURVEY.md §2 extension).
     """
-    spans = text_spans(df, text_col, id_col, span_tokens)
-    return _dedup_spans(spans, id_col, " ", max_occurrences, keep, skew_safe)
+    # null texts come back unchanged (review r7: the NULL-span path used
+    # to resurrect exactly ONE null doc per corpus as text='' and drop
+    # the rest — substring_dedup's contract is the model)
+    nulls = df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(0).cast("long").alias("n_spans_kept"),
+    )
+    spans = text_spans(
+        df.filter(F.col(text_col).isNotNull()), text_col, id_col, span_tokens)
+    out = _dedup_spans(spans, id_col, " ", max_occurrences, keep, skew_safe)
+    return out.unionByName(nulls)
 
 
 def line_dedup(
@@ -199,21 +220,36 @@ def line_dedup(
     max_occurrences: int = 1,
     keep: str = "none",
     skew_safe: bool = False,
+    min_line_chars: int = 1,
 ) -> DataFrame:
     """Corpus-wide duplicate-LINE removal (split on a literal separator).
 
     Defaults to ``keep='none'``: a line appearing more than
     ``max_occurrences`` times across the corpus is boilerplate
-    (navigation chrome, cookie banners) and every copy is dropped."""
+    (navigation chrome, cookie banners) and every copy is dropped.
+
+    ``min_line_chars`` exempts TRIVIAL lines from dedup (always kept):
+    the empty line is the most frequent "line" in any real corpus, so
+    without the exemption the defaults stripped every blank line —
+    i.e. the paragraph structure of every multi-paragraph document
+    (review r7; RefinedWeb-style line dedup exempts such lines too).
+    Pass 0 to dedup everything including blanks."""
     spans = text_lines(df, text_col, id_col, sep)
-    return _dedup_spans(spans, id_col, sep, max_occurrences, keep, skew_safe)
+    return _dedup_spans(spans, id_col, sep, max_occurrences, keep, skew_safe,
+                        min_chars=min_line_chars)
 
 
 def _boilerplate_keys(
     lines: DataFrame, id_col: str, normalize: bool
 ) -> DataFrame:
     """(id, span_id, span, __fp) with the md5 doc-frequency key applied."""
-    norm = F.trim(F.lower(F.col("span"))) if normalize else F.col("span")
+    # strip EVERY whitespace class (review r7: F.trim left \r/\t in
+    # place, splitting a CRLF corpus's chrome line across '\r'-suffixed
+    # fingerprint variants); oracle mirrors the regexp form
+    norm = (
+        F.regexp_replace(F.lower(F.col("span")), r"^\s+|\s+$", "")
+        if normalize else F.col("span")
+    )
     return lines.select(
         F.col(id_col), "span_id", "span", F.md5(norm).alias("__fp")
     )
@@ -591,10 +627,15 @@ def chunk_text(
     # (least()/greatest() skip NULL operands) and emits a phantom
     # (chunk=NULL, n_tokens=max_tokens) row that corrupts downstream
     # token accounting
+    # ws_tokens framing + a guard that strips EVERY whitespace class:
+    # F.trim-based guards let '\n\n' docs through (phantom chunk of 2
+    # empty tokens) and counted a trailing '' token on every
+    # newline-terminated doc (review r7)
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     bound = _parallelize(
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        df.filter(F.length(stripped) > 0)
     ).select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+        F.col(id_col), ws_tokens(text_col).alias("__words")
     )
     n_words = F.size("__words")
     # number of chunk starts: ceil(max(n_words - max_tokens, 0) / stride) + 1
