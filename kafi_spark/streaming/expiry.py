@@ -25,8 +25,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _expiry_expr(kind: str, ts: Column, size_ms: int, hop_ms: int | None) -> Column:
-    ms = ts.cast("long")
+def _expiry_expr(kind: str, ms: Column, size_ms: int, hop_ms: int | None) -> Column:
     if kind == "tumbling":
         return (F.floor(ms / size_ms) + 1) * size_ms
     if kind == "hopping":
@@ -45,8 +44,15 @@ def _expiry_expr(kind: str, ts: Column, size_ms: int, hop_ms: int | None) -> Col
         # the anchor while its window could still gain members
         return ms + size_ms + 1
     if kind == "session":
-        # reference buckets by max_session for expiry (topologynode.py:709-714)
-        return (F.floor(ms / size_ms) + 1) * size_ms
+        # ts + max_session + 1, NOT the reference's max_session BUCKETS
+        # (topologynode.py:709-714): bucketing evicts a record as soon
+        # as its bucket closes, but a still-open session containing it
+        # may legitimately run until its start + max_session — e.g.
+        # (k, 900) bucketed to 1000 was evicted at wm=1050 while its
+        # session with (k, 1050) was alive, emitting a wrong retraction
+        # (review r7). With session length capped at max_session, no
+        # session containing ts can outlive ts + max_session.
+        return ms + size_ms + 1
     raise ValueError(f"unknown window kind {kind!r}")
 
 
@@ -65,14 +71,23 @@ def window_expiry(
     cumulative, sliding, session (``size_ms`` = max session length).
     """
     def expire(df: DataFrame) -> DataFrame:
-        # anchor the integrated state ONCE: the max-agg and the filter
-        # below otherwise each re-execute the whole union+consolidate
-        # integration plan (2x the step's shuffle cost)
-        df = df.localCheckpoint(eager=True)
-        wm = df.agg(F.max(F.col(ts_col).cast("long"))).first()[0]
+        # IncrementalRunner checkpoints the integrated state before
+        # invoking this hook (the max-agg and the filter both consume
+        # it); standalone callers applying it to an expensive frame
+        # should anchor it themselves.
+        dt = dict(df.dtypes).get(ts_col, "")
+        if dt.startswith("timestamp"):
+            # epoch MILLISECONDS, whatever the physical type: a raw
+            # cast("long") on TimestampType yields SECONDS, silently
+            # making every window ~1000x longer (a 1-minute expiry
+            # retained ~16.6 hours of state; review r7)
+            ts = F.unix_millis(F.col(ts_col))
+        else:
+            ts = F.col(ts_col).cast("long")
+        wm = df.agg(F.max(ts)).first()[0]
         if wm is None:
             return df
-        keep = _expiry_expr(kind, F.col(ts_col), size_ms, hop_ms) + lateness_ms
+        keep = _expiry_expr(kind, ts, size_ms, hop_ms) + lateness_ms
         # null event times never expire (filter(NULL) would silently
         # evict them and retract their contributions): timeless records
         # are the caller's retention problem, not the watermark's

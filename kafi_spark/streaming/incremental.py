@@ -92,35 +92,53 @@ class IncrementalRunner:
                 f"step() got deltas for undeclared sources {sorted(unknown)} "
                 f"(declared: {self.topology.source_names}) — a typo here "
                 "used to be silently dropped")
+        # ATOMIC step (review r7): every mutation lands in LOCAL dicts and
+        # commits only after all sinks evaluated — a failure anywhere
+        # (unseeded source, bad plan) leaves self._state/_prev_out exactly
+        # as before, so the caller can retry the same deltas without
+        # double-integrating them (weight-2 corruption) or losing a
+        # sink's baseline.
+        new_state = dict(self._state)
         # integrate: S_t = S_{t-1} + Δ  (then expire)
         for name in self.topology.source_names:
             d = deltas.get(name)
             if d is None:
                 continue
             z = from_records(d)
-            cur = self._state.get(name)
+            cur = new_state.get(name)
             merged = z if cur is None else cur.unionByName(z)
-            merged = consolidate(merged)
+            # anchor BEFORE the expire hook: the hook's max-agg and
+            # filter both consume the frame, and the old shape
+            # checkpointed twice per expired source per step (once
+            # inside window_expiry, once here)
+            merged = consolidate(merged).localCheckpoint(eager=True)
             if name in self.expire:
+                # expiry is a depth-1 filter over the checkpoint — next
+                # step's consolidate+checkpoint collapses it, so lineage
+                # stays bounded
                 merged = self.expire[name](merged)
-            # truncate lineage so step cost doesn't grow with step count
-            self._state[name] = merged.localCheckpoint(eager=True)
+            new_state[name] = merged
 
         # Seed delta-less sources as empty Z-sets so sinks referencing them
         # evaluate instead of KeyError-ing. Needs the declared schema; a
         # schema-less delta-less source only errors if actually referenced.
-        env = _SourceEnv(self._state)
+        env = _SourceEnv(new_state)
         for name in self.topology.source_names:
             schema = self.topology.source_schemas.get(name)
             if name not in env and schema is not None:
                 env[name] = self.spark.createDataFrame([], f"{schema}, {WEIGHT} long")
         out: dict[str, DataFrame] = {}
+        new_prev = dict(self._prev_out)
         for sink, node in self.topology.sinks.items():
+            # eager checkpoint = the evaluation point: plan errors raise
+            # HERE, before anything is committed
             cur = consolidate(node._plan(env)).localCheckpoint(eager=True)
-            prev = self._prev_out.get(sink)
+            prev = new_prev.get(sink)
             delta = cur if prev is None else consolidate(cur.unionByName(neg(prev)))
-            self._prev_out[sink] = cur
+            new_prev[sink] = cur
             out[sink] = delta
+        self._state = new_state
+        self._prev_out = new_prev
         self.steps += 1
         return out
 

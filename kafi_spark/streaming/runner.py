@@ -31,6 +31,36 @@ from kafi_spark.streams.zset import consolidate
 from kafi_spark.streaming.topology import Topology
 
 
+def _warn_unbounded_agg_state(plan: DataFrame, sink: str) -> None:
+    """Streaming aggregates WITHOUT a watermark keep one state-store
+    entry per group forever — for windowed groupings (a new w_start per
+    interval) that is guaranteed unbounded growth until executor OOM.
+    Joins get a hard guard at build time
+    (topology._require_bounded_join_state); aggregates stay legal in
+    update mode, so this is a loud advisory instead: use the native
+    watermarked assigners (streams.windows.streaming_tumbling /
+    streaming_session — withWatermark + F.window/session_window) for
+    long-running queries (review r7)."""
+    try:
+        if not plan.isStreaming:
+            return
+        analyzed = plan._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — advisory only
+        return
+    if "Aggregate" in analyzed and "EventTimeWatermark" not in analyzed:
+        import warnings
+
+        warnings.warn(
+            f"streaming sink {sink!r} aggregates without a watermark: "
+            "state grows one entry per group forever (windowed keys "
+            "grow per interval). Add withWatermark via "
+            "streams.windows.streaming_tumbling/streaming_session for "
+            "long-running queries; availableNow/test runs are fine.",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
 def run_streaming(
     topology: Topology,
     sources: dict[str, DataFrame],
@@ -53,6 +83,7 @@ def run_streaming(
     queries = {}
     for name, node in topology.sinks.items():
         plan = node._plan(sources)
+        _warn_unbounded_agg_state(plan, name)
         target = sinks[name]
         if callable(target):
             fn = target

@@ -88,6 +88,23 @@ def _has_watermark(df: DataFrame) -> bool | None:
         return None
 
 
+def _weighted_group_agg(df: DataFrame, group_cols, aggs) -> "DataFrame":
+    """THE weighted-aggregate epilogue, shared by every grouped op
+    (group_by_agg / agg / window_*): aggregate with the net group
+    weight riding along, keep only net-PRESENT groups (a fully
+    retracted input must yield the empty Z-set, not a phantom zeroed
+    row), re-weight survivors to 1. One definition so the
+    group-presence rule can never drift between the five call sites
+    (review r7)."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(*aggs, F.sum(WEIGHT).alias("__net"))
+        .filter(F.col("__net") > 0)
+        .drop("__net")
+        .withColumn(WEIGHT, F.lit(1).cast("long"))
+    )
+
+
 class Topology:
     """Builder container: tracks sources and sinks by name
     (kafi/streams/streams.py:33-51)."""
@@ -117,7 +134,11 @@ class Topology:
             # list, and a duplicate made it integrate the same delta into
             # state twice — every record silently carried weight 2
             self.source_names.append(name)
-        self.source_schemas[name] = schema
+        if schema is not None or name not in self.source_schemas:
+            # a schema-less re-declaration must not ERASE a previously
+            # declared schema (review r7: branch 2's bare source('ev')
+            # made delta-less seeding impossible again)
+            self.source_schemas[name] = schema
         return TNode(self, lambda env: from_records(env[name]),
                      name=f"source_{name}")
 
@@ -401,14 +422,7 @@ class TNode:
         ``w*``  helpers below (wsum/wcount/wmin/wmax). Output is a Z-set of
         (keys, aggs) rows with weight 1 per present group."""
         def op(df: DataFrame) -> DataFrame:
-            out = (
-                df.groupBy(*keys)
-                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
-                .filter(F.col("__net") > 0)
-                .drop("__net")
-                .withColumn(WEIGHT, F.lit(1).cast("long"))
-            )
-            return out
+            return _weighted_group_agg(df, list(keys), aggs)
 
         return self._derive(op, "group_by_agg_op")
 
@@ -427,19 +441,9 @@ class TNode:
     def agg(self, *aggs: Column) -> "TNode":
         """Global aggregate = constant-key group (topologynode.py:515-519)."""
         def op(df: DataFrame) -> DataFrame:
-            # same group-presence filter as group_by_agg: a fully-
-            # retracted input ({r:+1, r:-1}) must yield the EMPTY Z-set,
-            # not a phantom zeroed row with weight 1 — the output may
-            # only depend on the logical multiset, not on whether the
-            # insert and the retraction arrived in one batch
-            return (
-                df.withColumn("__g", F.lit(0))
-                .groupBy("__g")
-                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
-                .filter(F.col("__net") > 0)
-                .drop("__g", "__net")
-                .withColumn(WEIGHT, F.lit(1).cast("long"))
-            )
+            return _weighted_group_agg(
+                df.withColumn("__g", F.lit(0)), ["__g"], aggs
+            ).drop("__g")
 
         return self._derive(op, "agg_op")
 
@@ -453,13 +457,7 @@ class TNode:
 
         def op(df: DataFrame) -> DataFrame:
             win = tumbling(df, ts_col, size_ms)
-            return (
-                win.groupBy(*keys, "w_start")
-                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
-                .filter(F.col("__net") > 0)
-                .drop("__net")
-                .withColumn(WEIGHT, F.lit(1).cast("long"))
-            )
+            return _weighted_group_agg(win, [*keys, "w_start"], aggs)
 
         return self._derive(op, "window_tumbling_op")
 
@@ -469,13 +467,7 @@ class TNode:
 
         def op(df: DataFrame) -> DataFrame:
             win = hopping(df, ts_col, size_ms, hop_ms)
-            return (
-                win.groupBy(*keys, "w_start")
-                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
-                .filter(F.col("__net") > 0)
-                .drop("__net")
-                .withColumn(WEIGHT, F.lit(1).cast("long"))
-            )
+            return _weighted_group_agg(win, [*keys, "w_start"], aggs)
 
         return self._derive(op, "window_hopping_op")
 
@@ -484,14 +476,19 @@ class TNode:
         from kafi_spark.streams.windows import sessionize
 
         def op(df: DataFrame) -> DataFrame:
-            s = sessionize(df, ts_col, gap_ms, list(keys))
-            return (
-                s.groupBy(*keys, "session_id")
-                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
-                .filter(F.col("__net") > 0)
-                .drop("__net")
-                .withColumn(WEIGHT, F.lit(1).cast("long"))
-            )
+            # session boundaries are NOT linear in the Z-set: a net-
+            # negative row (over-retraction, transiently possible when
+            # a retraction outruns its insert) would anchor the lag/
+            # cumsum chain and bridge or split sessions of records that
+            # ARE present. Consolidate and keep only net-present rows
+            # before sessionizing — for well-formed states the output
+            # is unchanged (review r7). Tumbling/hopping stay linear
+            # (per-row window assignment; weights cancel in the agg).
+            from kafi_spark.streams.zset import consolidate as _cons
+
+            present = _cons(df).filter(F.col(WEIGHT) > 0)
+            s = sessionize(present, ts_col, gap_ms, list(keys))
+            return _weighted_group_agg(s, [*keys, "session_id"], aggs)
 
         return self._derive(op, "window_session_op")
 

@@ -657,3 +657,142 @@ def test_expiry_null_event_time_never_evicted(spark):
     kept = expire_tumbling("ts", 1000)(df)
     assert sorted((r["x"], r["ts"]) for r in kept.collect()) == [
         (1, None), (2, 100_000)]
+
+
+def test_session_expiry_keeps_live_session_members(spark):
+    """Review r7: the reference's max_session BUCKET expiry evicted a
+    record as soon as its bucket closed, even while a session containing
+    it was still open — emitting a wrong retraction. Expiry is now
+    ts + max_session + 1."""
+    from kafi_spark.streaming.expiry import expire_session
+    from kafi_spark.streaming.incremental import IncrementalRunner
+    from kafi_spark.streaming.topology import Topology, wcount
+
+    import datetime as dt
+
+    def _t(ms):
+        return dt.datetime.utcfromtimestamp(ms / 1000.0)
+
+    t = Topology()
+    t.source("ev", "k string, ts timestamp").window_session(
+        "ts", 200, ["k"], wcount().alias("n")).sink("s")
+    r = IncrementalRunner(t, spark, expire={"ev": expire_session("ts", 1000)})
+    r.step({"ev": spark.createDataFrame(
+        [("a", _t(900))], "k string, ts timestamp")})
+    out2 = r.step({"ev": spark.createDataFrame(
+        [("a", _t(1050))], "k string, ts timestamp")})
+    # ts=900 must still be in state (900+1000+1 > wm=1050): one session
+    # of TWO events, and the step-2 delta retracts n=1 / inserts n=2
+    rows = {(r_["k"], r_["n"], r_["weight"]) for r_ in out2["s"].collect()}
+    assert rows == {("a", 1, -1), ("a", 2, 1)}
+    assert r.state_rows()["ev"] == 2
+
+
+def test_expiry_timestamp_typed_column_uses_millis(spark):
+    """Review r7: cast('long') on a TimestampType yields SECONDS — a
+    1-minute expiry silently retained ~16.6 h of state."""
+    import datetime as dt
+
+    from kafi_spark.streaming.expiry import expire_tumbling
+    from kafi_spark.streaming.incremental import IncrementalRunner
+    from kafi_spark.streaming.topology import Topology, wcount
+
+    t = Topology()
+    t.source("ev", "k string, ts timestamp").group_by_agg(
+        ["k"], wcount().alias("n")).sink("s")
+    r = IncrementalRunner(
+        t, spark, expire={"ev": expire_tumbling("ts", 60_000)})
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    late = dt.datetime(2024, 1, 1, 1, 0, 0)  # 1h later: t0's minute closed
+    r.step({"ev": spark.createDataFrame([("a", t0)], "k string, ts timestamp")})
+    r.step({"ev": spark.createDataFrame([("b", late)], "k string, ts timestamp")})
+    assert r.state_rows()["ev"] == 1  # t0 evicted (would be 2 under seconds)
+
+
+def test_incremental_step_is_atomic_on_failure(spark):
+    """Review r7: a failed step used to leave half-integrated state, so
+    the documented retry double-counted every delta (weight 2)."""
+    import pytest as _pytest
+
+    from kafi_spark.streaming.incremental import IncrementalRunner
+    from kafi_spark.streaming.topology import Topology, wcount
+
+    t = Topology()
+    t.source("a", "x int").group_by_agg(["x"], wcount().alias("n")).sink("s1")
+    t.source("b").group_by_agg(["x"], wcount().alias("n")).sink("s2")
+    r = IncrementalRunner(t, spark)
+    d = spark.createDataFrame([(1,)], "x int")
+    with _pytest.raises(ValueError, match="no delta"):
+        r.step({"a": d})  # sink s2 needs 'b', which is schema-less
+    # retry with both sources: 'a' must count ONCE
+    out = r.step({"a": d, "b": spark.createDataFrame([(9,)], "x int")})
+    assert [(x.x, x.n) for x in out["s1"].collect()] == [(1, 1)]
+
+
+def test_source_redeclaration_keeps_schema(spark):
+    """Review r7: a schema-less re-declaration of a source erased its
+    previously declared schema, breaking delta-less seeding."""
+    from kafi_spark.streaming.incremental import IncrementalRunner
+    from kafi_spark.streaming.topology import Topology, wcount
+
+    t = Topology()
+    a = t.source("ev", "x int")
+    b = t.source("ev")  # second branch, bare re-declaration
+    a.group_by_agg(["x"], wcount().alias("n")).sink("s1")
+    b.filter(F.col("x") > 0).sink("s2")
+    r = IncrementalRunner(t, spark)
+    t2 = Topology()
+    t2.source("other", "y int").sink("o")
+    # ev declared no delta this step -> schema seeding must still work
+    out = r.step({})
+    assert out["s1"].count() == 0 and out["s2"].count() == 0
+
+
+def test_window_session_ignores_net_negative_rows(spark):
+    """Review r7: session boundaries are not linear in the Z-set — a
+    net-negative row (retraction outrunning its insert) used to bridge
+    sessions of records that ARE present."""
+    from kafi_spark.streaming.topology import Topology, wcount
+
+    import datetime as dt
+
+    t = Topology()
+    t.source("ev").window_session("ts", 200, ["k"], wcount().alias("n")).sink("s")
+    df = spark.createDataFrame(
+        [("a", dt.datetime.utcfromtimestamp(0.0), 1),
+         ("a", dt.datetime.utcfromtimestamp(0.150), -1),
+         ("a", dt.datetime.utcfromtimestamp(0.300), 1)],
+        "k string, ts timestamp, weight long",
+    )
+    out = t.build_batch({"ev": df})["s"]
+    # present records 0 and 300: gap 300 > 200 -> TWO sessions of one
+    # event each (the -1 row at 150 must not stitch them together)
+    assert sorted(r_["n"] for r_ in out.collect()) == [1, 1]
+
+
+def test_run_streaming_warns_on_unwatermarked_agg(spark, tmp_path):
+    """Review r7: streaming aggregates without a watermark grow state
+    per group forever — run_streaming now says so."""
+    import json
+    import os
+    import warnings as _warnings
+
+    from kafi_spark.streaming.runner import await_all, run_streaming
+    from kafi_spark.streaming.topology import Topology, wcount
+
+    src_dir = tmp_path / "in"
+    os.makedirs(src_dir)
+    with open(src_dir / "a.json", "w") as f:
+        f.write(json.dumps({"k": "x"}) + "\n")
+    t = Topology()
+    t.source("ev").group_by_agg(["k"], wcount().alias("n")).sink("s")
+    stream = spark.readStream.schema("k string").json(str(src_dir))
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        got = []
+        qs = run_streaming(
+            t, {"ev": stream}, {"s": lambda df, e: got.extend(df.collect())},
+            checkpoint_root=str(tmp_path / "ck"),
+            trigger_available_now=True)
+        await_all(qs, timeout_s=60)
+    assert any("without a watermark" in str(x.message) for x in w)
