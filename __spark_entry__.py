@@ -300,9 +300,12 @@ _SHELL_SQL = {
     """,
     "shell_wc": """
         SELECT COUNT(*) AS n_messages,
-               CAST(SUM(CASE WHEN length(trim(text)) > 0
-                        THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END) AS BIGINT) AS n_words,
-               CAST(SUM(COALESCE(strlen(text), 0)) AS BIGINT) AS n_bytes
+               CAST(COALESCE(SUM(CASE
+                 WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
+                 THEN len(string_split_regex(
+                        regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                 ELSE 0 END), 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(SUM(COALESCE(strlen(text), 0)), 0) AS BIGINT) AS n_bytes
         FROM documents
     """,
     "shell_stat": "SELECT COUNT(*) AS n_messages FROM lineitem",

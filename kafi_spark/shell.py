@@ -82,7 +82,8 @@ def grep_stats(df: DataFrame, pattern: str, cols: Sequence[str] | None = None) -
     (kafi/shell.py:95-100 returns both counts). One pass: conditional agg."""
     cond = _match_cond(df, pattern, cols)
     return df.agg(
-        F.sum(F.when(cond, 1).otherwise(0)).alias("n_matches"),
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .alias("n_matches"),
         F.count(F.lit(1)).alias("n_scanned"),
     )
 
@@ -91,10 +92,18 @@ def wc(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """(#messages, #words, #bytes) over the string form of ``cols``
     (kafi/shell.py:46-67 counts whitespace-split words and UTF-8 bytes of
     key+value). Single aggregate pass, all JVM-side."""
+    # strip EVERY whitespace class before splitting (review r7,
+    # runtime-confirmed: F.trim strips ASCII spaces only, so
+    # 'hello world\n' counted 3 words and a '\n'-only value counted 2 —
+    # the reference's str.split() yields no empty tokens). Oracle SQL
+    # mirrors the regexp form in lockstep.
+    def _stripped(c):
+        return F.regexp_replace(F.col(c).cast("string"), r"^\s+|\s+$", "")
+
     word_counts = [
         F.when(
-            F.length(F.trim(F.col(c).cast("string"))) > 0,
-            F.size(F.split(F.trim(F.col(c).cast("string")), r"\s+")),
+            F.length(_stripped(c)) > 0,
+            F.size(F.split(_stripped(c), r"\s+")),
         ).otherwise(0)
         for c in cols
     ]
@@ -107,10 +116,11 @@ def wc(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     nbytes = byte_counts[0]
     for x in byte_counts[1:]:
         nbytes = nbytes + x
+    # coalesce: sum() over an EMPTY topic is null, the reference returns 0
     return df.agg(
         F.count(F.lit(1)).alias("n_messages"),
-        F.sum(words).cast("long").alias("n_words"),
-        F.sum(nbytes).cast("long").alias("n_bytes"),
+        F.coalesce(F.sum(words), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.sum(nbytes), F.lit(0)).cast("long").alias("n_bytes"),
     )
 
 

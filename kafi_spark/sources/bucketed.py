@@ -50,9 +50,12 @@ def assert_no_shuffle_join(joined: DataFrame) -> None:
     bucketed co-location is supposed to buy. Broadcast joins are also
     rejected (they hide the question being asked)."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
+    # broadcast first: "BroadcastExchange" contains "Exchange", so the
+    # shuffle branch used to shadow this one with a misleading message
+    # (review r7)
+    if "BroadcastHashJoin" in plan or "BroadcastExchange" in plan:
+        raise AssertionError("join was broadcast — bucketing not exercised")
     if "Exchange" in plan:
         raise AssertionError(
             "join plans a shuffle despite bucketing:\n" + plan[:2000]
         )
-    if "BroadcastHashJoin" in plan:
-        raise AssertionError("join was broadcast — bucketing not exercised")

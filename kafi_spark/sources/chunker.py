@@ -22,7 +22,13 @@ def chunk(df: DataFrame, value_col: str = "value", id_col: str = "key",
     value). Single-chunk messages pass through with n_chunks=1 (the
     reference only chunks when needed, kafi/chunker.py:29-34).
     """
-    size = F.octet_length(F.col(value_col))
+    # F.length: BYTES for binary values, CHARS for strings — the same
+    # unit substring slices in (review r7: octet_length counted bytes
+    # while substring sliced characters, so multibyte strings produced
+    # an oversized first chunk and empty tails). chunk_size is therefore
+    # bytes for binary payloads (the Kafka case) and characters for
+    # strings.
+    size = F.length(F.col(value_col))
     n_chunks = F.greatest(F.ceil(size / chunk_size), F.lit(1)).cast("int")
     # Per-row unique id, like the reference's uuid4 (kafi/chunker.py:37).
     # A content hash would alias identical (key, value) rows: dechunk's
@@ -55,18 +61,41 @@ def dechunk(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Reassemble chunked messages (kafi/dechunker.py:15-75): group by
     message id, order chunks, concatenate; incomplete groups are dropped
     (the reference buffers until all chunks arrive)."""
+    # at-least-once tolerant (review r7): completeness counts DISTINCT
+    # chunk numbers and the parts array is deduped — a redelivered
+    # duplicate chunk used to fail the count check and silently DROP a
+    # fully-delivered message (and would have been concatenated twice
+    # had the count passed). A group with conflicting payloads for one
+    # chunk number (size(parts) != expect after dedup) is dropped as
+    # incomplete rather than reassembled corrupt.
+    key_part = []
+    if "chunk_key" in df.columns:
+        # recover the original key: chunk_key = "<key>_NNNNNN"
+        # (kafi/helpers.py:356-376); originally-null keys come back ''
+        # (chunk() coalesced them — the suffix scheme can't tell them
+        # apart, same as the reference's dechunker)
+        key_part = [
+            F.any_value(
+                F.expr("substring(chunk_key, 1, length(chunk_key) - 7)")
+            ).alias("key")
+        ]
     return (
         df.groupBy("chunked_message_id")
         .agg(
             F.max("number_of_chunks").alias("__expect"),
-            F.count(F.lit(1)).alias("__got"),
-            F.array_sort(
+            F.count_distinct("chunk_number").alias("__got"),
+            F.array_sort(F.array_distinct(
                 F.collect_list(F.struct("chunk_number", F.col(value_col).alias("v")))
-            ).alias("__parts"),
+            )).alias("__parts"),
+            *key_part,
         )
-        .filter(F.col("__got") == F.col("__expect"))
+        .filter(
+            (F.col("__got") == F.col("__expect"))
+            & (F.size("__parts") == F.col("__expect"))
+        )
         .select(
             "chunked_message_id",
+            *(["key"] if key_part else []),
             F.aggregate(
                 "__parts",
                 F.lit(b""),

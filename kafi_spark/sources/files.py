@@ -19,7 +19,9 @@ _SPARK_FORMATS = {"csv", "json", "parquet", "orc"}
 
 
 def _fmt_of(path: str, fmt: str | None) -> str:
-    return fmt or os.path.splitext(path)[1].lstrip(".").lower()
+    # lowercase EITHER source: an explicit fmt="CSV" raised while the
+    # extension ".CSV" worked (review r7)
+    return (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
 
 
 def table_to_file(df: DataFrame, path: str, fmt: str | None = None, header: bool = True) -> None:
@@ -144,4 +146,13 @@ def export_shards(
     out.write.mode("overwrite").partitionBy("shard").format(fmt).save(path)
     spark = df.sparkSession
     written = spark.read.format(fmt).load(path)
-    return written.groupBy("shard").agg(F.count(F.lit(1)).alias("rows"))
+    counts = written.groupBy("shard").agg(F.count(F.lit(1)).alias("rows"))
+    # every shard id gets a manifest row, rows=0 for empty ones (review
+    # r7): with fewer distinct keys than shards, some shard=K dirs don't
+    # exist — a loader iterating 0..n_shards-1 could not tell "empty
+    # shard" from "failed export" without these rows
+    all_ids = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+    return (
+        all_ids.join(counts, "shard", "left")
+        .select("shard", F.coalesce("rows", F.lit(0)).cast("long").alias("rows"))
+    )

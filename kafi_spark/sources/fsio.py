@@ -39,8 +39,15 @@ class LocalIO:
             return f.read()
 
     def write_bytes(self, path: str, data: bytes) -> None:
-        with open(path, "wb") as f:
+        # temp + atomic rename (review r7): fs_topic routes topic
+        # metadata, offset watermarks, and group commits through here;
+        # a plain truncate-then-write torn by a crash left an
+        # empty/partial metadata.json — the topic could neither be read
+        # (JSONDecodeError) nor re-created ("exists")
+        tmp = f"{path}.__tmp_{os.getpid()}"
+        with open(tmp, "wb") as f:
             f.write(data)
+        os.replace(tmp, path)
 
     def delete(self, path: str) -> None:
         if os.path.isdir(path):
@@ -90,11 +97,18 @@ class HadoopIO:
             stream.close()
 
     def write_bytes(self, path: str, data: bytes) -> None:
-        out = self._fs.create(self._p(path), True)
+        # same atomic temp+rename discipline as LocalIO (object-store
+        # renames are metadata ops; HDFS rename is atomic)
+        tmp = f"{path}.__tmp_{os.getpid()}"
+        out = self._fs.create(self._p(tmp), True)
         try:
             out.write(bytearray(data))
         finally:
             out.close()
+        # rename-over requires the target gone first on HDFS semantics
+        self._fs.delete(self._p(path), False)
+        if not self._fs.rename(self._p(tmp), self._p(path)):
+            raise IOError(f"atomic rename failed for {path}")
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), True)

@@ -169,13 +169,24 @@ def resolve_storage_config(spark, kind: str, name: str) -> str:
     ``azure_blob``: connection.string, container.name →
     ``fs.azure.account.key.*`` + ``wasbs://`` root).
     """
+    root, _ = _resolve_storage(spark, kind, name)
+    return root
+
+
+def _resolve_storage(spark, kind: str, name: str):
+    """(root, full parsed config) — ONE load_config walk per
+    construction (review r7: storage_from_config parsed the same YAML
+    twice, and a file edited between the calls would have mixed
+    versions of root and engine knobs)."""
     from kafi_spark.config import load_config
 
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     if kind == "local":
-        return load_config(name, "locals", mandatory=["local"])["local"]["root.dir"]
+        full = load_config(name, "locals", mandatory=["local"])
+        return full["local"]["root.dir"], full
     if kind == "s3":
-        cfg = load_config(name, "s3s", mandatory=["s3"])["s3"]
+        full = load_config(name, "s3s", mandatory=["s3"])
+        cfg = full["s3"]
         if cfg.get("endpoint"):
             hconf.set("fs.s3a.endpoint", str(cfg["endpoint"]))
             hconf.set("fs.s3a.path.style.access", "true")
@@ -183,9 +194,10 @@ def resolve_storage_config(spark, kind: str, name: str) -> str:
             hconf.set("fs.s3a.access.key", str(cfg["access.key"]))
         if cfg.get("secret.key"):
             hconf.set("fs.s3a.secret.key", str(cfg["secret.key"]))
-        return f"s3a://{cfg['bucket.name']}"
+        return f"s3a://{cfg['bucket.name']}", full
     if kind == "azure_blob":
-        cfg = load_config(name, "azureblobs", mandatory=["azure_blob"])["azure_blob"]
+        full = load_config(name, "azureblobs", mandatory=["azure_blob"])
+        cfg = full["azure_blob"]
         parts = dict(
             kv.split("=", 1)
             for kv in str(cfg["connection.string"]).split(";")
@@ -197,7 +209,8 @@ def resolve_storage_config(spark, kind: str, name: str) -> str:
                 f"fs.azure.account.key.{account}.blob.core.windows.net",
                 parts["AccountKey"],
             )
-        return f"wasbs://{cfg['container.name']}@{account}.blob.core.windows.net"
+        return (f"wasbs://{cfg['container.name']}@{account}"
+                ".blob.core.windows.net"), full
     raise ValueError(f"unknown storage kind {kind!r}")
 
 
@@ -209,14 +222,11 @@ def storage_from_config(spark, kind: str, name: str) -> Local:
     container; the config translation is what tests cover)."""
     if kind == "local":
         return Local.from_config(spark, name)
-    store = Local(spark, resolve_storage_config(spark, kind, name))
+    root, full = _resolve_storage(spark, kind, name)
+    store = Local(spark, root)
     # the YAML's `kafi` engine-knob section applies to EVERY storage
     # kind in the reference (kafi/storage.py:29-88); constructing the
     # remote store with defaults silently dropped e.g. its
     # topic.ignore.patterns while the same file honored them for local
-    from kafi_spark.config import load_config
-
-    kind_dir = {"s3": "s3s", "azure_blob": "azureblobs"}[kind]
-    section = {"s3": "s3", "azure_blob": "azure_blob"}[kind]
-    store.kafi_config = load_config(name, kind_dir, mandatory=[section])["kafi"]
+    store.kafi_config = full["kafi"]
     return store

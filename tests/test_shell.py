@@ -61,5 +61,20 @@ def test_wc(topic):
                             ["the quick brown fox", "jumps over", "the lazy dog", "again and again", ""])
 
 
+def test_wc_whitespace_edges_and_empty_topic(spark):
+    """Review r7 (runtime-confirmed bugs): edge \n/\t grew phantom
+    words ('hello world\n' counted 3), whitespace-only values counted 2,
+    and sums over an EMPTY topic were NULL where the reference gives 0."""
+    df = spark.createDataFrame(
+        [("hello world\n",), ("\tfoo",), ("\n",)], "value string")
+    r = shell.wc(df, ["value"]).collect()[0]
+    assert r.n_words == 3  # 2 + 1 + 0
+    empty = spark.createDataFrame([], "value string")
+    r0 = shell.wc(empty, ["value"]).collect()[0]
+    assert (r0.n_messages, r0.n_words, r0.n_bytes) == (0, 0, 0)
+    g0 = shell.grep_stats(empty, "x", cols=["value"]).collect()[0]
+    assert (g0.n_matches, g0.n_scanned) == (0, 0)
+
+
 def test_stat(topic):
     assert shell.stat(topic).collect()[0].n_messages == 5

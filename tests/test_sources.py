@@ -192,6 +192,21 @@ def test_chunk_dechunk_roundtrip(spark):
     assert got == sorted([payload, b"small"])
 
 
+def test_dechunk_tolerates_redelivered_duplicates_and_recovers_key(spark):
+    """Review r7: a duplicated chunk (normal at-least-once redelivery)
+    used to fail the completeness count and silently DROP the whole
+    fully-delivered message; and the original key was discarded."""
+    payload = bytes(range(200)) * 10  # 2000 bytes -> 2 chunks of 1000
+    df = spark.createDataFrame([("k9", payload)], "key string, value binary")
+    chunked = chunk(df, chunk_size=1000)
+    dup = chunked.unionByName(chunked.limit(1))  # redeliver one chunk
+    back = dechunk(dup)
+    rows_ = back.collect()
+    assert len(rows_) == 1
+    assert bytes(rows_[0].value) == payload
+    assert rows_[0].key == "k9"  # recovered from the chunk_key suffix
+
+
 def test_chunk_identical_messages_roundtrip(spark):
     # Regression: ids must be per-row unique (reference uses uuid4,
     # kafi/chunker.py:37). A content-derived id aliased identical rows, so
