@@ -300,11 +300,7 @@ _SHELL_SQL = {
     """,
     "shell_wc": """
         SELECT COUNT(*) AS n_messages,
-               CAST(COALESCE(SUM(CASE
-                 WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
-                 THEN len(string_split_regex(
-                        regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
-                 ELSE 0 END), 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(SUM(len(regexp_extract_all(text, '\\S+'))), 0) AS BIGINT) AS n_words,
                CAST(COALESCE(SUM(COALESCE(strlen(text), 0)), 0) AS BIGINT) AS n_bytes
         FROM documents
     """,
@@ -1181,7 +1177,7 @@ def q_dedup_span_bloom(spark, sf_dir):
 
 
 _NGRAM_PAIRS_SQL = """
-        WITH ws AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w FROM documents),
+        WITH ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         sh AS (SELECT doc_id,
                       unnest(list_distinct(list_transform(
                         range(0, greatest(len(w) - 3, 0) + 1),
@@ -1213,7 +1209,7 @@ _DEDUP_SQL = {
     # minima == numeric minima), band digests, bucket candidates, exact
     # Jaccard verification — bit-for-bit the same sketch both engines
     "dedup_minhash_portable": """
-        WITH ws AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w FROM documents),
+        WITH ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         sh AS (SELECT doc_id,
                       unnest(list_distinct(list_transform(
                         range(0, greatest(len(w) - 3, 0) + 1),
@@ -1245,7 +1241,7 @@ _DEDUP_SQL = {
     # per-bit sign-mismatch count
     "dedup_simhash_portable": """
         WITH toks AS (SELECT doc_id, md5(t) AS h
-                      FROM (SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS t
+                      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
                             FROM documents)),
         contrib AS (SELECT doc_id, r.b AS b,
                            CASE WHEN ((strpos('0123456789abcdef',
@@ -1278,8 +1274,7 @@ _DEDUP_SQL = {
 # set iff some historical element hashed there).
 _DEDUP_SQL["dedup_span_bloom"] = """
     WITH ws AS (SELECT doc_id,
-                string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
-                                   '\\s+') AS w
+                regexp_extract_all(text, '\\S+') AS w
                 FROM documents WHERE text IS NOT NULL),
     spans AS (
       SELECT doc_id, CAST(s.i AS INT) AS span_id,
@@ -1339,7 +1334,7 @@ _DEDUP_SQL["dedup_span_bloom"] = """
 # the OUTPUT sets agree); semantic leg at n_clusters=1 = exact all-pairs
 # cosine, micro-rounded like ann_cosine_topk.
 _DEDUP_SQL["dedup_fast_pairs"] = """
-    WITH ws AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w FROM documents),
+    WITH ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
     msh AS (SELECT doc_id,
                    unnest(list_distinct(list_transform(
                      range(0, greatest(len(w) - 3, 0) + 1),
@@ -1367,7 +1362,7 @@ _DEDUP_SQL["dedup_fast_pairs"] = """
       FROM minter JOIN msz na ON na.doc_id = id_1 JOIN msz nb ON nb.doc_id = id_2
       WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.7),
     toks AS (SELECT doc_id, md5(t) AS h
-             FROM (SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS t
+             FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
                    FROM documents)),
     contrib AS (SELECT doc_id, r.b AS b,
                        CASE WHEN ((strpos('0123456789abcdef',
@@ -1876,7 +1871,7 @@ _PIPELINE_SQL = f"""
              WHERE lang_guess = 'en' AND quality >= CAST(0.5 AS DOUBLE)),
     keep1 AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fingerprint),
     s1 AS (SELECT kept.* FROM kept JOIN keep1 ON kept.doc_id = keep1.doc_id),
-    ws AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w FROM s1),
+    ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM s1),
     sh AS (SELECT doc_id,
                   unnest(list_distinct(list_transform(
                     range(0, greatest(len(w) - 3, 0) + 1),
@@ -1975,9 +1970,7 @@ _EXTRA_SQL = {
                    range(0, greatest(len(ws) - 4, 0) + 1),
                    i -> array_to_string(ws[i+1:i+4], ' ')))) AS gram
           FROM (SELECT doc_id,
-                       string_split_regex(
-                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
-                         '\s+') AS ws
+                       regexp_extract_all(text, '\S+') AS ws
                 FROM documents)
         ),
         bg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 20 = 0),

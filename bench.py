@@ -132,6 +132,35 @@ def _shuffle_bytes_total(spark) -> int | None:
         return None
 
 
+def _executor_cpu_total(spark) -> int | None:
+    """Cumulative executor CPU nanoseconds across all completed stages,
+    from the same AppStatusStore as :func:`_shuffle_bytes_total`. Deltas
+    around one query give its TASK CPU cost — the metric wall time and
+    plan metrics are both blind to: a per-row expression regression
+    (e.g. an extra regex scan per document) changes neither exchange
+    count nor shuffle bytes, and wall time swings with host noise, but
+    CPU time moves with the work (round-7 verdict: a ~15% engine-real
+    expression regression was signed off as host residue because the
+    artifact only compared plan metrics). Python-worker CPU (pandas
+    UDFs) is NOT included — this counts JVM task threads only."""
+    try:
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        spark._jsc.sc().listenerBus().waitUntilEmpty()
+        store = spark._jsc.sc().statusStore()
+        stages = store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+        tot = 0
+        it = stages.iterator()
+        while it.hasNext():
+            tot += it.next().executorCpuTime()
+        return tot
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return None
+
+
 def _read_steal_jiffies() -> int | None:
     """Cumulative hypervisor steal time (jiffies) from /proc/stat — field
     8 of the aggregate cpu line. Deltas around a query run say whether
@@ -571,20 +600,23 @@ def main() -> None:
         timing body for both the best-of-3 loop and the steal-proofing
         reruns (a single definition keeps the two comparable)."""
         st0 = _read_steal_jiffies()
+        cpu0 = _executor_cpu_total(spark)
         LAST_PHASES.clear()
         t0 = time.time()
         df = fn(spark, sf_dir)
         run(df)
         dt = time.time() - t0
         st1 = _read_steal_jiffies()
+        cpu1 = _executor_cpu_total(spark)
         steal = st1 - st0 if st0 is not None and st1 is not None else None
+        cpu = (cpu1 - cpu0) / 1e9 if cpu0 is not None and cpu1 is not None else None
         phases = dict(LAST_PHASES) or None
         if phases and "fit_sec" in phases:
             # the remainder of the wall time is the scoring/action scan
             phases["score_sec"] = round(dt - phases["fit_sec"], 3)
         # drop cache entries a query pinned; keeps timings independent
         spark.catalog.clearCache()
-        return dt, steal, phases, df
+        return dt, steal, phases, df, cpu
 
     timings: dict[str, float] = {}
     plans: dict[str, dict] = {}
@@ -603,16 +635,23 @@ def main() -> None:
         best_phases = None
         best_df = None
         sbytes = None
+        # min CPU across runs, tracked INDEPENDENTLY of min wall: the
+        # first run carries codegen-compile CPU and a stolen run carries
+        # involuntary-wait in wall but not CPU, so the two minima can
+        # come from different iterations
+        best_cpu = None
         try:
             for i in range(3):
                 pre = _shuffle_bytes_total(spark) if i == 0 else None
-                dt, steal, phases, df = timed_run(qs[name])
+                dt, steal, phases, df, cpu = timed_run(qs[name])
                 if i == 0 and pre is not None:
                     post = _shuffle_bytes_total(spark)
                     if post is not None:
                         sbytes = post - pre
                 if best is None or dt < best:
                     best, best_steal, best_phases = dt, steal, phases
+                if cpu is not None and (best_cpu is None or cpu < best_cpu):
+                    best_cpu = cpu
                 best_df = df
 
             # the last run's df is fully constructed — explain it instead
@@ -648,9 +687,11 @@ def main() -> None:
             if slow_at_same_plan(best):
                 # settle toward 1.2x of the prior
                 while reruns < 3 and best > 1.2 * prev_t:
-                    dt, steal, phases, _ = timed_run(qs[name])
+                    dt, steal, phases, _, cpu = timed_run(qs[name])
                     if dt < best:
                         best, best_steal, best_phases = dt, steal, phases
+                    if cpu is not None and (best_cpu is None or cpu < best_cpu):
+                        best_cpu = cpu
                     reruns += 1
         except Exception as ex:  # noqa: BLE001 — one broken query must
             # not lose the whole round's artifact (the module's design
@@ -664,6 +705,8 @@ def main() -> None:
             "exchanges": exchanges,
             "shuffle_bytes": sbytes,
         }
+        if best_cpu is not None:
+            plans[name]["cpu_sec"] = round(best_cpu, 3)
         if best_phases:
             plans[name]["phases"] = best_phases
         if best_steal is not None:
@@ -675,6 +718,22 @@ def main() -> None:
             # this number, not the engine — say so in the artifact
             plans[name]["contended"] = True
             plans[name]["prior_sec"] = prev_t
+        # Expression-cost attribution (round-7 verdict): plan-metric
+        # equality is blind to per-row expression cost, and wall time is
+        # hostage to the host. CPU time is neither — flag any query whose
+        # task CPU grew >1.2x over the prior round AT THE SAME PLAN, so a
+        # regression like an extra regex scan per document can never
+        # again be signed off as host residue.
+        prev_cpu = (prev_plan or {}).get("cpu_sec")
+        if (
+            prev_cpu
+            and best_cpu is not None
+            and best_cpu > 1.2 * prev_cpu
+            and best_cpu - prev_cpu > 0.25
+            and _plan_unchanged(prev_plan, exchanges, sbytes)
+        ):
+            plans[name]["cpu_regressed"] = True
+            plans[name]["prior_cpu_sec"] = prev_cpu
     result = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),

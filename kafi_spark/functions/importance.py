@@ -59,16 +59,15 @@ def hashed_ngram_features(
         raise ValueError(f"ns must be non-empty positive ints, got {ns}")
     from .dedup import _parallelize
 
-    # strip EVERY whitespace class before the split (review r7: F.trim
-    # left a phantom '' token on \n-edged docs, and reference corpora
-    # are typically newline-terminated — the md5('') bucket accumulated
+    # ws_tokens framing (one regex scan; review r7: F.trim left a
+    # phantom '' token on \n-edged docs, and reference corpora are
+    # typically newline-terminated — the md5('') bucket accumulated
     # mass in p_ref and two docs differing only by a trailing newline
     # earned different DSIR weights / lm scores)
+    from .text import ws_tokens
+
     bound = _parallelize(df).select(
-        F.col(id_col),
-        F.split(
-            F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
-        ).alias("__words"),
+        F.col(id_col), ws_tokens(text_col).alias("__words")
     )
 
     def gram_expr(n: int) -> Column:
@@ -315,11 +314,11 @@ def perplexity_buckets(
     # down (lm_quality_score itself scores an empty doc via the
     # single-gram shingle convention — fine for filtering floors, wrong
     # for quantile banding)
-    # regexp strip, not F.trim (ASCII spaces only): a "\n\n" document
-    # is whitespace-only and must band to null per the contract
-    has_signal = (
-        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "") != ""
-    ).alias("__has")
+    # rlike('\S'), not F.trim (ASCII spaces only): a "\n\n" document is
+    # whitespace-only and must band to null per the contract. rlike
+    # short-circuits at the first non-ws char — the round-7 form
+    # rewrote the whole document (regexp_replace) just to test this.
+    has_signal = F.col(text_col).rlike(r"\S").alias("__has")
     keyed = (
         df.select(*proj, has_signal)
         .join(lm, id_col, "left")

@@ -60,7 +60,7 @@ def text_spans(
     # a \n/\t-edged doc grew a phantom empty trailing token — a spurious
     # '' span shared by every newline-terminated doc corpus-wide, and
     # trailing-space span mutations that missed true duplicates. The
-    # DuckDB oracle mirrors this regexp-strip framing in lockstep.
+    # DuckDB oracle mirrors the regexp_extract_all framing in lockstep.
     bound = _parallelize(df).select(
         F.col(id_col), ws_tokens(text_col).alias("__words")
     )
@@ -627,16 +627,14 @@ def chunk_text(
     # (least()/greatest() skip NULL operands) and emits a phantom
     # (chunk=NULL, n_tokens=max_tokens) row that corrupts downstream
     # token accounting
-    # ws_tokens framing + a guard that strips EVERY whitespace class:
-    # F.trim-based guards let '\n\n' docs through (phantom chunk of 2
-    # empty tokens) and counted a trailing '' token on every
-    # newline-terminated doc (review r7)
-    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
-    bound = _parallelize(
-        df.filter(F.length(stripped) > 0)
-    ).select(
+    # ws_tokens framing (empty array for null/empty/whitespace-only
+    # text, one regex scan) — filtering on the BOUND array's size both
+    # drops those docs and avoids the round-7 extra strip pass; F.trim-
+    # based guards let '\n\n' docs through (phantom chunk of 2 empty
+    # tokens, review r7). size(null array) is null → filtered.
+    bound = _parallelize(df).select(
         F.col(id_col), ws_tokens(text_col).alias("__words")
-    )
+    ).filter(F.size("__words") > 0)
     n_words = F.size("__words")
     # number of chunk starts: ceil(max(n_words - max_tokens, 0) / stride) + 1
     n_chunks = (

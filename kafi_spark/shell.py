@@ -92,19 +92,19 @@ def wc(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """(#messages, #words, #bytes) over the string form of ``cols``
     (kafi/shell.py:46-67 counts whitespace-split words and UTF-8 bytes of
     key+value). Single aggregate pass, all JVM-side."""
-    # strip EVERY whitespace class before splitting (review r7,
-    # runtime-confirmed: F.trim strips ASCII spaces only, so
-    # 'hello world\n' counted 3 words and a '\n'-only value counted 2 —
-    # the reference's str.split() yields no empty tokens). Oracle SQL
-    # mirrors the regexp form in lockstep.
-    def _stripped(c):
-        return F.regexp_replace(F.col(c).cast("string"), r"^\s+|\s+$", "")
+    # count \S+ runs in ONE regex scan via the canonical ws_tokens
+    # framing (review r7, runtime-confirmed: F.trim strips ASCII spaces
+    # only, so 'hello world\n' counted 3 words and a '\n'-only value
+    # counted 2 — the reference's str.split() yields no empty tokens;
+    # review r8: the strip+guard+split form scanned each value three
+    # times). Oracle SQL mirrors regexp_extract_all in lockstep. Null
+    # values count 0 words.
+    from kafi_spark.functions.text import ws_tokens
 
     word_counts = [
-        F.when(
-            F.length(_stripped(c)) > 0,
-            F.size(F.split(_stripped(c), r"\s+")),
-        ).otherwise(0)
+        F.coalesce(
+            F.size(ws_tokens(F.col(c).cast("string"))), F.lit(0)
+        )
         for c in cols
     ]
     byte_counts = [

@@ -794,9 +794,9 @@ def perplexity_buckets_stream(
         # neither band nor drag the tail cut down (same policy and
         # same sanctioned checkpoint barrier as the batch op — the
         # scored frame feeds both the sketch delta and the band join)
-        has_signal = (
-            F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "") != ""
-        ).alias("__has")  # regexp strip: \n-only docs are no-signal too
+        # rlike('\S') short-circuits at the first non-ws char (\n-only
+        # docs are no-signal too; F.trim strips ASCII spaces only)
+        has_signal = F.col(text_col).rlike(r"\S").alias("__has")
         keyed = (
             batch_df.select(id_col, *group, has_signal)
             .join(lm, id_col, "left")

@@ -184,18 +184,15 @@ _ascii_texts = st.lists(
 @_settings
 def test_ws_tokens_matches_python_split(spark, texts):
     """The canonical dedup token framing equals Python's str.split() on
-    ASCII text (modulo the empty-text convention: split() gives [] where
-    the Column form gives [''] — no gram is ever built from either), so
-    the phantom-empty-token class of bug cannot reappear: no token is
-    ever the empty string when the text has any non-whitespace."""
+    ASCII text EXACTLY — including the empty-text convention ([] for
+    empty/whitespace-only, since the round-8 one-scan
+    regexp_extract_all form; the round-7 strip+split form gave ['']) —
+    so the phantom-empty-token class of bug cannot reappear: no token
+    is ever the empty string."""
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "i long, text string"
     )
     got = {r["i"]: r["w"] for r in
            df.select("i", ws_tokens("text").alias("w")).collect()}
     for i, t in enumerate(texts):
-        want = t.split()
-        if not want:
-            assert got[i] in ([], [""]), (t, got[i])
-        else:
-            assert got[i] == want, (t, got[i])
+        assert got[i] == t.split(), (t, got[i])
