@@ -76,10 +76,25 @@ def hashed_ngram_features(
         # callable — a `lambda i, n=n:` default silently receives the
         # index as n and produces garbage grams of position-dependent
         # width. Capturing n from this factory's scope keeps it unary.
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size("__words") - n, F.lit(0))),
-            lambda i: F.array_join(F.slice("__words", i + 1, n), " "),
-        )
+        #
+        # Documents shorter than n words emit ZERO n-grams for that n
+        # (round-8 fix of a carried defect: the earlier
+        # greatest(size - n, 0) floor emitted one UNDER-WIDTH gram, so
+        # a 1-word document's only word counted twice under ns=(1, 2) —
+        # doubled DSIR mass and inflated LM-score gram counts). This
+        # deliberately diverges from the dedup-family shingles()
+        # convention (short doc -> full text as one shingle): a dedup
+        # candidate generator must not silently drop short documents
+        # from pairing, but a feature distribution must not fabricate
+        # mass. The when() guard keeps the sequence() bounds legal
+        # under ANSI mode (sequence(0, negative) throws).
+        return F.when(
+            F.size("__words") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__words") - n),
+                lambda i: F.array_join(F.slice("__words", i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     gram_arrays = [gram_expr(n) for n in ns]
     grams = bound.select(

@@ -38,6 +38,22 @@ def test_hashed_ngram_features_counts(spark):
     assert feats.agg(F.sum("cnt")).first()[0] == 5
 
 
+def test_under_width_grams_emit_nothing(spark):
+    """Documents shorter than n words emit ZERO n-grams for that n
+    (round-8 fix: the earlier greatest() floor emitted one under-width
+    gram, so a 1-word doc's word counted twice under ns=(1, 2))."""
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "a b c"), (4, "   ")],
+        "doc_id long, text string")
+    feats = imp.hashed_ngram_features(df, n_buckets=1 << 20, ns=(1, 2))
+    per_doc = {r.doc_id: r.total for r in
+               feats.groupBy("doc_id")
+                    .agg(F.sum("cnt").alias("total")).collect()}
+    # doc1: 1 unigram + 0 bigrams; doc2: 2 + 1; doc3: 3 + 2;
+    # doc4 (whitespace-only): no tokens at all -> absent from features
+    assert per_doc == {1: 1, 2: 3, 3: 5}
+
+
 def test_bucket_distribution_sums_to_one(spark):
     df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
     feats = imp.hashed_ngram_features(df, n_buckets=64, ns=(1,))
@@ -111,6 +127,58 @@ def test_weights_match_duckdb_oracle(spark, sf_dir):
           SELECT doc_id,
                  CAST(('0x'||substring(md5(u.g),1,15))::BIGINT % {B} AS INT) AS bucket
           FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS u(g)),
+        feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+                  FROM grams GROUP BY doc_id, bucket),
+        raw_c AS (SELECT bucket, SUM(cnt) AS c FROM feats GROUP BY bucket),
+        tgt_c AS (SELECT bucket, SUM(cnt) AS c FROM feats
+                  WHERE doc_id < 50 GROUP BY bucket),
+        raw_t AS (SELECT SUM(cnt) + {B} AS t FROM feats),
+        tgt_t AS (SELECT SUM(cnt) + {B} AS t FROM feats WHERE doc_id < 50),
+        ratios AS (
+          SELECT b.range AS bucket,
+                 ln((COALESCE(tc.c, 0) + 1) / (SELECT t FROM tgt_t))
+               - ln((COALESCE(rc.c, 0) + 1) / (SELECT t FROM raw_t)) AS lr
+          FROM range({B}) b
+          LEFT JOIN raw_c rc ON rc.bucket = b.range
+          LEFT JOIN tgt_c tc ON tc.bucket = b.range)
+        SELECT f.doc_id, SUM(f.cnt * r.lr)
+        FROM feats f JOIN ratios r ON r.bucket = f.bucket
+        GROUP BY f.doc_id
+    """).fetchall()}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-9), d
+
+
+def test_weights_match_duckdb_oracle_bigrams(spark, sf_dir):
+    """ns=(1, 2) differential on the real documents table — locks the
+    round-8 gram convention END-TO-END: a document shorter than n words
+    contributes zero n-grams for that n (the oracle's CASE guard), and
+    the combined unigram+bigram feature stream produces bit-compatible
+    DSIR weights."""
+    B = 4096
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = df.filter("doc_id < 50")
+    got = {r.doc_id: r.log_weight
+           for r in imp.importance_weights(
+               df, tgt, n_buckets=B, ns=(1, 2)).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = {r[0]: r[1] for r in con.sql(f"""
+        WITH ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+                    FROM documents),
+        g AS (
+          SELECT doc_id, u.g FROM ws, UNNEST(w) AS u(g)
+          UNION ALL
+          SELECT doc_id, u.g FROM ws, UNNEST(
+            CASE WHEN len(w) >= 2
+                 THEN list_transform(range(0, len(w) - 1),
+                                     i -> array_to_string(w[i+1:i+2], ' '))
+                 ELSE [] END) AS u(g)),
+        grams AS (
+          SELECT doc_id,
+                 CAST(('0x'||substring(md5(g),1,15))::BIGINT % {B} AS INT) AS bucket
+          FROM g),
         feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt
                   FROM grams GROUP BY doc_id, bucket),
         raw_c AS (SELECT bucket, SUM(cnt) AS c FROM feats GROUP BY bucket),
