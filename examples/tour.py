@@ -94,26 +94,47 @@ def main(spark=None, workdir: str | None = None, sf_dir: str | None = None,
     t = Topology()
     lines = t.source("lines")
     words = (
-        lines.flatmap(F.split(F.lower(F.col("line")), r"\s+"), "word")
+        lines.flatmap(F.split(F.lower(F.col("line")), r"\s+"), "word",
+                      keep=("ts",))
         .filter(F.length("word") > 0)
     )
-    words.group_by_count(["word"], alias="n").sink("counts")
+    # windowed per-minute counts through the NATIVE window node: its
+    # grouping contains window(ts), so the stream leg below — whose
+    # source carries a watermark — runs with bounded state (closed
+    # windows are evicted). An unwindowed group_by_count would keep one
+    # state entry per word forever and trip the runner's unbounded-
+    # state advisory; the front door models the discipline instead.
+    from kafi_spark.streaming.topology import wcount
+
+    words.window_tumbling_native(
+        "ts", "1 minute", ["word"], wcount().alias("n")).sink("counts")
     words.filter(F.col("word").startswith("s")).sink("s_words")
     if show:
         print("\n== topology ==\n" + t.term())
 
-    batch_lines = docs.select(F.col("text").alias("line"))
+    batch_lines = docs.select(
+        F.col("text").alias("line"),
+        F.timestamp_seconds(F.col("doc_id")).alias("ts"))
     batch_out = t.build_batch({"lines": batch_lines})
     _show("wordcount (batch)", batch_out["counts"].orderBy(F.desc("n")))
     out["topology_batch"] = batch_out["counts"].count()
 
-    # the SAME topology as a stream: json files in, two sinks out
+    # the SAME topology as a stream: json files in, two sinks out.
+    # The source feed is WATERMARKED (the streams.windows.
+    # streaming_tumbling pairing: withWatermark + the window grouping
+    # inside the topology) — late data past 10s is dropped and closed
+    # windows' state is freed.
     src = f"{workdir}/stream_in"
     os.makedirs(src)
     with open(f"{src}/chunk.json", "w") as fh:
         for r in docs.limit(20).collect():
-            fh.write(json.dumps({"line": r["text"]}) + "\n")
-    stream = spark.readStream.schema("line string").json(src)
+            fh.write(json.dumps({"line": r["text"],
+                                 "ts": int(r["doc_id"])}) + "\n")
+    stream = (
+        spark.readStream.schema("line string, ts long").json(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts")))
+        .withWatermark("ts", "10 seconds")
+    )
     counted: list = []
     qs = run_streaming(
         t,

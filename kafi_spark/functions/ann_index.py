@@ -442,11 +442,27 @@ def ivf_delete(
 
     Returns the post-delete :func:`ivf_stats` frame."""
     if not isinstance(ids, DataFrame):
-        raise TypeError(
-            "ids must be a DataFrame with the id column "
-            f"({id_col!r}); got {type(ids).__name__} — "
-            "spark.createDataFrame([(i,) for i in ids], [id_col]) first"
-        )
+        # the documented plain-iterable convention (round-8 ADVICE: the
+        # docstring promised it, the code rejected it). Strings/bytes
+        # are almost certainly a single mistyped id, not a collection
+        # of its characters — refuse those explicitly.
+        from pyspark.sql import SparkSession
+
+        if isinstance(ids, (str, bytes)):
+            raise TypeError(
+                f"ids must be a DataFrame or an iterable of ids, got a "
+                f"single {type(ids).__name__} — wrap it in a list"
+            )
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "no active SparkSession to build the delete frame from "
+                "a plain iterable — pass ids as a DataFrame instead"
+            )
+        id_list = [(i,) for i in ids]
+        if not id_list:
+            return ivf_stats(spark, path)
+        ids = spark.createDataFrame(id_list, [id_col])
     spark = ids.sparkSession
     # materialize the delete set ONCE: the semi-join probe and the
     # anti-join rewrite are separate Spark jobs, so a nondeterministic

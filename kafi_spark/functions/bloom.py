@@ -216,8 +216,13 @@ def bloom_load_state(spark, state_dir: str, exclude_version=None) -> DataFrame:
     the replayed emission is byte-identical to the first attempt."""
     from kafi_spark.functions.state import load_deltas
 
+    # explicit read schema: state dirs persisted before the round-7
+    # word_idx int→long widening hold int32 files next to int64 ones;
+    # footer-sampled inference would mis-type or fail on the mix, the
+    # pinned schema upcasts the old files instead (round-8 ADVICE fix)
     df = load_deltas(spark, state_dir, exclude_version,
-                     empty_schema="word_idx long, bits long")
+                     empty_schema="word_idx long, bits long",
+                     schema="word_idx long, bits long, v string")
     return df.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
 
 

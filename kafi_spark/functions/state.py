@@ -58,16 +58,28 @@ def load_deltas(
     state_dir: str,
     exclude_version: str | int | None = None,
     empty_schema: str | None = None,
+    schema: str | None = None,
 ) -> DataFrame:
     """Idempotent-algebra reader: every persisted delta as ONE frame
     (the ``v`` partition column rides along), minus the excluded
     version's rows. A missing/empty state dir yields an empty frame of
     ``empty_schema`` (required then). The caller applies its own merge
-    (``bit_or``, ``distinct`` …) — safe for idempotent state only."""
+    (``bit_or``, ``distinct`` …) — safe for idempotent state only.
+
+    ``schema`` (optional, includes ``v``) pins the READ schema instead
+    of letting Spark sample one footer: a state dir whose deltas were
+    written across a column-widening change (e.g. bloom's word_idx
+    int→long, round 7) holds mixed int32/int64 files for the same
+    column, and footer-sampled inference mis-types or fails depending
+    on which file it lands on; an explicit schema upcasts the narrow
+    files instead (round-8 ADVICE fix)."""
     from pyspark.errors import AnalysisException
 
     try:
-        df = spark.read.parquet(state_dir)
+        reader = spark.read.schema(schema) if schema else spark.read
+        # a missing dir raises PATH_NOT_FOUND here (eagerly, in load())
+        # with or without an explicit schema — empty_schema applies
+        df = reader.parquet(state_dir)
     except AnalysisException:
         if empty_schema is None:
             raise

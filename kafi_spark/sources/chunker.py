@@ -30,6 +30,24 @@ def chunk(df: DataFrame, value_col: str = "value", id_col: str = "key",
     # strings.
     size = F.length(F.col(value_col))
     n_chunks = F.greatest(F.ceil(size / chunk_size), F.lit(1)).cast("int")
+    # the _NNNNNN key suffix holds 6 digits; lpad TRUNCATES past
+    # 999999, colliding/corrupting chunk keys and breaking dechunk's
+    # fixed-width suffix strip — fail loudly instead (round-8 ADVICE).
+    # Row-level guard (the count is data-dependent): raise_error fires
+    # during the projection, before any truncated key is emitted.
+    n_chunks = F.when(
+        n_chunks > 999_999,
+        F.raise_error(
+            F.concat(
+                F.lit("chunk(): value needs "),
+                n_chunks.cast("string"),
+                F.lit(
+                    " chunks, past the 999999 the 6-digit key suffix "
+                    "can number — increase chunk_size"
+                ),
+            )
+        ).cast("int"),
+    ).otherwise(n_chunks)
     # Per-row unique id, like the reference's uuid4 (kafi/chunker.py:37).
     # A content hash would alias identical (key, value) rows: dechunk's
     # completeness filter then sees 2n chunks vs n expected and drops both.

@@ -71,9 +71,20 @@ class HadoopIO:
 
     def __init__(self, spark, root: str):
         self._jvm = spark._jvm
+        self._gw = spark.sparkContext._gateway
         conf = spark._jsc.hadoopConfiguration()
         uri = self._jvm.java.net.URI.create(root)
         self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+        # FileContext gives the ATOMIC overwrite rename (Options.Rename.
+        # OVERWRITE) that FileSystem.rename lacks; some object-store
+        # connectors don't implement AbstractFileSystem — fall back to
+        # the non-atomic delete+rename there (flagged in write_bytes)
+        try:
+            self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                uri, conf
+            )
+        except Exception:  # noqa: BLE001 — connector-dependent
+            self._fc = None
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -97,18 +108,36 @@ class HadoopIO:
             stream.close()
 
     def write_bytes(self, path: str, data: bytes) -> None:
-        # same atomic temp+rename discipline as LocalIO (object-store
-        # renames are metadata ops; HDFS rename is atomic)
+        # temp write + ATOMIC overwrite rename (FileContext.rename with
+        # Options.Rename.OVERWRITE — atomic on HDFS, metadata-op on
+        # object stores). The earlier FileSystem.delete-then-rename had
+        # a crash window with the target ABSENT, and a failed rename
+        # destroyed the old content before stranding the new at the tmp
+        # path — worse than torn for the metadata.json/offset watermarks
+        # this guards (round-8 ADVICE fix).
         tmp = f"{path}.__tmp_{os.getpid()}"
         out = self._fs.create(self._p(tmp), True)
         try:
             out.write(bytearray(data))
         finally:
             out.close()
-        # rename-over requires the target gone first on HDFS semantics
+        if self._fc is not None:
+            Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gw.new_array(Rename, 1)
+            opts[0] = Rename.OVERWRITE
+            # raises on failure; the target keeps its OLD content and the
+            # new bytes stay at tmp — never a window with neither
+            self._fc.rename(self._p(tmp), self._p(path), opts)
+            return
+        # fallback (no AbstractFileSystem for this scheme): NON-atomic —
+        # the target is absent between delete and rename; on rename
+        # failure say exactly where the new content is stranded
         self._fs.delete(self._p(path), False)
         if not self._fs.rename(self._p(tmp), self._p(path)):
-            raise IOError(f"atomic rename failed for {path}")
+            raise IOError(
+                f"rename failed for {path}: old content deleted, new "
+                f"content stranded at {tmp} — restore it manually"
+            )
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), True)

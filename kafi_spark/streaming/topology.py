@@ -492,6 +492,44 @@ class TNode:
 
         return self._derive(op, "window_session_op")
 
+    def window_tumbling_native(self, ts_col: str, size: str,
+                               keys: Sequence[str], *aggs: Column,
+                               slide: str | None = None) -> "TNode":
+        """Native ``F.window`` aggregate — THE streaming-safe window
+        node. The grouping contains ``window(ts)``, so with an event-
+        time watermark upstream (``withWatermark`` on the source feed —
+        the pairing :func:`kafi_spark.streams.windows.streaming_tumbling`
+        packages) Spark EVICTS closed windows' state instead of keeping
+        one entry per window forever. The epoch-long ``window_*`` nodes
+        above mirror the reference's batch assigners
+        (topologynode.py:672-714) and group on a DERIVED long — legal
+        in streaming but never evicted (Spark's state cleanup only
+        recognizes window/session_window expressions over the
+        watermarked column); a long-running stream should group through
+        THIS node. Batch semantics are identical (``F.window`` is
+        batch-legal). Emits ``w_start``/``w_end`` timestamps; ``slide``
+        makes it hopping."""
+        def op(df: DataFrame) -> DataFrame:
+            win = (F.window(F.col(ts_col), size, slide) if slide
+                   else F.window(F.col(ts_col), size))
+            out = (
+                df.groupBy(*[F.col(k) for k in keys], win.alias("__w"))
+                .agg(*aggs, F.sum(WEIGHT).alias("__net"))
+                .filter(F.col("__net") > 0)
+                .drop("__net")
+                .withColumn(WEIGHT, F.lit(1).cast("long"))
+            )
+            rest = [c for c in out.columns
+                    if c not in (*keys, "__w")]
+            return out.select(
+                *keys,
+                F.col("__w.start").alias("w_start"),
+                F.col("__w.end").alias("w_end"),
+                *rest,
+            )
+
+        return self._derive(op, "window_tumbling_native_op")
+
     # -- sinks --------------------------------------------------------------
 
     def sink(self, name: str) -> "TNode":

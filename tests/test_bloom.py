@@ -106,6 +106,29 @@ def test_state_roundtrip_and_compact(spark, tmp_path):
         sorted(map(tuple, direct.collect()))
 
 
+def test_load_state_reads_pre_widening_int32_deltas(spark, tmp_path):
+    """State dirs persisted before the round-7 word_idx int→long
+    widening hold int32 parquet files next to int64 ones; the pinned
+    read schema must upcast the old files instead of failing or
+    mis-typing on whichever footer Spark samples (round-8 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "bloom_state")
+    new = bl.bloom_build(
+        spark.createDataFrame([("x",), ("y",)], "text string"), "text", 256, 4)
+    bl.bloom_save_delta(new, state, 0)
+    # simulate a pre-widening delta: same rows, word_idx as int32
+    old = new.select(
+        F.col("word_idx").cast("int").alias("word_idx"), "bits")
+    assert dict(old.dtypes)["word_idx"] == "int"
+    bl.bloom_save_delta(old, state, 1)
+    merged = bl.bloom_load_state(spark, state)
+    assert dict(merged.dtypes)["word_idx"] == "bigint"
+    # both deltas carry the same filter -> merge equals either one
+    assert sorted(map(tuple, merged.select("word_idx", "bits").collect())) == \
+        sorted(map(tuple, new.collect()))
+
+
 def test_bloom_dedup_stream_across_batches_and_runs(spark, tmp_path):
     """Two availableNow runs over a file stream: duplicates are dropped
     across micro-batches AND across runs (the persisted-state property

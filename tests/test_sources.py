@@ -192,6 +192,21 @@ def test_chunk_dechunk_roundtrip(spark):
     assert got == sorted([payload, b"small"])
 
 
+def test_chunk_rejects_counts_past_key_suffix_capacity(spark):
+    """The _NNNNNN key suffix holds 6 digits; lpad silently TRUNCATED
+    past 999999 chunks, colliding keys and corrupting dechunk's
+    fixed-width strip — chunk() must fail loudly instead (r8 ADVICE)."""
+    df = spark.createDataFrame([("k", "x" * 1_000_001)],
+                               "key string, value string")
+    with pytest.raises(Exception, match="999999"):
+        chunk(df, chunk_size=1).count()
+    # exactly at the boundary it still works: 999999 chunks emitted
+    ok = chunk(spark.createDataFrame([("k", "y" * 999_999)],
+                                     "key string, value string"),
+               chunk_size=1)
+    assert ok.count() == 999_999
+
+
 def test_dechunk_tolerates_redelivered_duplicates_and_recovers_key(spark):
     """Review r7: a duplicated chunk (normal at-least-once redelivery)
     used to fail the completeness count and silently DROP the whole

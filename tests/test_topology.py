@@ -770,6 +770,61 @@ def test_window_session_ignores_net_negative_rows(spark):
     assert sorted(r_["n"] for r_ in out.collect()) == [1, 1]
 
 
+def test_window_tumbling_native_batch_and_watermarked_stream(spark, tmp_path):
+    """The native F.window node (r8): batch semantics match the epoch
+    assigner family (per-window weighted counts, retractions honored),
+    and a WATERMARKED stream through it runs without the unbounded-
+    state advisory — the grouping contains window(ts), which Spark's
+    state cleanup recognizes."""
+    import datetime as dt
+    import json
+    import os
+    import warnings as _warnings
+
+    from kafi_spark.streaming.runner import await_all, run_streaming
+
+    t = Topology()
+    t.source("ev").window_tumbling_native(
+        "ts", "1 minute", ["k"], wcount().alias("n")).sink("s")
+
+    # batch: two windows for k=x, retraction cancels one record
+    rows_in = [
+        ("x", dt.datetime(2024, 1, 1, 0, 0, 10), 1),
+        ("x", dt.datetime(2024, 1, 1, 0, 0, 50), 1),
+        ("x", dt.datetime(2024, 1, 1, 0, 1, 5), 1),
+        ("x", dt.datetime(2024, 1, 1, 0, 1, 6), -1),  # retracted
+        ("y", dt.datetime(2024, 1, 1, 0, 0, 0), 1),
+    ]
+    batch = spark.createDataFrame(
+        rows_in, "k string, ts timestamp, weight long")
+    got = t.build_batch({"ev": batch})["s"]
+    vals = {(r["k"], r["w_start"].minute, r["n"]) for r in got.collect()}
+    assert vals == {("x", 0, 2), ("y", 0, 1)}  # x's minute-1 fully retracted
+
+    # stream: watermarked source -> NO unbounded-state advisory
+    src_dir = tmp_path / "in"
+    os.makedirs(src_dir)
+    with open(src_dir / "a.json", "w") as f:
+        f.write(json.dumps({"k": "x", "ts": 30}) + "\n")
+        f.write(json.dumps({"k": "x", "ts": 90}) + "\n")
+    stream = (
+        spark.readStream.schema("k string, ts long").json(str(src_dir))
+        .withColumn("ts", F.timestamp_seconds(F.col("ts")))
+        .withWatermark("ts", "10 seconds"))
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        got_s: list = []
+        qs = run_streaming(
+            t, {"ev": stream},
+            {"s": lambda df, e: got_s.extend(df.collect())},
+            checkpoint_root=str(tmp_path / "ck"),
+            trigger_available_now=True)
+        await_all(qs, timeout_s=60)
+    assert not any("without a watermark" in str(x.message) for x in w)
+    assert {(r["k"], r["w_start"].minute, r["n"]) for r in got_s} == \
+        {("x", 0, 1), ("x", 1, 1)}
+
+
 def test_run_streaming_warns_on_unwatermarked_agg(spark, tmp_path):
     """Review r7: streaming aggregates without a watermark grow state
     per group forever — run_streaming now says so."""

@@ -132,15 +132,22 @@ def main() -> None:
                 if best is None or dt < best:
                     best = dt
                     steal_best = (st1 - st0) if None not in (st0, st1) else None
-            pre = bench._shuffle_bytes_total(spark)
-            plan = _plan_counts(qs[name](spark, sf_dir))
+            # construct ONCE, take plan counts from that df, and only
+            # then open the shuffle window around the extra executed run
+            # (round-8 ADVICE: queries whose CONSTRUCTION runs eager
+            # jobs — quality_fit's L-BFGS, connected-components rounds,
+            # localCheckpoints — had those shuffles counted inside the
+            # pre/post delta, inflating shuffle_bytes and growth)
+            probe_df = qs[name](spark, sf_dir)
+            plan = _plan_counts(probe_df)
             rec[tier] = {
                 "sec": round(best, 3),
                 "steal_jiffies": steal_best,
                 **plan,
             }
             # one extra executed run for the shuffle-byte delta
-            run(qs[name](spark, sf_dir))
+            pre = bench._shuffle_bytes_total(spark)
+            run(probe_df)
             post = bench._shuffle_bytes_total(spark)
             spark.catalog.clearCache()
             if pre is not None and post is not None:
