@@ -1182,7 +1182,7 @@ _NGRAM_PAIRS_SQL = """
                       unnest(list_distinct(list_transform(
                         range(0, greatest(len(w) - 3, 0) + 1),
                         x -> array_to_string(w[x+1:x+3], ' ')))) AS shingle
-               FROM ws),
+               FROM ws WHERE len(w) > 0),
         sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1214,7 +1214,7 @@ _DEDUP_SQL = {
                       unnest(list_distinct(list_transform(
                         range(0, greatest(len(w) - 3, 0) + 1),
                         x -> array_to_string(w[x+1:x+3], ' ')))) AS shingle
-               FROM ws),
+               FROM ws WHERE len(w) > 0),
         hs AS (SELECT doc_id, r.i AS i,
                       substring(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 15) AS hv
                FROM sh CROSS JOIN (SELECT unnest(range(24)) AS i) r),
@@ -1339,7 +1339,7 @@ _DEDUP_SQL["dedup_fast_pairs"] = """
                    unnest(list_distinct(list_transform(
                      range(0, greatest(len(w) - 3, 0) + 1),
                      x -> array_to_string(w[x+1:x+3], ' ')))) AS shingle
-            FROM ws),
+            FROM ws WHERE len(w) > 0),
     mhs AS (SELECT doc_id, r.i AS i,
                    substring(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 15) AS hv
             FROM msh CROSS JOIN (SELECT unnest(range(64)) AS i) r),
@@ -1876,7 +1876,7 @@ _PIPELINE_SQL = f"""
                   unnest(list_distinct(list_transform(
                     range(0, greatest(len(w) - 3, 0) + 1),
                     x -> array_to_string(w[x+1:x+3], ' ')))) AS shingle
-           FROM ws),
+           FROM ws WHERE len(w) > 0),
     sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -110,6 +110,10 @@ def ivf_build(
     (``n_cells`` rows) — the only part a search ever collects.
     """
     _check_build_mode(mode)
+    # family null policy (stated by pq.py, round-8 review: build/append
+    # crashed in np.vstack instead): a failed-embedding row is DROPPED,
+    # never persisted and never fatal
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     C = _fit_centroids(corpus, corpus, id_col, vec_col, n_cells, seed,
                        train_cap)
     spark = corpus.sparkSession
@@ -177,11 +181,13 @@ def ivf_search(
         raise ValueError(f"n_probe must be in [1, {n_cells}], got {n_probe}")
     probe_cells = _probe_cells_udf(spark, C, n_probe)
 
-    probes = queries.select(
+    probes = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     ).localCheckpoint()  # consumed twice: cell-union collect + the join
+    # (null query vectors are dropped — they cannot be scored; family
+    # null policy, round-8 review)
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     corpus = probed_corpus(spark, path, cells)
     cos = cosine_pairs_udf()
@@ -309,9 +315,19 @@ def ivfpq_search(
     cb = load_codebooks(spark, path)
     probe_cells = _probe_cells_udf(spark, C, n_probe)
 
+    # anchor the query batch ONCE: it is consumed twice (probe-cell
+    # collect here, ADC scoring inside adc_rescore_topk), and a
+    # nondeterministic queries subplan (sample/limit) would otherwise
+    # realize two DIFFERENT batches — a query present only in the
+    # second has its nearest cells unprobed and silently returns
+    # low-recall top-k (round-8 review; same class as ivf_delete's
+    # dels checkpoint and ivf_search's probes checkpoint). Query
+    # batches are small by contract, so the checkpoint is cheap.
+    q = (queries.filter(F.col(vec_col).isNotNull())  # family null policy
+         .select(query_id_col, vec_col).localCheckpoint())
     cells = [
         r["cell"]
-        for r in queries.select(
+        for r in q.select(
             F.explode(probe_cells(F.col(vec_col))).alias("cell")
         )
         .distinct()
@@ -319,7 +335,7 @@ def ivfpq_search(
     ]
     scan = probed_corpus(spark, path, cells)
     return adc_rescore_topk(
-        scan, cb, queries, k, rescore_factor, id_col, vec_col,
+        scan, cb, q, k, rescore_factor, id_col, vec_col,
         query_id_col,
     )
 
@@ -354,6 +370,10 @@ def ivf_append(
     :func:`ivf_build`/:func:`ivfpq_build` to a fresh version path when
     warned."""
     spark = new_vectors.sparkSession
+    # null embeddings: drop, matching the IVF-PQ leg (pq_encode filters
+    # them) and the family policy — one failed row must not kill the
+    # daily ingest (round-8 review)
+    new_vectors = new_vectors.filter(F.col(vec_col).isNotNull())
     C = load_centroids(spark, path)
     nearest_cell = _nearest_cell_udf(spark, C)
 

@@ -51,7 +51,22 @@ def _parallelize(df: DataFrame) -> DataFrame:
     A small parquet file scans as ONE partition (maxPartitionBytes), which
     serializes everything downstream of the explode; round-robin to the
     cluster's parallelism first. No-op (and no shuffle) for inputs that are
-    already parallel — the 100 TB case."""
+    already parallel — the 100 TB case.
+
+    The partition-count probe runs ONLY on narrow scan-rooted plans:
+    ``df.rdd`` under AQE finalizes the adaptive plan, which EXECUTES
+    every upstream shuffle stage just to read a count (measured: a
+    2-exchange frame ran 5 stages for the probe, then ran them again
+    for the real query — the dedup hot path doubled, round-8 review).
+    Frames containing a shuffle already run at
+    ``spark.sql.shuffle.partitions`` parallelism, so skipping the
+    probe for them changes nothing."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(t in plan for t in (
+        "Join", "Aggregate", "Window", "Deduplicate",
+        "RepartitionByExpression", "Repartition",
+    )):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -76,8 +91,14 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
         F.sequence(F.lit(0), F.greatest(F.size("__words") - k, F.lit(0))),
         lambda i: F.array_join(F.slice("__words", i + 1, k), " "),
     )
-    # documents shorter than k words produce their full text as one shingle
-    return bound.select(
+    # documents shorter than k words produce their full text as one
+    # shingle — but ZERO-token (null/empty/whitespace-only) documents
+    # produce NO shingles (round-8 review: they all shared the ['']
+    # signature, colliding in the same bucket of EVERY band — the
+    # degenerate mass-bucket max_bucket guards against — and "verified"
+    # at jaccard 1.0 for raw texts that differ; simhash already drops
+    # zero-token docs, so the family is now consistent)
+    return bound.filter(F.size("__words") > 0).select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
@@ -325,7 +346,20 @@ def _band_keys(df: DataFrame, text_col: str, id_col: str, k: int,
     ``hasher="xxhash64"`` digests with xxhash64 over the (i, mh) struct
     list (fast, engine-internal); ``"portable"`` digests with md5 over
     the '|'-joined minima so a SQL oracle reproduces the band keys
-    (``string_agg(mh, '|' ORDER BY i)`` then md5)."""
+    (``string_agg(mh, '|' ORDER BY i)`` then md5).
+
+    ``bands`` must divide ``num_hashes`` exactly (round-8 review:
+    bands > num_hashes made rows_per_band 0 — an ANSI divide-by-zero
+    deep in execution, or with ANSI off a null band_id that collapsed
+    every signature into ONE band and silently lost near-dups; a
+    non-dividing bands added an undocumented weak partial band that
+    inflated candidates past the 1-(1-s^r)^b curve)."""
+    if not (1 <= bands <= num_hashes and num_hashes % bands == 0):
+        raise ValueError(
+            f"bands must divide num_hashes exactly with "
+            f"1 <= bands <= num_hashes, got bands={bands} "
+            f"num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     long_ = _minhash_long(df, text_col, id_col, k, num_hashes, seed, hasher)
     ordered = F.array_sort(F.collect_list(F.struct("i", "mh")))
@@ -394,18 +428,21 @@ def minhash_lsh_pairs(
         # others through its remaining bands with overwhelming probability.
         .withColumn("ids", F.slice("ids", 1, max_bucket))
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
-            ),
-        )
-    )
+    # pair fan-out via TWO row-explodes, never one in-row array: a
+    # flatten of all C(m,2) pair structs built a single multi-GB row at
+    # a full max_bucket=10k bucket (~50M structs — the 2GB-array
+    # failure ngram_jaccard_pairs' docstring cites; round-8 review).
+    # Exploding id_1 first bounds per-row memory to ONE bucket's id
+    # array; the same pairs (id_1 < id_2 within the sorted array) come
+    # out as rows.
     candidates = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_1"), F.col("p.id_2"))
+        buckets.select(F.col("ids"), F.posexplode("ids").alias("__i", "id_1"))
+        .select(
+            "id_1",
+            F.explode(
+                F.slice("ids", F.col("__i") + 2, F.size("ids"))
+            ).alias("id_2"),
+        )
         .distinct()
     )
     return _jaccard_verify(
@@ -643,24 +680,27 @@ def hamming_pairs(
         .filter(F.size("mem") >= 2)
         .withColumn("mem", F.slice("mem", 1, bucket_cap))
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("mem"),
-            lambda x, i: F.transform(
-                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_1"),
-                    y["id"].alias("id_2"),
-                    F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
-                    .cast("long")
-                    .alias("hamming"),
-                ),
-            ),
-        )
-    )
+    # pair fan-out via TWO row-explodes (round-8 review, same fix as
+    # minhash_lsh_pairs): a flattened C(m,2) struct array was ONE row —
+    # multi-GB at a full bucket, fully unbounded at max_bucket=None.
+    # Per-row memory is now one bucket's member array; the hamming
+    # filter still runs BEFORE distinct so the dedup shuffle only
+    # carries surviving pairs.
     return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_1"), F.col("p.id_2"), F.col("p.hamming"))
+        buckets.select(F.col("mem"), F.posexplode("mem").alias("__i", "x"))
+        .select(
+            "x",
+            F.explode(
+                F.slice("mem", F.col("__i") + 2, F.size("mem"))
+            ).alias("y"),
+        )
+        .select(
+            F.col("x.id").alias("id_1"),
+            F.col("y.id").alias("id_2"),
+            F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh")))
+            .cast("long")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -307,12 +307,13 @@ def sketch_retention(
     bucket_col: str = "bucket",
     sketch_col: str = "sketch",
     step: str = "1 day",
+    dims: Sequence[str] = (),
 ) -> DataFrame:
     """Period-over-period retention from per-period theta sketches ALONE.
 
     For each bucket with a predecessor at ``bucket - step`` emits::
 
-        (bucket, active, prev_active, retained, churned, new_keys)
+        (bucket[, dims...], active, prev_active, retained, churned, new_keys)
 
     where ``retained = |cur ∩ prev|``, ``churned = |prev \\ cur|``,
     ``new_keys = |cur \\ prev|`` — exact longs while the sketches are in
@@ -321,18 +322,27 @@ def sketch_retention(
     (then can't be rolled up), while this joins two rows of bytes-sized
     state per output row. The join inputs are one row per period —
     trivially broadcast at runtime by AQE; no hint needed.
+
+    ``dims`` MUST name the extra grouping columns when ``daily`` came
+    from ``theta_over_time(..., dims=[...])`` (round-8 review: the
+    self-join matched on the bucket alone, so a dimensioned frame
+    cross-matched every dim value against every other — |dims|² rows
+    per bucket of silently wrong cross-dimension "retention").
     """
+    keys = ["bucket", *dims]
     cur = daily.select(
-        F.col(bucket_col).alias("bucket"), F.col(sketch_col).alias("__cur")
+        F.col(bucket_col).alias("bucket"), *dims,
+        F.col(sketch_col).alias("__cur"),
     )
     prev = daily.select(
         (F.col(bucket_col) + F.expr(f"interval {step}")).alias("bucket"),
+        *dims,
         F.col(sketch_col).alias("__prev"),
     )
     return (
-        cur.join(prev, "bucket")
+        cur.join(prev, keys)
         .select(
-            "bucket",
+            *keys,
             F.theta_sketch_estimate("__cur").alias("active"),
             F.theta_sketch_estimate("__prev").alias("prev_active"),
             F.theta_sketch_estimate(
@@ -449,7 +459,13 @@ def quantile_values(
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile rank must be in [0, 1], got {q}")
-        name = f"q{round(q * 100)}" if (q * 100) % 1 == 0 else f"q{q}"
+        # float-tolerant percent naming (round-8 review: 0.55*100 is
+        # 55.000000000000007, so `% 1 == 0` named it 'q0.55' — a dotted
+        # column needing backticks — while 0.05 got 'q5'; round to 9
+        # places before the integrality test so every whole percent
+        # names uniformly)
+        pct = round(q * 100, 9)
+        name = f"q{int(pct)}" if pct == int(pct) else f"q{q}"
         cols.append(fns["quantile"](F.col(sketch_col), F.lit(q)).alias(name))
     cols.append(fns["n"](F.col(sketch_col)).alias("n"))
     return df.select(*cols)
@@ -498,17 +514,26 @@ def kll_save_delta(
     epoch directory, and every directory is merged exactly once."""
     from kafi_spark.functions.state import save_delta
 
-    int(epoch)  # raises early on non-numeric epochs
+    # raise early on anything whose str() the watermark readers can't
+    # parse back (round-8 review: int(2.5) passed this guard but wrote
+    # v=2.5, permanently poisoning every later read/compaction of the
+    # directory — int-VALUED is not int-RENDERED)
+    if str(int(epoch)) != str(epoch):
+        raise ValueError(
+            f"epoch must render as a plain integer, got {epoch!r} "
+            f"(would write v={epoch}, unreadable by the watermark fence)"
+        )
     save_delta(sketches, state_dir, epoch)
 
 
-def _kll_state_dirs(state_dir: str):
+def _kll_state_dirs(state_dir: str, spark=None):
     """(best_compact_epoch_or_None, compact_path_or_None, live_epochs):
     the shared fenced-state listing — see
-    :func:`kafi_spark.functions.state.committed_dirs`."""
+    :func:`kafi_spark.functions.state.committed_dirs`. ``spark`` is
+    required for ``scheme://`` state dirs (Hadoop listings)."""
     from kafi_spark.functions.state import committed_dirs
 
-    return committed_dirs(state_dir)
+    return committed_dirs(state_dir, spark)
 
 
 def kll_totals(
@@ -528,7 +553,7 @@ def kll_totals(
     can be deleted at leisure), so compaction needs no coordination
     with readers and a crash mid-compaction (no ``_SUCCESS``) leaves
     the previous watermark in force."""
-    _, compact_path, live = _kll_state_dirs(state_dir)
+    _, compact_path, live = _kll_state_dirs(state_dir, spark)
     paths = ([compact_path] if compact_path else []) + live
     if not paths:
         raise FileNotFoundError(f"no committed KLL deltas in {state_dir}")
@@ -752,7 +777,7 @@ def cms_totals(
     (saved via :func:`kll_save_delta` — numeric epochs). Reads the
     newest committed ``v=compact-<N>`` plus epochs > N only; same
     crash-safety argument as :func:`kll_totals`."""
-    _, compact_path, live = _kll_state_dirs(state_dir)
+    _, compact_path, live = _kll_state_dirs(state_dir, spark)
     paths = ([compact_path] if compact_path else []) + live
     if not paths:
         raise FileNotFoundError(f"no committed CMS deltas in {state_dir}")

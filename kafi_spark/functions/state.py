@@ -39,9 +39,6 @@ unions parquet DIRECTORIES — no driver materialization.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -89,47 +86,91 @@ def load_deltas(
     return df
 
 
-def committed_dirs(state_dir: str):
+def _io(state_dir: str, spark=None):
+    """Directory-plane backend for the additive-state readers: ``os``
+    for plain paths, the session's Hadoop ``FileSystem`` for
+    ``scheme://`` paths. Round-8 review: these readers were
+    ``os.listdir``-only, so ``s3a://`` state that :func:`save_delta`
+    wrote perfectly well read back as "no state" — the streaming
+    incremental-dedup gate then saw empty history every epoch and
+    near-dups silently passed, while kll/cms totals crashed."""
+    if "://" not in state_dir:
+        from kafi_spark.sources.fsio import LocalIO
+
+        return LocalIO()
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"listing {state_dir} needs an active SparkSession "
+                "(Hadoop FileSystem) — none is active"
+            )
+    from kafi_spark.sources.fsio import HadoopIO
+
+    return HadoopIO(spark, state_dir)
+
+
+def _epoch_int(tag: str, state_dir: str) -> int:
+    """Parse a live-epoch tag, failing with a NAMED cause: a stray
+    non-numeric delta (e.g. a float epoch that slipped past a lax
+    guard) otherwise poisons every subsequent read and compaction of
+    the directory with a bare ValueError (round-8 review)."""
+    try:
+        return int(tag)
+    except ValueError:
+        raise ValueError(
+            f"additive state dir {state_dir} holds non-numeric epoch "
+            f"delta 'v={tag}': additive reads are watermark-fenced on "
+            "integer epochs — remove or rename that delta"
+        ) from None
+
+
+def committed_dirs(state_dir: str, spark=None):
     """(watermark_or_None, compact_path_or_None, live_epoch_paths) for
     additive state: the newest COMMITTED ``v=compact-<N>`` fold and the
     numeric epoch deltas NEWER than N. Dirs without ``_SUCCESS`` are
     ignored — a crashed write/compaction is invisible rather than
-    double-counted or half-read. Raises FileNotFoundError when the
-    state dir itself is absent (callers decide what "no state" means).
-    """
+    double-counted or half-read (the fence also skips stray FILES named
+    ``v=…``). Raises FileNotFoundError when the state dir itself is
+    absent (callers decide what "no state" means). ``spark`` is only
+    needed for ``scheme://`` state dirs (Hadoop FileSystem listings);
+    plain paths list through ``os``."""
+    io = _io(state_dir, spark)
     best_n, best_path, epochs = None, None, []
-    if not os.path.isdir(state_dir):
+    if not io.exists(state_dir):
         raise FileNotFoundError(f"no state at {state_dir}")
-    for name in os.listdir(state_dir):
-        path = os.path.join(state_dir, name)
-        if not (name.startswith("v=") and os.path.isdir(path)):
+    for name in io.listdir(state_dir):
+        path = io.join(state_dir, name)
+        if not name.startswith("v="):
             continue
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            continue  # uncommitted write: ignore
+        if not io.exists(io.join(path, "_SUCCESS")):
+            continue  # uncommitted write (or a stray file): ignore
         tag = name[2:]
         if tag.startswith("compact-"):
-            n = int(tag[len("compact-"):])
+            n = _epoch_int(tag[len("compact-"):], state_dir)
             if best_n is None or n > best_n:
                 best_n, best_path = n, path
         else:
-            epochs.append((int(tag), path))
+            epochs.append((_epoch_int(tag, state_dir), path))
     live = [p for e, p in epochs if best_n is None or e > best_n]
     return best_n, best_path, live
 
 
-def watermark_paths(state_dir: str, exclude_epoch=None) -> list[str]:
+def watermark_paths(state_dir: str, exclude_epoch=None, spark=None) -> list[str]:
     """The committed read set for one additive/fenced state family: the
     newest compact fold (if any) plus live epochs, minus the CURRENT
     epoch's own delta (crash-replay exclusion). Empty list when the
     state dir does not exist yet."""
     try:
-        _, compact_path, live = committed_dirs(state_dir)
+        _, compact_path, live = committed_dirs(state_dir, spark)
     except FileNotFoundError:
         return []
     paths = [compact_path] if compact_path else []
     if exclude_epoch is not None:
         live = [p for p in live
-                if os.path.basename(p) != f"v={exclude_epoch}"]
+                if p.rstrip("/").rsplit("/", 1)[-1] != f"v={exclude_epoch}"]
     return paths + live
 
 
@@ -145,7 +186,7 @@ def compact_fold(spark, state_dir: str, merge_fn, prune: bool = False) -> int:
     epoch dirs and older compacts afterwards — safe at leisure, fenced
     readers already ignore them. Returns N (the existing watermark, or
     -1, when nothing live exists to fold)."""
-    best_n, compact_path, live = committed_dirs(state_dir)
+    best_n, compact_path, live = committed_dirs(state_dir, spark)
     if not live:
         return best_n if best_n is not None else -1
     watermark = max(int(p.rsplit("v=", 1)[1]) for p in live)
@@ -154,22 +195,28 @@ def compact_fold(spark, state_dir: str, merge_fn, prune: bool = False) -> int:
     merged.write.mode("overwrite").parquet(
         f"{state_dir.rstrip('/')}/v=compact-{watermark}")
     if prune:
-        prune_folded(state_dir, watermark)
+        prune_folded(state_dir, watermark, spark)
     return watermark
 
 
-def prune_folded(state_dir: str, watermark: int) -> None:
+def prune_folded(state_dir: str, watermark: int, spark=None) -> None:
     """Delete epoch dirs ≤ watermark and compacts < watermark — the
-    state a committed ``v=compact-<watermark>`` fold supersedes."""
-    for name in os.listdir(state_dir):
-        path = os.path.join(state_dir, name)
-        if not (name.startswith("v=") and os.path.isdir(path)):
+    state a committed ``v=compact-<watermark>`` fold supersedes.
+    Tags that don't parse as epochs are left in place (they never enter
+    the fenced read set either)."""
+    io = _io(state_dir, spark)
+    for name in io.listdir(state_dir):
+        path = io.join(state_dir, name)
+        if not name.startswith("v="):
             continue
         tag = name[2:]
-        folded = (
-            (not tag.startswith("compact-") and int(tag) <= watermark)
-            or (tag.startswith("compact-")
-                and int(tag[len("compact-"):]) < watermark)
-        )
+        try:
+            folded = (
+                (not tag.startswith("compact-") and int(tag) <= watermark)
+                or (tag.startswith("compact-")
+                    and int(tag[len("compact-"):]) < watermark)
+            )
+        except ValueError:
+            continue
         if folded:
-            shutil.rmtree(path)
+            io.delete(path)

@@ -923,7 +923,7 @@ def corpus_report_totals(spark, state_dir: str, kll_k: int = 200) -> DataFrame:
         _kll_state_dirs, kll_totals, quantile_values, sketch_totals)
 
     root = state_dir.rstrip("/")
-    _, compact_path, live = _kll_state_dirs(f"{root}/counters")
+    _, compact_path, live = _kll_state_dirs(f"{root}/counters", spark)
     paths = ([compact_path] if compact_path else []) + live
     counters = (
         spark.read.parquet(*paths)
@@ -1053,7 +1053,7 @@ def dedup_against_stream(
     return process
 
 
-def _dedup_state_paths(root: str, exclude_epoch: int) -> list[str]:
+def _dedup_state_paths(root: str, exclude_epoch: int, spark=None) -> list[str]:
     """Committed state dirs for one dedup-state family: the newest
     ``compact-N`` fold (if any) plus epochs > N — the shared
     `_kll_state_dirs` watermark reader — minus the CURRENT epoch's own
@@ -1062,7 +1062,7 @@ def _dedup_state_paths(root: str, exclude_epoch: int) -> list[str]:
     wrong results; the watermark read keeps it from happening anyway."""
     from kafi_spark.functions.state import watermark_paths
 
-    return watermark_paths(root, exclude_epoch)
+    return watermark_paths(root, exclude_epoch, spark)
 
 
 def dedup_state_compact(spark, state_dir: str) -> int:
@@ -1085,7 +1085,7 @@ def dedup_state_compact(spark, state_dir: str) -> int:
 
     root = state_dir.rstrip("/")
     try:
-        best_n, _, live = committed_dirs(f"{root}/bands")
+        best_n, _, live = committed_dirs(f"{root}/bands", spark)
     except FileNotFoundError:
         return -1
     if not live:
@@ -1106,7 +1106,7 @@ def dedup_state_compact(spark, state_dir: str) -> int:
 
     for fam in ("bands", "docs"):
         paths = foldable(_dedup_state_paths(f"{root}/{fam}",
-                                            exclude_epoch=-1))
+                                            exclude_epoch=-1, spark=spark))
         if not paths:
             continue
         folded = spark.read.parquet(*paths).distinct().localCheckpoint()

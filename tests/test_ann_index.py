@@ -318,6 +318,33 @@ def test_ivf_delete_pq_and_guards(spark, emb, tmp_path):
         ai.ivf_delete(sub.select("vec_id"), p)
 
 
+def test_null_embeddings_dropped_not_fatal(spark, emb, tmp_path):
+    """Family null policy (round-8 review: build/append/search crashed
+    in np.vstack instead): a failed-embedding row is dropped — never
+    persisted, never fatal — and a null QUERY vector simply returns no
+    rows for its id."""
+    p = str(tmp_path / "idx")
+    dirty = emb.filter(F.col("vec_id") >= 10) \
+        .select("vec_id", "embedding").unionByName(
+            spark.createDataFrame(
+                [(999_001, None)],
+                "vec_id long, embedding array<double>"))
+    ai.ivf_build(dirty, p, n_cells=4)
+    corpus = spark.read.parquet(f"{p}/corpus")
+    assert corpus.filter(F.col("vec_id") == 999_001).count() == 0
+    ai.ivf_append(
+        spark.createDataFrame([(999_002, None)],
+                              "vec_id long, embedding array<double>"), p)
+    assert spark.read.parquet(f"{p}/corpus") \
+        .filter(F.col("vec_id") == 999_002).count() == 0
+    q = emb.filter(F.col("vec_id") == 10).select(
+        F.col("vec_id").alias("query_id"), "embedding").unionByName(
+        spark.createDataFrame([(999_003, None)],
+                              "query_id long, embedding array<double>"))
+    hits = ai.ivf_search(spark, p, q, k=3, n_probe=2).collect()
+    assert {r["query_id"] for r in hits} == {10}
+
+
 def test_ivfpq_delete_append_delete_cycle(spark, emb, tmp_path):
     """Adversarial lifecycle (r8, from the judge's ADVICE trail):
     delete → append → delete on an IVF-PQ index must (a) keep the

@@ -207,6 +207,32 @@ def test_degenerate_inputs_null_empty_text(spark):
     assert minhash_lsh_pairs(empty, "text", "doc_id").count() == 0
 
 
+def test_zero_token_docs_never_pair_and_bands_validated(spark):
+    """Round-8 review: every empty/whitespace-only doc shared the ['']
+    shingle signature — identical minhash minima, colliding in the same
+    bucket of EVERY band, 'verified' at jaccard 1.0 for raw texts that
+    differ. They now produce NO shingles and never pair (consistent
+    with simhash, which always dropped zero-token docs). And bands must
+    divide num_hashes: bands > num_hashes used to divide by zero (or
+    null-band every row with ANSI off — all near-dups silently lost),
+    non-dividing bands silently added a weak partial band."""
+    df = spark.createDataFrame(
+        [(1, "   "), (2, "\n\n"), (3, ""), (4, "x y z w"), (5, "x y z w")],
+        "doc_id long, text string")
+    assert dedup.shingles(df, "text", "doc_id") \
+        .filter(F.col("doc_id") <= 3).count() == 0
+    got = {(r.id_1, r.id_2) for r in
+           dedup.minhash_lsh_pairs(df, "text", "doc_id").collect()}
+    assert got == {(4, 5)}
+    assert {(r.id_1, r.id_2) for r in
+            dedup.ngram_jaccard_pairs(df, "text", "doc_id").collect()} == \
+        {(4, 5)}
+    for bad in (0, 17, 3):  # zero, > num_hashes, non-dividing
+        with pytest.raises(ValueError, match="bands"):
+            dedup.minhash_lsh_pairs(df, "text", "doc_id",
+                                    num_hashes=16, bands=bad)
+
+
 def test_curate_documents_extended_stage_composition(spark, sf_dir):
     """The full-menu pipeline: no-optional == base; each optional stage
     only removes or rewrites, never invents rows; final schema carries

@@ -243,6 +243,60 @@ def test_sketch_retention_exact(events):
     assert len(want) > 0
 
 
+def test_sketch_retention_with_dims_joins_within_dim(spark, events):
+    """Round-8 review: a dimensioned theta_over_time frame cross-matched
+    every dim value against every other in the retention self-join
+    (|dims|² rows per bucket of cross-dim 'retention'); dims now join
+    within their own value and ride in the output."""
+    daily = sk.theta_over_time(
+        events, "user_id", "ts", grain="day", dims=["event_type"])
+    got = {
+        (r["bucket"], r["event_type"]):
+            (r["active"], r["prev_active"], r["retained"])
+        for r in sk.sketch_retention(daily, dims=["event_type"]).collect()
+    }
+    rows = (
+        events.select(F.date_trunc("day", "ts").alias("b"),
+                      "event_type", "user_id").distinct().collect()
+    )
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["b"], r["event_type"]), set()).add(r["user_id"])
+    import datetime
+
+    want = {}
+    for (b, d), cur in by_key.items():
+        prev = by_key.get((b - datetime.timedelta(days=1), d))
+        if prev is None:
+            continue
+        want[(b, d)] = (len(cur), len(prev), len(cur & prev))
+    assert got == want and len(want) > 0
+
+
+def test_kll_save_delta_rejects_unparseable_epochs(spark, tmp_path):
+    """Round-8 review: int(2.5) passed the old guard but wrote v=2.5,
+    permanently poisoning every later read of the state dir."""
+    d = str(tmp_path / "kll")
+    df = sk.quantile_sketch(
+        spark.range(10).select(F.col("id").cast("double").alias("v")), "v")
+    for bad in (2.5, True, "1e3"):
+        with pytest.raises(ValueError):
+            sk.kll_save_delta(df, d, bad)
+    sk.kll_save_delta(df, d, 3)  # plain ints still fine
+    assert sk.kll_totals(spark, d).count() == 1
+
+
+def test_quantile_value_column_naming_is_float_tolerant(spark):
+    """Round-8 review: 0.55*100 == 55.000000000000007, so q=0.55 was
+    named 'q0.55' while 0.05 got 'q5' — whole percents now name
+    uniformly."""
+    df = sk.quantile_sketch(
+        spark.range(100).select(F.col("id").cast("double").alias("v")), "v")
+    out = sk.quantile_values(df, [0.05, 0.29, 0.55, 0.555])
+    assert [c for c in out.columns if c.startswith("q")] == \
+        ["q5", "q29", "q55", "q0.555"]
+
+
 def test_theta_lgk_validation(events):
     with pytest.raises(ValueError, match="lgk"):
         sk.theta_sketch(events, "user_id", lgk=30)

@@ -89,3 +89,37 @@ def test_compact_fold_watermark_prune_and_fence(spark, tmp_path):
     os.makedirs(f"{d}/v=compact-9", exist_ok=True)
     wm4, compact4, live4 = st.committed_dirs(d)
     assert wm4 == 3 and [os.path.basename(p) for p in live4] == ["v=4"]
+
+
+def test_scheme_paths_list_through_hadoop_fs(spark, tmp_path):
+    """Round-8 review: the additive readers were os.listdir-only, so
+    scheme:// state that save_delta wrote fine read back as 'no state'
+    (streaming dedup gate silently passing near-dups; kll/cms totals
+    crashing). file:// exercises the HadoopIO route end-to-end."""
+    d = "file://" + str(tmp_path / "hs")
+    st.save_delta(_delta(spark, [1]), d, 0)
+    st.save_delta(_delta(spark, [2]), d, 1)
+    wm, compact, live = st.committed_dirs(d, spark)
+    assert wm is None and compact is None and len(live) == 2
+    assert len(st.watermark_paths(d, exclude_epoch=1, spark=spark)) == 1
+    wm = st.compact_fold(spark, d, lambda df: df.select("x").distinct(),
+                         prune=True)
+    assert wm == 1
+    wm2, compact2, live2 = st.committed_dirs(d, spark)
+    assert wm2 == 1 and compact2.endswith("v=compact-1") and live2 == []
+    rows = {r["x"] for r in st.load_deltas(spark, d).select("x").collect()}
+    assert rows == {1, 2}
+    # os.listdir confirms prune really deleted through the FS layer
+    left = sorted(n for n in os.listdir(tmp_path / "hs")
+                  if n.startswith("v="))
+    assert left == ["v=compact-1"]
+
+
+def test_non_numeric_epoch_delta_fails_with_named_cause(spark, tmp_path):
+    """Round-8 review: a stray non-numeric delta poisoned every read
+    with a bare ValueError; the fence now names the offending dir."""
+    d = str(tmp_path / "p")
+    st.save_delta(_delta(spark, [1]), d, 0)
+    st.save_delta(_delta(spark, [2]), d, "2.5")
+    with pytest.raises(ValueError, match="v=2.5"):
+        st.committed_dirs(d)

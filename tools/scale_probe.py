@@ -36,8 +36,10 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, "var", "sf1")
 ROWS = {"sf01": 5_000, "sf1": 50_000}  # documents rows per tier
 
-# the 8 most expensive headline queries (VERDICT r6 plan audit), all
-# driven off the documents table
+# the 8 most expensive headline queries (VERDICT r6 plan audit) plus
+# the round-7 expression-regression family (VERDICT r7: their per-row
+# cost moved with NO plan change — exactly what only a scale tier can
+# price), all driven off the documents table
 PROBES = [
     "pipeline_dupheavy_minhash",
     "pipeline_dupheavy_exact",
@@ -47,6 +49,9 @@ PROBES = [
     "lsh_join_incremental",
     "bm25_topk",
     "substring_dedup",
+    "dedup_span_bloom",
+    "perplexity_buckets",
+    "boilerplate_filter",
 ]
 
 
