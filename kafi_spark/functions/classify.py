@@ -76,11 +76,16 @@ def fear_index_col(text: Column) -> Column:
     Python): same semantics as :func:`lexicon_fear_index`, for when the
     scorer is simple enough to stay in whole-stage codegen — and for the
     SQL oracle to replay."""
-    # Python str.split() splits on ANY whitespace run and never yields
-    # empty tokens; F.trim strips only spaces, so drop empties explicitly
-    # or texts with leading/trailing newlines over-count words
+    # Python str.split() splits on ANY whitespace run (UNICODE — NBSP
+    # included) and never yields empty tokens; Java's bare \s is the
+    # ASCII class only, so 'fear panic' scored 0 here and 100 in
+    # the Python twin (round-8 review). (?U) turns on Java's
+    # UNICODE_CHARACTER_CLASS — the one residual divergence is
+    # \x1c-\x1f, which Python's isspace() accepts against the Unicode
+    # White_Space property. Empties dropped explicitly: F.trim strips
+    # only spaces, so leading/trailing newlines over-counted words.
     words = F.filter(
-        F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0
+        F.split(F.lower(text), r"(?U)\s+"), lambda w: F.length(w) > 0
     )
     neg = F.size(
         F.filter(

@@ -66,12 +66,31 @@ def get_path(col_or_name: Column | str, path: "Sequence[str] | str") -> Column:
 
 
 def set_path(col: Column, path: "Sequence[str] | str", value: Column) -> Column:
-    """Dotted-path write into nested structs (kafi/helpers.py:332-334
-    ``set_value``) via chained ``withField``."""
+    """Dotted-path write into nested structs (kafi/helpers.py:329-334
+    ``set_value``) via chained ``withField``.
+
+    Null INTERMEDIATE structs raise (row-level, with the path named):
+    ``withField`` on a null struct returns null, which silently ERASED
+    the write for that row pre-round-8. The reference's dict form
+    creates ``{}`` intermediates, but a Spark struct is statically
+    typed — an all-null-siblings struct can't be synthesized from a
+    pure Column (no schema access) — so the honest contract is to fail
+    loudly; callers wanting create-semantics coalesce the struct to a
+    typed default first."""
     path = _path_keys(path)
     if len(path) == 1:
         return col.withField(path[0], value)
-    return col.withField(path[0], set_path(col.getField(path[0]), path[1:], value))
+    inner = col.getField(path[0])
+    written = set_path(inner, path[1:], value)
+    guarded = F.when(
+        col.isNotNull() & inner.isNull(),
+        F.raise_error(F.lit(
+            f"set_path: intermediate struct {path[0]!r} is null — the "
+            f"write to {'.'.join(path)!r} would be silently lost; "
+            "coalesce it to a default struct first"
+        )),
+    ).otherwise(written)
+    return col.withField(path[0], guarded)
 
 
 # -- coercions (kafi/helpers.py:188-267) ------------------------------------

@@ -54,7 +54,21 @@ def detect_format(col: Column | str) -> Column:
         .when((pre(1, 4) == F.lit(b"RIFF")) & (pre(9, 4) == F.lit(b"WAVE")), "wav")
         .when((pre(1, 4) == F.lit(b"RIFF")) & (pre(9, 4) == F.lit(b"WEBP")), "webp")
         .when(pre(1, 2) == F.lit(b"BM"), "bmp")
-        .when((pre(1, 3) == F.lit(b"ID3")) | (pre(1, 2) == F.lit(b"\xff\xfb")), "mp3")
+        # mp3 without an ID3 tag starts at an MPEG audio frame sync:
+        # 0xFF then a byte whose top 3 bits are set; Layer III across
+        # MPEG1/2/2.5 with/without CRC gives these six second bytes
+        # (round-8 review: matching only \xff\xfb mislabeled
+        # MPEG2/2.5 speech-rate files and CRC'd streams 'unknown')
+        .when(
+            (pre(1, 3) == F.lit(b"ID3"))
+            | (
+                (pre(1, 1) == F.lit(b"\xff"))
+                & pre(2, 1).isin(
+                    [bytes([x]) for x in (0xFB, 0xFA, 0xF3, 0xF2, 0xE3, 0xE2)]
+                )
+            ),
+            "mp3",
+        )
         .when(pre(5, 4) == F.lit(b"ftyp"), "mp4")
         .otherwise("unknown")
     )
@@ -130,6 +144,13 @@ def image_dims(b: bytes) -> dict:
         if b[:3] == b"\xff\xd8\xff":
             i = 2
             while i + 9 <= len(b) and b[i] == 0xFF:
+                if b[i + 1] == 0xFF:
+                    # ITU T.81 B.1.1.2: any number of 0xFF FILL bytes may
+                    # precede a marker; treating one as a length-bearing
+                    # segment jumped to garbage and nulled the dims of
+                    # valid padded JPEGs (round-8 review)
+                    i += 1
+                    continue
                 marker = b[i + 1]
                 if marker in _JPEG_SOF:
                     h, w = struct.unpack(">HH", b[i + 5:i + 9])
@@ -144,23 +165,37 @@ def image_dims(b: bytes) -> dict:
     return {"format": None, "width": None, "height": None}
 
 
+def _riff_chunks(b: bytes):
+    """THE RIFF/WAVE chunk walker (word-aligned sizes, public spec):
+    yields ``(chunk_id, size, payload_offset)``. One definition —
+    :func:`wav_info` and :func:`wav_signal_stats` used to carry
+    verbatim copies of this loop, so a walker fix (corrupt size guard,
+    WAVE_FORMAT_EXTENSIBLE) had to land twice or the two WAV parsers
+    silently disagreed on the same payload (round-8 review). Yields
+    nothing for non-WAV payloads."""
+    if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+        return
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        yield cid, size, i + 8
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+
+
 def wav_info(b: bytes) -> dict:
     """(sample_rate, n_channels, duration_ms) from the WAV RIFF chunk
     list (fmt + data chunks, public WAVE spec). Non-WAV/corrupt -> nulls."""
     out = {"sample_rate": None, "n_channels": None, "duration_ms": None}
     try:
-        if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
-            return out
-        i, byte_rate, data_size = 12, None, None
-        while i + 8 <= len(b):
-            cid, size = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
+        byte_rate, data_size = None, None
+        for cid, size, off in _riff_chunks(b):
             if cid == b"fmt " and size >= 16:
-                n_ch, rate, brate = struct.unpack("<HII", b[i + 10:i + 20])
+                n_ch, rate, brate = struct.unpack("<HII", b[off + 2:off + 12])
                 out["n_channels"], out["sample_rate"] = n_ch, rate
                 byte_rate = brate or None
             elif cid == b"data":
                 data_size = size
-            i += 8 + size + (size & 1)  # chunks are word-aligned
         if byte_rate and data_size is not None:
             out["duration_ms"] = data_size * 1000 // byte_rate
     except Exception:  # noqa: BLE001
@@ -203,18 +238,27 @@ def resize_image(
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_bytes = []
-            for b in pdf[binary_col]:
-                opened = PIL.Image.open(io.BytesIO(b))
-                # capture BEFORE resize: PIL sets .format only in open(),
-                # so the resized copy's is always None — every JPEG used
-                # to come back silently re-encoded as PNG
-                fmt = opened.format or "PNG"
-                img = opened.resize((width, height))
-                buf = io.BytesIO()
-                img.save(buf, format=fmt)
+            ids, out_bytes = [], []
+            for rid, b in zip(pdf[id_col], pdf[binary_col]):
+                # module contract: malformed payloads yield no rows,
+                # never task failures (round-8 review: a single null or
+                # truncated image killed the job via PIL here while
+                # every other extractor guarded)
+                try:
+                    opened = PIL.Image.open(io.BytesIO(b))
+                    # capture BEFORE resize: PIL sets .format only in
+                    # open(), so the resized copy's is always None —
+                    # every JPEG used to come back silently re-encoded
+                    # as PNG
+                    fmt = opened.format or "PNG"
+                    img = opened.resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format=fmt)
+                except Exception:  # noqa: BLE001 — corrupt/null payload
+                    continue
+                ids.append(rid)
                 out_bytes.append(buf.getvalue())
-            yield pd.DataFrame({id_col: pdf[id_col].values, binary_col: out_bytes})
+            yield pd.DataFrame({id_col: ids, binary_col: out_bytes})
 
     id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, binary_col).mapInPandas(
@@ -311,7 +355,13 @@ def frame_sample(
 
     Output: one row per sampled frame — (id, frame_idx long,
     frame binary).
+
+    ``every_n`` must be >= 1 (round-8 review: 0 crashed every executor
+    task in range(); a negative silently emitted zero rows for ALL
+    assets — indistinguishable from the corrupt-payload degradation).
     """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     id_type = df.schema[id_col].dataType.simpleString()
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -345,17 +395,13 @@ def wav_signal_stats(b: bytes) -> dict:
     non-PCM16, or corrupt payloads -> nulls, never task failures."""
     out = {"rms": None, "peak": None, "silence_frac": None}
     try:
-        if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
-            return out
-        i, fmt_code, bits, data = 12, None, None, None
-        while i + 8 <= len(b):
-            cid, size = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
+        fmt_code, bits, data = None, None, None
+        for cid, size, off in _riff_chunks(b):
             if cid == b"fmt " and size >= 16:
-                fmt_code = struct.unpack("<H", b[i + 8:i + 10])[0]
-                bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+                fmt_code = struct.unpack("<H", b[off:off + 2])[0]
+                bits = struct.unpack("<H", b[off + 14:off + 16])[0]
             elif cid == b"data":
-                data = b[i + 8:i + 8 + size]
-            i += 8 + size + (size & 1)
+                data = b[off:off + size]
         if fmt_code != 1 or bits != 16 or not data:
             return out  # only uncompressed PCM16 is decodable here
         x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(

@@ -82,13 +82,16 @@ def quality_fit(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.storagelevel import StorageLevel
 
+    # rlike('\S'): F.trim strips ASCII spaces only, so a '\t\n'
+    # document trained as a zero-token zero-vector example that only
+    # distorted the intercept (round-8 review); rlike(null) is null, so
+    # the one predicate covers the null check too
     labeled = (
-        positive.select(F.col(text_col)).filter(
-            F.col(text_col).isNotNull() & (F.trim(text_col) != ""))
+        positive.select(F.col(text_col)).filter(F.col(text_col).rlike(r"\S"))
         .withColumn("__label", F.lit(1.0))
         .unionByName(
-            negative.select(F.col(text_col)).filter(
-                F.col(text_col).isNotNull() & (F.trim(text_col) != ""))
+            negative.select(F.col(text_col))
+            .filter(F.col(text_col).rlike(r"\S"))
             .withColumn("__label", F.lit(0.0)))
     )
     lr = LogisticRegression(
@@ -147,13 +150,22 @@ def quality_score(
     # clobbered — reject loudly
     reserved = {"__qs_orig", "probability", "prediction", "rawPrediction",
                 out_col}
+    # the FEATURIZER stages' temp columns too (round-8 review: a frame
+    # already carrying __words/__features passed this guard and then
+    # failed inside model.transform with the raw Spark error the guard
+    # documents itself as preventing) — derived from the model, so a
+    # featurizer change can never de-sync the set
+    reserved |= {st.getOutputCol() for st in model.stages
+                 if hasattr(st, "getOutputCol")}
     clash = reserved & set(df.columns) - {text_col}
     if clash:
         raise ValueError(
             f"input columns {sorted(clash)} collide with quality_score "
             "internals/ML outputs; rename or drop them before scoring")
-    has_signal = F.col("__qs_orig").isNotNull() & (
-        F.trim("__qs_orig") != "")
+    # rlike short-circuits at the first non-ws char; F.trim-based
+    # signal tests passed '\t\n' docs (round-8 review, same class as
+    # perplexity_buckets' r8 guard)
+    has_signal = F.col("__qs_orig").rlike(r"\S")
     # the tokenizer's input column is text_col (fixed at fit time) and
     # must be non-null; stash the original, feed "" for nulls, restore
     clean = df.withColumn("__qs_orig", F.col(text_col)).withColumn(
@@ -179,8 +191,11 @@ def quality_keep(
         F.col("quality_prob") >= threshold).select(*df.columns)
 
 
-def quality_load(spark, path: str):
-    """Reload a saved classifier pipeline."""
+def quality_load(path: str):
+    """Reload a saved classifier pipeline. (Loads through the ACTIVE
+    session — the round-8 review dropped the old unused ``spark``
+    parameter, whose presence implied a session binding
+    ``PipelineModel.load`` does not actually honor.)"""
     from pyspark.ml import PipelineModel
 
     return PipelineModel.load(path)

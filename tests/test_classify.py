@@ -123,3 +123,18 @@ def test_classify_flow_json_to_protobuf(spark, tmp_path):
         "market crash and panic today": ("lexicon", 40),
         "fine day": ("lexicon", 0),
     }
+
+
+def test_fear_index_col_unicode_whitespace_parity(spark):
+    """Round-8 review: Java's bare \\s is ASCII-only while the Python
+    twin's str.split() breaks on Unicode whitespace — an NBSP-joined
+    'fear\\u00a0panic' scored 0 in the Column form and 100 in Python.
+    (?U) closes the divergence; differential over the tricky cases."""
+    texts = ["fear panic", "crash loss", "calm day",
+             "fear panic", "", None, "  crash  "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {r["id"]: r["s"] for r in
+           df.select("id", fear_index_col(F.col("text")).alias("s")).collect()}
+    want = dict(enumerate(lexicon_fear_index(texts)))
+    assert got == want

@@ -85,3 +85,22 @@ def test_default_partition_null_key_is_null(spark):
     ps = [r.p for r in df.select(
         h.default_partition(F.col("key"), 8).alias("p")).collect()]
     assert ps[0] is not None and ps[1] is None
+
+
+def test_set_path_null_intermediate_raises_not_silently_drops(spark):
+    """Round-8 review: withField on a null struct returns null, so a
+    nested write through a null intermediate silently VANISHED for that
+    row; it now raises with the path named."""
+    from kafi_spark.functions.helpers import set_path
+
+    df = spark.createDataFrame(
+        [(1, ("x", ("en", 5))), (2, ("y", None))],
+        "id int, doc struct<name:string, meta:struct<lang:string, n:int>>")
+    ok = df.filter("id = 1").select(
+        set_path(F.col("doc"), "meta.lang", F.lit("de")).alias("d")).first()
+    assert ok["d"]["meta"]["lang"] == "de"
+    assert ok["d"]["meta"]["n"] == 5      # siblings untouched
+    assert ok["d"]["name"] == "x"
+    with pytest.raises(Exception, match="set_path"):
+        df.filter("id = 2").select(
+            set_path(F.col("doc"), "meta.lang", F.lit("de"))).collect()

@@ -316,3 +316,31 @@ def test_binary_features_null_payload_yields_null_fields(spark):
            for r in binary_features(df, "payload", "doc_id").collect()}
     assert got[1][0] == 3 and got[1][1] is not None
     assert got[2] == (None, None)
+
+
+def test_detect_format_mp3_sync_variants_and_jpeg_fill_bytes(spark):
+    """Round-8 review: only the \xff\xfb sync word matched, so
+    MPEG2/2.5 layer-3 and CRC'd MPEG1 files classified 'unknown'; and
+    the JPEG dim walk aborted on legal 0xFF fill bytes (ITU T.81
+    B.1.1.2), nulling the dims of valid padded files."""
+    payloads = [(i, b"\xff" + bytes([b2]) + b"\x90\x44" * 8)
+                for i, b2 in enumerate((0xFB, 0xFA, 0xF3, 0xF2, 0xE3, 0xE2))]
+    payloads.append((6, b"\xff\xc0junk"))   # sync bits NOT all set
+    df = spark.createDataFrame(payloads, "id long, payload binary")
+    got = dict(rows(df.select("id", mm.detect_format("payload").alias("f"))))
+    assert got == {i: "mp3" for i in range(6)} | {6: "unknown"}
+
+    # fill-byte padded JPEG: 0xFF between segments is legal padding
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 33, 44) + b"\x01\x11\x00")
+    padded = b"\xff\xd8" + b"\xff" + app0 + b"\xff\xff" + sof0 + b"\xff\xd9"
+    dims = mm.image_dims(padded)
+    assert (dims["width"], dims["height"]) == (44, 33)
+
+
+def test_frame_sample_validates_every_n(spark):
+    df = spark.createDataFrame([(1, b"GIF89a")], "id long, v binary")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="every_n"):
+            mm.frame_sample(df, "v", "id", every_n=bad)

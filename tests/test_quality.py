@@ -79,7 +79,7 @@ def test_save_load_roundtrip(spark, fitted, tmp_path):
     model, pos, _ = fitted
     path = str(tmp_path / "qmodel")
     model.write().overwrite().save(path)
-    back = Q.quality_load(spark, path)
+    back = Q.quality_load(path)
     a = Q.quality_score(model, pos.limit(20)).select(
         "doc_id", F.round("quality_prob", 6).alias("p")).collect()
     b = Q.quality_score(back, pos.limit(20)).select(
