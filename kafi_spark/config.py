@@ -85,6 +85,14 @@ def load_config(
             f"no configuration {name}.yaml/.yml under {search} "
             "(hint: set KAFI_HOME)"
         )
+    # a section left EMPTY in YAML ('local:' with nothing under it)
+    # parses to None — normalize to {} FIRST, so the mandatory check
+    # fails at load time with the intended KeyError on missing keys
+    # downstream instead of a later "'NoneType' is not subscriptable",
+    # and setdefault actually fills optional sections (round-8 review)
+    for section, val in list(config.items()):
+        if val is None:
+            config[section] = {}
     for section in mandatory:
         if section not in config:
             raise KeyError(

@@ -48,6 +48,19 @@ def scan_options(
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
     }
+    if streaming and (ts_end_ms is not None or end_offsets is not None):
+        # fail at build time instead of SILENTLY streaming past the
+        # requested bound (round-8 review: the ending bound was dropped
+        # without a signal; the connector itself rejects ending* options
+        # on streams, so the caller's intent cannot be honored)
+        from kafi_spark.sources.kafka_optspec import KafkaOptionError
+
+        raise KafkaOptionError(
+            "streaming scans cannot take an ending bound "
+            "(ts_end_ms/end_offsets): the Kafka connector rejects "
+            "ending* options for streams — drop the bound or use a "
+            "batch scan (streaming=False)"
+        )
     if ts_start_ms is not None:
         out["startingTimestamp"] = str(ts_start_ms)
     else:

@@ -70,7 +70,6 @@ _FORBIDDEN_SINK_KAFKA = {
 _LONG_OPTS = (
     "maxoffsetspertrigger",
     "minoffsetspertrigger",
-    "maxtriggerdelay",
     "minpartitions",
     "fetchoffset.numretries",
     "fetchoffset.retryintervalms",
@@ -80,7 +79,20 @@ _LONG_OPTS = (
 )
 _BOOL_OPTS = ("failondataloss", "includeheaders")
 
-_BOOTSTRAP_RE = re.compile(r"^[^\s,:]+:\d+(,[^\s,:]+:\d+)*$")
+#: maxTriggerDelay is a DURATION, not a long — the connector parses it
+#: with Spark's time-string parser ("15m", "1h", bare seconds; its own
+#: documented default is "15m"), so the integer check rejected valid
+#: configurations (round-8 review)
+_DURATION_OPTS = ("maxtriggerdelay",)
+_DURATION_RE = re.compile(r"^\s*-?\d+\s*(us|ms|s|m|min|h|d)?\s*$")
+
+#: hosts are either a bracketed IPv6 literal (the form the Kafka client
+#: accepts — '[::1]:9092') or any colon/comma-free token (round-8
+#: review: the old host class forbade ':' and rejected valid IPv6
+#: bootstrap strings)
+_BOOTSTRAP_RE = re.compile(
+    r"^(\[[0-9a-fA-F:.]+\]|[^\s,:]+):\d+"
+    r"(,(\[[0-9a-fA-F:.]+\]|[^\s,:]+):\d+)*$")
 
 
 class KafkaOptionError(ValueError):
@@ -126,6 +138,10 @@ def _check_scalars(low: dict[str, str]) -> None:
             except ValueError:
                 _fail(f"option {k} must be an integer string, got "
                       f"{low[k]!r}")
+    for k in _DURATION_OPTS:
+        if k in low and not _DURATION_RE.match(low[k]):
+            _fail(f"option {k} must be a duration string "
+                  f"(e.g. '15m', '500ms', bare seconds), got {low[k]!r}")
     for k in _BOOL_OPTS:
         if k in low and low[k].lower() not in ("true", "false"):
             _fail(f"option {k} must be 'true' or 'false', got {low[k]!r}")

@@ -46,13 +46,7 @@ class RestProxyError(RuntimeError):
         self.status = status
 
 
-def _q(segment) -> str:
-    """URL-quote one path segment: topic/group/subject names may carry
-    '/', space, or other URL-significant characters — unquoted they
-    address the WRONG resource (or fail outright)."""
-    from urllib.parse import quote
-
-    return quote(str(segment), safe="")
+from kafi_spark.sources.urlutil import quote_segment as _q  # noqa: E402
 
 
 def _http(method: str, url: str, payload: dict | None = None,
@@ -111,7 +105,9 @@ class RestProxyClient:
         )
 
     def delete_topic(self, topic: str) -> None:
-        self.request("DELETE", f"/v3/clusters/{self.cluster_id()}/topics/{topic}")
+        self.request(
+            "DELETE",
+            f"/v3/clusters/{self.cluster_id()}/topics/{_q(topic)}")
 
     def topics(self) -> list[str]:
         resp = self.request("GET", f"/v3/clusters/{self.cluster_id()}/topics")
@@ -120,14 +116,15 @@ class RestProxyClient:
     def partitions(self, topic: str) -> int:
         resp = self.request(
             "GET",
-            f"/v3/clusters/{self.cluster_id()}/topics/{topic}/partitions")
+            f"/v3/clusters/{self.cluster_id()}/topics/{_q(topic)}/partitions")
         return len(resp["data"])
 
     def watermarks(self, topic: str) -> dict[int, tuple[int, int]]:
         """v2 per-partition offsets endpoint (restproxy_admin.py:377-391)."""
         out = {}
         for p in range(self.partitions(topic)):
-            resp = self.request("GET", f"/topics/{topic}/partitions/{p}/offsets")
+            resp = self.request(
+                "GET", f"/topics/{_q(topic)}/partitions/{p}/offsets")
             out[p] = (resp["beginning_offset"], resp["end_offset"])
         return out
 
@@ -182,15 +179,22 @@ def rest_transport(client: RestProxyClient):
             return {b["broker_id"]: f"{b.get('host')}:{b.get('port')}"
                     for b in resp["data"]}
         if op == "describe_config":
-            path = (f"/v3/clusters/{cid}/brokers/{request['resource']}/configs"
+            path = (f"/v3/clusters/{cid}/brokers/{_q(request['resource'])}/configs"
                     if request["resource_type"] == "broker"
-                    else f"/v3/clusters/{cid}/topics/{request['resource']}/configs")
+                    else f"/v3/clusters/{cid}/topics/{_q(request['resource'])}/configs")
             resp = client.request("GET", path)
             return {c["name"]: c["value"] for c in resp["data"]}
         if op == "alter_config":
-            path = (f"/v3/clusters/{cid}/broker-configs:alter"
+            # PER-BROKER alter goes to the broker's own configs:alter —
+            # the cluster-wide /broker-configs:alter endpoint sets the
+            # dynamic DEFAULT for every broker (round-8 review: a change
+            # targeted at one broker silently altered them all, and the
+            # written resource did not even match what describe read)
+            path = (f"/v3/clusters/{cid}/brokers/{_q(request['resource'])}"
+                    "/configs:alter"
                     if request["resource_type"] == "broker"
-                    else f"/v3/clusters/{cid}/topics/{request['resource']}/configs:alter")
+                    else f"/v3/clusters/{cid}/topics/{_q(request['resource'])}"
+                    "/configs:alter")
             if request.get("validate_only"):
                 return None  # the proxy has no validate_only; reference skips too
             client.request("POST", path, {
@@ -213,7 +217,8 @@ def rest_transport(client: RestProxyClient):
             out = {}
             for g in request["groups"]:
                 resp = client.request(
-                    "GET", f"/v3/clusters/{cid}/consumer-groups/{g}/consumers")
+                    "GET",
+                    f"/v3/clusters/{cid}/consumer-groups/{_q(g)}/consumers")
                 out[g] = [c["consumer_id"] for c in resp["data"]]
             return out
         raise NotImplementedError(
@@ -255,7 +260,13 @@ def read_restproxy(spark, url: str, topic: str, group: str = "kafi_spark",
     """
     from kafi_spark.sources.schema import MESSAGE_SCHEMA
 
-    client = RestProxyClient(url, auth)
+    # the long-poll records fetch can legally take the full timeout_ms
+    # before the proxy answers — the HTTP client must outlive it
+    # (round-8 review: the hardcoded 10s default made any
+    # timeout_ms >= 10000 raise a socket timeout before the proxy could
+    # respond)
+    client = RestProxyClient(
+        url, auth, timeout=max(10.0, timeout_ms / 1000.0 + 5.0))
     inst = client.request(
         "POST", f"/consumers/{_q(group)}",
         # earliest by default: a scan of EXISTING messages is this
@@ -265,13 +276,29 @@ def read_restproxy(spark, url: str, topic: str, group: str = "kafi_spark",
         {"format": "binary", "auto.offset.reset": "earliest",
          **(instance_config or {})})
     instance_id = inst["instance_id"]
-    base = f"/consumers/{_q(group)}/instances/{_q(instance_id)}"
+    # all instance requests MUST go to the creation response's base_uri:
+    # the instance is sticky to ONE proxy node, and URLs rebuilt from
+    # the caller's (possibly load-balanced) endpoint round-robin to
+    # nodes that answer 40403 'Consumer instance not found' (round-8
+    # review; Confluent v2 API contract). Fall back to the caller URL
+    # for minimal proxies that omit base_uri.
+    base_uri = inst.get("base_uri") or (
+        f"{client.url}/consumers/{_q(group)}/instances/{_q(instance_id)}")
+    if "://" not in base_uri:
+        # some proxies return a host-relative base_uri; anchor it to the
+        # endpoint we created the instance through
+        base_uri = f"{client.url}/{base_uri.lstrip('/')}"
+
+    def inst_request(method: str, suffix: str, payload=None, headers=None):
+        return _http(method, f"{base_uri}{suffix}", payload, headers,
+                     client.auth, client.timeout)
+
     try:
-        client.request("POST", f"{base}/subscription", {"topics": [topic]})  # topic in body: no quoting
+        inst_request("POST", "/subscription", {"topics": [topic]})  # topic in body: no quoting
         rows = []
         for _ in range(num_attempts):
-            recs = client.request(
-                "GET", f"{base}/records?timeout={timeout_ms}&max_bytes={max_bytes}",
+            recs = inst_request(
+                "GET", f"/records?timeout={timeout_ms}&max_bytes={max_bytes}",
                 headers={"Accept": _BINARY_V2}) or []
             for m in recs:
                 rows.append((
@@ -280,12 +307,12 @@ def read_restproxy(spark, url: str, topic: str, group: str = "kafi_spark",
                     m["topic"], m["partition"], m["offset"], None, 0, None,
                 ))
         if commit and rows:
-            client.request("POST", f"{base}/offsets", {"offsets": [
+            inst_request("POST", "/offsets", {"offsets": [
                 {"topic": t, "partition": p, "offset": o}
                 for (_, _, t, p, o, _, _, _) in rows
             ]})
     finally:
-        client.request("DELETE", base)
+        inst_request("DELETE", "")
     return spark.createDataFrame(rows, MESSAGE_SCHEMA)
 
 

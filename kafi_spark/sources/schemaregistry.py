@@ -26,13 +26,7 @@ class SchemaRegistryError(RuntimeError):
 
 
 
-def _q(segment) -> str:
-    """URL-quote one path segment — subject names may carry '/', space,
-    or other URL-significant characters (they are arbitrary strings in
-    the registry); unquoted they address the wrong resource."""
-    from urllib.parse import quote
-
-    return quote(str(segment), safe="")
+from kafi_spark.sources.urlutil import quote_segment as _q  # noqa: E402
 
 
 class SchemaRegistryClient:
@@ -123,6 +117,8 @@ class SchemaRegistryClient:
                            version: int | str = "latest") -> bool:
         body = {"schema": schema if isinstance(schema, str) else json.dumps(schema)}
         out = self._req(
-            "POST", f"/compatibility/subjects/{subject}/versions/{version}", body
+            "POST",
+            f"/compatibility/subjects/{_q(subject)}/versions/{_q(version)}",
+            body
         )
         return bool(out["is_compatible"])

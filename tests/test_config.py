@@ -129,3 +129,22 @@ def test_resolve_s3_and_azure_configs(kafi_home, tmp_path, spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         resolve_storage_config(spark, "gcs", "x")
+
+
+def test_empty_yaml_section_normalizes_to_dict(kafi_home, tmp_path):
+    """Round-8 review: a section left empty in YAML ('local:') parses
+    to None, which passed the mandatory check and then crashed later
+    with 'NoneType is not subscriptable'; it now normalizes to {} so
+    missing keys fail with the intended KeyError."""
+    import os
+
+    from kafi_spark.config import load_config
+
+    d = os.path.join(kafi_home, "configs", "locals")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "emptysec.yaml"), "w") as f:
+        f.write("local:\nschema_registry:\n")
+    cfg = load_config("emptysec", "locals", mandatory=["local"],
+                      optional=["schema_registry"])
+    assert cfg["local"] == {}
+    assert cfg["schema_registry"] == {}

@@ -50,9 +50,15 @@ def test_timestamp_bounds_take_precedence():
     assert "startingOffsets" not in o and "endingOffsets" not in o
 
 
-def test_streaming_has_no_ending_bound():
-    o = scan_options("b:9092", "t", end_offsets={0: 9}, ts_end_ms=99,
-                     streaming=True)
+def test_streaming_with_ending_bound_raises():
+    """Round-8 review: the ending bound used to be DROPPED silently —
+    the caller asked for a bounded scan and got an unbounded stream.
+    The connector rejects ending* options on streams, so the intent
+    cannot be honored; fail at build time."""
+    for kw in ({"end_offsets": {0: 9}}, {"ts_end_ms": 99}):
+        with pytest.raises(KafkaOptionError, match="ending"):
+            scan_options("b:9092", "t", streaming=True, **kw)
+    o = scan_options("b:9092", "t", streaming=True)
     assert "endingOffsets" not in o and "endingTimestamp" not in o
     assert o["startingOffsets"] == "earliest"
 
@@ -210,3 +216,21 @@ def test_read_kafka_wires_exact_options(spark, monkeypatch):
     expect = scan_options("b:9092", "t", offsets={0: 7})
     assert {k: v for k, v in recorded.items()
             if k not in ("format", "loaded")} == expect
+
+
+def test_duration_and_ipv6_options_accepted():
+    """Round-8 review: maxTriggerDelay is a DURATION the connector
+    parses ('15m' is its documented default) — the integer check
+    rejected valid configs; and bracketed IPv6 bootstrap addresses are
+    legal Kafka client syntax the host regex forbade."""
+    o = scan_options("b:9092", "t", streaming=True,
+                     options={"minOffsetsPerTrigger": "100",
+                              "maxTriggerDelay": "15m"})
+    assert o["maxTriggerDelay"] == "15m"
+    scan_options("[::1]:9092", "t")
+    scan_options("[2001:db8::1]:9092,plain-host:9093", "t")
+    with pytest.raises(KafkaOptionError, match="maxtriggerdelay"):
+        scan_options("b:9092", "t", streaming=True,
+                     options={"maxTriggerDelay": "soon"})
+    with pytest.raises(KafkaOptionError):
+        scan_options("::1:9092", "t")  # unbracketed ipv6 stays rejected

@@ -101,7 +101,8 @@ def _make_server(state: _FakeProxy):
                     state.acls.append(self._body())
                     return self._send(None, 201)
                 if len(rest) == 3 and rest[2] == "configs:alter":
-                    state.altered.append({"resource": rest[1], **self._body()})
+                    state.altered.append({"resource": rest[1],
+                                          "kind": rest[0], **self._body()})
                     return self._send(None, 204)
                 if rest == ["broker-configs:alter"]:
                     state.altered.append({"resource": "broker", **self._body()})
@@ -189,8 +190,15 @@ def test_admin_transport_acls_brokers_groups(proxy):
     assert admin.topic_config("snacks") == {"retention.ms": "100"}
     admin.topic_config("snacks", config={"retention.ms": 500})
     assert state.altered[-1]["resource"] == "snacks"
+    assert state.altered[-1]["kind"] == "topics"
     assert state.altered[-1]["data"] == [
         {"name": "retention.ms", "value": "500", "operation": "SET"}]
+    # per-broker alter posts to THAT broker's configs:alter, not the
+    # cluster-wide /broker-configs:alter default (round-8 review: a
+    # change targeted at one broker silently altered them all)
+    admin.broker_config(pattern=1, config={"log.cleaner.threads": 2})
+    assert state.altered[-1]["resource"] == "1"
+    assert state.altered[-1]["kind"] == "brokers"
     assert admin.groups() == ["g1"]
     assert admin.describe_groups("g1") == {"g1": ["c-1"]}
     with pytest.raises(NotImplementedError, match="no public endpoint"):
