@@ -1972,6 +1972,7 @@ _EXTRA_SQL = {
           FROM (SELECT doc_id,
                        regexp_extract_all(text, '\S+') AS ws
                 FROM documents)
+          WHERE len(ws) > 0
         ),
         bg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 20 = 0),
         cg AS (SELECT doc_id, gram FROM sh WHERE doc_id % 20 != 0)

@@ -142,7 +142,14 @@ def _executor_cpu_total(spark) -> int | None:
     CPU time moves with the work (round-7 verdict: a ~15% engine-real
     expression regression was signed off as host residue because the
     artifact only compared plan metrics). Python-worker CPU (pandas
-    UDFs) is NOT included — this counts JVM task threads only."""
+    UDFs) is NOT included — this counts JVM task threads only.
+
+    VALID ONLY while the status store retains every completed stage:
+    past spark.ui.retainedStages, eviction makes this 'cumulative'
+    total DROP and deltas go negative (round-8 self-review). bench's
+    session pins retainedStages=100000 (a full round is ~a few
+    thousand stages); timed_run additionally discards negative deltas
+    so an evicted window records no cpu rather than garbage."""
     try:
         jvm = spark._jvm
         gw = spark.sparkContext._gateway
@@ -610,6 +617,8 @@ def main() -> None:
         cpu1 = _executor_cpu_total(spark)
         steal = st1 - st0 if st0 is not None and st1 is not None else None
         cpu = (cpu1 - cpu0) / 1e9 if cpu0 is not None and cpu1 is not None else None
+        if cpu is not None and cpu < 0:
+            cpu = None  # status-store eviction crossed the window
         phases = dict(LAST_PHASES) or None
         if phases and "fit_sec" in phases:
             # the remainder of the wall time is the scoring/action scan

@@ -60,12 +60,27 @@ def _parallelize(df: DataFrame) -> DataFrame:
     for the real query — the dedup hot path doubled, round-8 review).
     Frames containing a shuffle already run at
     ``spark.sql.shuffle.partitions`` parallelism, so skipping the
-    probe for them changes nothing."""
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(t in plan for t in (
-        "Join", "Aggregate", "Window", "Deduplicate",
-        "RepartitionByExpression", "Repartition",
-    )):
+    probe for them changes nothing. Operator detection reads the
+    logical plan's node CLASS names from toJSON — a raw substring match
+    over the plan string false-positived on literals/column names (a
+    filter value 'Join' skipped a needed repartition) and missed
+    Sort/Sample/limit shuffles (round-8 self-review)."""
+    import json as _json
+
+    try:
+        nodes = {
+            n.get("class", "").rsplit(".", 1)[-1]
+            for n in _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+        }
+    except Exception:  # noqa: BLE001 — probe is an optimization only
+        nodes = set()
+    if nodes & {
+        "Join", "Aggregate", "Window", "Deduplicate", "Distinct",
+        "Intersect", "Except", "Sort", "Sample", "GlobalLimit",
+        "Repartition", "RepartitionByExpression", "RebalancePartitions",
+        "CoGroup", "FlatMapGroupsInPandas", "FlatMapGroupsWithStateExec",
+        "MapInPandas",
+    }:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -93,12 +93,14 @@ def _io(state_dir: str, spark=None):
     ``os.listdir``-only, so ``s3a://`` state that :func:`save_delta`
     wrote perfectly well read back as "no state" — the streaming
     incremental-dedup gate then saw empty history every epoch and
-    near-dups silently passed, while kll/cms totals crashed."""
-    if "://" not in state_dir:
-        from kafi_spark.sources.fsio import LocalIO
+    near-dups silently passed, while kll/cms totals crashed.
 
-        return LocalIO()
-    if spark is None:
+    Dispatch itself delegates to :func:`kafi_spark.sources.fsio.io_for`
+    — ONE scheme-routing rule repo-wide; this wrapper only adds the
+    active-session fallback for scheme paths."""
+    from kafi_spark.sources.fsio import io_for
+
+    if "://" in state_dir and spark is None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
@@ -107,9 +109,7 @@ def _io(state_dir: str, spark=None):
                 f"listing {state_dir} needs an active SparkSession "
                 "(Hadoop FileSystem) — none is active"
             )
-    from kafi_spark.sources.fsio import HadoopIO
-
-    return HadoopIO(spark, state_dir)
+    return io_for(spark, state_dir)
 
 
 def _epoch_int(tag: str, state_dir: str) -> int:

@@ -101,9 +101,13 @@ def wc(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     # values count 0 words.
     from kafi_spark.functions.text import ws_tokens
 
+    # null guard via when(), NOT coalesce(size(...), 0): with ANSI off
+    # and legacy sizeOfNull, size(null) returns -1 rather than null, so
+    # coalesce never fired and each null key/value COUNTED -1 words
+    # (round-8 review, reproduced) — Kafka keys are routinely null
     word_counts = [
-        F.coalesce(
-            F.size(ws_tokens(F.col(c).cast("string"))), F.lit(0)
+        F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+            F.size(ws_tokens(F.col(c).cast("string")))
         )
         for c in cols
     ]

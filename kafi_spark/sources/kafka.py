@@ -48,11 +48,15 @@ def scan_options(
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
     }
-    if streaming and (ts_end_ms is not None or end_offsets is not None):
+    if validate and streaming and (
+        ts_end_ms is not None or end_offsets is not None
+    ):
         # fail at build time instead of SILENTLY streaming past the
         # requested bound (round-8 review: the ending bound was dropped
         # without a signal; the connector itself rejects ending* options
-        # on streams, so the caller's intent cannot be honored)
+        # on streams, so the caller's intent cannot be honored). Part of
+        # the validate= contract, so validate=False opts out like every
+        # other check (round-8 self-review).
         from kafi_spark.sources.kafka_optspec import KafkaOptionError
 
         raise KafkaOptionError(

@@ -83,8 +83,12 @@ _BOOL_OPTS = ("failondataloss", "includeheaders")
 #: with Spark's time-string parser ("15m", "1h", bare seconds; its own
 #: documented default is "15m"), so the integer check rejected valid
 #: configurations (round-8 review)
+#: mirrors Spark's JavaUtils time parser over the TRIMMED string —
+#: no internal whitespace ('15 m' throws NumberFormatException at
+#: stream start) and no negatives (a negative trigger delay is
+#: meaningless; round-8 self-review tightened both)
 _DURATION_OPTS = ("maxtriggerdelay",)
-_DURATION_RE = re.compile(r"^\s*-?\d+\s*(us|ms|s|m|min|h|d)?\s*$")
+_DURATION_RE = re.compile(r"^\s*\d+(us|ms|s|m|min|h|d)?\s*$")
 
 #: hosts are either a bracketed IPv6 literal (the form the Kafka client
 #: accepts — '[::1]:9092') or any colon/comma-free token (round-8

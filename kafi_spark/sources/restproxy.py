@@ -250,7 +250,8 @@ def read_restproxy(spark, url: str, topic: str, group: str = "kafi_spark",
                    num_attempts: int = 1, timeout_ms: int = 1000,
                    max_bytes: int = 67108864,
                    instance_config: dict | None = None,
-                   commit: bool = False):
+                   commit: bool = False,
+                   use_base_uri: bool = True):
     """Consume a topic through the proxy into a DataFrame (binary format;
     key/value base64-decoded like restproxy_consumer.py:132-146).
 
@@ -282,7 +283,11 @@ def read_restproxy(spark, url: str, topic: str, group: str = "kafi_spark",
     # nodes that answer 40403 'Consumer instance not found' (round-8
     # review; Confluent v2 API contract). Fall back to the caller URL
     # for minimal proxies that omit base_uri.
-    base_uri = inst.get("base_uri") or (
+    # ``use_base_uri=False`` is the escape hatch for single-node proxies
+    # whose ADVERTISED host is unreachable from the driver (Docker port
+    # mapping, TLS-terminating fronts): requests then rebuild from the
+    # caller's endpoint, the pre-round-8 behavior.
+    base_uri = (inst.get("base_uri") if use_base_uri else None) or (
         f"{client.url}/consumers/{_q(group)}/instances/{_q(instance_id)}")
     if "://" not in base_uri:
         # some proxies return a host-relative base_uri; anchor it to the
