@@ -79,7 +79,14 @@ def parse_schema(schema, _names: dict | None = None):
         else:
             schema = stripped  # bare primitive or type name
     names = {} if _names is None else _names
-    return _norm(schema, names, namespace=None)
+    out = _norm(schema, names, namespace=None)
+    # marker lets decode()/encode()/read_ocf() distinguish OUR
+    # normalized form from a raw json.loads dict (round-8 review: any
+    # dict with a 'type' key skipped normalization and crashed deep in
+    # the codec); _norm is also union-dict idempotent so re-parsing a
+    # normalized schema is safe
+    out["__kafi_normalized__"] = True
+    return out
 
 
 def _fullname(name: str, namespace: str | None) -> str:
@@ -98,6 +105,10 @@ def _norm(node, names: dict, namespace: str | None):
         raise ValueError(f"unknown type name: {node}")
     if isinstance(node, list):  # union
         return {"type": "union", "branches": [_norm(b, names, namespace) for b in node]}
+    if isinstance(node, dict) and node.get("type") == "union" and "branches" in node:
+        # already-normalized union (idempotent re-parse)
+        return {"type": "union",
+                "branches": [_norm(b, names, namespace) for b in node["branches"]]}
     if not isinstance(node, dict):
         raise ValueError(f"bad schema node: {node!r}")
     t = node.get("type")
@@ -205,12 +216,19 @@ class _Reader:
 # ---------------------------------------------------------------------------
 
 def _decimal_to_unscaled(v: _decimal.Decimal, scale: int) -> int:
-    q = v.scaleb(scale)
-    unscaled = int(q)
-    if q != unscaled:
-        raise ValueError(
-            f"decimal {v} does not fit scale {scale} without rounding"
-        )
+    # scaleb under the DEFAULT 28-digit context silently ROUNDS values
+    # with more significant digits before the integrality check ran —
+    # 38-digit decimals (legal for Spark DecimalType(38)) corrupted on
+    # encode with no error (round-8 review, reproduced). A widened
+    # local context makes the shift exact for any Avro/Spark decimal.
+    with _decimal.localcontext() as ctx:
+        ctx.prec = max(len(v.as_tuple().digits) + abs(scale) + 2, 40)
+        q = v.scaleb(scale)
+        unscaled = int(q)
+        if q != unscaled:
+            raise ValueError(
+                f"decimal {v} does not fit scale {scale} without rounding"
+            )
     return unscaled
 
 
@@ -279,7 +297,11 @@ def _base_to_logical(v, s: dict):
         return v
     if lt == "decimal":
         unscaled = int.from_bytes(v, "big", signed=True)
-        return _decimal.Decimal(unscaled).scaleb(-s["scale"])
+        # widened context: the decode side of the round-8 precision fix
+        # (default 28-digit context rounded >28-digit unscaled values)
+        with _decimal.localcontext() as ctx:
+            ctx.prec = max(len(str(abs(unscaled))) + 2, 40)
+            return _decimal.Decimal(unscaled).scaleb(-s["scale"])
     if lt == "date":
         return _EPOCH_DATE + _dt.timedelta(days=v)
     if lt in ("time-millis", "time-micros"):
@@ -300,7 +322,8 @@ def _base_to_logical(v, s: dict):
 
 def encode(value, schema) -> bytes:
     """Serialize ``value`` per ``schema`` (parsed or JSON) to Avro binary."""
-    sch = schema if isinstance(schema, dict) and "type" in schema else parse_schema(schema)
+    sch = schema if isinstance(schema, dict) \
+        and "__kafi_normalized__" in schema else parse_schema(schema)
     out = BytesIO()
     _enc(out, value, sch)
     return out.getvalue()
@@ -321,6 +344,17 @@ def _enc(out: BytesIO, v, s: dict) -> None:
     elif t == "boolean":
         out.write(b"\x01" if v else b"\x00")
     elif t in ("int", "long"):
+        if isinstance(v, float) and abs(v) >= 2.0 ** 53:
+            # a long column with ANY null reaches pandas as float64;
+            # values past 2^53 have already lost exactness there, so
+            # int(v) would encode a silently-wrong number (round-8
+            # review). Loud beats corrupted: avoid nulls in >2^53 long
+            # columns, or pre-cast them to string.
+            raise ValueError(
+                f"long value {v!r} arrived as float64 (a nullable long "
+                "column converts that way) and magnitudes >= 2^53 are "
+                "no longer exact — refusing to encode a corrupted value"
+            )
         _write_long(out, int(v))
     elif t == "float":
         out.write(struct.pack("<f", float(v)))
@@ -430,7 +464,13 @@ def _branch_index(v, branches: list[dict]) -> int:
         if isinstance(v, float):
             return t in ("float", "double")
         if isinstance(v, str):
-            return t in ("string", "enum")
+            # enum branches match only MEMBER strings (round-8 review:
+            # in union [enum, string] a non-symbol string picked the
+            # enum branch and crashed at symbols.index despite being
+            # encodable via the string branch)
+            if t == "enum":
+                return v in s["symbols"]
+            return t == "string"
         if isinstance(v, (bytes, bytearray)):
             return t in ("bytes", "fixed")
         if isinstance(v, (list, tuple)):
@@ -491,11 +531,12 @@ def _branch_index(v, branches: list[dict]) -> int:
 def decode(data: bytes, writer_schema, reader_schema=None):
     """Deserialize Avro binary written with ``writer_schema``; when
     ``reader_schema`` differs, apply the spec's resolution rules."""
-    w = writer_schema if isinstance(writer_schema, dict) and "type" in writer_schema \
-        else parse_schema(writer_schema)
+    w = writer_schema if isinstance(writer_schema, dict) \
+        and "__kafi_normalized__" in writer_schema else parse_schema(writer_schema)
     r = None
     if reader_schema is not None:
-        r = reader_schema if isinstance(reader_schema, dict) and "type" in reader_schema \
+        r = reader_schema if isinstance(reader_schema, dict) \
+            and "__kafi_normalized__" in reader_schema \
             else parse_schema(reader_schema)
     rd = _Reader(bytes(data))
     return _dec(rd, w, r)
@@ -632,7 +673,8 @@ def avro_to_spark(schema):
     are rejected (no Spark analogue)."""
     from pyspark.sql import types as T
 
-    sch = schema if isinstance(schema, dict) and "type" in schema else parse_schema(schema)
+    sch = schema if isinstance(schema, dict) \
+        and "__kafi_normalized__" in schema else parse_schema(schema)
 
     def go(s, seen):
         t = s["type"]

@@ -35,6 +35,7 @@ routes csv/json/parquet/xlsx/xml only).
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob as _glob
 import io
 import json
@@ -83,7 +84,8 @@ def write_ocf(
     from the schema (writes are reproducible byte-for-byte)."""
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"codec {codec!r} (null/deflate supported)")
-    sch = schema if isinstance(schema, dict) and "type" in schema else parse_schema(schema)
+    sch = schema if isinstance(schema, dict) \
+        and "__kafi_normalized__" in schema else parse_schema(schema)
     schema_json = json.dumps(_schema_to_json(sch))
     if sync is None:
         sync = md5(schema_json.encode() + codec.encode()).digest()
@@ -158,7 +160,8 @@ def read_ocf(data: bytes, reader_schema=None) -> Iterator:
     sch, codec, sync, pos = read_ocf_header(data)
     r = None
     if reader_schema is not None:
-        r = reader_schema if isinstance(reader_schema, dict) and "type" in reader_schema \
+        r = reader_schema if isinstance(reader_schema, dict) \
+            and "__kafi_normalized__" in reader_schema \
             else parse_schema(reader_schema)
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"codec {codec!r} (null/deflate supported)")
@@ -182,16 +185,31 @@ def read_ocf(data: bytes, reader_schema=None) -> Iterator:
 # ---------------------------------------------------------------------------
 
 
+def _named(s: dict) -> dict:
+    """name/namespace JSON attributes from a parsed fullname — round-8
+    review: dropping the namespace broke named-type union resolution by
+    fullname for any schema read back from an OCF header."""
+    if "." in s["name"]:
+        ns, name = s["name"].rsplit(".", 1)
+        return {"name": name, "namespace": ns}
+    return {"name": s["name"]}
+
+
 def _schema_to_json(s: dict):
-    """Parsed-schema dict back to canonical Avro JSON."""
+    """Parsed-schema dict back to canonical Avro JSON. Field defaults,
+    enum defaults, and enum/fixed namespaces are carried (round-8
+    review: dropping them made the header schema lose exactly the
+    attributes reader-schema RESOLUTION depends on — a heterogeneous
+    directory read then failed on 'reader field absent and has no
+    default' despite the source schema carrying one)."""
     t = s["type"]
     extra = {k: s[k] for k in ("logicalType", "precision", "scale") if k in s}
     if t == "record":
         return {
-            "type": "record", "name": s["name"].rsplit(".", 1)[-1],
-            **({"namespace": s["name"].rsplit(".", 1)[0]} if "." in s["name"] else {}),
+            "type": "record", **_named(s),
             "fields": [
-                {"name": f["name"], "type": _schema_to_json(f["type"])}
+                {"name": f["name"], "type": _schema_to_json(f["type"]),
+                 **({"default": f["default"]} if "default" in f else {})}
                 for f in s["fields"]
             ],
         }
@@ -202,9 +220,10 @@ def _schema_to_json(s: dict):
     if t == "map":
         return {"type": "map", "values": _schema_to_json(s["values"]), **extra}
     if t == "enum":
-        return {"type": "enum", "name": s["name"].rsplit(".", 1)[-1], "symbols": s["symbols"]}
+        return {"type": "enum", **_named(s), "symbols": s["symbols"],
+                **({"default": s["default"]} if "default" in s else {})}
     if t == "fixed":
-        return {"type": "fixed", "name": s["name"].rsplit(".", 1)[-1], "size": s["size"], **extra}
+        return {"type": "fixed", **_named(s), "size": s["size"], **extra}
     return {"type": t, **extra} if extra else t
 
 
@@ -363,9 +382,27 @@ class _OCFWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         final = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.avro")
         tmp = os.path.join(self.path, "." + os.path.basename(final) + ".tmp")
+
+        # Spark's TimestampType.fromInternal hands the writer naive
+        # LOCAL-time datetimes, but the codec's convention is
+        # naive == UTC — on a non-UTC host every written timestamp was
+        # silently shifted by the host offset (round-8 review,
+        # reproduced under TZ=America/New_York). astimezone() on a
+        # naive value interprets it in the PLATFORM zone — exactly the
+        # zone fromInternal rendered it in — so the round trip is an
+        # identity on the epoch instant.
+        def _utcify(o):
+            if isinstance(o, _dt.datetime) and o.tzinfo is None:
+                return o.astimezone(_dt.timezone.utc)
+            if isinstance(o, dict):
+                return {k: _utcify(x) for k, x in o.items()}
+            if isinstance(o, list):
+                return [_utcify(x) for x in o]
+            return o
+
         with open(tmp, "wb") as f:
             n = write_ocf(
-                (row.asDict(recursive=True) for row in iterator),
+                (_utcify(row.asDict(recursive=True)) for row in iterator),
                 sch, f, codec=self.codec, block_records=self.block_records,
             )
         return _Written(tmp_path=tmp, final_path=final, rows=n)

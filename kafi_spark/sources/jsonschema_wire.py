@@ -74,16 +74,22 @@ def validate_json_df(df, col: str, schema: dict | str, mode: str = "error",
             F.col(flag_col).isNull() | F.col(flag_col)
         ).drop(flag_col)
     if mode == "error":
-        # Gate the payload column itself — a dropped side-column would be
-        # pruned by Catalyst, silently skipping validation.
-        payload_t = df.schema[col].dataType.simpleString()
-        return flagged.withColumn(
-            col,
-            F.when(F.col(flag_col).isNull() | F.col(flag_col), F.col(col)).otherwise(
+        # Enforce through a FILTER predicate, not a gated projection of
+        # the payload column: Catalyst prunes unused columns, so a
+        # query that never consumed the payload (count(), key-only
+        # selects) silently skipped validation despite the 'fail on
+        # first invalid payload' contract (round-8 review — the earlier
+        # payload-column gate only fixed pruning of the side column).
+        # A filter must be evaluated for every row regardless of the
+        # downstream projection.
+        return flagged.filter(
+            F.when(
+                F.col(flag_col).isNull() | F.col(flag_col), F.lit(True)
+            ).otherwise(
                 F.raise_error(
                     F.concat(F.lit("jsonschema validation failed: "),
                              F.col(col).cast("string"))
-                ).cast(payload_t)
-            ),
+                ).cast("boolean")
+            )
         ).drop(flag_col)
     raise ValueError(f"unknown mode: {mode}")

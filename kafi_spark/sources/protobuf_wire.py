@@ -180,6 +180,9 @@ def parse_proto(text: str, message: str | None = None):
                     fname = take()
                     expect("=")
                     num = int(take())
+                    if peek() == "[":  # field options (round-8 review:
+                        while take() != "]":  # a [json_name=...] inside
+                            pass  # a oneof derailed the parser)
                     if peek() == ";":
                         take()
                     pending.append((num, fname, tn, False, None))
@@ -477,7 +480,13 @@ def _dec_scalar(rd: _Reader, t: str, enum: ProtoEnum | None = None):
         return rd.uvarint() != 0
     if t == "enum":
         n = _signed64(rd.uvarint())
-        return enum.by_number.get(n, n)
+        # unknown numbers surface as their DECIMAL STRING: the Spark
+        # bridge types enum fields as StringType, and a raw int in a
+        # string column killed the whole Arrow batch — exactly the
+        # schema-evolution case (producer adds a value) enums must
+        # survive (round-8 review; protobuf JSON prints unknown enum
+        # numbers the same way)
+        return enum.by_number.get(n, str(n))
     if t == "double":
         return struct.unpack("<d", rd.read(8))[0]
     if t == "float":
@@ -696,7 +705,10 @@ def _wrap_uint64(v):
     if isinstance(v, list):
         return [_wrap_uint64(x) for x in v]
     if isinstance(v, dict):
-        return {k: _wrap_uint64(x) for k, x in v.items()}
+        # KEYS too: map<uint64, ...> keys >= 2^63 overflow Spark's
+        # signed LongType map key in the Arrow conversion (round-8
+        # review; values were wrapped, keys were not)
+        return {_wrap_uint64(k): _wrap_uint64(x) for k, x in v.items()}
     return v
 
 

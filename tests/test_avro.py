@@ -641,3 +641,47 @@ def test_defaults_convert_bytes_and_logicals():
     wsch = json.dumps({"type": "record", "name": "W", "fields": [
         {"name": "p", "type": "bytes", "default": "\u0001"}]})
     assert avro.decode(avro.encode({}, wsch), wsch) == {"p": b"\x01"}
+
+
+def test_high_precision_decimal_is_exact():
+    """Round-8 review: scaleb under the default 28-digit context
+    silently ROUNDED >28-digit decimals before the integrality check —
+    38-digit values (legal for Spark DecimalType(38)) corrupted on
+    encode with no error."""
+    import decimal
+
+    sch = avro.parse_schema(json.dumps({
+        "type": "bytes", "logicalType": "decimal",
+        "precision": 38, "scale": 0}))
+    v = decimal.Decimal("12345678901234567890123456789012345678")
+    assert avro.decode(avro.encode(v, sch), sch) == v
+    with pytest.raises(ValueError, match="rounding"):
+        avro.encode(decimal.Decimal("1.5"), sch)  # scale 0 can't hold it
+
+
+def test_enum_union_branch_requires_symbol_membership():
+    """Round-8 review: in union [enum, string] a non-symbol string
+    picked the enum branch and crashed at symbols.index despite being
+    encodable via the string branch."""
+    sch = avro.parse_schema(json.dumps([
+        {"type": "enum", "name": "E", "symbols": ["A", "B"]}, "string"]))
+    for v in ("A", "hello"):
+        assert avro.decode(avro.encode(v, sch), sch) == v
+
+
+def test_raw_json_loads_dict_is_parsed_not_trusted():
+    """Round-8 review: any dict with a 'type' key skipped normalization
+    and crashed deep in the codec; raw json.loads dicts now re-parse."""
+    raw = json.loads('{"type":"record","name":"R","fields":'
+                     '[{"name":"x","type":"string"}]}')
+    assert avro.decode(avro.encode({"x": "hi"}, raw), raw) == {"x": "hi"}
+
+
+def test_long_past_2_53_arriving_as_float_refused():
+    """Round-8 review: a nullable long column reaches pandas as
+    float64; past 2^53 the value has already lost exactness — encoding
+    it would write a silently-wrong number."""
+    sch = avro.parse_schema('"long"')
+    assert avro.decode(avro.encode(float(2**50), sch), sch) == 2**50
+    with pytest.raises(ValueError, match="2\\^53"):
+        avro.encode(float(2**53 + 100), sch)

@@ -78,3 +78,23 @@ def test_null_payloads_are_tombstones_not_failures(spark):
     ok = validate_json_df(
         df.filter("value IS NULL"), "value", sch, mode="error").collect()
     assert len(ok) == 1  # tombstone passes error mode untouched
+
+
+def test_error_mode_fires_even_when_payload_never_projected(spark):
+    """Round-8 review: the payload-column gate was PRUNED by Catalyst
+    for queries that never consumed the payload (count(), key-only
+    selects), silently skipping validation; the filter-predicate form
+    is evaluated per row regardless of projection."""
+    df = spark.createDataFrame(
+        [("k1", b'{"n": 1}'), ("k2", b'{"n": "bad"}')],
+        "key string, value binary")
+    sch = {"type": "object", "properties": {"n": {"type": "integer"}},
+           "required": ["n"]}
+    out = validate_json_df(df, "value", sch, mode="error")
+    with pytest.raises(Exception, match="jsonschema validation failed"):
+        out.count()
+    with pytest.raises(Exception, match="jsonschema validation failed"):
+        out.select("key").collect()
+    ok = validate_json_df(
+        df.filter("key = 'k1'"), "value", sch, mode="error")
+    assert ok.count() == 1

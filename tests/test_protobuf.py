@@ -144,9 +144,14 @@ def test_unknown_fields_skipped():
     assert pw.decode(data, reader) == {"a": 7}
 
 
-def test_unknown_enum_number_surfaces_as_int(sink):
+def test_unknown_enum_number_surfaces_as_decimal_string(sink):
+    """Round-8 review: the Spark bridge types enum fields as string, so
+    a raw int for an unknown number mixed types in the pandas column
+    and killed the whole Arrow batch — the schema-evolution case
+    (producer adds a value) enums must survive. Unknown numbers now
+    surface as their decimal string, protobuf-JSON style."""
     raw = pw.encode({"color": 42}, sink)
-    assert pw.decode(raw, sink)["color"] == 42
+    assert pw.decode(raw, sink)["color"] == "42"
 
 
 def test_multiple_top_level_needs_message_kwarg():
@@ -253,3 +258,20 @@ def test_uint64_above_signed_range_wraps_in_spark_bridge(spark):
     df = spark.createDataFrame([(bytearray(raw),)], "p binary")
     out = pw.from_protobuf_df(df, "p", mdef).collect()
     assert out[0]["p"]["v"] == big - (1 << 64)  # signed wrap, no crash
+
+
+def test_oneof_field_options_are_skipped():
+    """Round-8 review: a [json_name=...] option inside a oneof derailed
+    the parser (the '[' was consumed as the next field's type)."""
+    m = pw._as_mdef('message K { oneof kind { string a = 1 '
+                    '[json_name = "x"]; int32 b = 2; } }')
+    raw = pw.encode({"a": "hi"}, m)
+    assert pw.decode(raw, m)["a"] == "hi"
+
+
+def test_uint64_map_keys_wrap_to_signed():
+    """Round-8 review: map<uint64,...> VALUES wrapped into signed-long
+    range for the Spark bridge but KEYS did not — a key >= 2^63
+    overflowed Spark's LongType map key in the Arrow conversion."""
+    wrapped = pw._wrap_uint64({2**63: "v", 1: "w"})
+    assert set(wrapped) == {-(2**63), 1}
