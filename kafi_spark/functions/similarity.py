@@ -68,6 +68,19 @@ def _mat(series: pd.Series) -> np.ndarray:
     return np.vstack([np.asarray(e, dtype=np.float64) for e in series])
 
 
+def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """Family null policy at the in-memory ANN entry points, matching
+    the persisted index's (``ann_index.py``, round-8 review): null
+    embeddings are dropped BEFORE any numpy kernel sees them — a single
+    failed-embedding row otherwise kills a corpus-scale job inside
+    :func:`_mat` with an opaque executor-side vstack shape error (None
+    coerces to a 0-d array). Round-8 session review: ann_index enforced
+    this but the in-memory twins (cosine_topk / _quantized / _lsh /
+    _ivf, embedding_neardup_pairs, quantize_embeddings) did not, so the
+    two families disagreed on the same corpus."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def _unit(x: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(x, axis=1, keepdims=True)
     n[n == 0.0] = 1.0
@@ -116,8 +129,14 @@ def cosine_topk(
     window over ``partitions × Q × k`` rows picks the global top-k.
     Output: (query_id, vec_id, score, rank), rank 1..k, ties broken by
     corpus id.
+
+    Null embeddings on either side are dropped (family null policy —
+    see :func:`_drop_null_vecs`; a null query vector cannot be scored).
     """
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    corpus = _drop_null_vecs(corpus, vec_col)
+    qpdf = _drop_null_vecs(queries, vec_col).select(
+        query_id_col, vec_col
+    ).toPandas()
     if len(qpdf) == 0:
         raise ValueError("empty query set")
     Q = _mat(qpdf[vec_col])
@@ -173,8 +192,11 @@ def quantize_embeddings(
     Cosine similarity is invariant under per-vector positive scaling, so
     ranking by cosine over the int8 codes approximates full-precision
     ranking with only rounding error — no codebook, no calibration pass,
-    each vector self-contained. Output: (id_col, qvec BINARY).
+    each vector self-contained. Output: (id_col, qvec BINARY). Null
+    embeddings are dropped (family null policy, same as ``pq_encode``).
     """
+    df = _drop_null_vecs(df, vec_col)
+
     def op(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -213,9 +235,13 @@ def cosine_topk_quantized(
     full-precision vectors for ONLY those candidates (semi-join by id)
     and rescores exactly. At 100 TB the first pass reads a 4× smaller
     table and the exact pass touches a few-hundred-row candidate set.
-    Output schema matches :func:`cosine_topk`.
+    Output schema matches :func:`cosine_topk`. Null embeddings on
+    either side are dropped (family null policy).
     """
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    corpus = _drop_null_vecs(corpus, vec_col)
+    qpdf = _drop_null_vecs(queries, vec_col).select(
+        query_id_col, vec_col
+    ).toPandas()
     if len(qpdf) == 0:
         raise ValueError("empty query set")
     Q = _mat(qpdf[vec_col])
@@ -281,6 +307,14 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     a long. Pure Column arithmetic (the planes are literals baked into the
     plan — fine for a handful of planes; for real plane counts use
     :func:`lsh_signatures_udf`, the vectorized path)."""
+    if len(planes) > 63:
+        # 1 << 63 exceeds LongType as a Python-literal weight (the UDF
+        # path packs bit 63 via int64 wraparound instead — see
+        # lsh_signatures_udf); this interpreted variant stops at 63
+        raise ValueError(
+            f"lsh_signature packs at most 63 planes per long, got "
+            f"{len(planes)}; use lsh_signatures_udf for wide signatures"
+        )
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -301,6 +335,16 @@ def lsh_signatures_udf(tables: list[list[list[float]]]):
     """
     n_tables = len(tables)
     n_planes = len(tables[0])
+    # 64 sign bits is the packing capacity of one long: shifting past
+    # bit 63 wraps in int64 (plane 64 would ALIAS plane 0 — silent
+    # recall loss, no error), so refuse rather than mis-bucket. Bit 63
+    # makes the signature negative, which is fine: signatures are only
+    # ever compared for equality, never ordered.
+    if n_planes > 64:
+        raise ValueError(
+            f"n_planes must be <= 64 (one packed long per table), got "
+            f"{n_planes}; add tables instead of planes for more bits"
+        )
     mat = np.asarray(tables, dtype=np.float64).reshape(n_tables * n_planes, -1).T
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
@@ -336,13 +380,16 @@ def cosine_topk_lsh(
     The bucket join carries only (id, table_id, sig) — 24 bytes/row; the
     de-dup is on bare id pairs; corpus vectors are re-attached once per
     surviving candidate and scored against a closure matrix of the (small)
-    query set. Embeddings never enter a shuffle twice.
+    query set. Embeddings never enter a shuffle twice. Null embeddings
+    on either side are dropped (family null policy).
     """
+    corpus = _drop_null_vecs(corpus, vec_col)
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
     sig_udf = lsh_signatures_udf(tables)
 
+    queries = _drop_null_vecs(queries, vec_col)
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     if len(qpdf) == 0:
         raise ValueError("empty query set")
@@ -574,7 +621,10 @@ def cosine_topk_ivf(
     probed cells are rescored per query. Recall tunes with n_probe/n_cells.
     Centroids depend on the KMeans seed → rows-only checkable (like the
     hyperplane seeds, but k-means is iterative so not SQL-reproducible).
+    Null embeddings on either side are dropped (family null policy).
     """
+    corpus = _drop_null_vecs(corpus, vec_col)
+    queries = _drop_null_vecs(queries, vec_col)
     C = _fit_centroids(corpus, queries, id_col, vec_col, n_cells, seed, train_cap)
     spark = corpus.sparkSession
     nearest_cell = _nearest_cell_udf(spark, C)
@@ -686,7 +736,9 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (id_1 < id_2, score ≥
     threshold). ``exact=True`` runs the full O(N²·d) block-matmul
     (verification / modest-N path); otherwise LSH-bucketed candidates
-    only, with exact rescoring of candidates."""
+    only, with exact rescoring of candidates. Null embeddings are
+    dropped (family null policy)."""
+    df = _drop_null_vecs(df, vec_col)
     if exact:
         if n_blocks is None:
             par = df.sparkSession.sparkContext.defaultParallelism

@@ -96,6 +96,19 @@ def text_lines(
     )
 
 
+def _null_doc_leg(
+    df: DataFrame, text_col: str, id_col: str, count_col: str
+) -> DataFrame:
+    """Null-text rows as an unchanged ``(id, text=null, <count>=0)``
+    pass-through leg — the span-family contract (null docs come back
+    unchanged, never silently dropped)."""
+    return df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(0).cast("long").alias(count_col),
+    )
+
+
 def _dedup_spans(
     spans: DataFrame,
     id_col: str,
@@ -201,11 +214,7 @@ def span_dedup(
     # null texts come back unchanged (review r7: the NULL-span path used
     # to resurrect exactly ONE null doc per corpus as text='' and drop
     # the rest — substring_dedup's contract is the model)
-    nulls = df.filter(F.col(text_col).isNull()).select(
-        F.col(id_col),
-        F.lit(None).cast("string").alias("text"),
-        F.lit(0).cast("long").alias("n_spans_kept"),
-    )
+    nulls = _null_doc_leg(df, text_col, id_col, "n_spans_kept")
     spans = text_spans(
         df.filter(F.col(text_col).isNotNull()), text_col, id_col, span_tokens)
     out = _dedup_spans(spans, id_col, " ", max_occurrences, keep, skew_safe)
@@ -233,10 +242,19 @@ def line_dedup(
     without the exemption the defaults stripped every blank line —
     i.e. the paragraph structure of every multi-paragraph document
     (review r7; RefinedWeb-style line dedup exempts such lines too).
-    Pass 0 to dedup everything including blanks."""
-    spans = text_lines(df, text_col, id_col, sep)
-    return _dedup_spans(spans, id_col, sep, max_occurrences, keep, skew_safe,
-                        min_chars=min_line_chars)
+    Pass 0 to dedup everything including blanks.
+
+    Null texts come back unchanged — the family contract
+    (:func:`span_dedup`, :func:`substring_dedup`); ``F.split(null)``
+    explodes to nothing, so without the explicit leg null docs silently
+    DISAPPEARED from the output while the sibling ops preserved them
+    (round-8 session review)."""
+    spans = text_lines(
+        df.filter(F.col(text_col).isNotNull()), text_col, id_col, sep)
+    out = _dedup_spans(spans, id_col, sep, max_occurrences, keep, skew_safe,
+                       min_chars=min_line_chars)
+    return out.unionByName(_null_doc_leg(df, text_col, id_col,
+                                         "n_spans_kept"))
 
 
 def _boilerplate_keys(
@@ -338,13 +356,18 @@ def boilerplate_filter(
     anyway; AQE degrades to shuffle join instead). The only
     unconditionally corpus-sized shuffle is the final per-document
     reassembly groupBy.
+
+    Null texts come back unchanged as ``(id, null, 0)`` — the family
+    contract (round-8 session review; they also contribute nothing to
+    document frequencies, matching :func:`boilerplate_lines`).
     """
     if min_doc_frequency < 1:
         raise ValueError(
             f"min_doc_frequency must be >= 1, got {min_doc_frequency}"
         )
     keyed = _boilerplate_keys(
-        text_lines(df, text_col, id_col, sep), id_col, normalize
+        text_lines(df.filter(F.col(text_col).isNotNull()),
+                   text_col, id_col, sep), id_col, normalize
     )
     boiler = (
         keyed.groupBy("__fp", id_col)
@@ -355,7 +378,7 @@ def boilerplate_filter(
         .select("__fp")
     )
     kept = keyed.join(boiler, "__fp", "left_anti")
-    return kept.groupBy(id_col).agg(
+    out = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("span_id", "span"))),
@@ -365,6 +388,8 @@ def boilerplate_filter(
         ).alias("text"),
         F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
     )
+    return out.unionByName(_null_doc_leg(df, text_col, id_col,
+                                         "n_lines_kept"))
 
 
 def substring_dedup(

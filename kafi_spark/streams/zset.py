@@ -79,6 +79,22 @@ def zset_union(a: DataFrame, b: DataFrame) -> DataFrame:
     return zset_distinct(a.unionByName(b))
 
 
+def _null_safe_on(ta: DataFrame, tb: DataFrame, cols: list[str]):
+    """Null-safe equi-join condition over the record columns. Z-set
+    identity treats two NULL field values as THE SAME record — groupBy
+    already does (so :func:`consolidate` and :func:`zset_minus` net
+    them), and SQL's INTERSECT/EXCEPT treat NULLs as duplicates too.
+    A plain ``on=cols`` join uses ``=`` (null never matches null), so a
+    record with any NULL field could never intersect and always
+    survived EXCEPT — silently diverging from the sibling aggregate
+    forms on the same input (round-8 session review)."""
+    cond = None
+    for c in cols:
+        e = ta[c].eqNullSafe(tb[c])
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def zset_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     """Set intersection (topologynode.py:322-326 implements it as an
     equality theta-join; the aggregate form below is one shuffle instead of
@@ -87,9 +103,9 @@ def zset_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     ta = a.groupBy(*cols).agg(F.sum(WEIGHT).alias("__wa"))
     tb = b.groupBy(*cols).agg(F.sum(WEIGHT).alias("__wb"))
     return (
-        ta.join(tb, on=cols, how="inner")
+        ta.join(tb, on=_null_safe_on(ta, tb, cols), how="inner")
         .filter((F.col("__wa") > 0) & (F.col("__wb") > 0))
-        .drop("__wa", "__wb")
+        .select(*[ta[c] for c in cols])
         .withColumn(WEIGHT, F.lit(1).cast("long"))
     )
 
@@ -113,8 +129,8 @@ def zset_except(a: DataFrame, b: DataFrame) -> DataFrame:
     ta = a.groupBy(*cols).agg(F.sum(WEIGHT).alias("__wa"))
     tb = b.groupBy(*cols).agg(F.sum(WEIGHT).alias("__wb"))
     return (
-        ta.join(tb, on=cols, how="left")
+        ta.join(tb, on=_null_safe_on(ta, tb, cols), how="left")
         .filter((F.col("__wa") > 0) & (F.coalesce(F.col("__wb"), F.lit(0)) <= 0))
-        .drop("__wa", "__wb")
+        .select(*[ta[c] for c in cols])
         .withColumn(WEIGHT, F.lit(1).cast("long"))
     )

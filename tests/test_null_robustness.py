@@ -40,11 +40,17 @@ def test_dedup_families_handle_dirty(dirty):
 
 
 def test_span_family_handles_dirty(dirty):
-    from kafi_spark.functions.spans import chunk_text, line_dedup, span_dedup
+    from kafi_spark.functions.spans import (
+        boilerplate_filter, chunk_text, line_dedup, span_dedup)
 
     out = span_dedup(dirty, span_tokens=3)
     assert out.filter(F.col("doc_id").isin(1, 5)).count() == 2
-    line_dedup(dirty).count()
+    # null docs come back unchanged from the line-keyed ops too — the
+    # family contract (they used to silently disappear, r8 review)
+    lines = {r.doc_id: r for r in line_dedup(dirty).collect()}
+    assert lines[2].text is None and lines[2].n_spans_kept == 0
+    boiler = {r.doc_id: r for r in boilerplate_filter(dirty).collect()}
+    assert boiler[2].text is None and boiler[2].n_lines_kept == 0
     chunks = chunk_text(dirty, max_tokens=4)
     # null/empty/whitespace docs emit NO chunk rows
     assert {r.doc_id for r in chunks.collect()} == {1, 5}
@@ -183,3 +189,50 @@ def test_round5_embedding_ops_handle_dirty(spark):
     kept = {r.vec_id for r in semantic_decontaminate(
         corpus, bench, threshold=0.95).collect()}
     assert kept == {2, 3}
+
+
+def test_ann_family_drops_null_embeddings(spark):
+    """The in-memory ANN entry points enforce the same null-embedding
+    policy as the persisted index (ann_index.py): a null vector is
+    dropped at entry, never fed to a numpy kernel (where it dies as an
+    opaque vstack shape error mid-job) — r8 session review."""
+    from kafi_spark.functions.similarity import (
+        cosine_topk, cosine_topk_ivf, cosine_topk_lsh,
+        cosine_topk_quantized, embedding_neardup_pairs,
+        quantize_embeddings)
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.9, 0.1]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (10, None)],
+        "query_id long, embedding array<float>")
+
+    out = cosine_topk(corpus, queries, k=2).collect()
+    assert {r.query_id for r in out} == {9}
+    assert all(r.vec_id != 2 for r in out)
+    assert {r.vec_id for r in quantize_embeddings(corpus).collect()} == {1, 3, 4}
+    assert {r.query_id for r in
+            cosine_topk_quantized(corpus, queries, k=2).collect()} == {9}
+    assert {r.query_id for r in
+            cosine_topk_lsh(corpus, queries, dim=2, k=2).collect()} == {9}
+    assert {r.query_id for r in cosine_topk_ivf(
+        corpus, queries, k=2, n_cells=2, n_probe=2).collect()} == {9}
+    pairs = embedding_neardup_pairs(corpus, threshold=0.9, exact=True).collect()
+    assert {(r.id_1, r.id_2) for r in pairs} == {(1, 3)}
+    pairs_lsh = embedding_neardup_pairs(
+        corpus, threshold=0.9, dim=2, n_planes=4, n_tables=4).collect()
+    assert all(2 not in (r.id_1, r.id_2) for r in pairs_lsh)
+
+
+def test_lsh_plane_capacity_guard(spark):
+    from kafi_spark.functions.similarity import (
+        _hyperplanes, lsh_signature, lsh_signatures_udf)
+
+    with pytest.raises(ValueError, match="64"):
+        lsh_signatures_udf([_hyperplanes(4, 65, 1)])
+    with pytest.raises(ValueError, match="63"):
+        lsh_signature(F.col("v"), _hyperplanes(4, 64, 1))
+    # 64 planes per long is legal in the vectorized path (bit 63 is the
+    # sign bit — signatures are equality-only keys)
+    lsh_signatures_udf([_hyperplanes(4, 64, 1)])

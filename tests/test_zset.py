@@ -65,3 +65,19 @@ def test_except_sql_semantics(spark):
     a = zs(spark, ("a", 2), ("b", 1), ("c", 1))
     b = zs(spark, ("a", 1), ("c", -1))
     assert rows(zset.zset_except(a, b)) == [("b", 1), ("c", 1)]
+
+
+def test_set_ops_treat_null_fields_as_equal(spark):
+    # Z-set record identity is groupBy identity: NULL == NULL (pydbsp
+    # keys records by Python equality, where None == None; SQL
+    # INTERSECT/EXCEPT also treat NULLs as duplicates). The join-based
+    # ops used plain `=` and silently disagreed with zset_minus on the
+    # same input (r8 session review).
+    a = zs(spark, (None, 1), ("x", 1))
+    b = zs(spark, (None, 1), ("y", 1))
+    bag = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert bag(zset.zset_intersect(a, b)) == {(None, 1)}
+    assert bag(zset.zset_except(a, b)) == {("x", 1)}
+    # sibling aggregate form agrees: net 0 for the NULL record (and
+    # net -1 for y, which only b holds)
+    assert bag(zset.zset_minus(a, b)) == {("x", 1)}
