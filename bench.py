@@ -106,66 +106,88 @@ HEADLINE = [
 ]
 
 
-def _shuffle_bytes_total(spark) -> int | None:
-    """Cumulative shuffle-write bytes across all completed stages, read
-    from the in-process AppStatusStore (works with the UI disabled).
-    Deltas around one query execution give that query's shuffle volume."""
+#: REST fast path latch: flipped off for the rest of the run on the
+#: first failure (UI disabled / port firewalled) so every later read
+#: takes the py4j fallback directly instead of re-failing an HTTP call
+_REST_OK = {"ok": True}
+
+
+def _stage_totals(spark) -> tuple[int, int] | None:
+    """(cumulative shuffle-write bytes, cumulative executor CPU ns)
+    across all completed stages — ONE read serving both metrics.
+
+    Deltas around one query execution give that query's shuffle volume
+    and TASK CPU cost. CPU is the metric wall time and plan metrics are
+    both blind to: a per-row expression regression (e.g. an extra regex
+    scan per document) changes neither exchange count nor shuffle
+    bytes, and wall time swings with host noise, but CPU time moves
+    with the work (round-7 verdict: a ~15% engine-real expression
+    regression was signed off as host residue because the artifact only
+    compared plan metrics). Python-worker CPU (pandas UDFs) is NOT
+    included — JVM task threads only.
+
+    Read path: the UI's REST endpoint (one local HTTP GET returning
+    every completed stage as JSON) — the earlier AppStatusStore walk
+    iterated stages through py4j TWO ROUND-TRIPS AT A TIME, which at
+    the bench tail (~2.5k retained stages x 8 boundary reads per query)
+    put minutes of pure harness latency between queries (round-8
+    session measurement). Falls back to a single combined py4j walk
+    when the UI is disabled.
+
+    VALID ONLY while the status store retains every completed stage:
+    past spark.ui.retainedStages, eviction makes these 'cumulative'
+    totals DROP and deltas go negative (round-8 self-review). bench's
+    session pins retainedStages=100000 (a full round is ~a few thousand
+    stages); timed_run additionally discards negative deltas so an
+    evicted window records no metrics rather than garbage."""
     try:
-        jvm = spark._jvm
-        gw = spark.sparkContext._gateway
         # the status store is fed asynchronously from the listener bus;
         # drain it first or late stage-completion events under-count the
         # post-action read (exactly the host-load condition the metric
         # exists to see through)
         spark._jsc.sc().listenerBus().waitUntilEmpty()
-        store = spark._jsc.sc().statusStore()
-        stages = store.stageList(
-            jvm.java.util.ArrayList(), False, False,
-            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
-        )
-        tot = 0
-        it = stages.iterator()
-        while it.hasNext():
-            tot += it.next().shuffleWriteBytes()
-        return tot
     except Exception:  # noqa: BLE001 — metrics are best-effort
         return None
+    if _REST_OK["ok"]:
+        try:
+            import urllib.request
 
-
-def _executor_cpu_total(spark) -> int | None:
-    """Cumulative executor CPU nanoseconds across all completed stages,
-    from the same AppStatusStore as :func:`_shuffle_bytes_total`. Deltas
-    around one query give its TASK CPU cost — the metric wall time and
-    plan metrics are both blind to: a per-row expression regression
-    (e.g. an extra regex scan per document) changes neither exchange
-    count nor shuffle bytes, and wall time swings with host noise, but
-    CPU time moves with the work (round-7 verdict: a ~15% engine-real
-    expression regression was signed off as host residue because the
-    artifact only compared plan metrics). Python-worker CPU (pandas
-    UDFs) is NOT included — this counts JVM task threads only.
-
-    VALID ONLY while the status store retains every completed stage:
-    past spark.ui.retainedStages, eviction makes this 'cumulative'
-    total DROP and deltas go negative (round-8 self-review). bench's
-    session pins retainedStages=100000 (a full round is ~a few
-    thousand stages); timed_run additionally discards negative deltas
-    so an evicted window records no cpu rather than garbage."""
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            url = (f"{ui}/api/v1/applications/{app}/stages"
+                   "?status=complete&details=false")
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                stages = json.load(resp)
+            return (
+                sum(s.get("shuffleWriteBytes") or 0 for s in stages),
+                sum(s.get("executorCpuTime") or 0 for s in stages),
+            )
+        except Exception:  # noqa: BLE001 — UI off/firewalled: latch off
+            _REST_OK["ok"] = False
     try:
         jvm = spark._jvm
         gw = spark.sparkContext._gateway
-        spark._jsc.sc().listenerBus().waitUntilEmpty()
         store = spark._jsc.sc().statusStore()
         stages = store.stageList(
             jvm.java.util.ArrayList(), False, False,
             gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
         )
-        tot = 0
+        sb = cpu = 0
         it = stages.iterator()
         while it.hasNext():
-            tot += it.next().executorCpuTime()
-        return tot
+            s = it.next()
+            sb += s.shuffleWriteBytes()
+            cpu += s.executorCpuTime()
+        return sb, cpu
     except Exception:  # noqa: BLE001 — metrics are best-effort
         return None
+
+
+def _shuffle_bytes_total(spark) -> int | None:
+    """Cumulative shuffle-write bytes (see :func:`_stage_totals`) —
+    kept as the narrow interface scale_probe and tests import."""
+    tot = _stage_totals(spark)
+    return tot[0] if tot is not None else None
 
 
 def _read_steal_jiffies() -> int | None:
@@ -572,10 +594,18 @@ def main() -> None:
     from kafi_spark.session import get_spark
 
     # keep every stage in the status store so shuffle-byte deltas stay
-    # exact across the whole bench (default retention evicts at 1000)
+    # exact across the whole bench (default retention evicts at 1000);
+    # enable the UI (ephemeral port) so _stage_totals can read all stage
+    # metrics in ONE local REST call — the session default keeps it off,
+    # and the py4j fallback walk costs two gateway round-trips per
+    # retained stage per read (minutes of harness wall at the bench tail)
     spark = get_spark(
         "kafi_spark_bench",
-        extra_conf={"spark.ui.retainedStages": "100000"},
+        extra_conf={
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+        },
     )
     qs = bench_queries(entry_mod)
 
@@ -605,27 +635,36 @@ def main() -> None:
     def timed_run(fn):
         """One timed execution with its /proc/stat steal delta — THE
         timing body for both the best-of-3 loop and the steal-proofing
-        reruns (a single definition keeps the two comparable)."""
+        reruns (a single definition keeps the two comparable). The two
+        boundary reads of :func:`_stage_totals` serve BOTH the CPU and
+        the shuffle-byte delta — separate pre/post reads per metric
+        doubled the (formerly per-stage-py4j) harness latency between
+        queries (round-8 session)."""
         st0 = _read_steal_jiffies()
-        cpu0 = _executor_cpu_total(spark)
+        tot0 = _stage_totals(spark)
         LAST_PHASES.clear()
         t0 = time.time()
         df = fn(spark, sf_dir)
         run(df)
         dt = time.time() - t0
         st1 = _read_steal_jiffies()
-        cpu1 = _executor_cpu_total(spark)
+        tot1 = _stage_totals(spark)
         steal = st1 - st0 if st0 is not None and st1 is not None else None
-        cpu = (cpu1 - cpu0) / 1e9 if cpu0 is not None and cpu1 is not None else None
-        if cpu is not None and cpu < 0:
-            cpu = None  # status-store eviction crossed the window
+        cpu = sb = None
+        if tot0 is not None and tot1 is not None:
+            cpu = (tot1[1] - tot0[1]) / 1e9
+            if cpu < 0:
+                cpu = None  # status-store eviction crossed the window
+            sb = tot1[0] - tot0[0]
+            if sb < 0:
+                sb = None
         phases = dict(LAST_PHASES) or None
         if phases and "fit_sec" in phases:
             # the remainder of the wall time is the scoring/action scan
             phases["score_sec"] = round(dt - phases["fit_sec"], 3)
         # drop cache entries a query pinned; keeps timings independent
         spark.catalog.clearCache()
-        return dt, steal, phases, df, cpu
+        return dt, steal, phases, df, cpu, sb
 
     timings: dict[str, float] = {}
     plans: dict[str, dict] = {}
@@ -651,12 +690,11 @@ def main() -> None:
         best_cpu = None
         try:
             for i in range(3):
-                pre = _shuffle_bytes_total(spark) if i == 0 else None
-                dt, steal, phases, df, cpu = timed_run(qs[name])
-                if i == 0 and pre is not None:
-                    post = _shuffle_bytes_total(spark)
-                    if post is not None:
-                        sbytes = post - pre
+                dt, steal, phases, df, cpu, sb = timed_run(qs[name])
+                if i == 0:
+                    # first run's delta = this query's shuffle volume
+                    # (includes construction, same window as before)
+                    sbytes = sb
                 if best is None or dt < best:
                     best, best_steal, best_phases = dt, steal, phases
                 if cpu is not None and (best_cpu is None or cpu < best_cpu):
@@ -696,7 +734,7 @@ def main() -> None:
             if slow_at_same_plan(best):
                 # settle toward 1.2x of the prior
                 while reruns < 3 and best > 1.2 * prev_t:
-                    dt, steal, phases, _, cpu = timed_run(qs[name])
+                    dt, steal, phases, _, cpu, _sb = timed_run(qs[name])
                     if dt < best:
                         best, best_steal, best_phases = dt, steal, phases
                     if cpu is not None and (best_cpu is None or cpu < best_cpu):

@@ -53,10 +53,14 @@ def diff(
     l = df1.select(*on, *[F.col(c).alias(f"{c}_1") for c in compare_cols], F.lit(1).alias("__l"))
     r = df2.select(*on, *[F.col(c).alias(f"{c}_2") for c in compare_cols], F.lit(1).alias("__r"))
     j = l.join(r, on=list(on), how="full_outer")
-    changed = None
+    # no shared non-key columns (key-only frames, or disjoint schemas):
+    # nothing can be 'changed' — only presence differs. Without the
+    # literal seed the filter below would OR a None into a Column and
+    # crash (round-8 session review).
+    changed = F.lit(False)
     for c in compare_cols:
         ne = ~(F.col(f"{c}_1").eqNullSafe(F.col(f"{c}_2")))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ne
     kind = (
         F.when(F.col("__r").isNull(), F.lit("left_only"))
         .when(F.col("__l").isNull(), F.lit("right_only"))

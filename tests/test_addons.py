@@ -67,3 +67,15 @@ def test_offsets_diff(spark):
     assert r.n_messages == 2
     per = rows(addons.offsets_diff(df, "ts", 15, 30, group_cols=["partition"]))
     assert per == [(0, 1), (1, 1)]
+
+
+def test_diff_key_only_frames(spark):
+    # frames sharing ONLY the join keys: nothing is comparable, so the
+    # diff is pure presence — this used to crash building the filter
+    # (changed stayed None with zero compare columns, r8 review)
+    from kafi_spark.addons import diff
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {(r.k, r.diff_kind) for r in diff(a, b, on=["k"]).collect()}
+    assert out == {(1, "left_only"), (3, "right_only")}
