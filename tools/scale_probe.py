@@ -44,6 +44,13 @@ PROBES = [
     "pipeline_dupheavy_minhash",
     "pipeline_dupheavy_exact",
     "pipeline_curate",
+    # the PRODUCTION curation config (minhash near-dup): pipeline_curate
+    # above is the oracle-only exact-ngram max_df=None configuration,
+    # whose ~100x shuffle growth at 10x is the documented quadratic of
+    # unbounded posting lists — the scale claim rests on THIS twin
+    # (round-8 session; the r7 probe's 0.108 ratio for the exact config
+    # was implausible for a quadratic path and is superseded)
+    "pipeline_curate_minhash",
     "quality_classifier",
     "dedup_simhash",
     "lsh_join_incremental",
