@@ -641,6 +641,7 @@ def main() -> None:
         doubled the (formerly per-stage-py4j) harness latency between
         queries (round-8 session)."""
         st0 = _read_steal_jiffies()
+        rest0 = _REST_OK["ok"]
         tot0 = _stage_totals(spark)
         LAST_PHASES.clear()
         t0 = time.time()
@@ -651,6 +652,11 @@ def main() -> None:
         tot1 = _stage_totals(spark)
         steal = st1 - st0 if st0 is not None and st1 is not None else None
         cpu = sb = None
+        if _REST_OK["ok"] != rest0:
+            # the REST latch flipped between the two boundary reads: the
+            # delta would mix sources (REST counts complete stages only;
+            # the py4j walk counts every status) — record nothing
+            tot0 = tot1 = None
         if tot0 is not None and tot1 is not None:
             cpu = (tot1[1] - tot0[1]) / 1e9
             if cpu < 0:
