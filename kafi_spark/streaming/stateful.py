@@ -308,8 +308,18 @@ def span_dedup_stream(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         seen = _load_fp_state(spark, state_dir, f"{version_prefix}{epoch_id}")
+        # null texts pass through unchanged — the batch operator's
+        # contract (span_dedup's null leg). Unsplit, a null doc's NULL
+        # words array produced one span=NULL row, which came back as
+        # (id, '', 1) — an empty-string doc with a phantom kept span —
+        # and salted the state with a null fingerprint (round-8 session
+        # review, reproduced against the batch twin).
+        from kafi_spark.functions.spans import _null_doc_leg
+
+        nulls = _null_doc_leg(batch_df, text_col, id_col, "n_spans_kept")
         spans = text_spans(
-            batch_df, text_col, id_col, span_tokens
+            batch_df.filter(F.col(text_col).isNotNull()),
+            text_col, id_col, span_tokens
         ).withColumn("__fp", F.md5("span"))
         # two consumers (survivor computation + delta write): anchor once
         spans = spans.localCheckpoint()
@@ -328,7 +338,7 @@ def span_dedup_stream(
                 joiner,
             ).alias("text"),
             F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
-        )
+        ).unionByName(nulls)
         if sink is not None:
             sink(out, epoch_id)
         _save_delta(spans.select("__fp").distinct(), state_dir,

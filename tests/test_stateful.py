@@ -279,6 +279,32 @@ def test_span_dedup_stream_matches_batch_operator(spark, tmp_path):
     assert (2, "x y", 1) in got and not any(d in (3, 5) for d, _, _ in got)
 
 
+def test_span_dedup_stream_null_docs_match_batch(spark, tmp_path):
+    """Null texts pass through unchanged, exactly like the batch
+    operator's null leg — unsplit, a null doc came back as (id, '', 1)
+    with a phantom kept span and a null fingerprint in state (r8
+    session review)."""
+    from kafi_spark.functions.spans import span_dedup
+    from kafi_spark.streaming.stateful import span_dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "")], "doc_id long, text string")
+    want = sorted(
+        ((r.doc_id, r.text, r.n_spans_kept)
+         for r in span_dedup(df, span_tokens=2).collect()), key=str)
+    got = []
+    proc = span_dedup_stream(
+        "text", "doc_id", str(tmp_path / "state"), span_tokens=2,
+        sink=lambda out, e: got.extend(
+            (r.doc_id, r.text, r.n_spans_kept) for r in out.collect()),
+    )
+    proc(df, 0)
+    assert sorted(got, key=str) == want
+    # the null doc's state contribution must be EMPTY, not a null fp
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.filter("__fp is null").count() == 0
+
+
 def test_span_dedup_stream_epoch_replay_idempotent(spark, tmp_path):
     from kafi_spark.streaming.stateful import span_dedup_stream
 
