@@ -92,7 +92,16 @@ def main() -> None:
 
     spark = get_spark(
         "kafi_spark_scale_probe",
-        extra_conf={"spark.ui.retainedStages": "100000"},
+        # UI on (ephemeral port) so bench._stage_totals serves the
+        # shuffle-byte reads via ONE REST call — with the session
+        # default (UI off) every read falls back to the py4j walk, two
+        # gateway round-trips per retained stage, which at ~24 boundary
+        # reads over a growing store costs real minutes of probe wall
+        extra_conf={
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+        },
     )
     qs = bench.bench_queries(entry_mod)
 
