@@ -389,6 +389,32 @@ def test_substring_dedup_stream_matches_batch_operator(spark, tmp_path):
     assert by_id[5] == ("", 4)
 
 
+def test_substring_dedup_stream_null_docs_match_batch(spark, tmp_path):
+    """Null texts come back unchanged (the batch contract) — here by
+    construction (_sliding_grams' size>=k filter drops NULL word
+    arrays, the __iv-null leg returns __orig verbatim), pinned so a
+    refactor can't silently diverge the twin like span_dedup_stream's
+    did (r8 session review)."""
+    from kafi_spark.functions.spans import substring_dedup
+    from kafi_spark.streaming.stateful import substring_dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "")], "doc_id long, text string")
+    want = sorted(
+        ((r.doc_id, r.text, r.n_tokens_removed)
+         for r in substring_dedup(df, min_tokens=2).collect()), key=str)
+    got = []
+    proc = substring_dedup_stream(
+        "text", "doc_id", str(tmp_path / "state"), min_tokens=2,
+        sink=lambda out, e: got.extend(
+            (r.doc_id, r.text, r.n_tokens_removed) for r in out.collect()),
+    )
+    proc(df, 0)
+    assert sorted(got, key=str) == want
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.filter("__fp is null").count() == 0
+
+
 def test_substring_dedup_stream_epoch_replay_idempotent(spark, tmp_path):
     from kafi_spark.streaming.stateful import substring_dedup_stream
 
