@@ -45,6 +45,29 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: shuffle-exchange markers in a physical plan string. The lookbehind keeps
+#: ``BroadcastExchange`` out; ``ShuffleQueryStage``/``AQEShuffleRead`` cover
+#: frames whose adaptive plan was already (partially) finalized by a prior
+#: action on the same DataFrame.
+_SHUFFLE_RE = None
+
+
+def _plan_has_shuffle(plan: str) -> bool:
+    global _SHUFFLE_RE
+    if _SHUFFLE_RE is None:
+        import re
+
+        _SHUFFLE_RE = re.compile(
+            r"(?<!Broadcast)Exchange (hashpartitioning|rangepartitioning|"
+            r"RoundRobinPartitioning|SinglePartition)"
+        )
+    return (
+        _SHUFFLE_RE.search(plan) is not None
+        or "ShuffleQueryStage" in plan
+        or "AQEShuffleRead" in plan
+    )
+
+
 def _parallelize(df: DataFrame) -> DataFrame:
     """Spread an under-partitioned input before an explode-heavy stage.
 
@@ -53,36 +76,55 @@ def _parallelize(df: DataFrame) -> DataFrame:
     cluster's parallelism first. No-op (and no shuffle) for inputs that are
     already parallel — the 100 TB case.
 
-    The partition-count probe runs ONLY on narrow scan-rooted plans:
-    ``df.rdd`` under AQE finalizes the adaptive plan, which EXECUTES
-    every upstream shuffle stage just to read a count (measured: a
-    2-exchange frame ran 5 stages for the probe, then ran them again
-    for the real query — the dedup hot path doubled, round-8 review).
-    Frames containing a shuffle already run at
-    ``spark.sql.shuffle.partitions`` parallelism, so skipping the
-    probe for them changes nothing. Operator detection reads the
-    logical plan's node CLASS names from toJSON — a raw substring match
-    over the plan string false-positived on literals/column names (a
-    filter value 'Join' skipped a needed repartition) and missed
-    Sort/Sample/limit shuffles (round-8 self-review)."""
-    import json as _json
+    The decision is STATIC — reading the initial physical plan never
+    launches a job, while ``df.rdd`` under AQE finalizes the adaptive
+    plan, which EXECUTES every upstream shuffle/broadcast stage just to
+    read a partition count, and exchange reuse is per-QueryExecution so
+    the real query re-runs them all (measured: a 2-exchange frame ran 5
+    stages for the probe, then ran them again — the dedup hot path
+    doubled, round-8 review). Three plan shapes:
 
-    try:
-        nodes = {
-            n.get("class", "").rsplit(".", 1)[-1]
-            for n in _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
-        }
-    except Exception:  # noqa: BLE001 — probe is an optimization only
-        nodes = set()
-    if nodes & {
-        "Join", "Aggregate", "Window", "Deduplicate", "Distinct",
-        "Intersect", "Except", "Sort", "Sample", "GlobalLimit",
-        "Repartition", "RepartitionByExpression", "RebalancePartitions",
-        "CoGroup", "FlatMapGroupsInPandas", "FlatMapGroupsWithStateExec",
-        "MapInPandas",
-    }:
-        return df
+    * **contains a shuffle exchange** — output parallelism is
+      ``spark.sql.shuffle.partitions`` modulo AQE coalescing → return
+      as-is. AQE's size-balanced coalescing is deliberately trusted
+      here: flooring it (minPartitionSize=64k, round-9 experiment) made
+      the posting-list pair aggregate 9× more task CPU across 32
+      concurrent partial hash maps than across AQE's 8 size-balanced
+      ones — see session.py. (``Exchange SinglePartition`` — global
+      agg / limit tops — is grouped here: its one partition is by
+      construction, and probing it would execute the plan.)
+    * **broadcast joins but no shuffle** — output inherits the PROBE
+      side's scan parallelism. Round 8 classified any Join as "already
+      parallel"; a broadcast semi-join over a one-partition scan then
+      serialized the whole shingle explode (pipeline_dupheavy_exact
+      +25% at sf0.1, round-9 re-diagnosis: BroadcastHashJoin, 2-task
+      explode stage). Probing would execute the broadcast builds early,
+      so estimate from Catalyst's optimized-plan stats instead:
+      repartition when the estimated bytes fit in fewer than ``target``
+      scan partitions. Unknown stats (LogicalRDD leaves) estimate as
+      Long.MaxValue → conservatively treated as already parallel.
+    * **fully narrow (no exchange at all)** — ``df.rdd`` builds the DAG
+      without materializing any stage; the exact partition count is
+      free (scan-rooted frames, checkpoint RDDs, streaming
+      micro-batches).
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        if _plan_has_shuffle(plan):
+            return df
+        if "BroadcastExchange" in plan or "BroadcastQueryStage" in plan:
+            est_bytes = int(qe.optimizedPlan().stats().sizeInBytes())
+            max_pb = int(
+                df.sparkSession._jsparkSession.sessionState()
+                .conf().filesMaxPartitionBytes()
+            )
+            if est_bytes < target * max_pb:
+                return df.repartition(target)
+            return df
+    except Exception:  # noqa: BLE001 — probe is an optimization only
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from kafi_spark.functions.dedup import (
+    _parallelize,
     keep_representatives,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -66,6 +67,12 @@ def curate_documents(
         # corpus-scale self-join nobody asked for
         raise ValueError(
             f"near_dup must be 'minhash' or 'ngram', got {near_dup!r}")
+    # the regex-heavy stats expressions run map-side at the INPUT's
+    # parallelism: a small parquet corpus scans as 1-2 partitions and
+    # serializes ~70% of the pipeline's task CPU on 2 of 32 cores
+    # (round-9 stage read: 4.4s CPU / 2 tasks at sf0.1). Conditional
+    # round-robin first — a no-op at scale where the scan is parallel.
+    df = _parallelize(df.select(id_col, text_col))
     stats = text_stats(df, text_col, id_col)
     kept = stats.filter(
         (F.col("lang_guess") == lang) & (F.col("quality") >= min_quality)

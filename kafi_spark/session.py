@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalescing floor (coalescePartitions.minPartitionSize) is
+        # deliberately left at its 1m default: a round-9 experiment floored
+        # it at 64k so post-shuffle explode stages keep ~defaultParallelism,
+        # and pipeline_dupheavy_exact got 4x SLOWER — the posting-list
+        # pair aggregate ran 9x more task CPU across 32 concurrent partial
+        # hash maps than across AQE's 8 size-balanced ones (measured at
+        # sf0.1; eval-only cost DID drop, the aggregate dominated). Spread
+        # decisions live in dedup._parallelize, which targets scan-rooted
+        # and broadcast-joined frames where no AQE knob applies.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("KAFI_SPARK_DRIVER_MEM", "48g"))
