@@ -803,6 +803,32 @@ def q_window_session(spark, sf_dir):
     )
 
 
+def q_window_keyed(spark, sf_dir):
+    """Tagged union of the two KEYED window mechanisms — the per-record
+    sliding range frame and the session gap-merge (one family: both are
+    user-keyed, record-driven assigners; the epoch-aligned assigners
+    stay merged in window_aligned). Tag-merged in round 9 to free
+    registry slots for substring_dedup / dsir_select; bench still times
+    window_sliding / window_session as individual plans."""
+    sl = q_window_sliding(spark, sf_dir).select(
+        F.lit("sliding").alias("mech"),
+        F.col("event_id").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("s_start"),
+        F.lit(None).cast("long").alias("s_end"),
+    )
+    se = q_window_session(spark, sf_dir).select(
+        F.lit("session").alias("mech"),
+        F.col("user_id").alias("k1"),
+        F.col("session_id").cast("long").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s_start").cast("long").alias("s_start"),
+        F.col("s_end").cast("long").alias("s_end"),
+    )
+    return sl.unionByName(se)
+
+
 _WINDOW_SQL = {
     "window_tumbling": f"""
         SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS w_start, COUNT(*) AS n,
@@ -850,6 +876,18 @@ _WINDOW_SQL = {
         FROM s GROUP BY user_id, session_id
     """,
 }
+
+# tagged union of the sliding + session oracles, column-aligned with
+# q_window_keyed (the individual SQLs stay above for bench/test reuse)
+_WINDOW_SQL["window_keyed"] = f"""
+    SELECT 'sliding' AS mech, event_id AS k1, CAST(NULL AS BIGINT) AS k2,
+           n, CAST(NULL AS BIGINT) AS s_start, CAST(NULL AS BIGINT) AS s_end
+    FROM ({_WINDOW_SQL["window_sliding"]})
+    UNION ALL
+    SELECT 'session' AS mech, user_id AS k1, session_id AS k2,
+           n, s_start, s_end
+    FROM ({_WINDOW_SQL["window_session"]})
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1399,7 +1437,7 @@ _DEDUP_SQL["dedup_fast_pairs"] = """
 """
 
 
-def q_ann_cosine_topk(spark, sf_dir):
+def q_ann_cosine_topk_exact(spark, sf_dir):
     from kafi_spark.functions.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1414,6 +1452,20 @@ def q_ann_cosine_topk(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
     )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Tagged union of the exact brute-force and LSH-bucketed top-k
+    plans (same schema, same query/corpus split) — merged in round 9 to
+    free a registry slot; bench still times the two plans individually
+    (ann_cosine_topk = exact, ann_cosine_topk_lsh)."""
+    exact = q_ann_cosine_topk_exact(spark, sf_dir).select(
+        F.lit("exact").alias("algo"), "query_id", "vec_id", "rank",
+        "score_micro")
+    lsh = q_ann_cosine_topk_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("algo"), "query_id", "vec_id", "rank",
+        "score_micro")
+    return exact.unionByName(lsh)
 
 
 def q_ann_cosine_topk_lsh(spark, sf_dir):
@@ -1545,6 +1597,134 @@ _SIM_SQL = {
         FROM s WHERE score >= CAST(0.4 AS DOUBLE)
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Substring dedup + DSIR selection — the two largest formerly-unoracled
+# operators, registered in round 9 (slots freed by the window_keyed and
+# ann_cosine_topk tag-merges). Both configs are exactly the benched ones.
+# ---------------------------------------------------------------------------
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring removal (Lee et al. 2022 style) over
+    the documents table — spans.substring_dedup at the benched
+    min_tokens=8 config. Output: every doc as (doc_id, text,
+    n_tokens_removed) with corpus-duplicated >=8-token runs cut
+    (keep='first': the globally first occurrence survives)."""
+    from kafi_spark.functions.spans import substring_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = substring_dedup(d, min_tokens=8)
+    return out.select(
+        "doc_id", "text", F.col("n_tokens_removed").cast("long").alias(
+            "n_tokens_removed"))
+
+
+def _substring_dedup_oracle_sql(k: int = 8) -> str:
+    """Sliding-gram + interval-union semantics re-expressed in DuckDB —
+    the same formulation tests/test_spans.py differential-verifies at
+    min_tokens=5; parameterized on the gram width here."""
+    return f"""
+        WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                    FROM documents),
+        grams AS (
+          SELECT doc_id, CAST(g.i AS BIGINT) AS start,
+                 array_to_string(w[g.i+1 : g.i+{k}], ' ') AS gram
+          FROM ws, LATERAL (SELECT unnest(range(0, len(w) - {k} + 1)) AS i) g
+          WHERE len(w) >= {k}),
+        ranked AS (
+          SELECT doc_id, start,
+                 COUNT(*) OVER (PARTITION BY gram) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, start) AS rn
+          FROM grams),
+        covered AS (
+          SELECT DISTINCT doc_id, CAST(p.i AS BIGINT) AS pos
+          FROM ranked, LATERAL (SELECT unnest(range(start, start + {k})) AS i) p
+          WHERE n > 1 AND rn > 1),
+        toks AS (
+          SELECT doc_id, CAST(p.i AS BIGINT) AS pos, w[CAST(p.i AS INT) + 1] AS word
+          FROM ws, LATERAL (SELECT unnest(range(0, len(w))) AS i) p),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.word
+          FROM toks t LEFT JOIN covered c
+            ON c.doc_id = t.doc_id AND c.pos = t.pos
+          WHERE c.pos IS NULL)
+        SELECT w.doc_id,
+               coalesce((SELECT string_agg(k.word, ' ' ORDER BY k.pos)
+                         FROM kept k WHERE k.doc_id = w.doc_id), '') AS text,
+               coalesce((SELECT count(*) FROM covered c
+                         WHERE c.doc_id = w.doc_id), 0) AS n_tokens_removed
+        FROM ws w
+    """
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance selection (Xie et al. 2023): hashed-n-gram
+    importance weights of every document against the doc_id%10==0
+    target slice, then Gumbel top-k sampling of 200 documents — the
+    benched configuration (n_buckets=10000, ns=(1,2), seed=42, T=1)."""
+    from kafi_spark.functions.importance import (
+        importance_sample, importance_weights)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tgt = d.filter(F.col("doc_id") % 10 == 0)
+    w = importance_weights(d, tgt, n_buckets=10_000)
+    return importance_sample(d, w, k=200)
+
+
+def _dsir_select_oracle_sql(B: int = 10_000, k: int = 200,
+                            seed: int = 42) -> str:
+    """Full DSIR pipeline in DuckDB: the ns=(1,2) hashed-gram weights
+    (the same formulation tests/test_importance.py verifies at 1e-9),
+    the md5-uniform Gumbel key (portable.md5_long semantics), top-k by
+    (key DESC, doc_id), then the semi-join back to the raw rows. The
+    compared values are the SELECTED rows, not the float weights —
+    order-of-summation noise only matters within ~1e-12 of the rank-200
+    boundary, far below the Gumbel key spacing."""
+    return f"""
+        WITH ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+                    FROM documents),
+        g AS (
+          SELECT doc_id, u.g FROM ws, UNNEST(w) AS u(g)
+          UNION ALL
+          SELECT doc_id, u.g FROM ws, UNNEST(
+            CASE WHEN len(w) >= 2
+                 THEN list_transform(range(0, len(w) - 1),
+                                     i -> array_to_string(w[i+1:i+2], ' '))
+                 ELSE [] END) AS u(g)),
+        grams AS (
+          SELECT doc_id,
+                 CAST(('0x'||substring(md5(g),1,15))::BIGINT % {B} AS INT) AS bucket
+          FROM g),
+        feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+                  FROM grams GROUP BY doc_id, bucket),
+        raw_c AS (SELECT bucket, SUM(cnt) AS c FROM feats GROUP BY bucket),
+        tgt_c AS (SELECT bucket, SUM(cnt) AS c FROM feats
+                  WHERE doc_id % 10 = 0 GROUP BY bucket),
+        raw_t AS (SELECT SUM(cnt) + {B} AS t FROM feats),
+        tgt_t AS (SELECT SUM(cnt) + {B} AS t FROM feats WHERE doc_id % 10 = 0),
+        ratios AS (
+          SELECT b.range AS bucket,
+                 ln((COALESCE(tc.c, 0) + 1) / (SELECT t FROM tgt_t))
+               - ln((COALESCE(rc.c, 0) + 1) / (SELECT t FROM raw_t)) AS lr
+          FROM range({B}) b
+          LEFT JOIN raw_c rc ON rc.bucket = b.range
+          LEFT JOIN tgt_c tc ON tc.bucket = b.range),
+        weights AS (
+          SELECT f.doc_id, SUM(f.cnt * r.lr) AS log_weight
+          FROM feats f JOIN ratios r ON r.bucket = f.bucket
+          GROUP BY f.doc_id),
+        keyed AS (
+          SELECT doc_id,
+                 log_weight - ln(-ln(
+                   (('0x'||substring(md5('{seed}:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                    + 0.5) / 1152921504606846976.0)) AS key
+          FROM weights),
+        sel AS (SELECT doc_id FROM keyed ORDER BY key DESC, doc_id LIMIT {k})
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN sel ON sel.doc_id = d.doc_id
+    """
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -2291,6 +2471,8 @@ _MERGED_AWAY = (
     "dedup_minhash_lsh", "dedup_simhash",  # -> dedup_fast_pairs (tagged union)
     "addon_value_set", "addon_offsets_diff",  # -> addon_probe_ops (tagged union)
     "cdc_debezium_apply", "cdc_debezium_encode",  # -> cdc_debezium (tagged union)
+    "window_sliding", "window_session",    # -> window_keyed (tagged union, r9)
+    "ann_cosine_topk_lsh",  # -> ann_cosine_topk (tagged union, r9)
 )
 
 
@@ -2321,8 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": q_join_range,
         "group_by_agg": q_group_by_agg,
         "window_aligned": q_window_aligned,
-        "window_sliding": q_window_sliding,
-        "window_session": q_window_session,
+        "window_keyed": q_window_keyed,
         "wordcount": q_wordcount,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
@@ -2335,8 +2516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+        "substring_dedup": q_substring_dedup,
+        "dsir_select": q_dsir_select,
         "emb_neardup": q_emb_neardup,
         "multimodal_features": q_multimodal_features,
         "helper_explode_normalize": q_helper_explode_normalize,
@@ -2376,9 +2558,17 @@ def oracle_sql() -> dict[str, str]:
     out.update(_EXTRA_SQL)
     out.update(_SKETCH_SQL)
     out.update(_MERGED_SQL)
-    out["ann_cosine_topk_lsh"] = _ann_lsh_oracle_sql()
     # full-probe IVF == exact top-k (same tie-break: score desc, vec_id)
     out["ann_cosine_topk_ivf"] = _SIM_SQL["ann_cosine_topk"]
+    # the contract entry is the exact+LSH tagged union (r9 merge); the
+    # individual SQLs stay available for bench/test reuse
+    out["ann_cosine_topk"] = f"""
+        SELECT 'exact' AS algo, * FROM ({_SIM_SQL["ann_cosine_topk"]})
+        UNION ALL
+        SELECT 'lsh' AS algo, * FROM ({_ann_lsh_oracle_sql()})
+    """
+    out["substring_dedup"] = _substring_dedup_oracle_sql()
+    out["dsir_select"] = _dsir_select_oracle_sql()
     out["pipeline_curate"] = _PIPELINE_SQL
     # dedup_minhash_lsh / dedup_simhash rely on engine-internal xxhash64 —
     # not expressible in the oracle (rows-only checks); their md5-based

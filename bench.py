@@ -268,6 +268,16 @@ def bench_queries(entry_mod) -> dict:
     qs["dedup_minhash_lsh"] = entry_mod.q_dedup_minhash_lsh
     qs["dedup_simhash"] = entry_mod.q_dedup_simhash
     qs["dedup_semantic"] = entry_mod.q_dedup_semantic
+    # round-9 contract tag-merges (window_keyed, ann exact+lsh union):
+    # bench keeps timing the INDIVIDUAL plans so round-over-round totals
+    # stay comparable; the merged unions stay in qs for plan_audit
+    qs["window_sliding"] = entry_mod.q_window_sliding
+    qs["window_session"] = entry_mod.q_window_session
+    qs["ann_cosine_topk"] = entry_mod.q_ann_cosine_topk_exact
+    qs["ann_cosine_topk_lsh"] = entry_mod.q_ann_cosine_topk_lsh
+    qs["ann_topk_union"] = entry_mod.q_ann_cosine_topk  # window_keyed is
+    # already in qs under its contract name; the ann union needs a twin
+    # key because "ann_cosine_topk" was just re-pointed at the exact plan
 
     def q_dedup_ngram_capped(spark, sf_dir):
         from kafi_spark.functions.dedup import ngram_jaccard_pairs
@@ -353,20 +363,6 @@ def bench_queries(entry_mod) -> dict:
     qs["pipeline_dupheavy_exact"] = q_pipeline_dupheavy_exact
     qs["pipeline_dupheavy_minhash"] = q_pipeline_dupheavy_minhash
 
-    def q_dsir_select(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        from kafi_spark.functions.importance import (
-            importance_sample, importance_weights)
-        from kafi_spark.session import read_table
-
-        d = read_table(spark, sf_dir, "documents")
-        tgt = d.filter(F.col("doc_id") % 10 == 0)
-        w = importance_weights(d, tgt, n_buckets=10_000)
-        return importance_sample(d, w, k=200)
-
-    qs["dsir_select"] = q_dsir_select
-
     def q_ann_pq(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -399,14 +395,8 @@ def bench_queries(entry_mod) -> dict:
 
     qs["bm25_topk"] = q_bm25
 
-    def q_substring_dedup(spark, sf_dir):
-        from kafi_spark.functions.spans import substring_dedup
-        from kafi_spark.session import read_table
-
-        d = read_table(spark, sf_dir, "documents")
-        return substring_dedup(d, min_tokens=8)
-
-    qs["substring_dedup"] = q_substring_dedup
+    # substring_dedup / dsir_select joined the 50-query contract in
+    # round 9 (same configs) — qs inherits them from entry.queries()
 
     def q_sketch_daily_distinct(spark, sf_dir):
         # mergeable-HLL roll-up path: per-day user sketches off events,
