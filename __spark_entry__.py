@@ -971,8 +971,7 @@ def q_text_stats(spark, sf_dir):
 _QUALITY_FEATURES_SQL = """
   SELECT doc_id, text, trim(text) AS tx,
          CAST(length(trim(text)) AS BIGINT) AS n_chars_t,
-         CAST(CASE WHEN length(trim(text)) > 0
-              THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END AS BIGINT) AS n_words,
+         CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS BIGINT) AS n_words,
          CAST(length(regexp_replace(trim(text), '[^.,;:!?''"()-]', '', 'g')) AS BIGINT) AS n_punct,
          CAST(length(regexp_replace(trim(text), '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
          CAST(len(regexp_extract_all(lower(trim(text)), '\\b(the|and|of|to|in|a|is|it)\\b')) AS BIGINT) AS n_stop
@@ -1008,8 +1007,7 @@ _LANG_CASE_SQL = """
 _TEXT_SQL = {
     "text_token_count": """
         SELECT doc_id,
-               CAST(CASE WHEN length(trim(text)) > 0
-                    THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END AS BIGINT) AS n_tokens,
+               CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
     """,
@@ -1033,8 +1031,7 @@ _TEXT_SQL = {
                    FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best
                          FROM ({_LANG_SCORES_SQL})))
         SELECT f.doc_id,
-               CAST(CASE WHEN length(tx) > 0
-                    THEN len(string_split_regex(tx, '\\s+')) ELSE 0 END AS BIGINT) AS n_tokens,
+               CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
                md5(text) AS fingerprint,
                CAST(n_chars_t AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS avg_word_len,
@@ -1625,7 +1622,7 @@ def _substring_dedup_oracle_sql(k: int = 8) -> str:
     the same formulation tests/test_spans.py differential-verifies at
     min_tokens=5; parameterized on the gram width here."""
     return f"""
-        WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        WITH ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
                     FROM documents),
         grams AS (
           SELECT doc_id, CAST(g.i AS BIGINT) AS start,
@@ -1826,10 +1823,12 @@ def q_helper_explode_normalize(spark, sf_dir):
     from kafi_spark.functions.helpers import explode_normalize
 
     d = _t(spark, sf_dir, "documents")
+    from kafi_spark.functions.text import ws_tokens
+
     nested = d.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
         F.struct(F.length("text").cast("long").alias("len")).alias("meta"),
-        F.split(F.trim("text"), r"\s+").alias("words"),
+        ws_tokens("text").alias("words"),
     )
     flat = explode_normalize(nested)
     return flat.select(
@@ -1857,7 +1856,7 @@ _HELPER_SQL = {
     "helper_explode_normalize": r"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS meta_len,
-               unnest(string_split_regex(trim(text), '\s+')) AS word
+               unnest(regexp_extract_all(text, '\S+')) AS word
         FROM documents
         WHERE length(trim(text)) > 0
     """,
@@ -2041,8 +2040,7 @@ _PIPELINE_SQL = f"""
           FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best
                 FROM ({_LANG_SCORES_SQL}))),
     stats AS (SELECT f.doc_id, f.text,
-                     CAST(CASE WHEN length(tx) > 0
-                          THEN len(string_split_regex(tx, '\\s+')) ELSE 0 END AS BIGINT) AS n_tokens,
+                     CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS BIGINT) AS n_tokens,
                      md5(text) AS fingerprint,
                      {_QUALITY_EXPR_SQL} AS quality,
                      l.lang_guess AS lang_guess
@@ -2162,7 +2160,7 @@ _EXTRA_SQL = {
     """,
     "text_repetition": r"""
         WITH w AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS ws,
                  length(trim(text)) AS chars
           FROM documents
         ),

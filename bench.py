@@ -382,14 +382,13 @@ def bench_queries(entry_mod) -> dict:
         from pyspark.sql import functions as F
 
         from kafi_spark.functions.search import bm25_topk
+        from kafi_spark.functions.text import ws_tokens
         from kafi_spark.session import read_table
 
         d = read_table(spark, sf_dir, "documents")
         queries_df = d.filter(F.col("doc_id") < 10).select(
             F.col("doc_id").alias("query_id"),
-            F.array_join(
-                F.slice(F.split(F.trim("text"), r"\s+"), 1, 4), " "
-            ).alias("query"),
+            F.array_join(F.slice(ws_tokens("text"), 1, 4), " ").alias("query"),
         )
         return bm25_topk(d, queries_df, k=10)
 

@@ -30,6 +30,8 @@ from collections import Counter
 
 from pyspark.sql import DataFrame, functions as F
 
+from .text import ws_tokens as _ws_tokens
+
 #: marks end-of-word so merges never cross word boundaries
 _EOW = "▁"
 
@@ -42,8 +44,7 @@ def word_histogram(
     The cap bounds driver memory; dropping the Zipf tail barely moves
     merge statistics — exactly the trade production tokenizers make."""
     counts = (
-        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
-        .filter(F.length("w") > 0)
+        df.select(F.explode(_ws_tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), F.col("w"))

@@ -103,30 +103,28 @@ def words_of(text: Column, lowercase: bool = False) -> Column:
     words, empty array for null/empty/whitespace-only text. Every
     operator that tokenizes for statistics (quality features, Gopher
     rules, BM25 terms) goes through this one definition so word
-    semantics can never silently diverge. Known quirk, shared with the
-    DuckDB oracles in lockstep: ``F.trim`` strips only ASCII spaces, so
-    text edged by ``\\n``/``\\t`` counts a phantom empty token — off-by-
-    one word counts, never a dedup decision (dedup framing goes through
-    :func:`ws_tokens`, which strips every whitespace class)."""
-    t = F.trim(text)
-    if lowercase:
-        t = F.lower(t)
-    return F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
-        F.array().cast("array<string>")
-    )
+    semantics can never silently diverge. Round 9: unified onto
+    :func:`ws_tokens` — the engine now has ONE token definition. The
+    retired quirk: the old ``F.trim``-based form stripped only ASCII
+    spaces, so ``\\n``/``\\t``-edged text counted a phantom empty token
+    (off-by-one wc/quality/gopher/BM25 word counts while the dedup
+    family counted correctly). DuckDB oracle mirror, updated in
+    lockstep: ``coalesce(regexp_extract_all(text, '\\S+'), [])``."""
+    t = F.lower(text) if lowercase else text
+    return F.coalesce(ws_tokens(t), F.array().cast("array<string>"))
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (BPE-ish refinement: see ``bpe_token_estimate``)."""
-    t = F.trim(text)
-    return F.when(F.length(t) > 0, F.size(F.split(t, r"\s+"))).otherwise(0).cast("long")
+    """Whitespace token count (BPE-ish refinement: see ``bpe_token_estimate``).
+    Null-safe: null text counts 0 (words_of coalesces null to [])."""
+    return F.size(words_of(text)).cast("long")
 
 
 def bpe_token_estimate(text: Column) -> Column:
     """Rough BPE token estimate: word tokens + extra tokens for long words
     (a word of n chars ≈ ceil(n/4) subword tokens) + punctuation runs.
     Deterministic integer arithmetic only."""
-    words = F.split(F.trim(text), r"\s+")
+    words = words_of(text)
     subwords = F.aggregate(
         words,
         F.lit(0).cast("long"),
@@ -328,7 +326,7 @@ def repetition_stats(
 
     base = _parallelize(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+        ws_tokens(text_col).alias("__w"),
         F.length(F.trim(F.col(text_col))).alias("__chars"),
         F.explode(F.lit(list(ns))).alias("n"),
     )

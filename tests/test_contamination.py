@@ -81,7 +81,7 @@ def test_contamination_matches_duckdb(spark, sf_dir):
                        range(0, greatest(len(ws) - 5, 0) + 1),
                        i -> array_to_string(ws[i+1:i+5], ' ')))) AS gram
               FROM (SELECT doc_id,
-                           string_split_regex(trim(text), '\s+') AS ws
+                           regexp_extract_all(text, '\S+') AS ws
                     FROM documents)
             ),
             bg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 20 = 0),

@@ -126,7 +126,7 @@ def test_weights_match_duckdb_oracle(spark, sf_dir):
         WITH grams AS (
           SELECT doc_id,
                  CAST(('0x'||substring(md5(u.g),1,15))::BIGINT % {B} AS INT) AS bucket
-          FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS u(g)),
+          FROM documents, UNNEST(regexp_extract_all(text, '\\S+')) AS u(g)),
         feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt
                   FROM grams GROUP BY doc_id, bucket),
         raw_c AS (SELECT bucket, SUM(cnt) AS c FROM feats GROUP BY bucket),
@@ -229,7 +229,7 @@ def test_lm_quality_score_matches_duckdb_oracle(spark, sf_dir):
         WITH grams AS (
           SELECT doc_id,
                  CAST(('0x'||substring(md5(u.g),1,15))::BIGINT % {B} AS INT) AS bucket
-          FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS u(g)),
+          FROM documents, UNNEST(regexp_extract_all(text, '\\S+')) AS u(g)),
         feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt
                   FROM grams GROUP BY doc_id, bucket),
         ref_c AS (SELECT bucket, SUM(cnt) AS c FROM feats

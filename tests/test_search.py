@@ -44,17 +44,18 @@ def test_bm25_matches_duckdb_oracle(spark, sf_dir):
     """Full formula differential on the real documents table: 5 queries
     drawn from document texts, every score compared at 1e-9."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from kafi_spark.functions.text import ws_tokens
+
     queries = df.filter("doc_id < 5").select(
         F.col("doc_id").alias("query_id"),
-        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 4), " ")
-        .alias("query"))
+        F.array_join(F.slice(ws_tokens("text"), 1, 4), " ").alias("query"))
     got = {(r.query_id, r.doc_id): r.score
            for r in srch.bm25_topk(df, queries, k=10).collect()}
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
     want = {(r[0], r[1]): r[2] for r in con.sql("""
         WITH toks AS (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
           FROM documents),
         postings AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
                      FROM toks GROUP BY doc_id, term),
@@ -65,8 +66,8 @@ def test_bm25_matches_duckdb_oracle(spark, sf_dir):
         consts AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM doclen),
         qterms AS (
           SELECT doc_id AS query_id, unnest(list_distinct(
-                   string_split_regex(lower(trim(array_to_string(
-                     (string_split_regex(trim(text), '\\s+'))[1:4], ' '))), '\\s+')))
+                   regexp_extract_all(lower(array_to_string(
+                     (regexp_extract_all(text, '\\S+'))[1:4], ' ')), '\\S+')))
                  AS term
           FROM documents WHERE doc_id < 5),
         scored AS (

@@ -93,7 +93,7 @@ def test_span_dedup_matches_duckdb_oracle(spark, sf_dir):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
     want = {r[0]: (r[1], r[2]) for r in con.sql("""
-        WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        WITH ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
                     FROM documents),
         spans AS (
           SELECT doc_id, CAST(s.i AS INT) AS span_id,
@@ -260,7 +260,7 @@ def test_substring_dedup_matches_duckdb_oracle(spark, sf_dir):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
     want = {r[0]: (r[1], r[2]) for r in con.sql("""
-        WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        WITH ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
                     FROM documents),
         grams AS (
           SELECT doc_id, CAST(g.i AS BIGINT) AS start,

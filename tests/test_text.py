@@ -194,7 +194,7 @@ def test_repetition_stats_matches_duckdb(spark, sf_dir):
         for d, n, t, u in con.sql(
             r"""
             WITH w AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ws,
                      length(trim(text)) AS chars
               FROM documents
             ),
@@ -371,3 +371,38 @@ def test_redact_pii_ip_not_phone_and_stopwords_case(spark):
         [("The cat and The dog. It is fine.",)], "t string"
     ).select(qf["stopword_ratio"].alias("s")).first()["s"]
     assert got == 5 / 8  # The, and, The, It, is
+
+
+def test_words_of_token_count_equal_python_split(spark):
+    """Round-9 unification pin: the COUNTING tokenizer (words_of /
+    token_count) now frames through ws_tokens, so it must equal Python's
+    str.split() — which splits on every whitespace class and drops empty
+    edge tokens — for any ASCII-whitespace input, including the \n/\t-
+    edged docs the old F.trim-based form miscounted by one (the retired
+    phantom-token quirk). Known boundary, NOT under test: Java and
+    DuckDB-RE2 both treat \s as ASCII-only, so the engine and its
+    oracles agree with each other but split U+3000-style unicode spaces
+    differently from Python's unicode-aware str.split(). Nulls:
+    words_of → [], token_count → 0."""
+    data = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma\n"),
+        (3, "\t alpha  beta\r\ngamma \n"),   # every ASCII ws class + runs
+        (4, ""),
+        (5, "   \n\t  "),
+        (6, None),
+        (7, "one"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    out = {r.doc_id: (r.w, r.n, r.wl) for r in df.select(
+        "doc_id",
+        text.words_of(F.col("text")).alias("w"),
+        text.token_count(F.col("text")).alias("n"),
+        text.words_of(F.col("text"), lowercase=True).alias("wl"),
+    ).collect()}
+    for doc_id, t in data:
+        expect = t.split() if t is not None else []
+        got_w, got_n, got_wl = out[doc_id]
+        assert got_w == expect, (doc_id, got_w, expect)
+        assert got_n == len(expect), (doc_id, got_n)
+        assert got_wl == [w.lower() for w in expect], (doc_id, got_wl)
