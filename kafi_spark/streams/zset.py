@@ -87,7 +87,16 @@ def _null_safe_on(ta: DataFrame, tb: DataFrame, cols: list[str]):
     A plain ``on=cols`` join uses ``=`` (null never matches null), so a
     record with any NULL field could never intersect and always
     survived EXCEPT — silently diverging from the sibling aggregate
-    forms on the same input (round-8 session review)."""
+    forms on the same input (round-8 session review).
+
+    Refuses an empty record-column list (round-9 ADVICE): returning
+    None would make ``DataFrame.join(on=None)`` an unconditional
+    cross-style join for a weight-only zset — degenerate input, but it
+    must fail loudly, not silently explode."""
+    if not cols:
+        raise ValueError(
+            "zset has no record columns (weight-only frame) — "
+            "intersect/except are undefined without a record identity")
     cond = None
     for c in cols:
         e = ta[c].eqNullSafe(tb[c])

@@ -690,3 +690,57 @@ def test_perplexity_buckets_stream_matches_batch_and_replays(
     # crash-before-commit replay of epoch 2: byte-identical emission
     proc(parts[2], 2)
     assert emissions[2] == last
+
+
+def test_decontaminate_stream_null_docs_match_batch(spark):
+    """Null-doc family contract (r9 audit): null texts shingle to
+    nothing, so they are never contaminated — batch keeps them
+    unchanged, and the stateless twin (batch operator per micro-batch)
+    must agree row-for-row."""
+    from kafi_spark.functions.contamination import decontaminate
+    from kafi_spark.streaming.stateful import decontaminate_stream
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, ""),
+         (4, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string")
+    want = sorted(((r.doc_id, r.text) for r in
+                   decontaminate(docs, bench, n=4).collect()), key=str)
+    got = []
+    proc = decontaminate_stream(
+        bench, n=4,
+        sink=lambda out, e: got.extend((r.doc_id, r.text)
+                                       for r in out.collect()))
+    proc(docs, 0)
+    assert sorted(got, key=str) == want
+    # the null and empty docs must be KEPT (nothing to match), the
+    # contaminated ones dropped
+    assert {d for d, _ in got} == {2, 3}
+
+
+def test_curate_documents_stream_null_docs_match_batch(spark, tmp_path):
+    """Null-doc family contract (r9 audit): the batch pipeline's
+    language gate drops null texts (lang_guess 'und'); the twin must
+    drop them identically AND keep them out of BOTH persisted states
+    (md5(null) is null — an unfiltered null fingerprint would poison
+    the exact-dedup state the way span_dedup_stream's null span did in
+    r8)."""
+    from kafi_spark.functions.pipeline import curate_documents
+    from kafi_spark.streaming.stateful import curate_documents_stream
+
+    text = ("the quick brown fox jumps over the lazy dog and the cat "
+            "is in the house with the mouse")
+    docs = spark.createDataFrame(
+        [(1, text), (2, None), (3, ""), (4, text + " tail")],
+        "doc_id long, text string")
+    want = sorted(r.doc_id for r in curate_documents(docs).collect())
+    got = []
+    proc = curate_documents_stream(
+        state_dir=str(tmp_path / "state"),
+        sink=lambda out, e: got.extend(r.doc_id for r in out.collect()))
+    proc(docs, 0)
+    assert sorted(got) == want and 2 not in got and 3 not in got
+    exact = spark.read.parquet(str(tmp_path / "state" / "exact"))
+    assert exact.filter("__fp is null").count() == 0

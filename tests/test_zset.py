@@ -81,3 +81,18 @@ def test_set_ops_treat_null_fields_as_equal(spark):
     # sibling aggregate form agrees: net 0 for the NULL record (and
     # net -1 for y, which only b holds)
     assert bag(zset.zset_minus(a, b)) == {("x", 1)}
+
+
+def test_weight_only_zset_intersect_raises(spark):
+    """round-9 ADVICE: a weight-only zset (no record columns) used to
+    fall through _null_safe_on as on=None — a silent unconditional
+    join; it must refuse instead."""
+    import pytest as _pytest
+
+    from kafi_spark.streams import zset as z
+
+    df = spark.createDataFrame([(1,), (1,)], f"{z.WEIGHT} long")
+    with _pytest.raises(ValueError, match="record columns"):
+        z.zset_intersect(df, df)
+    with _pytest.raises(ValueError, match="record columns"):
+        z.zset_except(df, df)

@@ -166,12 +166,19 @@ def main() -> None:
                 "steal_jiffies": steal_best,
                 **plan,
             }
-            # one extra executed run for the shuffle-byte delta
+            # one extra executed run for the shuffle-byte delta. Guards
+            # mirror bench.timed_run (round-9 ADVICE): if the REST latch
+            # flips between the boundary reads the delta would mix
+            # sources (REST counts complete stages only; the py4j walk
+            # counts every status) — record nothing; and a negative
+            # delta means status-store eviction crossed the window.
+            rest0 = bench._REST_OK["ok"]
             pre = bench._shuffle_bytes_total(spark)
             run(probe_df)
             post = bench._shuffle_bytes_total(spark)
             spark.catalog.clearCache()
-            if pre is not None and post is not None:
+            if (pre is not None and post is not None
+                    and bench._REST_OK["ok"] == rest0 and post >= pre):
                 rec[tier]["shuffle_bytes"] = post - pre
         per_row_01 = rec["sf01"]["sec"] / ROWS["sf01"]
         per_row_1 = rec["sf1"]["sec"] / ROWS["sf1"]
