@@ -1607,14 +1607,26 @@ def q_substring_dedup(spark, sf_dir):
     the documents table — spans.substring_dedup at the benched
     min_tokens=8 config. Output: every doc as (doc_id, text,
     n_tokens_removed) with corpus-duplicated >=8-token runs cut
-    (keep='first': the globally first occurrence survives)."""
+    (keep='first': the globally first occurrence survives).
+
+    The contract projection TOKEN-NORMALIZES the surviving text
+    (ws_tokens joined by single spaces; null text stays null): the
+    operator's byte-exact whitespace reconstruction — kept runs
+    verbatim, seam spaces at cut boundaries — is not tractably
+    expressible in SQL, and a single-space oracle against the raw
+    output would falsely fail correct engine output on any doc with
+    interior double spaces/tabs (round-9 self-review). Which tokens
+    survive — the dedup semantics — is exactly what this row checks;
+    the byte-level reconstruction is pinned by tests/test_spans.py."""
     from kafi_spark.functions.spans import substring_dedup
+    from kafi_spark.functions.text import ws_tokens
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = substring_dedup(d, min_tokens=8)
     return out.select(
-        "doc_id", "text", F.col("n_tokens_removed").cast("long").alias(
-            "n_tokens_removed"))
+        "doc_id",
+        F.array_join(ws_tokens("text"), " ").alias("text"),
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"))
 
 
 def _substring_dedup_oracle_sql(k: int = 8) -> str:
@@ -1648,8 +1660,10 @@ def _substring_dedup_oracle_sql(k: int = 8) -> str:
             ON c.doc_id = t.doc_id AND c.pos = t.pos
           WHERE c.pos IS NULL)
         SELECT w.doc_id,
-               coalesce((SELECT string_agg(k.word, ' ' ORDER BY k.pos)
-                         FROM kept k WHERE k.doc_id = w.doc_id), '') AS text,
+               CASE WHEN w.w IS NULL THEN NULL
+                    ELSE coalesce((SELECT string_agg(k.word, ' ' ORDER BY k.pos)
+                                   FROM kept k WHERE k.doc_id = w.doc_id), '')
+               END AS text,
                coalesce((SELECT count(*) FROM covered c
                          WHERE c.doc_id = w.doc_id), 0) AS n_tokens_removed
         FROM ws w
@@ -1825,7 +1839,11 @@ def q_helper_explode_normalize(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     from kafi_spark.functions.text import ws_tokens
 
-    nested = d.filter(F.length(F.trim("text")) > 0).select(
+    # has-signal filter (rlike, not length(trim)>0): trim strips only
+    # ASCII spaces, so a '\t\n' doc would pass the old filter with an
+    # EMPTY ws_tokens array — explode_outer then emits a NULL-word row
+    # the oracle's unnest never produces (round-9 self-review)
+    nested = d.filter(F.col("text").rlike(r"\S")).select(
         "doc_id",
         F.struct(F.length("text").cast("long").alias("len")).alias("meta"),
         ws_tokens("text").alias("words"),
@@ -1858,7 +1876,7 @@ _HELPER_SQL = {
                CAST(length(text) AS BIGINT) AS meta_len,
                unnest(regexp_extract_all(text, '\S+')) AS word
         FROM documents
-        WHERE length(trim(text)) > 0
+        WHERE regexp_matches(text, '\S')
     """,
     "chunk_roundtrip": """
         SELECT md5(text) AS fingerprint FROM documents

@@ -99,9 +99,14 @@ def _parallelize(df: DataFrame) -> DataFrame:
       serialized the whole shingle explode (pipeline_dupheavy_exact
       +25% at sf0.1, round-9 re-diagnosis: BroadcastHashJoin, 2-task
       explode stage). Probing would execute the broadcast builds early,
-      so estimate from Catalyst's optimized-plan stats instead:
-      repartition when the estimated bytes fit in fewer than ``target``
-      scan partitions. Unknown stats (LogicalRDD leaves) estimate as
+      so estimate statically from the SUM OF LEAF relation stats —
+      NOT the root's stats: Catalyst's sizeInBytes-only join estimate
+      MULTIPLIES child sizes for inner joins, so a small inner
+      broadcast-join frame would read as huge and silently skip the
+      spread (round-9 self-review; semi/anti joins pass the left size
+      through, which is why the flagship path didn't show it).
+      Repartition when the leaf total fits in fewer than ``target``
+      scan partitions. Unknown leaves (LogicalRDD) estimate as
       Long.MaxValue → conservatively treated as already parallel.
     * **fully narrow (no exchange at all)** — ``df.rdd`` builds the DAG
       without materializing any stage; the exact partition count is
@@ -115,7 +120,12 @@ def _parallelize(df: DataFrame) -> DataFrame:
         if _plan_has_shuffle(plan):
             return df
         if "BroadcastExchange" in plan or "BroadcastQueryStage" in plan:
-            est_bytes = int(qe.optimizedPlan().stats().sizeInBytes())
+            leaves = qe.optimizedPlan().collectLeaves()
+            est_bytes = 0
+            for i in range(leaves.size()):
+                est_bytes += int(leaves.apply(i).stats().sizeInBytes())
+                if est_bytes >= (1 << 62):
+                    break  # unknown-stats leaf — treat as huge
             max_pb = int(
                 df.sparkSession._jsparkSession.sessionState()
                 .conf().filesMaxPartitionBytes()

@@ -253,9 +253,13 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # ratios/score come from _ratio_score_columns and the language CASE
     # from _lang_case — the same definitions quality_features /
     # quality_score / langid evaluate.
-    n_tokens = F.when(
-        F.length(tt) > 0, F.regexp_count(tt, F.lit(r"\s+")) + 1
-    ).otherwise(0).cast("long")
+    # ws_tokens count without the array: \S+ runs of the RAW text (the
+    # round-9 unification — the earlier trim-based "\s+ runs + 1" form
+    # counted a phantom token on \n/\t-edged docs, diverging from the
+    # updated oracles; caught by the round-9 self-review). Null → 0.
+    n_tokens = F.coalesce(
+        F.regexp_count(t, F.lit(r"\S+")), F.lit(0)
+    ).cast("long")
     inter = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],

@@ -503,3 +503,25 @@ class TestParallelizeProbe:
         assert jobs == []
         out_plan = out._jdf.queryExecution().executedPlan().toString()
         assert "RoundRobinPartitioning" in out_plan
+
+    def test_inner_broadcast_join_over_small_scan_spreads(self, spark, tmp_path):
+        # round-9 self-review: Catalyst's sizeInBytes-only join stats
+        # MULTIPLY child sizes for inner joins, so a root-stats estimate
+        # read a small inner broadcast-join frame as huge and skipped
+        # the spread; the leaf-sum estimate must not
+        p = str(tmp_path / "corpus2.parquet")
+        spark.createDataFrame(
+            [(i, "alpha beta gamma delta") for i in range(200)],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(p)
+        corpus = spark.read.parquet(p)
+        dim = spark.range(150).select(F.col("id").alias("doc_id"),
+                                      F.lit("d").alias("tag"))
+        joined = corpus.join(F.broadcast(dim), "doc_id", "inner")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        out, jobs = self._jobs_during(
+            spark, lambda: dedup._parallelize(joined))
+        assert jobs == []
+        out_plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" in out_plan

@@ -406,3 +406,23 @@ def test_words_of_token_count_equal_python_split(spark):
         assert got_w == expect, (doc_id, got_w, expect)
         assert got_n == len(expect), (doc_id, got_n)
         assert got_wl == [w.lower() for w in expect], (doc_id, got_wl)
+
+
+def test_text_stats_n_tokens_matches_token_count_on_edge_whitespace(spark):
+    """Round-9 self-review: text_stats kept the trim-based "\\s+ runs
+    + 1" n_tokens after the oracles moved to the ws_tokens definition —
+    'alpha beta\\n' counted 3, '\\n' counted 2. n_tokens (which also
+    feeds avg_word_len/stopword_ratio/quality) must equal token_count
+    (= ws_tokens size = Python str.split length) on every shape."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta\n"), (2, "\n"), (3, "\t a  b \r\n"), (4, ""),
+         (5, None), (6, "plain text")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.tc) for r in text.text_stats(df)
+           .join(df.select("doc_id", text.token_count(F.col("text"))
+                           .alias("tc")), "doc_id").collect()}
+    data = {1: "alpha beta\n", 2: "\n", 3: "\t a  b \r\n", 4: "",
+            5: None, 6: "plain text"}
+    for doc_id, (nt, tc) in out.items():
+        expect = len(data[doc_id].split()) if data[doc_id] else 0
+        assert nt == tc == expect, (doc_id, nt, tc, expect)

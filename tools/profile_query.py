@@ -8,13 +8,15 @@ import sys
 import time
 import urllib.request
 
-sys.path.insert(0, "/root/repo")
+# derive the repo from __file__ so a worktree copy profiles ITS OWN
+# tree during a same-host A/B, not the main checkout's
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 from bench import bench_queries
 from kafi_spark.session import get_spark
 
-spark = get_spark("diag_r9c", extra_conf={
+spark = get_spark("profile_query", extra_conf={
     "spark.ui.enabled": "true", "spark.ui.port": "0",
     "spark.ui.retainedStages": "100000"})
 qs = bench_queries(entry_mod)
