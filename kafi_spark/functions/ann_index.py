@@ -37,7 +37,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .similarity import (
-    _fit_centroids, _nearest_cell_udf, _probe_cells_udf, cosine_pairs_udf)
+    _drop_null_vecs, _fit_centroids, _nearest_cell_udf, _probe_cells_udf,
+    cosine_pairs_udf)
 
 
 def _corpus_dir(path: str) -> str:
@@ -113,7 +114,7 @@ def ivf_build(
     # family null policy (stated by pq.py, round-8 review: build/append
     # crashed in np.vstack instead): a failed-embedding row is DROPPED,
     # never persisted and never fatal
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    corpus = _drop_null_vecs(corpus, vec_col)
     C = _fit_centroids(corpus, corpus, id_col, vec_col, n_cells, seed,
                        train_cap)
     spark = corpus.sparkSession
@@ -181,7 +182,7 @@ def ivf_search(
         raise ValueError(f"n_probe must be in [1, {n_cells}], got {n_probe}")
     probe_cells = _probe_cells_udf(spark, C, n_probe)
 
-    probes = queries.filter(F.col(vec_col).isNotNull()).select(
+    probes = _drop_null_vecs(queries, vec_col).select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
@@ -236,6 +237,10 @@ def ivfpq_build(
     from .pq import pq_encode, pq_train
 
     _check_build_mode(mode)
+    # family null policy — ivf_build/ivf_append filter, this twin did
+    # not (round-9 review): one failed-embedding row reached the
+    # centroid-fit sample and killed the whole build inside np.vstack
+    corpus = _drop_null_vecs(corpus, vec_col)
     C = _fit_centroids(corpus, corpus, id_col, vec_col, n_cells, seed,
                        train_cap)
     cb = pq_train(corpus, m_subspaces, n_codes, id_col, vec_col, seed,
@@ -323,8 +328,20 @@ def ivfpq_search(
     # low-recall top-k (round-8 review; same class as ivf_delete's
     # dels checkpoint and ivf_search's probes checkpoint). Query
     # batches are small by contract, so the checkpoint is cheap.
-    q = (queries.filter(F.col(vec_col).isNotNull())  # family null policy
+    q = (_drop_null_vecs(queries, vec_col)  # family null policy
          .select(query_id_col, vec_col).localCheckpoint())
+    if q.isEmpty():
+        # match the plain-IVF sibling: an empty (or all-null) query
+        # batch returns an empty result frame — ivf_search already did,
+        # while this path raised from adc_rescore_topk, so the SAME
+        # serving job crashed or succeeded depending on which index
+        # flavor it probed (round-9 review)
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        id_t = spark.read.parquet(_corpus_dir(path)).schema[
+            id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{query_id_col} {qid_t}, {id_col} {id_t}, "
+                "score double, rank int")
     cells = [
         r["cell"]
         for r in q.select(
@@ -373,7 +390,7 @@ def ivf_append(
     # null embeddings: drop, matching the IVF-PQ leg (pq_encode filters
     # them) and the family policy — one failed row must not kill the
     # daily ingest (round-8 review)
-    new_vectors = new_vectors.filter(F.col(vec_col).isNotNull())
+    new_vectors = _drop_null_vecs(new_vectors, vec_col)
     C = load_centroids(spark, path)
     nearest_cell = _nearest_cell_udf(spark, C)
 

@@ -60,7 +60,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Column-side cosine with the family zero-norm convention: a zero
+    vector scores 0.0, never NaN/null (round-9 review: plain division
+    returned NULL under ANSI-off — silently dropping rows from
+    score-threshold filters where every numpy kernel scored 0.0 — and
+    would THROW under ANSI). Null vectors still propagate null."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
 def _mat(series: pd.Series) -> np.ndarray:
@@ -239,9 +245,16 @@ def cosine_topk_quantized(
     either side are dropped (family null policy).
     """
     corpus = _drop_null_vecs(corpus, vec_col)
-    qpdf = _drop_null_vecs(queries, vec_col).select(
-        query_id_col, vec_col
-    ).toPandas()
+    # anchor ONCE: the query frame is realized twice (the stage-1
+    # closure matrix here and the exact-rescore join below) — a
+    # nondeterministic query plan could realize two DIFFERENT sets,
+    # silently losing queries from either leg; and the rescore join
+    # must see the SAME null-filtered projection, not the raw frame
+    # (a duplicated query id carrying one null row fed __qvec=None into
+    # cosine_pairs_udf — round-9 review)
+    queries = _drop_null_vecs(queries, vec_col).select(
+        query_id_col, vec_col).localCheckpoint()
+    qpdf = queries.toPandas()
     if len(qpdf) == 0:
         raise ValueError("empty query set")
     Q = _mat(qpdf[vec_col])
@@ -389,8 +402,15 @@ def cosine_topk_lsh(
     ]
     sig_udf = lsh_signatures_udf(tables)
 
-    queries = _drop_null_vecs(queries, vec_col)
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    # anchor ONCE: the query frame is realized twice (the driver-side
+    # closure matrix here and the signature leg below) — from a
+    # nondeterministic plan (sample/unordered limit) the two jobs could
+    # realize DIFFERENT query sets, and a signature-only query id would
+    # IndexError inside score_vs_query (round-9 review; the same
+    # checkpoint-hazard class round 8 fixed in ivf_search/ivfpq_search)
+    queries = _drop_null_vecs(queries, vec_col).select(
+        query_id_col, vec_col).localCheckpoint()
+    qpdf = queries.toPandas()
     if len(qpdf) == 0:
         raise ValueError("empty query set")
     Q = _mat(qpdf[vec_col])
@@ -668,6 +688,12 @@ def _block_pairs_exact(
     ``group_col`` restricts pairing to rows sharing that column (the
     semantic-dedup within-cluster case): the block-pair grouping key is
     prefixed with it, so FLOPs drop from O(N²) to Σ cluster²."""
+    if n_blocks < 1:
+        # pmod(hash, 0) is NULL under ANSI-off, so every row's block
+        # would be null and the pair set silently EMPTY — read as "no
+        # near-duplicates" by semantic_dedup / embedding_neardup_pairs
+        # (round-9 review); fail loudly instead
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
     B = n_blocks
     extra = [group_col] if group_col else []
     d = df.select(
@@ -791,7 +817,7 @@ def kmeans_assign(
     policy (see :func:`prototypicality_scores`): one failed-embedding
     row must not kill a corpus-scale job with an opaque executor-side
     numpy shape error."""
-    df = df.filter(F.col(vec_col).isNotNull())
+    df = _drop_null_vecs(df, vec_col)
     C = _fit_centroids(df, df, id_col, vec_col, n_clusters, seed, train_cap)
     nearest_cell = _nearest_cell_udf(df.sparkSession, C)
 
@@ -925,7 +951,7 @@ def prototypicality_scores(
     rest of the ANN family — assert one ``F.size(vec_col)`` upstream if
     the table can mix dims."""
     spark = df.sparkSession
-    ok = df.filter(F.col(vec_col).isNotNull())
+    ok = _drop_null_vecs(df, vec_col)
     C = _fit_centroids(ok, ok, id_col, vec_col, n_clusters, seed, train_cap)
     nearest = _nearest_cell_udf(spark, C)
     score = _cell_cosine_udf(spark, C)

@@ -46,7 +46,18 @@ def save_delta(df: DataFrame, state_dir: str, version) -> None:
     """Persist one delta at ``state_dir/v=<version>`` — an idempotent
     per-version overwrite (a retried epoch replaces its own directory).
     ``version`` may be any string for idempotent-algebra state; additive
-    state must pass numeric epochs (its readers enforce it)."""
+    state must pass numeric epochs (its readers enforce it).
+
+    Numeric versions additionally pass the fresh-checkpoint lineage
+    fence (:func:`assert_epoch_lineage`): epoch ids are scoped to the
+    streaming query's CHECKPOINT, so a query restarted against the same
+    state dir with a fresh checkpoint restarts at 0 and this overwrite
+    would silently destroy committed history (round-9 review). Prefixed
+    versions (``version_prefix`` twins) keep their keys disjoint by
+    construction and skip the fence."""
+    if str(version).isdigit():
+        assert_epoch_lineage(state_dir, int(str(version)),
+                             spark=df.sparkSession)
     df.write.mode("overwrite").parquet(f"{state_dir.rstrip('/')}/v={version}")
 
 
@@ -156,6 +167,55 @@ def committed_dirs(state_dir: str, spark=None):
             epochs.append((_epoch_int(tag, state_dir), path))
     live = [p for e, p in epochs if best_n is None or e > best_n]
     return best_n, best_path, live
+
+
+def assert_epoch_lineage(state_dir: str, epoch: int, spark=None) -> None:
+    """Refuse to write numeric epoch ``E`` when a committed epoch or
+    compact watermark GREATER than ``E`` already exists in
+    ``state_dir``.
+
+    Epoch ids come from the streaming query's checkpoint; a query
+    restarted with a FRESH checkpoint against the same state dir
+    restarts at 0, and :func:`save_delta`'s idempotent overwrite would
+    then silently replace committed deltas — additive state cannot
+    recover a lost delta, and idempotent-set state silently un-sees
+    history (round-9 review; the hazard bloom_dedup_stream documents,
+    now enforced for every numeric-epoch family). A legitimate
+    crash-replay rewrites its OWN epoch — never one below the committed
+    frontier — so monotonicity is exactly the legal envelope. The
+    escape hatches: keep the original checkpoint, start a new
+    state_dir, or (idempotent families) pass a distinct
+    ``version_prefix`` so keys stay disjoint.
+
+    Only NUMERIC committed tags participate: prefixed versions are a
+    disjoint lineage by construction and must not poison a numeric save
+    (``committed_dirs`` would raise on them, so the listing here is its
+    own tolerant walk)."""
+    io = _io(state_dir, spark)
+    if not io.exists(state_dir):
+        return
+    newest = -1
+    for name in io.listdir(state_dir):
+        if not name.startswith("v="):
+            continue
+        if not io.exists(io.join(io.join(state_dir, name), "_SUCCESS")):
+            continue  # uncommitted write: invisible, overwrite is fine
+        tag = name[2:]
+        if tag.startswith("compact-"):
+            tag = tag[len("compact-"):]
+        try:
+            newest = max(newest, int(tag))
+        except ValueError:
+            continue  # prefixed lineage — disjoint keys, not fenced
+    if newest > int(epoch):
+        raise ValueError(
+            f"state dir {state_dir} already holds committed epoch "
+            f"{newest} > {epoch}: this query's checkpoint restarted "
+            "epoch ids (fresh checkpoint against existing state), and "
+            "writing would silently overwrite committed deltas. Keep "
+            "the original checkpoint, use a new state_dir, or pass a "
+            "distinct version_prefix where the operator offers one."
+        )
 
 
 def watermark_paths(state_dir: str, exclude_epoch=None, spark=None) -> list[str]:

@@ -76,7 +76,24 @@ def sliding_window_stream(
         [f"{c} {key_fields[c]}" for c in key_cols]
         + ["window_end long", agg_schema]
     )
-    agg_names = [part.strip().split()[0] for part in agg_schema.split(",")]
+    # bracket-aware top-level split: a naive split(',') breaks names out
+    # of nested types ("vals array<struct<a:int,b:int>>, n long" yielded
+    # a phantom 'b:int>>' column and misaligned pandas frames — round-9
+    # review)
+    def _top_level_fields(schema: str) -> list[str]:
+        parts, depth, cur = [], 0, []
+        for ch in schema:
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
+            depth += ch in "<("
+            depth -= ch in ">)"
+            cur.append(ch)
+        parts.append("".join(cur))
+        return [p.strip() for p in parts if p.strip()]
+
+    agg_names = [part.split()[0] for part in _top_level_fields(agg_schema)]
 
     def proc(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -96,8 +113,24 @@ def sliding_window_stream(
             # that are merely old within THIS batch are fine: the whole
             # batch lands before the watermark advances, exactly like the
             # reference pushing a full batch through the circuit per step.
+            #
+            # Exception (round-9 review): a custom trigger_fun may HOLD a
+            # closed window open past the watermark; its members are
+            # deliberately kept resident (the `cut` eviction floor), so a
+            # late event at/above the earliest held anchor must still be
+            # admitted — dropping it fired the held window later with
+            # partial contents. Safe: fired windows above the floor stay
+            # in `fired` (never re-fire), and an anchor below the floor
+            # cannot re-enter (both admission rules exclude it).
             wm_prev = max_ts - lateness_ms
-            new = new[new[ts_col] + size_ms > wm_prev]
+            admit = new[ts_col] + size_ms > wm_prev
+            if len(events):
+                ets = events[ts_col]
+                held = {int(t) for t in
+                        ets[ets + size_ms <= wm_prev].unique()} - fired
+                if held:
+                    admit = admit | (new[ts_col] >= min(held))
+            new = new[admit]
             if len(new):
                 max_ts = max(max_ts, int(new[ts_col].max()))
                 events = pd.concat(
@@ -217,7 +250,23 @@ def bloom_dedup_stream(
         state = bloom_load_state(
             spark, state_dir, exclude_version=f"{version_prefix}{epoch_id}"
         )
-        b = batch_df.dropDuplicates([text_col]) if drop_batch_dups else batch_df
+        if drop_batch_dups:
+            # DETERMINISTIC representative per text (round-9 review):
+            # dropDuplicates keeps whichever row a task saw first, so a
+            # crash-replayed epoch could hand the sink a DIFFERENT row
+            # for the same text than the first attempt — breaking the
+            # documented byte-identical-replay contract for sinks that
+            # read the non-text columns. A full-row hash as the pick
+            # order makes the winner a pure function of the data (ties
+            # ⇒ identical rows ⇒ interchangeable).
+            from pyspark.sql import Window as W
+
+            wo = W.partitionBy(text_col).orderBy(
+                F.xxhash64(*batch_df.columns))
+            b = (batch_df.withColumn("__rn", F.row_number().over(wo))
+                 .filter(F.col("__rn") == 1).drop("__rn"))
+        else:
+            b = batch_df
         # materialize ONCE: the sink read and the delta build both
         # consume the batch; without this the source would re-execute
         # per consumer (sanctioned localCheckpoint deviation, PLANS.md)
@@ -432,6 +481,11 @@ def substring_dedup_stream(
             F.col(text_col).alias("__orig"),
             ws_tokens(text_col).alias("__words"),
         )
+        # TWO consumers of bound (the gram build and the cut stage):
+        # without this anchor the full-text tokenization and round-robin
+        # exchange execute twice per micro-batch (round-9 review; same
+        # 'anchor once' discipline as the span twin)
+        bound = bound.localCheckpoint()
         # two consumers (marks + delta write): anchor the gram explode once
         grams = _sliding_grams(bound, id_col, min_tokens).localCheckpoint()
         wo = W.partitionBy("__fp").orderBy(F.col(id_col), F.col("start"))
@@ -930,11 +984,20 @@ def corpus_report_totals(spark, state_dir: str, kll_k: int = 200) -> DataFrame:
     state rows (sketches + counters): cost is independent of corpus
     size."""
     from kafi_spark.functions.sketches import (
-        _kll_state_dirs, kll_totals, quantile_values, sketch_totals)
+        kll_totals, quantile_values, sketch_totals)
+    from kafi_spark.functions.state import watermark_paths
 
     root = state_dir.rstrip("/")
-    _, compact_path, live = _kll_state_dirs(f"{root}/counters", spark)
-    paths = ([compact_path] if compact_path else []) + live
+    # the shared committed-read-set helper, WITH its empty-paths guard:
+    # a first epoch crashed mid-counters-write leaves the dir present
+    # but without any committed delta, and a bare spark.read.parquet()
+    # of zero paths raises an opaque path error instead of a clear
+    # no-state signal (round-9 review; same guard kll_totals has)
+    paths = watermark_paths(f"{root}/counters", spark=spark)
+    if not paths:
+        raise FileNotFoundError(
+            f"no committed counter state under {root}/counters — "
+            "has corpus_report_stream completed an epoch?")
     counters = (
         spark.read.parquet(*paths)
         .groupBy("section", "metric").agg(F.sum("value").alias("value"))
@@ -1030,9 +1093,6 @@ def dedup_against_stream(
     """
     from kafi_spark.functions.dedup import _band_keys, _lsh_join_from_bands
 
-    def _committed(root: str, exclude_epoch: int) -> list[str]:
-        return _dedup_state_paths(root, exclude_epoch)
-
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         root = state_dir.rstrip("/")
@@ -1041,11 +1101,14 @@ def dedup_against_stream(
             batch, text_col, id_col, k, num_hashes, bands, seed
         ).localCheckpoint()
 
-        band_dirs = _committed(f"{root}/bands", epoch_id)
+        # pass the batch's own session through (round-9 review: the old
+        # spark=None wrapper made scheme:// state dirs depend on the
+        # active-session fallback instead)
+        band_dirs = _dedup_state_paths(f"{root}/bands", epoch_id, spark)
         if band_dirs:
             state_bands = spark.read.parquet(*band_dirs)
             state_docs = spark.read.parquet(
-                *_committed(f"{root}/docs", epoch_id))
+                *_dedup_state_paths(f"{root}/docs", epoch_id, spark))
             hits = _lsh_join_from_bands(
                 bb, state_bands, batch, state_docs,
                 text_col, id_col, k, threshold, max_bucket)

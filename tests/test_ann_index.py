@@ -442,3 +442,40 @@ def test_ivf_append_advisory_guard(spark, sf_dir, tmp_path):
         spark.range(2 * n).select((F.col("id") + 10_000_000).alias("vec_id")))
     with pytest.warns(UserWarning, match="rebuild cadence.*skew|skew.*rebuild"):
         ai.ivf_append(hot.select("vec_id", "embedding"), path)
+
+
+def test_ivfpq_build_drops_null_embeddings(spark, emb, tmp_path):
+    """Round-9 review: ivf_build/ivf_append filtered null embeddings but
+    ivfpq_build did not — one failed-embedding row reached the centroid
+    fit and killed the build inside np.vstack. The family policy: drop,
+    never persist, never fatal."""
+    corpus = emb.select("vec_id", "embedding").filter(
+        F.col("vec_id") >= 10).limit(60).unionByName(
+        spark.createDataFrame(
+            [(99999, None)], "vec_id long, embedding array<float>"))
+    p = str(tmp_path / "pqnull")
+    ai.ivfpq_build(corpus, p, n_cells=2, m_subspaces=8)
+    idx = spark.read.parquet(f"{p}/corpus")
+    assert idx.filter("vec_id = 99999").count() == 0
+    assert idx.filter("embedding is null").count() == 0
+
+
+def test_ivfpq_search_empty_query_batch_matches_ivf_sibling(
+        spark, emb, index_path, tmp_path):
+    """Round-9 review: an empty (or all-null) query batch returned an
+    empty frame from ivf_search but raised from ivfpq_search — the same
+    serving job crashed or succeeded depending on index flavor. Both
+    must return empty."""
+    pq_p = str(tmp_path / "pqidx")
+    ai.ivfpq_build(emb.filter(F.col("vec_id") >= 10).limit(80), pq_p,
+                   n_cells=2, m_subspaces=8)
+    empty_q = spark.createDataFrame(
+        [], "query_id long, embedding array<float>")
+    null_q = spark.createDataFrame(
+        [(1, None)], "query_id long, embedding array<float>")
+    for q in (empty_q, null_q):
+        a = ai.ivf_search(spark, index_path, q, k=3, n_probe=2)
+        b = ai.ivfpq_search(spark, pq_p, q, k=3, n_probe=2)
+        assert a.count() == 0 and b.count() == 0
+        assert [f.name for f in a.schema.fields] == \
+               [f.name for f in b.schema.fields]

@@ -333,3 +333,58 @@ def test_kmeans_assign_drops_null_embeddings(spark):
     )
     out = kmeans_assign(df, 2)
     assert sorted(r["vec_id"] for r in out.collect()) == [1, 3]
+
+
+def test_cosine_column_zero_vector_scores_zero(spark):
+    """Round-9 review: the Column-side cosine returned NULL for a
+    zero-norm vector (ANSI-off division by zero) while every numpy
+    kernel scores 0.0 — threshold filters silently dropped the row.
+    One convention: zero vector scores 0.0; null vector stays null."""
+    from kafi_spark.functions.similarity import cosine
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 0.0]),
+         (2, [1.0, 0.0], [1.0, 0.0]),
+         (3, [1.0, 0.0], None)],
+        "i long, a array<double>, b array<double>")
+    got = {r.i: r.c for r in df.select(
+        "i", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got[1] == 0.0
+    assert got[2] == pytest.approx(1.0)
+    assert got[3] is None
+
+
+def test_block_pairs_n_blocks_validated(spark):
+    """Round-9 review: n_blocks=0 made every block key NULL and the
+    exact pair set silently EMPTY — semantic dedup then kept every row.
+    Must refuse loudly."""
+    from kafi_spark.functions.similarity import (
+        embedding_neardup_pairs, semantic_dedup_pairs)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n_blocks"):
+        embedding_neardup_pairs(df, threshold=0.9, exact=True,
+                                n_blocks=0).collect()
+    with pytest.raises(ValueError, match="n_blocks"):
+        semantic_dedup_pairs(df, threshold=0.9, n_clusters=1,
+                             n_blocks=0).collect()
+
+
+def test_quantized_rescore_ignores_null_duplicate_query_row(spark):
+    """Round-9 review: the exact-rescore join read the RAW queries
+    frame, so a duplicated query_id carrying one null-vector row fed
+    __qvec=None into the cosine kernel. The join must see the same
+    null-filtered projection as the stage-1 closure."""
+    from kafi_spark.functions.similarity import cosine_topk_quantized
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (1, None)],
+        "query_id long, embedding array<double>")
+    out = cosine_topk_quantized(corpus, queries, k=1)
+    rows = out.collect()
+    assert [(r.query_id, r.vec_id) for r in rows] == [(1, 10)]

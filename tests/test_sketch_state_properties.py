@@ -64,13 +64,18 @@ def test_kll_exact_n_under_any_schedule(spark, tmp_path_factory, sched):
 def test_theta_exact_under_duplicate_deltas(
         spark, tmp_path_factory, sched, dup):
     """Idempotent-union state: re-saving ANY epoch's delta under a new
-    version (stale leftover / replay) and compacting at any point never
-    changes the distinct total — and theta exact mode makes 'never
-    changes' an equality, not a tolerance."""
+    (higher) version — a stale leftover replayed late — and compacting
+    at any point never changes the distinct total; theta exact mode
+    makes 'never changes' an equality, not a tolerance. The duplicate
+    lands AFTER the epoch loop: since round 9 the numeric-epoch lineage
+    fence refuses writes below the committed frontier (that hazard has
+    its own test, test_stateful.test_numeric_epoch_lineage_fence), so
+    the legal stale-leftover shape is a duplicate at a new high id."""
     assign, compact_after, n_epochs = sched
     state = str(tmp_path_factory.mktemp("thprop") / "s")
     rows = [(i % 17, e) for i, e in enumerate(assign)]
     df = spark.createDataFrame(rows, "k int, e int")
+    leftovers = []
     for epoch in range(n_epochs):
         batch = df.filter(F.col("e") == epoch).select("k")
         if batch.count() == 0:
@@ -78,10 +83,11 @@ def test_theta_exact_under_duplicate_deltas(
         sk.sketch_save_delta(
             sk.theta_sketch(batch, "k"), state, epoch)
         if epoch == dup % n_epochs:  # duplicate this delta as leftover
-            sk.sketch_save_delta(
-                sk.theta_sketch(batch, "k"), state, 100 + epoch)
+            leftovers.append((batch, 100 + epoch))
         if epoch in compact_after:
             sk.sketch_compact(spark, state, epoch, kind="theta")
+    for batch, ver in leftovers:
+        sk.sketch_save_delta(sk.theta_sketch(batch, "k"), state, ver)
     got = sk.sketch_totals(spark, state, kind="theta").first()
     want = df.select("k").distinct().count()
     assert got["distinct_est"] == want

@@ -744,3 +744,113 @@ def test_curate_documents_stream_null_docs_match_batch(spark, tmp_path):
     assert sorted(got) == want and 2 not in got and 3 not in got
     exact = spark.read.parquet(str(tmp_path / "state" / "exact"))
     assert exact.filter("__fp is null").count() == 0
+
+
+def test_custom_trigger_held_window_admits_late_members(spark, tmp_path):
+    """Round-9 review: a custom gate HOLDS window [0,100) open past its
+    close; a late event inside it (ts=40) used to be dropped by the
+    wm_prev admission filter — the held window then fired with partial
+    contents, contradicting the eviction logic that deliberately keeps
+    held windows' members resident."""
+    b0 = [{"k": "a", "ts": 0, "v": 1.0}, {"k": "a", "ts": 150, "v": 8.0}]
+    b1 = [{"k": "a", "ts": 40, "v": 2.0}]   # late, but its window is held
+    b2 = [{"k": "a", "ts": 400, "v": 16.0}]  # releases the gate
+    got = _run(
+        spark, tmp_path, [b0, b1, b2], size_ms=100,
+        trigger_fun=lambda end, wm: wm >= end + 200,
+    )
+    # [0,100) fires with BOTH members; the late event's own anchor
+    # [40,140) fires too (it contains only ts=40)
+    assert ("a", 100, 2, 3.0) in got
+    assert ("a", 140, 1, 2.0) in got
+
+
+def test_sliding_window_nested_agg_schema_names(spark, tmp_path):
+    """Round-9 review: agg_schema was split on every comma, so a nested
+    type ("struct<lo:bigint,hi:bigint>") broke the output column list.
+    Bracket-aware parsing must handle nested aggregates."""
+    import time as _time
+
+    from kafi_spark.streaming.stateful import sliding_window_stream
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir, exist_ok=True)
+    _write_batch(src_dir, "b0.json", [
+        {"k": "a", "ts": 0, "v": 1.0},
+        {"k": "a", "ts": 40, "v": 2.0},
+        {"k": "a", "ts": 500, "v": 4.0},
+    ])
+    stream = (spark.readStream.schema("k string, ts long, v double")
+              .json(src_dir))
+    out = sliding_window_stream(
+        stream, key_cols=["k"], ts_col="ts", size_ms=100,
+        agg_fn=lambda w: {
+            "rng": {"lo": int(w["ts"].min()), "hi": int(w["ts"].max())},
+            "n": int(len(w))},
+        agg_schema="rng struct<lo:bigint,hi:bigint>, n long",
+        payload_cols=["v"],
+    )
+    collected = []
+    q = (out.writeStream.foreachBatch(
+            lambda df, e: collected.extend(df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.k, r.window_end): (r.rng.lo, r.rng.hi, r.n)
+           for r in collected}
+    assert got[("a", 100)] == (0, 40, 2)
+    assert got[("a", 140)] == (40, 40, 1)
+
+
+def test_numeric_epoch_lineage_fence(spark, tmp_path):
+    """Round-9 review: a query restarted with a FRESH checkpoint
+    restarts epoch ids at 0, and save_delta's idempotent overwrite
+    silently destroyed committed history. Writing below the committed
+    frontier must refuse; rewriting one's OWN epoch (crash replay) and
+    advancing stay legal."""
+    from kafi_spark.functions.state import save_delta
+
+    d = spark.createDataFrame([(1,)], "x long")
+    sd = str(tmp_path / "st")
+    save_delta(d, sd, 0)
+    save_delta(d, sd, 1)
+    save_delta(d, sd, 1)   # crash replay of the frontier epoch: legal
+    save_delta(d, sd, 2)   # monotone advance: legal
+    with pytest.raises(ValueError, match="restarted epoch ids"):
+        save_delta(d, sd, 0)
+    # the sketch/kll save paths route through the same fence
+    from kafi_spark.functions.sketches import kll_save_delta
+
+    with pytest.raises(ValueError, match="restarted epoch ids"):
+        kll_save_delta(d, sd, 1)
+
+
+def test_bloom_dedup_stream_deterministic_representative(spark, tmp_path):
+    """Round-9 review: dropDuplicates kept an arbitrary row per text, so
+    a crash-replayed epoch could emit a DIFFERENT representative than
+    the first attempt. The winner must be a pure function of the data:
+    min full-row hash."""
+    from kafi_spark.streaming.stateful import bloom_dedup_stream
+
+    df = spark.createDataFrame(
+        [(3, "x", "p"), (7, "x", "q"), (9, "y", "r")],
+        "doc_id long, text string, extra string")
+    want_x = df.filter("text = 'x'").orderBy(
+        F.xxhash64("doc_id", "text", "extra")).first()
+    got = []
+    proc = bloom_dedup_stream(
+        "text", str(tmp_path / "state"), num_bits=1 << 12, num_hashes=3,
+        sink=lambda out, e: got.extend(
+            (r.doc_id, r.text, r.extra) for r in out.collect()))
+    proc(df, 0)
+    assert sorted(got) == sorted(
+        [(want_x.doc_id, "x", want_x.extra), (9, "y", "r")])
+    # replay of the same epoch re-emits the identical rows
+    replay = []
+    proc2 = bloom_dedup_stream(
+        "text", str(tmp_path / "state"), num_bits=1 << 12, num_hashes=3,
+        sink=lambda out, e: replay.extend(
+            (r.doc_id, r.text, r.extra) for r in out.collect()))
+    proc2(df, 0)
+    assert sorted(replay) == sorted(got)
