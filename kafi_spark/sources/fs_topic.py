@@ -172,8 +172,12 @@ class FSTopicStorage:
         metadata, which dominate when a partition's data is fully purged
         (the high watermark must survive a full truncation, like a broker's
         log start offset does)."""
-        n = self.partitions(topic)
+        # ONE metadata read: partitions() re-reads metadata.json, and
+        # this is the hottest metadata-plane path (every produce/consume
+        # with offsets lands here) — on an object-store root the extra
+        # read was a remote GET per call (round-9 review)
         meta = self.metadata(topic)
+        n = meta["partitions"]
         log_start = {int(p): o for p, o in meta.get("log_start", {}).items()}
         next_off = {int(p): o for p, o in meta.get("next_offset", {}).items()}
         wm = {
@@ -231,6 +235,23 @@ class FSTopicStorage:
                 cut[p] = max(c, wm[p][0])
             affected = sorted(p for p, c in cut.items() if c > wm[p][0])
             df = self._read_raw(topic)
+            # persist the NEXT-OFFSET floor BEFORE any destructive step:
+            # raising the high watermark early is always safe (offsets
+            # only ever grow), while the old post-rewrite-only write left
+            # a crash window in which a fully-purged partition's hwm
+            # reset to 0 and produce re-served already-assigned offsets
+            # (round-9 review). log_start stays AFTER the rewrite — it
+            # must not advance past data that is still on disk.
+            meta = self.metadata(topic)
+            next_off = meta.setdefault("next_offset", {})
+            floor_moved = False
+            for p in cut:
+                if int(next_off.get(str(p), 0)) < wm[p][1]:
+                    next_off[str(p)] = wm[p][1]
+                    floor_moved = True
+            if floor_moved:
+                self._io.write_bytes(
+                    self._meta_path(topic), json.dumps(meta).encode())
             if affected and df is not None:
                 cutmap = F.create_map(
                     *[x for p in affected for x in (F.lit(p), F.lit(cut[p]))])
@@ -238,14 +259,8 @@ class FSTopicStorage:
                     df.filter(F.col("partition").isin(affected))
                     .filter(F.col("offset") >= cutmap[F.col("partition")])
                     .select([f.name for f in MESSAGE_SCHEMA.fields])
-                    .localCheckpoint(eager=True)  # materialize before the swap
                 )
-                for p in affected:
-                    self._io.delete(
-                        self._io.join(self._data_dir(topic), f"partition={p}"))
-                if kept.take(1):
-                    kept.write.mode("append").partitionBy("partition").parquet(
-                        self._data_dir(topic))
+                self._rewrite_partitions(topic, kept, affected)
             meta = self.metadata(topic)
             log_start = meta.setdefault("log_start", {})
             next_off = meta.setdefault("next_offset", {})
@@ -278,26 +293,16 @@ class FSTopicStorage:
             kept = (
                 df.repartition("partition")
                 .select([f.name for f in MESSAGE_SCHEMA.fields])
-                .localCheckpoint(eager=True)
             )
-            n = kept.count()
-            # delete only partition=* subdirs: the topic's skip index
+            # delete only partition=* subdirs (handled inside the
+            # durable rewrite): the topic's skip index
             # (<data>/_kafi_skip_index) survives compaction — every old
             # file drops out of its manifest (deleted => ignored) and the
             # rewritten files read as unindexed (always scanned), so seek()
             # keeps working unpruned until the next index_topic refresh.
             # A whole-directory delete used to take the index with it and
             # crash the point-lookup verb after routine maintenance.
-            data_dir = self._data_dir(t)
-            for child in self._io.listdir(data_dir):
-                base = child.rstrip("/").rsplit("/", 1)[-1]
-                if base.startswith("partition="):
-                    self._io.delete(self._io.join(data_dir, base))
-            if n:
-                kept.write.mode("append").partitionBy("partition").parquet(
-                    data_dir
-                )
-            out[t] = n
+            out[t] = self._rewrite_partitions(t, kept, None)
         return out
 
     def apply_retention(self, pattern: str = "*", now_ms: int | None = None) -> dict:
@@ -452,10 +457,18 @@ class FSTopicStorage:
                     (F.col("partition") >= 0) & (F.col("partition") < n),
                     F.col("partition"),
                 ).otherwise(
+                    # coalesce: a NULL partition fell through to
+                    # raise_error(concat(.., NULL)) = raise_error(NULL) —
+                    # the job died with a null message carrying no
+                    # diagnostic (round-9 review)
                     F.raise_error(
                         F.concat(
                             F.lit(f"partition out of range [0, {n}): "),
-                            F.col("partition").cast("string"),
+                            F.coalesce(
+                                F.col("partition").cast("string"),
+                                F.lit("NULL (set a value or drop the "
+                                      "column to use the partitioner)"),
+                            ),
                         )
                     ).cast("int")
                 ),
@@ -470,13 +483,16 @@ class FSTopicStorage:
                 .otherwise(F.pmod(F.abs(F.monotonically_increasing_id()), F.lit(n)))
                 .cast("int"),
             )
-        ts_numeric = ("bigint", "int", "smallint", "tinyint", "double",
-                      "float") + tuple(
-            t for t in dict(out.dtypes).values() if t.startswith("decimal")
-        )
+        # the numeric-epoch test concerns the TIMESTAMP column's own
+        # dtype only (the old form scanned every column's decimal dtypes
+        # and rebuilt out.dtypes twice — round-9 review)
+        ts_dt = dict(out.dtypes).get("timestamp", "")
+        ts_is_numeric = ts_dt in (
+            "bigint", "int", "smallint", "tinyint", "double", "float"
+        ) or ts_dt.startswith("decimal")
         if not (keep_timestamps and "timestamp" in cols):
             out = out.withColumn("timestamp", F.current_timestamp())
-        elif dict(out.dtypes)["timestamp"] in ts_numeric:
+        elif ts_is_numeric:
             # the reference's timestamp convention is epoch MILLIS for ANY
             # numeric dtype (kafi/storage_consumer.py:132-138); a raw
             # cast("timestamp") would read SECONDS — int/double epoch-millis
@@ -488,8 +504,14 @@ class FSTopicStorage:
             out = out.withColumn("timestamp", F.col("timestamp").cast("timestamp"))
         out = out.withColumn("timestampType", F.lit(1))
         wm = self.watermarks(topic)
+        # long-typed watermark literals: F.lit of a small Python int is
+        # IntegerType, so offset assignment ran in 32-bit arithmetic and
+        # overflowed (ANSI throw / silent wrap) once a partition crossed
+        # 2^31 records — MESSAGE_SCHEMA declares offset LONG for exactly
+        # the scale this module targets (round-9 review)
         hwm = F.create_map(
-            *[x for p in range(n) for x in (F.lit(p), F.lit(wm[p][1]))]
+            *[x for p in range(n)
+              for x in (F.lit(p), F.lit(wm[p][1]).cast("long"))]
         )
         # ordering is load-bearing: Catalyst extracts the orderBy
         # expression into a Project BELOW the window's Exchange (verified
@@ -503,6 +525,56 @@ class FSTopicStorage:
             .select([f.name for f in MESSAGE_SCHEMA.fields])
         )
         out.write.mode("append").partitionBy("partition").parquet(self._data_dir(topic))
+
+    def _rewrite_partitions(self, topic: str, kept: DataFrame,
+                            partitions: list[int] | None) -> int:
+        """Durably swap partition directories to ``kept``'s rows: write
+        the survivors to an underscore-hidden temp dir FIRST (the source
+        files are still intact, so a failed or lost write recomputes or
+        loses nothing), then delete+move per partition, then drop the
+        temp dir. ``partitions=None`` swaps every existing
+        ``partition=*`` directory (compaction); otherwise only the named
+        ones (delete_records).
+
+        The previous pattern — ``localCheckpoint(eager=True)`` then
+        delete then append — was NOT crash safe: checkpoint blocks live
+        on executors with lineage recovery disabled, so losing an
+        executor (or the driver) after the directory delete permanently
+        lost every surviving row (round-9 review). Temp dirs are
+        underscore-prefixed, so Spark's input listing hides them from
+        topic scans; a stale one from a crashed rewrite is clobbered by
+        the overwrite mode. Returns the surviving row count
+        (parquet-footer metadata read, no data scan)."""
+        data_dir = self._data_dir(topic)
+        tmp = self._io.join(data_dir, "_rewrite_tmp")
+        kept.write.mode("overwrite").partitionBy("partition").parquet(tmp)
+        tmp_parts = [
+            c.rstrip("/").rsplit("/", 1)[-1]
+            for c in self._io.listdir(tmp)
+            if c.rstrip("/").rsplit("/", 1)[-1].startswith("partition=")
+        ]
+        n = 0
+        if tmp_parts:
+            n = kept.sparkSession.read.schema(MESSAGE_SCHEMA).parquet(
+                tmp).count()
+        if partitions is None:
+            targets = [
+                c.rstrip("/").rsplit("/", 1)[-1]
+                for c in self._io.listdir(data_dir)
+                if c.rstrip("/").rsplit("/", 1)[-1].startswith("partition=")
+            ]
+        else:
+            targets = [f"partition={p}" for p in partitions]
+        for name in sorted(set(targets) | set(tmp_parts)):
+            if partitions is not None and name not in targets:
+                continue  # delete_records: only the named partitions swap
+            dst = self._io.join(data_dir, name)
+            src = self._io.join(tmp, name)
+            self._io.delete(dst)
+            if name in tmp_parts:
+                self._io.move(src, dst)
+        self._io.delete(tmp)
+        return n
 
     # -- consume (kafi/fs/fs_consumer.py:39-144) ----------------------------
 
@@ -561,6 +633,14 @@ class FSTopicStorage:
             start = {int(p): o for p, o in committed.items()}
         if start:
             wm = self.watermarks(topic)
+            # descriptive guard (round-9 review): a bare wm[p] KeyError
+            # named neither the topic nor the valid range, while the
+            # sibling mutator delete_records validates the same condition
+            for p in list(start) + list(end_offsets or {}):
+                if p not in wm:
+                    raise ValueError(
+                        f"partition {p} out of range for {topic} "
+                        f"(has {len(wm)} partitions)")
             resolved = {
                 p: (o if o >= 0 else max(wm[p][1] + o, wm[p][0])) for p, o in start.items()
             }

@@ -55,6 +55,12 @@ class LocalIO:
         elif os.path.exists(path):
             os.remove(path)
 
+    def move(self, src: str, dst: str) -> None:
+        """Move a file or directory into place (dst absent): one
+        rename(2) on the same filesystem — the directory-swap primitive
+        fs_topic's durable partition rewrites use."""
+        os.replace(src, dst)
+
     def listdir(self, path: str) -> list[str]:
         return os.listdir(path)
 
@@ -141,6 +147,12 @@ class HadoopIO:
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), True)
+
+    def move(self, src: str, dst: str) -> None:
+        """Move a file or directory into place (dst absent):
+        FileSystem.rename — atomic on HDFS, metadata-op on stores."""
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
 
     def listdir(self, path: str) -> list[str]:
         return [s.getPath().getName() for s in self._fs.listStatus(self._p(path))]

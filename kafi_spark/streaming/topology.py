@@ -134,6 +134,16 @@ class Topology:
             # list, and a duplicate made it integrate the same delta into
             # state twice — every record silently carried weight 2
             self.source_names.append(name)
+        prev = self.source_schemas.get(name)
+        if schema is not None and prev is not None and prev != schema:
+            # a DIVERGENT redeclaration is a build-time typo, not a
+            # branch reuse: last-wins silently replaced the schema and
+            # the runner's delta-less seeding then built an empty frame
+            # missing columns (round-9 review; the r7 guard below only
+            # protects against None-erasure)
+            raise ValueError(
+                f"source {name!r} redeclared with a different schema: "
+                f"{prev!r} vs {schema!r}")
         if schema is not None or name not in self.source_schemas:
             # a schema-less re-declaration must not ERASE a previously
             # declared schema (review r7: branch 2's bare source('ev')
@@ -143,9 +153,13 @@ class Topology:
                      name=f"source_{name}")
 
     def build_batch(self, sources: dict[str, DataFrame]) -> dict[str, DataFrame]:
-        """Evaluate every sink over batch inputs; outputs are consolidated
+        """Evaluate every sink over batch inputs (one shared plan cache
+        across sinks — see TNode._plan; the copy keeps the caller's dict
+        unmutated); outputs are consolidated
         Z-sets (record columns + weight)."""
-        return {name: consolidate(node._plan(sources)) for name, node in self.sinks.items()}
+        env = dict(sources)
+        return {name: consolidate(node._plan(env))
+                for name, node in self.sinks.items()}
 
     def topology(self, include_ids: bool = False) -> str:
         """Render every sink as a recursive term, one line per sink —
@@ -192,11 +206,28 @@ class TNode:
         self.node_id = topology._next_id()
 
     def _plan(self, env: dict[str, DataFrame]) -> DataFrame:
-        return self._build(env)
+        """Memoized per environment: a shared sub-DAG (one node feeding
+        several consumers or sinks — the REF case the mermaid renderer
+        draws) builds its DataFrame ONCE per step instead of once per
+        consumer. The closure-chain rebuild re-planned the whole
+        upstream chain per sink (k nested diamonds → O(2^k) plan nodes)
+        and re-executed expensive shared aggregates once per consumer
+        unless exchange reuse happened to fire (round-9 review). The
+        cache lives IN the env dict, so its lifetime is exactly one
+        build — step()/build_batch construct a fresh env per call."""
+        cache = env.get("__plan_cache__")
+        if cache is None:
+            cache = {}
+            env["__plan_cache__"] = cache
+        got = cache.get(self.node_id)
+        if got is None:
+            got = self._build(env)
+            cache[self.node_id] = got
+        return got
 
     def _derive(self, f: Callable[[DataFrame], DataFrame],
                 name: str = "op") -> "TNode":
-        return TNode(self._topology, lambda env: f(self._build(env)), [self],
+        return TNode(self._topology, lambda env: f(self._plan(env)), [self],
                      name=name)
 
     def _derive2(self, other: "TNode",
@@ -204,7 +235,7 @@ class TNode:
                  name: str = "op") -> "TNode":
         return TNode(
             self._topology,
-            lambda env: f(self._build(env), other._build(env)),
+            lambda env: f(self._plan(env), other._plan(env)),
             [self, other],
             name=name,
         )
@@ -403,12 +434,19 @@ class TNode:
         right multiset, so retractions (negative weights) do not
         distribute over it — weights must be +1 on both sides. The left
         weight travels through; the right row contributes its payload
-        only."""
+        only. The right side is consolidated to NET-PRESENT rows first
+        (round-9 review, same treatment window_session got in r7): a
+        mid-topology right input like ``a.merge(b.neg())`` carries +1/−1
+        row pairs whose bare ``drop(WEIGHT)`` left both physical rows —
+        the window's ``last()`` then matched left rows against a record
+        that is not in the set."""
         def op(l: DataFrame, r: DataFrame) -> DataFrame:
             from kafi_spark.functions.temporal import asof_join as _asof
+            from kafi_spark.streams.zset import consolidate as _cons
 
+            present = _cons(r).filter(F.col(WEIGHT) > 0)
             return _asof(
-                l, r.drop(WEIGHT), on=on, left_ts=left_ts,
+                l, present.drop(WEIGHT), on=on, left_ts=left_ts,
                 right_ts=right_ts, how=how, tolerance_us=tolerance_us,
             )
 

@@ -549,3 +549,84 @@ def test_delete_records_glob_reaches_internal_topics(spark, tmp_path):
     applied = s.delete_records("*")
     assert applied.get("__internal") == {0: 2}
     assert s.consume("__internal").count() == 0
+
+
+def test_offsets_stay_long_past_int32(storage, spark):
+    """Round-9 review: offset assignment ran in 32-bit arithmetic
+    (F.lit of a small int is IntegerType), overflowing once a partition
+    crossed 2^31 records. Seed the high watermark near the boundary via
+    metadata and produce across it."""
+    storage.create("big", partitions=1)
+    meta = storage.metadata("big")
+    meta["next_offset"] = {"0": (1 << 31) - 5}
+    storage._set_meta("big", meta)
+    storage.produce("big", msgs(spark, *[(f"k{i}", f"v{i}") for i in range(10)]))
+    offs = sorted(r.offset for r in storage.consume("big").collect())
+    assert offs == list(range((1 << 31) - 5, (1 << 31) + 5))
+    assert all(o > 0 for o in offs)
+
+
+def test_keep_partitions_null_partition_clear_error(storage, spark):
+    """Round-9 review: a NULL partition under keep_partitions=True hit
+    raise_error(concat(.., NULL)) = raise_error(NULL) — a job abort with
+    a null message. The error must name the problem."""
+    storage.create("kp", partitions=2)
+    df = spark.createDataFrame(
+        [(b"k", b"v", None)], "key binary, value binary, partition int")
+    with pytest.raises(Exception, match="NULL"):
+        storage.produce("kp", df, keep_partitions=True)
+
+
+def test_consume_offsets_out_of_range_clear_error(storage, spark):
+    """Round-9 review: consume(offsets={bad: ..}) raised a bare
+    KeyError; it must name the topic and range like delete_records."""
+    storage.create("rng", partitions=2)
+    storage.produce("rng", msgs(spark, ("a", "v")))
+    with pytest.raises(ValueError, match="out of range for rng"):
+        storage.consume("rng", offsets={5: 0}).collect()
+
+
+def test_delete_records_hwm_survives_failed_rewrite(storage, spark, monkeypatch):
+    """Round-9 review: the next-offset floor must persist BEFORE the
+    destructive rewrite — a crash in between used to reset a purged
+    partition's high watermark to 0 and re-serve offsets."""
+    storage.create("crash", partitions=1)
+    storage.produce("crash", msgs(spark, ("a", "1"), ("b", "2"), ("c", "3")))
+    assert storage.watermarks("crash")[0] == (0, 3)
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-rewrite")
+
+    monkeypatch.setattr(storage, "_rewrite_partitions", boom)
+    with pytest.raises(RuntimeError):
+        storage.delete_records("crash")
+    monkeypatch.undo()
+    # data untouched (rewrite never ran), and the hwm floor is durable:
+    # even after a real purge the next offset continues from 3
+    assert storage.watermarks("crash")[0][1] == 3
+    storage.delete_records("crash")
+    assert storage.consume("crash").count() == 0
+    assert storage.watermarks("crash")[0] == (3, 3)
+    storage.produce("crash", msgs(spark, ("d", "4")))
+    assert [r.offset for r in storage.consume("crash").collect()] == [3]
+
+
+def test_stale_rewrite_tmp_invisible_and_clobbered(storage, spark):
+    """Round-9 review follow-through: the durable rewrite stages
+    survivors in an underscore-hidden temp dir; a stale one from a
+    crashed rewrite must be invisible to scans and clobbered by the
+    next rewrite."""
+    storage.create("tmpvis", partitions=1)
+    storage.produce("tmpvis", msgs(spark, ("a", "1"), ("b", "2")))
+    data_dir = storage._data_dir("tmpvis")
+    stale = storage._io.join(data_dir, "_rewrite_tmp", "partition=0")
+    storage._io.mkdirs(stale)
+    storage._io.write_bytes(
+        storage._io.join(stale, "junk.bin"), b"not parquet")
+    # scans ignore the underscore dir entirely
+    assert storage.consume("tmpvis").count() == 2
+    # the next compaction overwrites the stale dir and succeeds
+    assert storage.compact_files("tmpvis") == {"tmpvis": 2}
+    assert storage.consume("tmpvis").count() == 2
+    assert not storage._io.exists(
+        storage._io.join(data_dir, "_rewrite_tmp"))

@@ -851,3 +851,77 @@ def test_run_streaming_warns_on_unwatermarked_agg(spark, tmp_path):
             trigger_available_now=True)
         await_all(qs, timeout_s=60)
     assert any("without a watermark" in str(x.message) for x in w)
+
+
+def test_asof_join_ignores_net_retracted_right_rows(spark):
+    """Round-9 review: asof_join dropped the right weight column without
+    consolidating, so a +1/-1 retraction pair stayed as TWO physical
+    rows and the window's last() matched left rows against a record that
+    is not in the set (window_session got the consolidate treatment in
+    r7; asof needed the same)."""
+    from kafi_spark.streaming import Topology
+
+    t = Topology()
+    left = t.source("l", "k long, ts timestamp, lv string")
+    r_ins = t.source("r", "k long, ts timestamp, rv string")
+    r_neg = t.source("rneg", "k long, ts timestamp, rv string")
+    right = r_ins.merge(r_neg.neg())
+    left.asof_join(right, on=["k"], left_ts="ts", right_ts="ts").sink("out")
+
+    from datetime import datetime as DT
+
+    l_df = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 0, 0, 12), "L")], "k long, ts timestamp, lv string")
+    r_df = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 0, 0, 5), "B"),
+         (1, DT(2024, 1, 1, 0, 0, 10), "A")],
+        "k long, ts timestamp, rv string")
+    # retract the ts=10 row: net-absent — the as-of match must fall back
+    # to the ts=5 row, not the retracted later one
+    rneg_df = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 0, 0, 10), "A")], "k long, ts timestamp, rv string")
+    out = t.build_batch({"l": l_df, "r": r_df, "rneg": rneg_df})["out"]
+    got = [(r.k, r.lv, r.rv) for r in out.collect()]
+    assert got == [(1, "L", "B")]
+
+
+def test_source_divergent_schema_redeclaration_raises(spark):
+    """Round-9 review: a redeclaration with a DIFFERENT schema silently
+    replaced the first (last-wins) — the runner's delta-less seeding
+    then built frames missing columns. Must refuse at build time;
+    schema-less and identical redeclarations stay legal."""
+    from kafi_spark.streaming import Topology
+
+    t = Topology()
+    t.source("ev", "a int, b string")
+    t.source("ev")                      # schema-less reuse: fine
+    t.source("ev", "a int, b string")   # identical: fine
+    with pytest.raises(ValueError, match="different schema"):
+        t.source("ev", "a int")
+
+
+def test_shared_subdag_plans_once_per_build(spark):
+    """Round-9 review: closure-chain rebuilds re-planned a shared
+    sub-DAG once per consumer (O(2^k) for nested diamonds). The
+    env-scoped memo must build a node once per step, and separate
+    builds must not reuse stale frames."""
+    from kafi_spark.streaming import Topology
+
+    t = Topology()
+    src = t.source("s", "k string, v long")
+    calls = {"n": 0}
+
+    def counting(df):
+        calls["n"] += 1
+        return df
+
+    shared = src._derive(counting, "counting")
+    shared.filter(F.col("v") > 0).sink("a")
+    shared.map(F.col("k").alias("k"), (F.col("v") * 2).alias("v")).sink("b")
+    df = spark.createDataFrame([("x", 1)], "k string, v long")
+    out = t.build_batch({"s": df})
+    assert calls["n"] == 1
+    assert out["a"].count() == 1 and out["b"].count() == 1
+    # a fresh build re-plans (no cross-step staleness)
+    t.build_batch({"s": df})
+    assert calls["n"] == 2
