@@ -1312,10 +1312,12 @@ _DEDUP_SQL["dedup_span_bloom"] = """
                 regexp_extract_all(text, '\\S+') AS w
                 FROM documents WHERE text IS NOT NULL),
     spans AS (
+      -- zero-token docs emit NO spans (the old greatest(..,1) floor
+      -- mirrored text_spans' retired phantom-span behavior, r9)
       SELECT doc_id, CAST(s.i AS INT) AS span_id,
              array_to_string(w[s.i*8+1 : s.i*8+8], ' ') AS span
       FROM ws, LATERAL (SELECT unnest(range(0,
-             greatest(CAST(ceil(len(w)/8.0) AS BIGINT), 1))) AS i) s),
+             CAST(ceil(len(w)/8.0) AS BIGINT))) AS i) s),
     ranked AS (
       SELECT *, COUNT(*) OVER (PARTITION BY span) AS n,
              ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_id) AS rn
@@ -1324,7 +1326,12 @@ _DEDUP_SQL["dedup_span_bloom"] = """
       SELECT 'span' AS op, doc_id,
              string_agg(span, ' ' ORDER BY span_id) AS text,
              CAST(COUNT(*) AS BIGINT) AS metric
-      FROM ranked WHERE n <= 1 OR rn = 1 GROUP BY doc_id),
+      FROM ranked WHERE n <= 1 OR rn = 1 GROUP BY doc_id
+      -- zero-token pass-through leg (span_dedup's r9 contract)
+      UNION ALL
+      SELECT 'span' AS op, doc_id, text, CAST(0 AS BIGINT) AS metric
+      FROM documents
+      WHERE text IS NOT NULL AND len(regexp_extract_all(text, '\\S+')) = 0),
     seeds AS (SELECT unnest(range(5)) AS i),
     hist AS (SELECT DISTINCT
                ('0x'||substring(md5(CAST(s.i AS VARCHAR)||':'||d.text),1,15))::BIGINT
@@ -1352,10 +1359,13 @@ _DEDUP_SQL["dedup_span_bloom"] = """
       SELECT fp FROM (SELECT fp, doc_id FROM blines GROUP BY fp, doc_id)
       GROUP BY fp HAVING COUNT(*) >= 390),
     boiler_out AS (
+      -- trivial (empty) lines are exempt from removal — structure, not
+      -- boilerplate (boilerplate_filter's r9 min_line_chars default)
       SELECT 'boiler' AS op, doc_id,
              string_agg(span, ' ' ORDER BY span_id) AS text,
              CAST(COUNT(*) AS BIGINT) AS metric
-      FROM blines WHERE fp NOT IN (SELECT fp FROM bset)
+      FROM blines
+      WHERE length(span) < 1 OR fp NOT IN (SELECT fp FROM bset)
       GROUP BY doc_id)
     SELECT * FROM span_out UNION ALL SELECT * FROM bloom_out
     UNION ALL SELECT * FROM boiler_out

@@ -59,6 +59,14 @@ from pyspark.sql import DataFrame, functions as F
 _DEFAULT_LGK = 12
 
 
+def _agg(df: DataFrame, group_cols, agg):
+    """groupBy-or-global aggregate tail shared by every sketch builder
+    and merger (was copy-pasted seven times — round-9 review)."""
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
 def distinct_sketch(
     df: DataFrame,
     key_col: str,
@@ -76,9 +84,7 @@ def distinct_sketch(
     if not 4 <= lgk <= 21:
         raise ValueError(f"lgk must be in [4, 21], got {lgk}")
     agg = F.hll_sketch_agg(F.col(key_col), lgk).alias(sketch_col)
-    if group_cols:
-        return df.groupBy(*group_cols).agg(agg)
-    return df.agg(agg)
+    return _agg(df, group_cols, agg)
 
 
 def merge_sketches(
@@ -98,9 +104,7 @@ def merge_sketches(
     agg = F.hll_union_agg(
         F.col(sketch_col), allow_different_lgk
     ).alias(sketch_col)
-    if group_cols:
-        return df.groupBy(*group_cols).agg(agg)
-    return df.agg(agg)
+    return _agg(df, group_cols, agg)
 
 
 def estimate(sketch_col: str = "sketch", name: str = "distinct_est"):
@@ -242,9 +246,7 @@ def theta_sketch(
     if not 4 <= lgk <= 26:
         raise ValueError(f"lgk must be in [4, 26], got {lgk}")
     agg = F.theta_sketch_agg(F.col(key_col), lgk).alias(sketch_col)
-    if group_cols:
-        return df.groupBy(*group_cols).agg(agg)
-    return df.agg(agg)
+    return _agg(df, group_cols, agg)
 
 
 def theta_merge(
@@ -257,9 +259,7 @@ def theta_merge(
     twin of :func:`merge_sketches`; union is associative and idempotent,
     so compaction and re-merged leftovers stay correct)."""
     agg = F.theta_union_agg(F.col(sketch_col), lgk).alias(sketch_col)
-    if group_cols:
-        return df.groupBy(*group_cols).agg(agg)
-    return df.agg(agg)
+    return _agg(df, group_cols, agg)
 
 
 def theta_intersect(
@@ -271,9 +271,7 @@ def theta_intersect(
     EVERY slice" (e.g. users active on every one of N days). The
     aggregate form of :func:`F.theta_intersection`."""
     agg = F.theta_intersection_agg(F.col(sketch_col)).alias(sketch_col)
-    if group_cols:
-        return df.groupBy(*group_cols).agg(agg)
-    return df.agg(agg)
+    return _agg(df, group_cols, agg)
 
 
 def theta_estimate(sketch_col: str = "sketch", name: str = "distinct_est"):
@@ -339,10 +337,18 @@ def sketch_retention(
         *dims,
         F.col(sketch_col).alias("__prev"),
     )
+    # eqNullSafe on the group keys (round-9 review): a NULL dim value is
+    # a real group — the same file's cms_estimate sets this standard —
+    # and a plain name-equality join silently dropped the NULL segment's
+    # retention rows (NULL != NULL)
+    cond = None
+    for k in keys:
+        e = cur[k].eqNullSafe(prev[k])
+        cond = e if cond is None else cond & e
     return (
-        cur.join(prev, keys)
+        cur.join(prev, cond)
         .select(
-            *keys,
+            *[cur[k] for k in keys],
             F.theta_sketch_estimate("__cur").alias("active"),
             F.theta_sketch_estimate("__prev").alias("prev_active"),
             F.theta_sketch_estimate(
@@ -418,9 +424,7 @@ def quantile_sketch(
     if dtype == "bigint":
         val = val.cast("bigint")
     agg = fns["agg"](val, k).alias(sketch_col)
-    if group_cols:
-        return df.groupBy(*group_cols).agg(agg)
-    return df.agg(agg)
+    return _agg(df, group_cols, agg)
 
 
 def quantile_merge(
@@ -439,9 +443,7 @@ def quantile_merge(
     folded — that discipline is :func:`kll_totals`'s watermark read
     path, not something the algebra forgives."""
     agg = _kll_fns(dtype)["merge"](F.col(sketch_col), k).alias(sketch_col)
-    if group_cols:
-        return df.groupBy(*group_cols).agg(agg)
-    return df.agg(agg)
+    return _agg(df, group_cols, agg)
 
 
 def quantile_values(
@@ -465,7 +467,12 @@ def quantile_values(
         # places before the integrality test so every whole percent
         # names uniformly)
         pct = round(q * 100, 9)
-        name = f"q{int(pct)}" if pct == int(pct) else f"q{q}"
+        # fractional percents name with an underscore decimal (q12_5 for
+        # 0.125), never a dot: the round-8 fix covered whole percents
+        # but the f'q{q}' fallback still minted dotted names needing
+        # backticks in every downstream reference (round-9 review)
+        name = (f"q{int(pct)}" if pct == int(pct)
+                else "q" + str(pct).replace(".", "_").rstrip("0").rstrip("_"))
         cols.append(fns["quantile"](F.col(sketch_col), F.lit(q)).alias(name))
     cols.append(fns["n"](F.col(sketch_col)).alias("n"))
     return df.select(*cols)
@@ -518,10 +525,14 @@ def kll_save_delta(
     # parse back (round-8 review: int(2.5) passed this guard but wrote
     # v=2.5, permanently poisoning every later read/compaction of the
     # directory — int-VALUED is not int-RENDERED)
-    if str(int(epoch)) != str(epoch):
+    if str(int(epoch)) != str(epoch) or int(epoch) < 0:
+        # negative epochs additionally bypass save_delta's lineage fence
+        # (str(-1).isdigit() is False) and collide with compact_fold's
+        # -1 "no state" sentinel (round-9 review)
         raise ValueError(
-            f"epoch must render as a plain integer, got {epoch!r} "
-            f"(would write v={epoch}, unreadable by the watermark fence)"
+            f"epoch must render as a plain non-negative integer, got "
+            f"{epoch!r} (would write v={epoch}, unreadable by the "
+            "watermark fence)"
         )
     save_delta(sketches, state_dir, epoch)
 
@@ -646,7 +657,22 @@ def cms_sketch(
     with map-side combine: the shuffle carries at most depth × width
     counter rows per (partition, group), never keys.
     """
-    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    if weight_col:
+        wt = dict(df.dtypes).get(weight_col, "")
+        if wt not in ("bigint", "int", "smallint", "tinyint"):
+            # a silent cast('long') TRUNCATED fractional weights (0.9 ->
+            # 0), breaking the documented est >= true no-miss guarantee
+            # for real-valued weights (round-9 review); refuse instead —
+            # callers quantize explicitly when they mean it
+            raise ValueError(
+                f"weight_col {weight_col!r} must be an integral type, "
+                f"got {wt!r}: fractional weights would truncate and "
+                "break the no-underestimate guarantee; quantize "
+                "explicitly (e.g. round(w * 1000)) if that is intended")
+        # a NULL weight contributes 0, never a NULL cell
+        w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    else:
+        w = F.lit(1).cast("long")
     base = df.filter(F.col(key_col).isNotNull()).select(
         *group_cols, F.explode(_cms_cells(key_col, depth, width)).alias("__c"),
         w.alias("__w"),

@@ -50,7 +50,13 @@ def text_spans(
     re-evaluate unbound expressions per element — see
     :func:`dedup.shingles`), then slice W-token windows. The last span
     of a document may be shorter than W; a document shorter than W
-    tokens is its own single span.
+    tokens is its own single span. ZERO-token (null/empty/whitespace-
+    only) documents emit NO rows (round-9 review: the old chunk floor
+    emitted one phantom span — '' for empty docs, NULL for null docs —
+    so every empty doc shared a fingerprint and all but the globally
+    first silently disappeared under span_dedup defaults, while the
+    stream twin's state was salted with md5('') forever; shingles got
+    the same fix in r8).
     """
     from .dedup import _parallelize
 
@@ -71,7 +77,7 @@ def text_spans(
             F.slice("__words", i * span_tokens + 1, span_tokens), " "
         ),
     )
-    return bound.select(
+    return bound.filter(F.size("__words") > 0).select(
         F.col(id_col), F.posexplode(chunks).alias("span_id", "span")
     )
 
@@ -108,6 +114,25 @@ def _null_doc_leg(
         F.lit(0).cast("long").alias(count_col),
     )
 
+
+
+def _reassemble(kept: DataFrame, id_col: str, joiner: str,
+                count_name: str) -> DataFrame:
+    """Order-preserving reassembly without a sort shuffle: collect
+    (span_id, span) structs, array_sort (struct order = field order),
+    array_join — the repo's standard banded-digest pattern, shared by
+    :func:`_dedup_spans`, :func:`boilerplate_filter`, and the span
+    stream twin (was copy-pasted three times — round-9 review)."""
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_id", "span"))),
+                lambda x: x["span"],
+            ),
+            joiner,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias(count_name),
+    )
 
 def _dedup_spans(
     spans: DataFrame,
@@ -170,19 +195,7 @@ def _dedup_spans(
             # trivial lines (blanks) are structure, not boilerplate
             survives = survives | (F.length("span") < min_chars)
         kept = ranked.filter(survives)
-    # order-preserving reassembly without a sort shuffle: collect
-    # (span_id, span) structs, array_sort (struct order = field order),
-    # then join — the repo's standard banded-digest pattern
-    return kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("span_id", "span"))),
-                lambda x: x["span"],
-            ),
-            joiner,
-        ).alias("text"),
-        F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
-    )
+    return _reassemble(kept, id_col, joiner, "n_spans_kept")
 
 
 def span_dedup(
@@ -213,12 +226,19 @@ def span_dedup(
     """
     # null texts come back unchanged (review r7: the NULL-span path used
     # to resurrect exactly ONE null doc per corpus as text='' and drop
-    # the rest — substring_dedup's contract is the model)
+    # the rest — substring_dedup's contract is the model); zero-token
+    # texts pass through unchanged too (round-9 review — they have no
+    # spans to dedup, and text_spans now emits no rows for them)
     nulls = _null_doc_leg(df, text_col, id_col, "n_spans_kept")
+    empties = df.filter(
+        F.col(text_col).isNotNull() & (F.size(ws_tokens(text_col)) == 0)
+    ).select(
+        F.col(id_col), F.col(text_col).alias("text"),
+        F.lit(0).cast("long").alias("n_spans_kept"))
     spans = text_spans(
         df.filter(F.col(text_col).isNotNull()), text_col, id_col, span_tokens)
     out = _dedup_spans(spans, id_col, " ", max_occurrences, keep, skew_safe)
-    return out.unionByName(nulls)
+    return out.unionByName(nulls).unionByName(empties)
 
 
 def line_dedup(
@@ -334,6 +354,7 @@ def boilerplate_filter(
     sep: str = "\n",
     min_doc_frequency: int = 2,
     normalize: bool = True,
+    min_line_chars: int = 1,
 ) -> DataFrame:
     """Remove corpus-frequent boilerplate lines from every document.
 
@@ -360,6 +381,17 @@ def boilerplate_filter(
     Null texts come back unchanged as ``(id, null, 0)`` — the family
     contract (round-8 session review; they also contribute nothing to
     document frequencies, matching :func:`boilerplate_lines`).
+
+    ``min_line_chars`` exempts TRIVIAL lines from removal (always
+    kept): the empty line is the most frequent "line" in any real
+    corpus — split keeps the '' between consecutive separators and a
+    trailing one, and normalize folds whitespace-only lines into the
+    same key — so the defaults used to strip every blank line
+    corpus-wide, silently destroying paragraph structure (round-9
+    review; the exact r7 failure mode :func:`line_dedup` fixed with the
+    same knob). Trivial lines still count toward document frequency
+    (they are never removed, so their frequency is moot). Pass 0 to
+    treat blanks as removable boilerplate.
     """
     if min_doc_frequency < 1:
         raise ValueError(
@@ -377,17 +409,10 @@ def boilerplate_filter(
         .filter(F.col("__df") >= min_doc_frequency)
         .select("__fp")
     )
-    kept = keyed.join(boiler, "__fp", "left_anti")
-    out = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("span_id", "span"))),
-                lambda x: x["span"],
-            ),
-            sep,
-        ).alias("text"),
-        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
-    )
+    removable = keyed.filter(F.length("span") >= min_line_chars)
+    trivial = keyed.filter(F.length("span") < min_line_chars)
+    kept = removable.join(boiler, "__fp", "left_anti").unionByName(trivial)
+    out = _reassemble(kept, id_col, sep, "n_lines_kept")
     return out.unionByName(_null_doc_leg(df, text_col, id_col,
                                          "n_lines_kept"))
 

@@ -364,8 +364,19 @@ def span_dedup_stream(
         # and salted the state with a null fingerprint (round-8 session
         # review, reproduced against the batch twin).
         from kafi_spark.functions.spans import _null_doc_leg
+        from kafi_spark.functions.text import ws_tokens as _wst
 
         nulls = _null_doc_leg(batch_df, text_col, id_col, "n_spans_kept")
+        # zero-token docs pass through unchanged too — twin parity with
+        # the batch operator's round-9 leg (text_spans now emits no rows
+        # for them, so without this they would vanish from the output)
+        nulls = nulls.unionByName(
+            batch_df.filter(
+                F.col(text_col).isNotNull()
+                & (F.size(_wst(text_col)) == 0)
+            ).select(
+                F.col(id_col), F.col(text_col).alias("text"),
+                F.lit(0).cast("long").alias("n_spans_kept")))
         spans = text_spans(
             batch_df.filter(F.col(text_col).isNotNull()),
             text_col, id_col, span_tokens
@@ -378,16 +389,10 @@ def span_dedup_stream(
             .withColumn("__rn", F.row_number().over(wo))
             .filter(F.col("__rn") == 1)
         )
-        out = fresh.groupBy(id_col).agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("span_id", "span"))),
-                    lambda x: x["span"],
-                ),
-                joiner,
-            ).alias("text"),
-            F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
-        ).unionByName(nulls)
+        from kafi_spark.functions.spans import _reassemble
+
+        out = _reassemble(fresh, id_col, joiner, "n_spans_kept"
+                          ).unionByName(nulls)
         if sink is not None:
             sink(out, epoch_id)
         _save_delta(spans.select("__fp").distinct(), state_dir,

@@ -294,7 +294,7 @@ def test_quantile_value_column_naming_is_float_tolerant(spark):
         spark.range(100).select(F.col("id").cast("double").alias("v")), "v")
     out = sk.quantile_values(df, [0.05, 0.29, 0.55, 0.555])
     assert [c for c in out.columns if c.startswith("q")] == \
-        ["q5", "q29", "q55", "q0.555"]
+        ["q5", "q29", "q55", "q55_5"]
 
 
 def test_theta_lgk_validation(events):
@@ -762,3 +762,51 @@ def test_cms_estimate_null_group_value(spark):
     assert got[(None, "Y")] == 7
     assert got[("b1", "Z")] == 3
     assert got[(None, "Z")] == 0 and got[("b1", "Y")] == 0
+
+
+def test_sketch_retention_null_dim_group_retained(spark):
+    """Round-9 review: a NULL dim value is a real group (cms_estimate's
+    pinned standard), but the retention self-join used plain equality —
+    NULL != NULL dropped the NULL segment's rows silently."""
+    from datetime import datetime as DT
+
+    ev = spark.createDataFrame(
+        [(1, DT(2024, 1, 1), None), (2, DT(2024, 1, 1), None),
+         (1, DT(2024, 1, 2), None), (3, DT(2024, 1, 2), None),
+         (1, DT(2024, 1, 1), "de"), (1, DT(2024, 1, 2), "de")],
+        "user long, ts timestamp, country string")
+    daily = sk.theta_over_time(ev, "user", "ts", dims=["country"])
+    out = {(r.bucket.day, r.country): (r.retained, r.churned, r.new_keys)
+           for r in sk.sketch_retention(daily, dims=["country"]).collect()}
+    assert out[(2, None)] == (1, 1, 1)   # user 1 retained, 2 churned, 3 new
+    assert out[(2, "de")] == (1, 0, 0)
+
+
+def test_cms_sketch_weight_validation(spark):
+    """Round-9 review: fractional weights silently truncated to 0 via
+    cast('long'), breaking the est >= true no-miss guarantee; integral
+    weights with NULLs count 0."""
+    import pytest as _pytest
+
+    frac = spark.createDataFrame([("k", 0.9)], "key string, w double")
+    with _pytest.raises(ValueError, match="integral"):
+        sk.cms_sketch(frac, "key", weight_col="w")
+    ints = spark.createDataFrame(
+        [("k", 3), ("k", None), ("j", 2)], "key string, w int")
+    cms = sk.cms_sketch(ints, "key", weight_col="w")
+    est = {r.key: r.est for r in sk.cms_estimate(
+        cms, spark.createDataFrame([("k",), ("j",)], "key string"),
+        "key").collect()}
+    assert est["k"] >= 3 and est["j"] >= 2
+
+
+def test_kll_save_delta_rejects_negative_epoch(spark, tmp_path):
+    """Round-9 review: negative epochs bypass save_delta's lineage
+    fence (str(-1).isdigit() is False) and collide with compact_fold's
+    -1 sentinel."""
+    import pytest as _pytest
+
+    d = sk.quantile_sketch(
+        spark.range(10).select(F.col("id").cast("double").alias("v")), "v")
+    with _pytest.raises(ValueError, match="non-negative"):
+        sk.kll_save_delta(d, str(tmp_path / "s"), -1)

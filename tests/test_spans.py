@@ -420,3 +420,61 @@ def test_substring_dedup_untouched_regions_verbatim(spark):
     # leading "  " kept with the surviving first token; cut tail's
     # whitespace gone
     assert out[4] == ("  lead kept\t\there", 4)
+
+
+def test_boilerplate_filter_preserves_blank_lines(spark):
+    """Round-9 review: the empty line is the most frequent 'line' in any
+    real corpus; without the trivial-line exemption the defaults
+    stripped every blank line corpus-wide — paragraph structure
+    silently destroyed (the r7 line_dedup failure mode)."""
+    df = spark.createDataFrame(
+        [(1, "para one\n\npara two\n"), (2, "other start\n\nother end\n")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text
+           for r in sp.boilerplate_filter(df, min_doc_frequency=2).collect()}
+    assert got[1] == "para one\n\npara two\n"
+    assert got[2] == "other start\n\nother end\n"
+    # min_line_chars=0 restores the removable-blanks behavior
+    got0 = {r.doc_id: r.text for r in sp.boilerplate_filter(
+        df, min_doc_frequency=2, min_line_chars=0).collect()}
+    assert got0[1] == "para one\npara two"
+
+
+def test_text_spans_zero_token_docs_emit_no_rows(spark):
+    """Round-9 review: the chunk floor emitted one phantom span ('' for
+    empty docs) so all-but-the-first empty doc disappeared under
+    span_dedup defaults; zero-token docs now emit no span rows and pass
+    through span_dedup unchanged — batch and stream twin alike."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "\t \n"), (4, None), (5, "")],
+        "doc_id long, text string")
+    assert sp.text_spans(df.filter("text is not null"),
+                         span_tokens=2).count() == 1
+    got = {r.doc_id: (r.text, r.n_spans_kept)
+           for r in sp.span_dedup(df, span_tokens=2).collect()}
+    assert got == {1: ("alpha beta", 1), 2: ("", 0), 3: ("\t \n", 0),
+                   4: (None, 0), 5: ("", 0)}
+
+
+def test_span_dedup_stream_zero_token_docs_match_batch(spark, tmp_path):
+    from kafi_spark.streaming.stateful import span_dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, ""), (3, "\t \n"), (4, None)],
+        "doc_id long, text string")
+    want = sorted(((r.doc_id, r.text, r.n_spans_kept)
+                   for r in sp.span_dedup(df, span_tokens=2).collect()),
+                  key=str)
+    got = []
+    proc = span_dedup_stream(
+        "text", "doc_id", str(tmp_path / "state"), span_tokens=2,
+        sink=lambda out, e: got.extend(
+            (r.doc_id, r.text, r.n_spans_kept) for r in out.collect()))
+    proc(df, 0)
+    assert sorted(got, key=str) == want
+    # no phantom '' fingerprint may salt the state
+    import hashlib
+
+    state = spark.read.parquet(str(tmp_path / "state"))
+    empty_fp = hashlib.md5(b"").hexdigest()
+    assert state.filter(state["__fp"] == empty_fp).count() == 0
