@@ -1,10 +1,12 @@
 """Per-round benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 compact JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...} (guaranteed < 1900 chars so it
-survives the driver's tail capture), and writes the full artifact —
-the same object plus "plans": {name: {exchanges, shuffle_bytes}} — to
-BENCH.json at the repo root.
+"queries": {name: sec}, "sf": ..., "cpu": [sec...], "cpu_total_sec": ...,
+"cpu_regressed": [names], "contended": [names]} (guaranteed < 1900 chars
+so it survives the driver's tail capture; "cpu" is a parallel array in
+"queries" key order — see the result construction below), and writes the
+full artifact — the same object plus "plans": {name: {exchanges,
+shuffle_bytes, cpu_sec, ...}} — to BENCH.json at the repo root.
 
 Each query's plan is forced end-to-end with the noop sink (full execution,
 no driver-side materialization cost). One warm-up query runs first so JVM/
@@ -783,6 +785,26 @@ def main() -> None:
         "queries": timings,
         "plans": plans,
         "sf": sf_val,
+        # CPU attribution, surfaced at the top level so the tail-captured
+        # round artifact (BENCH_r{N}.json parses only the printed line —
+        # plans never make it) carries it too (r8/r9 verdict item):
+        #   cpu: per-query best-run executor CPU seconds, PARALLEL ARRAY
+        #        in the same order as the "queries" keys (null = metric
+        #        unavailable for that query). An array instead of a dict
+        #        keeps the printed line inside the ~1900-char tail
+        #        budget (a second name-keyed dict is ~2.7k chars).
+        #   cpu_total_sec: sum of the available entries.
+        #   cpu_regressed: names mechanically adjudicated as CPU-
+        #        regressed vs the prior committed round (>1.2x and
+        #        >0.25 s at an UNCHANGED plan) — [] means adjudicated
+        #        clean, not unmeasured.
+        "cpu": [plans[n].get("cpu_sec") for n in timings],
+        "cpu_total_sec": round(
+            sum(p.get("cpu_sec") or 0 for p in plans.values()), 3),
+        "cpu_regressed": [
+            n for n, p in plans.items() if p.get("cpu_regressed")],
+        "contended": [
+            n for n, p in plans.items() if p.get("contended")],
     }
     if missing:
         result["missing"] = missing
@@ -798,15 +820,23 @@ def main() -> None:
     # enough to survive a tail capture of the last ~2000 characters
     # (round 3's line outgrew that and the round's timings were lost):
     # no spaces, timings only — plans live in BENCH.json.
+    # degradation ladder: per-query wall timings are the one field the
+    # round comparison cannot do without — shed the other detail first
+    # (a long "contended" list on a noisy box must never evict them)
+    shed_order = (
+        ("contended",), ("cpu",), ("cpu_regressed",), ("queries",))
+    keys = ["metric", "value", "unit", "queries", "sf",
+            "cpu", "cpu_total_sec", "cpu_regressed", "contended"]
     line = json.dumps(
-        {k: result[k] for k in
-         ("metric", "value", "unit", "queries", "sf")},
-        separators=(",", ":"),
-    )
-    if len(line) > 1900:  # belt-and-braces: drop per-query detail first
+        {k: result[k] for k in keys}, separators=(",", ":"))
+    for drop in shed_order:
+        if len(line) <= 1900:
+            break
+        keys = [k for k in keys if k not in drop]
         line = json.dumps(
-            {k: result[k] for k in ("metric", "value", "unit", "sf")}
-            | {"queries_file": "BENCH.json"},
+            {k: result[k] for k in keys}
+            | ({"queries_file": "BENCH.json"} if "queries" not in keys
+               else {}),
             separators=(",", ":"),
         )
     print(line)

@@ -232,69 +232,176 @@ def ngram_jaccard_pairs(
     ≥1 shingle — a superset of any pair with jaccard>0).
 
     ``max_df`` drops shingles appearing in more than that many documents
-    before the self-join (a stop-shingle cap: a shingle in f docs costs
-    f² join rows but contributes ≤ f·(f-1)/2 candidate pairs that other,
-    rarer shingles almost always also cover at high thresholds). Pass
-    ``None`` for fully exact behavior at any threshold.
+    from the shingle universe (a stop-shingle cap — both the
+    intersection AND the set sizes see the reduced universe). Pass
+    ``None`` for fully uncapped behavior at any threshold.
 
-    Unlike the LSH paths (few candidates → per-pair set arithmetic, see
-    :func:`_jaccard_verify`), the candidate set here is every pair
-    sharing a shingle.
+    With ``max_df`` set (the 100 TB configuration), candidates come
+    from PREFIX FILTERING (Bayardo et al. "Scaling Up All Pairs
+    Similarity Search" WWW'07; Xiao et al. PPJoin WWW'08): under any
+    global total order over shingles, two sets with Jaccard ≥ t must
+    share an element inside each one's first ``n - ceil(t·n) + 1``
+    shingles. Ordering each document's shingle set by ascending
+    document frequency makes those prefixes its RAREST shingles, so
+    only prefix shingles build posting lists and a corpus-frequent
+    shingle almost never generates a candidate. Candidates are then
+    verified EXACTLY with one in-row ``array_intersect`` over the two
+    documents' fingerprint sets — same output as the naive plan. This
+    replaced a full posting-list pair explode whose shuffle grew
+    superlinearly (a shingle at document frequency f emits C(f,2) pair
+    rows, and mid-frequency shingles grow their f with corpus size:
+    ×92 shuffle bytes for ×10 rows in the round-9 sf1 probe); every
+    stage here is linear in corpus shingle mass except the candidate
+    explode, which prefix filtering keeps near the true-pair count.
+    Shingles travel as xxhash64 LONG fingerprints — a primitive type,
+    so the per-candidate ``array_intersect`` takes Spark's OpenHashSet
+    fast path (BinaryType md5 lacks "proper equals" and fell to the
+    O(n·m) comparator path: 30 s vs ~2 s for the same 200k candidates
+    at sf0.1). 64 bits is enough HERE because a collision only
+    perturbs one candidate pair's intersection count by ±1 (expected
+    colliding shingle pairs ~D²/2⁶⁵: ~10⁻⁷ at bench scale, ~10⁻⁸
+    relative error per pair at a 10¹² -shingle corpus) — unlike a
+    bucket key, it can never manufacture an unverified pair. Posting
+    lists stay bounded: a prefix posting list is a subset of the full
+    one, so the ``max_df`` cap bounds the combos fan-out per shingle
+    too.
 
-    With ``max_df`` set (the 100 TB configuration), the inverted index
-    is built as POSTING LISTS — one aggregate collecting each shingle's
-    (sorted) doc ids, bounded by the cap. The explode-heavy shingle
-    subtree is planned once per posting-list consumer (twice: sizes +
-    pairs; column pruning keeps the two subtrees canonically distinct,
-    so no ReuseExchange) versus three times in the self-join
-    formulation, the cap is a free array-size filter (no separate
-    document-frequency pass), and pair counts come from one in-array
-    pair transform + keyed aggregate. Per-doc sizes re-aggregate from
-    the capped lists, so both the intersection AND the set sizes see the
-    reduced shingle universe.
-
-    With ``max_df=None`` (exact mode) the classic self-join runs
-    instead: an unbounded posting list would materialize a hot shingle's
-    C(df, 2) pairs as ONE in-row array (2 GB array limit / executor
-    OOM), where the join streams them as spillable rows — slower on
-    three recomputes, but safe at any document frequency.
+    With ``max_df=None`` (exact mode) the classic shingle self-join
+    runs instead: no frequency cap means a hot shingle's posting list
+    is unbounded, where the join streams its pairs as spillable rows —
+    quadratic in that shingle's frequency, but safe at any skew.
 
     Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard ≥ threshold.
     """
     sh = shingles(df, text_col, id_col, k)
     if max_df is not None:
-        posts = sh.groupBy("shingle").agg(
-            F.array_sort(F.collect_set(id_col)).alias("ids")
-        ).filter(F.size("ids") <= max_df)
-        sizes = (
-            posts.select(F.explode("ids").alias(id_col))
+        occ = sh.select(id_col, F.xxhash64("shingle").alias("__fp"))
+        dfreq = (
+            occ.groupBy("__fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+        )
+        # per-document fingerprint set, rarest-first (global order =
+        # (document frequency, fingerprint) — any total order is sound,
+        # rarest-first minimizes candidates). The join keys both sides
+        # by __fp; occurrence rows are (id, 16B) — linear shuffle.
+        docs = (
+            occ.join(dfreq.hint("shuffle_hash"), "__fp")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_sh"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__df", "__fp"))),
+                    lambda s: s["__fp"],
+                ).alias("__set")
+            )
+            # three consumers (prefix explode + both verification
+            # sides) and the subtree holds a scan + explode + frequency
+            # join + wide agg: the barrier executes it ONCE instead of
+            # three times (ReuseExchange never fires — AQE replans each
+            # instance independently). Constant width: fingerprint
+            # arrays are 8 B/shingle, smaller than the text they stand
+            # for, so the checkpoint is at most corpus-scale on
+            # executor local disk. Same sanctioned barrier as
+            # minhash_lsh_join's candidate set.
+            .localCheckpoint()
+        )
+        # Jaccard prefix length ⌊(1−t)·n⌋+1 = n − ⌈t·n⌉ + 1; the 1e-9
+        # slack keeps binary-float noise in t·n from SHORTENING the
+        # prefix past the lemma's bound (a longer prefix only adds
+        # candidates, never loses one)
+        n = F.size("__set")
+        prefix_len = F.greatest(
+            n - F.ceil(F.lit(float(threshold)) * n - F.lit(1e-9)) + 1,
+            F.lit(0),  # threshold > 1: provably no pairs — empty prefix
+        )
+        prefix = docs.select(
+            id_col,
+            n.alias("__n"),
+            F.explode(F.slice("__set", 1, prefix_len)).alias("__fp"),
+        )
+        # near-duplicate clusters make REDUNDANT posting lists: a group
+        # of c near-copies shares ~its whole prefix, so ~prefix_len
+        # nearly identical lists each emit the same C(c,2) pairs (the
+        # r10 sf1 probe priced this at ~87x redundant pair emissions on
+        # the dup-heavy corpus). Collapsing identical (id, size)-arrays
+        # first costs one linear shuffle of the lists and cuts the
+        # combos explode to ~one emission per distinct pair. Carrying
+        # the set SIZE in the list keeps the collapse intact (near-
+        # copies share n) while enabling the length filter below.
+        posts = (
+            prefix.groupBy("__fp")
+            .agg(
+                F.array_sort(
+                    F.collect_set(F.struct(F.col(id_col), F.col("__n")))
+                ).alias("ids")
+            )
+            .select("ids")
+            .distinct()
         )
         combos = F.flatten(
             F.transform(
                 F.col("ids"),
                 lambda x, i: F.transform(
                     F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+                    lambda y: F.struct(
+                        x[id_col].alias("id_1"),
+                        y[id_col].alias("id_2"),
+                        x["__n"].alias("n_1"),
+                        y["__n"].alias("n_2"),
+                    ),
                 ),
             )
         )
-        inter = (
+        # PPJoin length filter: J ≥ t ⇒ |S∩| ≥ t·max(n1,n2) and
+        # |S∩| ≤ min(n1,n2), so min ≥ t·max or the pair is impossible —
+        # pruned BEFORE the candidate shuffle (narrow explode+filter
+        # stage). The 1e-9 slack keeps binary-float noise from pruning
+        # a boundary-true pair.
+        cand = (
             posts.select(F.explode(combos).alias("p"))
-            .groupBy("p.id_1", "p.id_2")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .filter(
+                F.least("p.n_1", "p.n_2").cast("double")
+                >= F.lit(float(threshold))
+                * F.greatest("p.n_1", "p.n_2").cast("double")
+                - F.lit(1e-9)
+            )
+            .select("p.id_1", "p.id_2")
+            .distinct()
         )
-    else:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-        a = sh.select(F.col(id_col).alias("id_1"), "shingle")
-        b = sh.select(F.col(id_col).alias("id_2"), "shingle")
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("id_1") < F.col("id_2"))
-            .groupBy("id_1", "id_2")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+        # exact verification: one in-row set intersection per candidate.
+        # SHUFFLE_HASH hints with the candidate side as build: the
+        # static planner can't size either side through the explodes,
+        # and the docs side (per-doc fingerprint arrays) is the one
+        # that must stream — it is corpus-scale, never broadcastable.
+        d1 = docs.select(F.col(id_col).alias("id_1"), F.col("__set").alias("__s1"))
+        d2 = docs.select(F.col(id_col).alias("id_2"), F.col("__set").alias("__s2"))
+        n_inter = F.size(F.array_intersect("__s1", "__s2"))
+        return (
+            cand.hint("shuffle_hash")
+            .join(d1, "id_1")
+            # re-hint the joined left side so the SECOND join also
+            # builds on the candidate-scale frame and streams the
+            # corpus-scale docs arrays (the first hint binds to the
+            # first join's subtree only)
+            .hint("shuffle_hash")
+            .join(d2, "id_2")
+            .withColumn(
+                "jaccard",
+                n_inter.cast("double")
+                / (F.size("__s1") + F.size("__s2") - n_inter).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_1", "id_2", "jaccard")
         )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
     nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
     # SHUFFLE_HASH hints, found by the sf1 scale probe: the static

@@ -33,25 +33,28 @@ engine has no data-selection operators).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .portable import H_RANGE as _H_RANGE, md5_long as _md5_long
 
 
-def hashed_ngram_features(
+def _hashed_gram_stream(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
     ns: tuple[int, ...] = (1, 2),
 ) -> DataFrame:
-    """Hashed word n-gram counts per document: ``(id, bucket, cnt)``.
+    """Un-aggregated hashed n-gram occurrences: ``(id, bucket)``, one
+    row per gram occurrence.
 
     Tokens come from a whitespace split; each n in ``ns`` contributes
     the document's n-grams (joined with a space) hashed into
-    ``n_buckets``. One bound split, one explode, one map-side-combined
-    groupBy — the DSIR feature extractor as a single narrow+aggregate
-    plan.
+    ``n_buckets``. One bound split, one explode — all narrow. Consumers
+    pick their own aggregate: per-(id, bucket) for scoring features
+    (:func:`hashed_ngram_features`), straight per-bucket for corpus
+    distributions (one exchange instead of two — the per-document
+    grouping is pure overhead when only Σcnt per bucket is needed).
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -100,13 +103,25 @@ def hashed_ngram_features(
     grams = bound.select(
         F.col(id_col), F.explode(F.concat(*gram_arrays)).alias("gram")
     )
+    return grams.select(
+        F.col(id_col),
+        F.pmod(_md5_long(F.col("gram")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Hashed word n-gram counts per document: ``(id, bucket, cnt)`` —
+    :func:`_hashed_gram_stream` aggregated per (id, bucket)."""
     return (
-        grams.select(
-            F.col(id_col),
-            F.pmod(_md5_long(F.col("gram")), F.lit(n_buckets))
-            .cast("int")
-            .alias("bucket"),
-        )
+        _hashed_gram_stream(df, text_col, id_col, n_buckets, ns)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -124,11 +139,16 @@ def bucket_distribution(features: DataFrame, n_buckets: int) -> DataFrame:
     filled = all_buckets.join(counts, "bucket", "left").select(
         "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
     )
-    # total is injected via a scalar subquery-style cross join of one row
-    # (keeps the plan fully declarative: no driver-side collect)
-    total = filled.agg((F.sum("c") + n_buckets).alias("__t"))
-    return filled.crossJoin(F.broadcast(total)).select(
-        "bucket", ((F.col("c") + 1) / F.col("__t")).alias("prob")
+    # the normalizing total rides a GLOBAL WINDOW over the (exactly
+    # n_buckets-row, bounded-by-construction) frame — one
+    # Exchange(SinglePartition) of n_buckets longs. The earlier 1-row
+    # broadcast crossJoin planned a BroadcastNestedLoopJoin per
+    # consumer; with this frame's subtree re-planned under every
+    # consumer of the distribution, dsir_select carried FOUR of them
+    # and 34 exchanges (r9 plan audit's heaviest query — verdict #4).
+    total = F.sum("c").over(W.partitionBy()) + n_buckets
+    return filled.select(
+        "bucket", ((F.col("c") + 1) / total).alias("prob")
     )
 
 
@@ -150,21 +170,57 @@ def importance_weights(
     raw corpus is scanned twice (once for its distribution, once for
     scoring) and shuffled only as (id, bucket, cnt) triples.
     """
-    # raw_feats has TWO consumers (its own bucket distribution and the
-    # scoring join), so the tokenize/explode subtree is planned twice.
-    # Deliberately NOT localCheckpoint-ed: the (id, bucket, cnt) triples
-    # are roughly corpus-token-sized (~12 B/gram vs ~6 B/token of
-    # compressed parquet text), so materializing them costs about as
-    # much I/O as the re-scan saves, loses parquet pushdown/pruning on
-    # the second pass's replacement, and adds localCheckpoint's
-    # executor-loss fragility at cluster scale. Measured at sf0.1:
-    # checkpointing is ~0.3 s SLOWER warm (1.93 vs 1.58 s).
+    # The raw corpus is scanned twice (scoring features + its own
+    # distribution) — deliberately NOT localCheckpoint-ed: the (id,
+    # bucket, cnt) triples are roughly corpus-token-sized (~12 B/gram
+    # vs ~6 B/token of compressed parquet text), so materializing them
+    # costs about as much I/O as the re-scan saves, loses parquet
+    # pushdown/pruning on the second pass's replacement, and adds
+    # localCheckpoint's executor-loss fragility at cluster scale.
+    # Measured at sf0.1: checkpointing is ~0.3 s SLOWER warm (1.93 vs
+    # 1.58 s); a LAZY checkpoint of the ratio table measured 8x worse —
+    # RDD materialization runs the subtree outside AQE.
+    #
+    # The distribution legs aggregate the gram STREAM straight to
+    # per-bucket counts (the per-document grouping scoring needs is
+    # pure overhead here), and ONE n_buckets-row frame carries both
+    # corpora's counts: one global window normalizes both sides — the
+    # whole log-ratio table costs 3 exchanges total (2 bucket aggs +
+    # 1 single-partition window) vs 8 in the two-bucket_distribution
+    # formulation the r9 plan audit flagged (34 exchange mentions, 4
+    # BroadcastNestedLoopJoins from the 1-row total crossJoins —
+    # verdict #4).
+    spark = raw.sparkSession
     raw_feats = hashed_ngram_features(raw, text_col, id_col, n_buckets, ns)
-    tgt_feats = hashed_ngram_features(target, text_col, id_col, n_buckets, ns)
-    p_raw = bucket_distribution(raw_feats, n_buckets).withColumnRenamed("prob", "__pr")
-    p_tgt = bucket_distribution(tgt_feats, n_buckets).withColumnRenamed("prob", "__pt")
-    ratios = p_raw.join(p_tgt, "bucket").select(
-        "bucket", (F.log("__pt") - F.log("__pr")).alias("__lr")
+    c_raw = (
+        _hashed_gram_stream(raw, text_col, id_col, n_buckets, ns)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    c_tgt = (
+        _hashed_gram_stream(target, text_col, id_col, n_buckets, ns)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    merged = (
+        all_buckets
+        .join(F.broadcast(c_raw), "bucket", "left")
+        .join(F.broadcast(c_tgt), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        )
+    )
+    w = W.partitionBy()
+    ratios = merged.select(
+        "bucket",
+        (
+            F.log((F.col("__ct") + 1)
+                  / (F.sum("__ct").over(w) + n_buckets))
+            - F.log((F.col("__cr") + 1)
+                    / (F.sum("__cr").over(w) + n_buckets))
+        ).alias("__lr"),
     )
     return (
         raw_feats.join(F.broadcast(ratios), "bucket")

@@ -525,3 +525,95 @@ class TestParallelizeProbe:
         assert jobs == []
         out_plan = out._jdf.queryExecution().executedPlan().toString()
         assert "RoundRobinPartitioning" in out_plan
+
+
+def _brute_jaccard_pairs(data, k, threshold, max_df):
+    """Python reference for ngram_jaccard_pairs' capped semantics:
+    shingle universe = distinct k-word shingles with document frequency
+    <= max_df; all-pairs Jaccard over the capped sets."""
+    import itertools
+    from collections import Counter
+
+    sets = {}
+    for i, t in data:
+        if t is None:
+            continue
+        w = t.split()
+        if not w:
+            continue
+        sets[i] = {" ".join(w[j:j + k]) for j in range(max(len(w) - k, 0) + 1)}
+    if max_df is not None:
+        freq = Counter(s for ss in sets.values() for s in ss)
+        sets = {i: {s for s in ss if freq[s] <= max_df}
+                for i, ss in sets.items()}
+    out = set()
+    for (i1, s1), (i2, s2) in itertools.combinations(sorted(sets.items()), 2):
+        inter = len(s1 & s2)
+        if inter and s1 | s2 and inter / len(s1 | s2) >= threshold:
+            out.add((i1, i2, round(inter / len(s1 | s2), 9)))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.0, 0.3, 0.5, 0.7, 0.9, 1.0])
+def test_ngram_capped_prefix_filter_equals_exact(spark, threshold):
+    """The prefix-filtered AllPairs plan (max_df set) is EXACT: on a
+    dup-heavy corpus where the cap never bites it must emit the same
+    pairs and the same jaccard values as the classic self-join path, at
+    every threshold (the prefix lemma's boundary cases included)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    data = []
+    did = 0
+    # 8 groups of near-copies (suffix-perturbed) + unique background
+    for g in range(8):
+        base = [rng.choice(vocab) for _ in range(rng.randint(6, 30))]
+        for j in range(rng.randint(2, 6)):
+            doc = base + ([f"u{g}_{j}"] if j else [])
+            data.append((did, " ".join(doc)))
+            did += 1
+    for _ in range(20):
+        data.append((did, " ".join(rng.choice(vocab)
+                                   for _ in range(rng.randint(4, 20)))))
+        did += 1
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    capped = {(r.id_1, r.id_2, round(r.jaccard, 9))
+              for r in dedup.ngram_jaccard_pairs(
+                  df, "text", "doc_id", k=3, threshold=threshold,
+                  max_df=10_000).collect()}
+    exact = {(r.id_1, r.id_2, round(r.jaccard, 9))
+             for r in dedup.ngram_jaccard_pairs(
+                 df, "text", "doc_id", k=3, threshold=threshold,
+                 max_df=None).collect()}
+    assert capped == exact
+    assert capped == _brute_jaccard_pairs(data, 3, threshold, None)
+
+
+def test_ngram_capped_prefix_filter_cap_bites(spark):
+    """When max_df actually removes shingles, the capped path must match
+    the capped-universe brute force (sizes AND intersections both see
+    the reduced universe) — and the planted boilerplate shingle must not
+    manufacture pairs."""
+    # 6 docs sharing a boilerplate header (df=6 > max_df=4); pairs must
+    # come only from the genuinely-shared body shingles
+    data = [(i, "copyright header boilerplate line "
+             + ("alpha beta gamma delta epsilon" if i % 2 == 0
+                else f"body{i} beta gamma delta zeta{i}"))
+            for i in range(6)]
+    data.append((6, None))
+    data.append((7, ""))
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    for t in (0.2, 0.5, 0.8):
+        got = {(r.id_1, r.id_2, round(r.jaccard, 9))
+               for r in dedup.ngram_jaccard_pairs(
+                   df, "text", "doc_id", k=3, threshold=t,
+                   max_df=4).collect()}
+        assert got == _brute_jaccard_pairs(data, 3, t, 4)
+
+
+def test_ngram_capped_threshold_above_one_is_empty(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c d")],
+                               "doc_id long, text string")
+    assert dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=1.5, max_df=100).count() == 0

@@ -56,11 +56,26 @@ def main() -> int:
             print(f"{name:28s} ERROR: {ex}")
             failures.append((name, str(ex)))
             continue
+        # Codegen coverage needs the EXECUTED plan: under AQE the
+        # pre-execution formatted plan is isFinalPlan=false and carries
+        # no "[codegen id : N]" annotations at all, so a static grep
+        # reads 0 for every query (r9 verdict #5 — the wsc gate was
+        # dead). collect() on the df itself (not a wrapper action —
+        # that would execute a DIFFERENT plan) finalizes AQE; the span
+        # count is the number of DISTINCT codegen ids in the final
+        # plan. Results at the audit's sf are small; the collect is
+        # the same execution CORRECTNESS does anyway.
+        try:
+            df.collect()
+            wsc = len(set(re.findall(r"\[codegen id : (\d+)\]",
+                                     plan_text(df))))
+        except Exception:  # noqa: BLE001 — audit the plan anyway
+            wsc = -1
         c = {
             "exch": len(re.findall(PLAN_EXCHANGE_RE, p)),
             "gen": len(re.findall(r"\bGenerate\b", p)),
             "scan": len(re.findall(r"Scan parquet|Scan ExistingRDD", p)),
-            "wsc": len(re.findall(r"WholeStageCodegen", p)),
+            "wsc": wsc,
             "smj": len(re.findall(r"SortMergeJoin", p)),
             "bhj": len(re.findall(r"BroadcastHashJoin", p)),
             "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", p)),
@@ -81,6 +96,12 @@ def main() -> int:
             flags.append(f"EXCHANGES>{MAX_EXCHANGES}")
         if c["gen"] > MAX_GENERATES:
             flags.append(f"GENERATES>{MAX_GENERATES}")
+        # codegen tripwire: a plan that shuffles or joins but compiled
+        # ZERO whole-stage-codegen spans has fallen off the JVM fast
+        # path (interpreted projections / object aggregates end to
+        # end) — that is how a hot query silently loses codegen
+        if c["wsc"] == 0 and (c["exch"] or c["smj"] or c["bhj"]):
+            flags.append("NO_CODEGEN")
         line = (f"{name:28s} {c['exch']:>4} {c['gen']:>4} {c['scan']:>4} "
                 f"{c['wsc']:>4} {c['smj']:>4} {c['bhj']:>4} {c['bnlj']:>4} "
                 f"{c['cart']:>4} {c['pyUDF']:>5} {c['reuse']:>5} {c['inmem']:>5}")
