@@ -733,7 +733,8 @@ def confluent_frame(payload: bytes, schema_id: int) -> bytes:
 
 
 def from_avro_df(df, col: str, schema=None, out: str | None = None,
-                 confluent: bool = False, registry=None, reader_schema=None):
+                 confluent: bool = False, registry=None, reader_schema=None,
+                 guid_col: str | None = None):
     """Decode a binary Avro column into a typed struct column.
 
     * plain framing: ``schema`` (writer) required;
@@ -741,13 +742,26 @@ def from_avro_df(df, col: str, schema=None, out: str | None = None,
       id, resolved through ``registry`` (SchemaRegistryClient or anything
       with ``get_by_id``); ``schema``/``reader_schema`` then acts as the
       reader schema (defaults to the first id seen).
+    * ``guid_col`` (with ``confluent=True``): a binary column holding the
+      Confluent schema-id MESSAGE HEADER (1 version byte ``\\x01`` +
+      16 UUID bytes — ``schema.header_value(headers,
+      "__value_schema_id")`` extracts it from a message frame). Rows
+      where it is non-null resolve the writer by registry GUID and the
+      payload is RAW Avro (no 5-byte frame); null rows fall back to the
+      framed path — exactly the reference's header-first resolution
+      (kafi/deserializer.py:104-123).
 
     One Arrow crossing; schemas are parsed once per executor task, then
-    cached by id inside the batch loop.
+    cached by id/guid inside the batch loop.
     """
+    import uuid as _uuid
+
     from pyspark.sql import functions as F
 
     out = out or col
+    if guid_col is not None and not confluent:
+        raise ValueError("guid_col requires confluent=True (it is the "
+                         "id-in-headers variant of the Confluent wire)")
     if confluent:
         if registry is None:
             raise ValueError("confluent=True needs a registry")
@@ -759,11 +773,16 @@ def from_avro_df(df, col: str, schema=None, out: str | None = None,
                     "reader schema (schema=/reader_schema=): inferring one "
                     "from the first row is a batch action streams forbid")
             # default reader = writer of the first frame, fetched driver-side
-            first = df.select(col).filter(F.col(col).isNotNull()).first()
+            sel = [F.col(col)] + ([F.col(guid_col)] if guid_col else [])
+            first = df.select(*sel).filter(F.col(col).isNotNull()).first()
             if first is None:
                 raise ValueError("cannot infer reader schema from an empty column")
-            rid = int.from_bytes(bytes(first[0])[1:5], "big")
-            reader = registry.get_by_id(rid)
+            if guid_col and first[1] is not None:
+                reader = registry.get_by_guid(
+                    str(_uuid.UUID(bytes=bytes(first[1])[1:])))
+            else:
+                rid = int.from_bytes(bytes(first[0])[1:5], "big")
+                reader = registry.get_by_id(rid)
         reader_parsed = parse_schema(reader)
         spark_t = avro_to_spark(reader_parsed)
         # writer schemas resolve INSIDE the executor UDF, memoized per
@@ -774,6 +793,7 @@ def from_avro_df(df, col: str, schema=None, out: str | None = None,
         # at action time. The registry client is a tiny picklable closure
         # member (url + auth), so executors can fetch each id once.
         writers: dict[int, dict] = {}
+        by_guid: dict[bytes, dict] = {}
 
         def one(b):
             if b is None:
@@ -787,7 +807,33 @@ def from_avro_df(df, col: str, schema=None, out: str | None = None,
                 w = writers[wid] = parse_schema(registry.get_by_id(wid))
             return decode(b[5:], w, reader_parsed)
 
-        return df.withColumn(out, _decode_udf(one, spark_t)(F.col(col)))
+        if guid_col is None:
+            return df.withColumn(out, _decode_udf(one, spark_t)(F.col(col)))
+
+        def one_with_header(b, g):
+            # header present → writer by GUID, payload is RAW Avro (the
+            # id travels in the header, not a 5-byte frame); header
+            # value = 1 version byte + 16 UUID bytes. Header absent →
+            # classic framed path. kafi/deserializer.py:104-123.
+            if g is None:
+                return one(b)
+            if b is None:
+                return None
+            g = bytes(g)
+            if len(g) != 17 or g[0] != 1:
+                raise ValueError(
+                    "schema-id header must be 1 version byte \\x01 + "
+                    f"16 GUID bytes, got {len(g)} bytes")
+            w = by_guid.get(g)
+            if w is None:
+                w = by_guid[g] = parse_schema(
+                    registry.get_by_guid(str(_uuid.UUID(bytes=g[1:]))))
+            return decode(bytes(b), w, reader_parsed)
+
+        return df.withColumn(
+            out,
+            _decode_udf2(one_with_header, spark_t)(F.col(col), F.col(guid_col)),
+        )
 
     if schema is None:
         raise ValueError("schema required without confluent framing")
@@ -821,6 +867,31 @@ def _decode_udf(one, spark_t):
     @F.pandas_udf(spark_t)
     def _udf(s: pd.Series) -> pd.Series:
         return pd.Series([one(b) for b in s], dtype="object")
+
+    return _udf
+
+
+def _decode_udf2(one, spark_t):
+    """Two-argument variant of :func:`_decode_udf` for decoders that
+    consult a per-row companion column (e.g. the Confluent schema-id
+    message header next to the payload)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if isinstance(spark_t, StructType):
+        cols = [f.name for f in spark_t.fields]
+
+        @F.pandas_udf(spark_t)
+        def _udf(s: pd.Series, g: pd.Series) -> pd.DataFrame:
+            rows = [(one(b, h) or dict.fromkeys(cols))
+                    for b, h in zip(s, g)]
+            return pd.DataFrame(rows, columns=cols)
+
+        return _udf
+
+    @F.pandas_udf(spark_t)
+    def _udf(s: pd.Series, g: pd.Series) -> pd.Series:
+        return pd.Series([one(b, h) for b, h in zip(s, g)], dtype="object")
 
     return _udf
 

@@ -426,6 +426,7 @@ class FSTopicStorage:
         df: DataFrame,
         keep_partitions: bool = False,
         keep_timestamps: bool = False,
+        chunk_size_bytes: int | None = None,
     ) -> None:
         """Append messages; assign partition and offset broker-style.
 
@@ -439,6 +440,18 @@ class FSTopicStorage:
         one shuffle on ``partition`` (which the partitioned write needs
         anyway). Timestamps default to the write time (timestampType=1,
         kafi/fs/fs_producer.py:36-37).
+
+        ``chunk_size_bytes`` switches on transparent producer-side
+        chunking (kafi/storage_producer.py:42-59 → kafi/chunker.py:25-63):
+        values longer than the limit split into numbered chunk messages
+        linked by the reference's wire headers (``kafi_chunked_message_id``
+        = a UUID string's UTF-8 bytes, ``kafi_number_of_chunks`` /
+        ``kafi_chunk_number`` = 32-byte big-endian) and the ``_NNNNNN``
+        key suffix (kafi/helpers.py:370-376; null keys stay null). Chunks
+        of a keyed message hash-partition by their SUFFIXED keys, so they
+        scatter like the reference's; ``consume(..., dechunk=True)``
+        reassembles regardless of placement. One narrow projection —
+        explode + substring, no extra pass.
         """
         n = self.partitions(topic)
         cols = df.columns
@@ -447,6 +460,14 @@ class FSTopicStorage:
             out = out.withColumn("key", F.lit(None).cast("binary"))
         if "headers" not in cols:
             out = out.withColumn("headers", F.lit(None).cast(MESSAGE_SCHEMA["headers"].dataType))
+        if chunk_size_bytes is not None:
+            if chunk_size_bytes <= 0:
+                # reference: chunk_size_bytes == 0 raises at producer
+                # construction (kafi/chunker.py:11-12); we fold the
+                # disabled (-1) case into None
+                raise ValueError(
+                    f"chunk_size_bytes must be > 0, got {chunk_size_bytes}")
+            out = self._chunk_rows(out, int(chunk_size_bytes))
         if keep_partitions and "partition" in cols:
             # Reject out-of-range partitions at write time instead of writing
             # NULL offsets (the hwm map lookup below misses silently). The
@@ -525,6 +546,160 @@ class FSTopicStorage:
             .select([f.name for f in MESSAGE_SCHEMA.fields])
         )
         out.write.mode("append").partitionBy("partition").parquet(self._data_dir(topic))
+
+    # reference chunk-header names (kafi/chunker.py:37-47)
+    _CHUNK_HDRS = ("kafi_chunked_message_id", "kafi_number_of_chunks",
+                   "kafi_chunk_number")
+
+    @staticmethod
+    def _hdr(key: str):
+        """First header value for ``key`` (null when absent) from the
+        frame's ``headers`` column."""
+        return F.try_element_at(
+            F.filter(F.col("headers"), lambda h: h["key"] == F.lit(key)),
+            F.lit(1),
+        )["value"]
+
+    @classmethod
+    def _chunk_rows(cls, out: DataFrame, csb: int) -> DataFrame:
+        """Producer-side chunk split (kafi/chunker.py:25-63) on a frame
+        already carrying ``key``/``value``/``headers``. Values with
+        length <= csb (and null values) pass through byte-identical."""
+        # 32-byte big-endian ints, the reference's header encoding
+        # (int.to_bytes(32, "big")): unhex of a 64-digit hex pad
+        int32be = lambda c: F.unhex(F.lpad(F.hex(c.cast("long")), 64, "0"))  # noqa: E731
+        hdrs_t = MESSAGE_SCHEMA["headers"].dataType
+        n_chunks = F.when(
+            F.col("value").isNull(), F.lit(1)
+        ).otherwise(
+            F.greatest(F.ceil(F.length("value") / csb), F.lit(1))
+        ).cast("int")
+        chunked = F.col("__n") > 1
+        return (
+            out.withColumn("__n", n_chunks)
+            # uuid() is NONDETERMINISTIC on purpose: evaluated in the
+            # projection below the explode, once per SOURCE row, shared
+            # by its chunks (same pattern as sources/chunker.py); the
+            # reference stores the UUID's string form as UTF-8 bytes
+            .withColumn("__mid", F.encode(F.expr("uuid()"), "UTF-8"))
+            .withColumn(
+                "__i", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+            .withColumn(
+                "key",
+                F.when(
+                    chunked & F.col("key").isNotNull(),
+                    # _NNNNNN suffix, kafi/helpers.py:370-376; null keys
+                    # stay null (the reference's key_to_chunk_key)
+                    F.concat(
+                        F.col("key"),
+                        F.encode(
+                            F.concat(
+                                F.lit("_"),
+                                F.lpad(F.col("__i").cast("string"), 6, "0"),
+                            ),
+                            "UTF-8",
+                        ),
+                    ),
+                ).otherwise(F.col("key")),
+            )
+            .withColumn(
+                "headers",
+                F.when(
+                    chunked,
+                    F.concat(
+                        F.coalesce(F.col("headers"), F.array().cast(hdrs_t)),
+                        F.array(
+                            F.struct(
+                                F.lit(cls._CHUNK_HDRS[0]).alias("key"),
+                                F.col("__mid").alias("value")),
+                            F.struct(
+                                F.lit(cls._CHUNK_HDRS[1]).alias("key"),
+                                int32be(F.col("__n")).alias("value")),
+                            F.struct(
+                                F.lit(cls._CHUNK_HDRS[2]).alias("key"),
+                                int32be(F.col("__i")).alias("value")),
+                        ),
+                    ),
+                ).otherwise(F.col("headers")),
+            )
+            .withColumn(
+                "value",
+                F.when(
+                    chunked,
+                    F.substring("value", F.col("__i") * csb + 1, F.lit(csb)),
+                ).otherwise(F.col("value")),
+            )
+            .drop("__n", "__mid", "__i")
+        )
+
+    @classmethod
+    def _dechunk_frame(cls, df: DataFrame) -> DataFrame:
+        """Consumer-side reassembly (kafi/dechunker.py:15-75): rows
+        carrying the chunk headers group by message id, order by chunk
+        number and concatenate; unchunked rows pass through untouched.
+        Incomplete groups are dropped (the reference buffers until every
+        chunk arrived — a bounded scan that cut a message in half has no
+        later poll to finish it). The reassembled message takes its
+        metadata (timestamp/partition/offset/topic, residual headers,
+        suffix-stripped key) from the max-(partition, offset) chunk — a
+        deterministic stand-in for the reference's "last chunk to
+        arrive". Redelivered duplicate chunks are tolerated; a group
+        with CONFLICTING payloads for one chunk number is dropped as
+        incomplete rather than reassembled corrupt (the
+        sources/chunker.py dechunk contract)."""
+        mid = cls._hdr(cls._CHUNK_HDRS[0])
+        plain = df.filter(mid.isNull())
+        # chunk number from the 32-byte header: last 8 bytes as a long
+        cno = F.conv(
+            F.hex(F.substring(cls._hdr(cls._CHUNK_HDRS[2]), -8, 8)), 16, 10
+        ).cast("long")
+        nof = F.conv(
+            F.hex(F.substring(cls._hdr(cls._CHUNK_HDRS[1]), -8, 8)), 16, 10
+        ).cast("long")
+        meta = F.struct(
+            "key", "topic", "partition", "offset", "timestamp",
+            "timestampType", "headers")
+        grouped = (
+            df.filter(mid.isNotNull())
+            .select(
+                mid.alias("__mid"), cno.alias("__cno"), nof.alias("__nof"),
+                "value", meta.alias("__meta"),
+                F.struct("partition", "offset").alias("__ord"),
+            )
+            .groupBy("__mid")
+            .agg(
+                F.max("__nof").alias("__expect"),
+                F.count_distinct("__cno").alias("__got"),
+                F.array_sort(F.array_distinct(F.collect_list(
+                    F.struct(F.col("__cno"), F.col("value").alias("v"))
+                ))).alias("__parts"),
+                F.max_by("__meta", "__ord").alias("__meta"),
+            )
+            .filter(
+                (F.col("__got") == F.col("__expect"))
+                & (F.size("__parts") == F.col("__expect"))
+            )
+            .select(
+                # strip the 7-byte "_NNNNNN" suffix; null keys stayed null
+                F.expr(
+                    "substring(__meta.key, 1, length(__meta.key) - 7)"
+                ).alias("key"),
+                F.aggregate(
+                    "__parts", F.lit(b""), lambda acc, p: F.concat(acc, p["v"])
+                ).alias("value"),
+                F.col("__meta.topic").alias("topic"),
+                F.col("__meta.partition").alias("partition"),
+                F.col("__meta.offset").alias("offset"),
+                F.col("__meta.timestamp").alias("timestamp"),
+                F.col("__meta.timestampType").alias("timestampType"),
+                F.filter(
+                    F.col("__meta.headers"),
+                    lambda h: ~h["key"].isin(*cls._CHUNK_HDRS),
+                ).alias("headers"),
+            )
+        )
+        order = [f.name for f in MESSAGE_SCHEMA.fields]
+        return plain.select(order).unionByName(grouped.select(order))
 
     def _rewrite_partitions(self, topic: str, kept: DataFrame,
                             partitions: list[int] | None) -> int:
@@ -605,6 +780,7 @@ class FSTopicStorage:
         partitions: list[int] | None = None,
         last_n: int | None = None,
         commit: bool = False,
+        dechunk: bool = False,
     ) -> DataFrame:
         """Bounded scan with the reference consumer's knobs
         (kafi/storage_consumer.py:16-66: start/end offsets, start/end ts,
@@ -621,6 +797,11 @@ class FSTopicStorage:
         caller failures in both implementations. It costs one extra
         aggregation job over the bounded scan; callers needing
         at-least-once should commit() explicitly after processing.
+
+        ``dechunk=True`` reassembles producer-chunked messages
+        (kafi/storage_consumer.py:90,113-114 → kafi/dechunker.py) after
+        all bounds apply; committed offsets still track the RAW chunk
+        rows this scan covered.
         """
         df = self._read_raw(topic)
         if df is None:
@@ -675,6 +856,8 @@ class FSTopicStorage:
             }
             if ends:
                 self.commit(group, topic, ends)
+        if dechunk:
+            df = self._dechunk_frame(df)
         return df
 
     def offsets_for_times(self, topic: str, ts) -> dict[int, int | None]:

@@ -118,3 +118,15 @@ def confluent_schema_id(value: Column) -> Column:
     """Extract the 4-byte big-endian schema id from the Confluent prefix."""
     b = lambda i: F.conv(F.hex(F.substring(value, i, 1)), 16, 10).cast("long")  # noqa: E731
     return (b(2) * 16777216 + b(3) * 65536 + b(4) * 256 + b(5)).cast("long")
+
+
+def header_value(headers: Column, key: str) -> Column:
+    """First header value for ``key`` from a message frame's ``headers``
+    array (null when absent) — e.g. the Confluent schema-id header
+    ``__value_schema_id`` the GUID wire variant resolves writers from
+    (kafi/deserializer.py:104-112)."""
+    # try_element_at: a missing key means an EMPTY filtered array, and
+    # ANSI mode (Spark 4 default) makes plain element_at throw on it
+    return F.try_element_at(
+        F.filter(headers, lambda h: h["key"] == F.lit(key)), F.lit(1)
+    )["value"]

@@ -40,6 +40,7 @@ class SchemaRegistryClient:
             tok = base64.b64encode(f"{auth[0]}:{auth[1]}".encode()).decode()
             self._headers["Authorization"] = f"Basic {tok}"
         self._by_id: dict[int, str] = {}
+        self._by_guid: dict[str, str] = {}
 
     def _req(self, method: str, path: str, body: dict | None = None):
         req = urllib.request.Request(
@@ -102,6 +103,16 @@ class SchemaRegistryClient:
         if schema_id not in self._by_id:
             self._by_id[schema_id] = self._req("GET", f"/schemas/ids/{schema_id}")["schema"]
         return self._by_id[schema_id]
+
+    def get_by_guid(self, guid: str) -> str:
+        """Schema text by registry GUID (Confluent's id-in-headers wire
+        variant resolves writers this way — kafi/deserializer.py:104-115
+        via kafi/schemaregistry.py:215-216). Cached like ids: GUIDs are
+        immutable once assigned."""
+        if guid not in self._by_guid:
+            self._by_guid[guid] = self._req(
+                "GET", f"/schemas/guids/{_q(guid)}")["schema"]
+        return self._by_guid[guid]
 
     # -- compatibility (kafi/schemaregistry.py:143-236) ---------------------
 

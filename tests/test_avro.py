@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
@@ -247,6 +248,7 @@ def test_java_conformance(spark, schema, value):
 class _FakeSR:
     def __init__(self):
         self.by_id: dict[int, str] = {}
+        self.by_guid: dict[str, int] = {}  # guid -> schema id
         self.subjects: dict[str, list[int]] = {}  # subject -> [schema ids]
         self.config: dict[str, str] = {"": "BACKWARD"}
         self._next = 1
@@ -259,6 +261,10 @@ class _FakeSR:
         sid = self._next
         self._next += 1
         self.by_id[sid] = schema
+        # real registries assign every schema an immutable GUID next to
+        # the integer id (the id-in-headers wire resolves by it); a
+        # name-based uuid5 keeps the fake deterministic
+        self.by_guid[str(uuid.uuid5(uuid.NAMESPACE_URL, schema))] = sid
         ids.append(sid)
         return sid
 
@@ -299,6 +305,11 @@ def _make_server(state: _FakeSR):
                 if sid not in state.by_id:
                     return self._send({"error_code": 40403, "message": "schema"}, 404)
                 return self._send({"schema": state.by_id[sid]})
+            if len(p) == 3 and p[:2] == ["schemas", "guids"]:
+                sid = state.by_guid.get(p[2])
+                if sid is None:
+                    return self._send({"error_code": 40403, "message": "schema"}, 404)
+                return self._send({"schema": state.by_id[sid], "guid": p[2]})
             if p[0] == "config":
                 key = p[1] if len(p) > 1 else ""
                 level = state.config.get(key, state.config[""])
@@ -454,6 +465,53 @@ def test_confluent_roundtrip_with_registry(spark, sr):
     assert first[0] == 0 and int.from_bytes(first[1:5], "big") == sid
     back = avro.from_avro_df(framed, "v", confluent=True, registry=sr).select("v.*")
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_confluent_guid_header_resolution(spark, sr):
+    """The id-in-headers wire variant (kafi/deserializer.py:104-123):
+    rows whose schema-id header is present resolve the writer by
+    registry GUID and carry RAW Avro payloads; rows without the header
+    fall back to the 5-byte frame — one frame can mix both."""
+    from pyspark.sql import functions as F
+
+    from kafi_spark.sources.schema import header_value
+
+    sid = sr.register("snack-value", SNACK)
+    guid = str(uuid.uuid5(uuid.NAMESPACE_URL, SNACK))
+    assert json.loads(sr.get_by_guid(guid)) == json.loads(SNACK)
+    header = b"\x01" + uuid.UUID(guid).bytes
+
+    raw_payload = avro.encode({"name": "timtam", "calories": 80.0,
+                               "colour": "brown"}, SNACK)
+    framed_payload = avro.confluent_frame(
+        avro.encode({"name": "oreo", "calories": 53.0, "colour": None},
+                    SNACK), sid)
+    frame = spark.createDataFrame(
+        [(raw_payload, [("__value_schema_id", bytearray(header))]),
+         (framed_payload, []),
+         (None, [("__value_schema_id", bytearray(header))])],
+        "value binary, headers array<struct<key:string,value:binary>>",
+    )
+    decoded = avro.from_avro_df(
+        frame.withColumn("__sid", header_value(F.col("headers"),
+                                               "__value_schema_id")),
+        "value", confluent=True, registry=sr, guid_col="__sid",
+        out="v",
+    ).select("v.*")
+    got = {r["name"]: (r["calories"], r["colour"])
+           for r in decoded.collect()}
+    assert got == {"timtam": (80.0, "brown"), "oreo": (53.0, None),
+                   None: (None, None)}
+    # reader inference also follows the header when the FIRST row has one
+    inferred = avro.from_avro_df(
+        frame.withColumn("__sid", header_value(F.col("headers"),
+                                               "__value_schema_id")),
+        "value", confluent=True, registry=sr, guid_col="__sid", out="v")
+    assert "name" in inferred.schema["v"].dataType.fieldNames()
+    with pytest.raises(ValueError, match="guid_col requires confluent"):
+        avro.from_avro_df(frame, "value", SNACK, guid_col="__sid")
+    with pytest.raises(SchemaRegistryError):
+        sr.get_by_guid(str(uuid.uuid4()))  # unknown GUID -> 404
 
 
 # ---------------------------------------------------------------------------

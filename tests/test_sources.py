@@ -630,3 +630,57 @@ def test_stale_rewrite_tmp_invisible_and_clobbered(storage, spark):
     assert storage.consume("tmpvis").count() == 2
     assert not storage._io.exists(
         storage._io.join(data_dir, "_rewrite_tmp"))
+
+
+def test_produce_auto_chunk_consume_dechunk_roundtrip(storage, spark):
+    """Config-driven transparent chunking (kafi/storage_producer.py:42-59
+    + kafi/storage_consumer.py:113-114): oversized values split into
+    header-linked chunk messages on produce and reassemble byte-exact
+    under consume(dechunk=True); small values pass through unchunked."""
+    storage.create("big", partitions=3)
+    big1 = bytes(range(256)) * 40          # 10240 B -> 11 chunks @ 1000
+    big2 = b"x" * 1000                     # exactly the limit -> 1 row
+    small = b"tiny"
+    df = spark.createDataFrame(
+        [(b"k1", big1), (b"k2", big2), (None, small)],
+        "key binary, value binary")
+    storage.produce("big", df, chunk_size_bytes=1000)
+
+    raw = storage.consume("big")
+    assert raw.count() == 11 + 1 + 1
+    # the chunk rows carry the reference wire headers + _NNNNNN key suffix
+    hdr_keys = {h.key for r in raw.collect() for h in (r.headers or [])}
+    assert hdr_keys == {"kafi_chunked_message_id", "kafi_number_of_chunks",
+                        "kafi_chunk_number"}
+    k1_chunks = sorted(
+        bytes(r.key).decode() for r in raw.collect()
+        if r.key is not None and bytes(r.key).startswith(b"k1"))
+    assert k1_chunks == [f"k1_{i:06d}" for i in range(11)]
+
+    out = storage.consume("big", dechunk=True)
+    got = {(bytes(r.key) if r.key is not None else None): bytes(r.value)
+           for r in out.collect()}
+    assert got == {b"k1": big1, b"k2": big2, None: small}
+    # residual headers are clean and metadata comes from a real chunk row
+    for r in out.collect():
+        assert not (r.headers or [])
+        assert r.topic == "big" and r.offset >= 0
+
+    with pytest.raises(ValueError, match="chunk_size_bytes"):
+        storage.produce("big", df, chunk_size_bytes=0)
+
+
+def test_consume_dechunk_drops_incomplete_groups(storage, spark):
+    """A bounded scan that caught only part of a chunked message must
+    not fabricate a truncated value — the incomplete group is dropped
+    (the reference buffers until all chunks arrive)."""
+    storage.create("cut", partitions=1)
+    storage.produce(
+        "cut",
+        spark.createDataFrame([(b"k", b"a" * 2500)], "key binary, value binary"),
+        chunk_size_bytes=1000)  # 3 chunks at offsets 0..2
+    assert storage.consume("cut").count() == 3
+    partial = storage.consume("cut", end_offsets={0: 1}, dechunk=True)
+    assert partial.count() == 0
+    full = storage.consume("cut", dechunk=True)
+    assert [bytes(r.value) for r in full.collect()] == [b"a" * 2500]
