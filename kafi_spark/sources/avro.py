@@ -732,6 +732,25 @@ def confluent_frame(payload: bytes, schema_id: int) -> bytes:
     return bytes((CONFLUENT_MAGIC,)) + schema_id.to_bytes(4, "big") + payload
 
 
+def _parse_guid_header(g) -> str:
+    """Validate and parse a Confluent schema-id message-header value
+    (1 version byte ``\\x01`` + 16 UUID bytes) into the GUID string —
+    ONE definition for the driver-side reader inference and the
+    executor decode loop, each error naming the actual defect."""
+    import uuid as _uuid
+
+    g = bytes(g)
+    if len(g) != 17:
+        raise ValueError(
+            "schema-id header must be 17 bytes (1 version byte \\x01 + "
+            f"16 GUID bytes), got {len(g)} bytes")
+    if g[0] != 1:
+        raise ValueError(
+            "schema-id header has unsupported version byte "
+            f"0x{g[0]:02x} (only \\x01 is defined)")
+    return str(_uuid.UUID(bytes=g[1:]))
+
+
 def from_avro_df(df, col: str, schema=None, out: str | None = None,
                  confluent: bool = False, registry=None, reader_schema=None,
                  guid_col: str | None = None):
@@ -754,8 +773,6 @@ def from_avro_df(df, col: str, schema=None, out: str | None = None,
     One Arrow crossing; schemas are parsed once per executor task, then
     cached by id/guid inside the batch loop.
     """
-    import uuid as _uuid
-
     from pyspark.sql import functions as F
 
     out = out or col
@@ -778,8 +795,7 @@ def from_avro_df(df, col: str, schema=None, out: str | None = None,
             if first is None:
                 raise ValueError("cannot infer reader schema from an empty column")
             if guid_col and first[1] is not None:
-                reader = registry.get_by_guid(
-                    str(_uuid.UUID(bytes=bytes(first[1])[1:])))
+                reader = registry.get_by_guid(_parse_guid_header(first[1]))
             else:
                 rid = int.from_bytes(bytes(first[0])[1:5], "big")
                 reader = registry.get_by_id(rid)
@@ -820,14 +836,10 @@ def from_avro_df(df, col: str, schema=None, out: str | None = None,
             if b is None:
                 return None
             g = bytes(g)
-            if len(g) != 17 or g[0] != 1:
-                raise ValueError(
-                    "schema-id header must be 1 version byte \\x01 + "
-                    f"16 GUID bytes, got {len(g)} bytes")
             w = by_guid.get(g)
             if w is None:
                 w = by_guid[g] = parse_schema(
-                    registry.get_by_guid(str(_uuid.UUID(bytes=g[1:]))))
+                    registry.get_by_guid(_parse_guid_header(g)))
             return decode(bytes(b), w, reader_parsed)
 
         return df.withColumn(
@@ -872,9 +884,14 @@ def _decode_udf(one, spark_t):
 
 
 def _decode_udf2(one, spark_t):
-    """Two-argument variant of :func:`_decode_udf` for decoders that
-    consult a per-row companion column (e.g. the Confluent schema-id
-    message header next to the payload)."""
+    """Two-argument sibling of :func:`_decode_udf` for decoders that
+    consult a per-row companion column (the Confluent schema-id message
+    header next to the payload). Deliberately NOT unified with the
+    one-arg builder: pandas_udf reads arity from the wrapped function's
+    signature (no varargs), and the struct-column adapter alternative
+    hands the UDF a pd.DataFrame whose iteration yields column LABELS —
+    measured broken. Any change to the null-struct convention or the
+    pandas plumbing here must be mirrored in :func:`_decode_udf`."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 

@@ -554,11 +554,10 @@ class FSTopicStorage:
     @staticmethod
     def _hdr(key: str):
         """First header value for ``key`` (null when absent) from the
-        frame's ``headers`` column."""
-        return F.try_element_at(
-            F.filter(F.col("headers"), lambda h: h["key"] == F.lit(key)),
-            F.lit(1),
-        )["value"]
+        frame's ``headers`` column — the shared extractor."""
+        from kafi_spark.sources.schema import header_value
+
+        return header_value(F.col("headers"), key)
 
     @classmethod
     def _chunk_rows(cls, out: DataFrame, csb: int) -> DataFrame:
@@ -574,6 +573,19 @@ class FSTopicStorage:
         ).otherwise(
             F.greatest(F.ceil(F.length("value") / csb), F.lit(1))
         ).cast("int")
+        # the _NNNNNN key suffix holds 6 digits; lpad TRUNCATES past
+        # 999999, colliding/corrupting chunk keys — fail loudly, same
+        # contract as sources/chunker.py (round-8 ADVICE). Row-level
+        # guard: the count is data-dependent
+        n_chunks = F.when(
+            n_chunks > 999_999,
+            F.raise_error(F.concat(
+                F.lit("produce(chunk_size_bytes=): value needs "),
+                n_chunks.cast("string"),
+                F.lit(" chunks, past the 999999 the 6-digit key suffix "
+                      "can number — increase chunk_size_bytes"),
+            )).cast("int"),
+        ).otherwise(n_chunks)
         chunked = F.col("__n") > 1
         return (
             out.withColumn("__n", n_chunks)
@@ -694,7 +706,12 @@ class FSTopicStorage:
                 F.col("__meta.timestampType").alias("timestampType"),
                 F.filter(
                     F.col("__meta.headers"),
-                    lambda h: ~h["key"].isin(*cls._CHUNK_HDRS),
+                    # null-safe: isin() is NULL for a null header key
+                    # and F.filter drops NULL rows — a user header with
+                    # a null key (the schema allows it) must survive
+                    # dechunking like it survives an unchunked produce
+                    lambda h: h["key"].isNull()
+                    | ~h["key"].isin(*cls._CHUNK_HDRS),
                 ).alias("headers"),
             )
         )

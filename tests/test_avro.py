@@ -743,3 +743,28 @@ def test_long_past_2_53_arriving_as_float_refused():
     assert avro.decode(avro.encode(float(2**50), sch), sch) == 2**50
     with pytest.raises(ValueError, match="2\\^53"):
         avro.encode(float(2**53 + 100), sch)
+
+
+def test_guid_header_validation_names_the_defect(spark, sr):
+    """Review r10: a wrong VERSION byte must be reported as such (not as
+    a length problem), and the driver-side reader inference validates
+    the header shape the same way the executor loop does."""
+    from kafi_spark.sources.avro import _parse_guid_header
+
+    good = b"\x01" + uuid.uuid4().bytes
+    assert _parse_guid_header(good) == str(uuid.UUID(bytes=good[1:]))
+    with pytest.raises(ValueError, match="version byte 0x02"):
+        _parse_guid_header(b"\x02" + uuid.uuid4().bytes)
+    with pytest.raises(ValueError, match="got 16 bytes"):
+        _parse_guid_header(uuid.uuid4().bytes)
+
+    # inference path: first row's malformed header fails loudly with the
+    # wire-format message, not a cryptic uuid.UUID error
+    payload = avro.encode(
+        {"name": "timtam", "calories": 80.0, "colour": None}, SNACK)
+    frame = spark.createDataFrame(
+        [(payload, b"\x02" + uuid.uuid4().bytes)],
+        "value binary, __sid binary")
+    with pytest.raises(ValueError, match="version byte"):
+        avro.from_avro_df(frame, "value", confluent=True, registry=sr,
+                          guid_col="__sid")

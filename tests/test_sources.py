@@ -684,3 +684,39 @@ def test_consume_dechunk_drops_incomplete_groups(storage, spark):
     assert partial.count() == 0
     full = storage.consume("cut", dechunk=True)
     assert [bytes(r.value) for r in full.collect()] == [b"a" * 2500]
+
+
+def test_chunking_preserves_null_key_headers_and_guards_suffix_capacity(
+        storage, spark):
+    """Review r10: (a) a user header with a NULL key (the schema allows
+    it) must survive dechunking like it survives an unchunked produce —
+    the chunk-header strip filter is null-safe; (b) values needing more
+    chunks than the 6-digit key suffix can number fail loudly instead
+    of silently colliding chunk keys (the sources/chunker.py contract)."""
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, StringType, StructField, StructType)
+
+    hdrs_t = ArrayType(StructType([
+        StructField("key", StringType()), StructField("value", BinaryType())]))
+    schema = StructType([
+        StructField("key", BinaryType()), StructField("value", BinaryType()),
+        StructField("headers", hdrs_t)])
+    storage.create("nullhdr", partitions=1)
+    storage.produce(
+        "nullhdr",
+        spark.createDataFrame(
+            [(b"k", b"z" * 2500, [(None, b"keepme"), ("mine", b"v")])],
+            schema),
+        chunk_size_bytes=1000)
+    out = storage.consume("nullhdr", dechunk=True).collect()
+    assert len(out) == 1
+    assert {(h.key, bytes(h.value)) for h in out[0].headers} == {
+        (None, b"keepme"), ("mine", b"v")}
+
+    storage.create("overflow", partitions=1)
+    with pytest.raises(Exception, match="999999"):
+        storage.produce(
+            "overflow",
+            spark.createDataFrame(
+                [(b"k", b"a" * 1_000_001)], "key binary, value binary"),
+            chunk_size_bytes=1)

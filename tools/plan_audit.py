@@ -1,7 +1,9 @@
 """Physical-plan audit across the driver contract.
 
-For every queries() entry, compiles the plan at the given sf_dir and
-counts scale-relevant physical operators:
+For every queries() entry, compiles the plan at the given sf_dir,
+counts scale-relevant physical operators, then EXECUTES the query
+(executor-side no-op action, nothing collected) to read codegen
+coverage from the AQE-final plan:
 
 * Exchange / Generate / Scan — plan-size blow-ups (an expensive subtree
   embedded many times shows up as dozens of each; see the round-2 LSH
@@ -9,7 +11,9 @@ counts scale-relevant physical operators:
 * CartesianProduct / BroadcastNestedLoopJoin — quadratic joins
 * BatchEvalPython — row-at-a-time Python UDFs (forbidden in hot paths;
   ArrowEvalPython / MapInPandas are the sanctioned crossings)
-* WholeStageCodegen span count — codegen coverage
+* wsc — distinct whole-stage-codegen span count of the executed plan
+  (-1 = execution failed), with a NO_CODEGEN tripwire for shuffling/
+  joining plans that compiled zero spans
 
 Usage: python tools/plan_audit.py [sf_dir]   (default sf0.01)
 Exits non-zero if any query trips a hard flag (cartesian, BatchEval,
@@ -60,13 +64,14 @@ def main() -> int:
         # pre-execution formatted plan is isFinalPlan=false and carries
         # no "[codegen id : N]" annotations at all, so a static grep
         # reads 0 for every query (r9 verdict #5 — the wsc gate was
-        # dead). collect() on the df itself (not a wrapper action —
-        # that would execute a DIFFERENT plan) finalizes AQE; the span
-        # count is the number of DISTINCT codegen ids in the final
-        # plan. Results at the audit's sf are small; the collect is
-        # the same execution CORRECTNESS does anyway.
+        # dead). foreach(no-op) executes the df's OWN queryExecution
+        # (a write-command wrapper executes a DIFFERENT plan and leaves
+        # the df unfinalized) while keeping every row on the executors —
+        # collect() here once meant pair-emitting queries materialized
+        # corpus-scale outputs driver-side at big sf_dirs. The span
+        # count is the number of DISTINCT codegen ids in the final plan.
         try:
-            df.collect()
+            df.foreach(lambda _row: None)
             wsc = len(set(re.findall(r"\[codegen id : (\d+)\]",
                                      plan_text(df))))
         except Exception:  # noqa: BLE001 — audit the plan anyway
