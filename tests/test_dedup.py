@@ -617,3 +617,24 @@ def test_ngram_capped_threshold_above_one_is_empty(spark):
                                "doc_id long, text string")
     assert dedup.ngram_jaccard_pairs(
         df, "text", "doc_id", threshold=1.5, max_df=100).count() == 0
+
+
+def test_ngram_capped_equals_exact_on_real_corpus(spark):
+    """Prefix-filtered capped path vs classic exact self-join on the
+    REAL documents corpus (planted near-duplicates, realistic text
+    shapes) — the synthetic-corpus equivalence tests can't cover its
+    shingle-frequency distribution. max_df high enough not to bite, so
+    the two modes must agree exactly."""
+    from kafi_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    capped = {(r.id_1, r.id_2, round(r.jaccard, 9))
+              for r in dedup.ngram_jaccard_pairs(
+                  docs, "text", "doc_id", k=3, threshold=0.7,
+                  max_df=10**9).collect()}
+    exact = {(r.id_1, r.id_2, round(r.jaccard, 9))
+             for r in dedup.ngram_jaccard_pairs(
+                 docs, "text", "doc_id", k=3, threshold=0.7,
+                 max_df=None).collect()}
+    assert capped == exact
+    assert capped, "corpus should contain planted near-duplicates"
