@@ -335,6 +335,11 @@ def ngram_jaccard_pairs(
                     F.collect_set(F.struct(F.col(id_col), F.col("__n")))
                 ).alias("ids")
             )
+            # singleton lists emit no pairs; on natural text MOST prefix
+            # shingles are singletons (df-ascending order front-loads
+            # them), so dropping them before the list-dedup shuffle cuts
+            # that exchange's input to the multi-doc minority
+            .filter(F.size("ids") >= 2)
             .select("ids")
             .distinct()
         )
@@ -369,21 +374,24 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         # exact verification: one in-row set intersection per candidate.
-        # SHUFFLE_HASH hints with the candidate side as build: the
-        # static planner can't size either side through the explodes,
-        # and the docs side (per-doc fingerprint arrays) is the one
-        # that must stream — it is corpus-scale, never broadcastable.
+        # NO join hints here, deliberately (r10 probe-measured): the
+        # docs side is a CHECKPOINTED frame whose runtime size AQE can
+        # see — when the fingerprint arrays fit the broadcast threshold
+        # (25 MB at the sf1 probe) AQE converts both joins to broadcast
+        # and the candidate frame (which can dwarf the corpus: 14.2M
+        # candidates vs 50k docs) never shuffles at all; forcing
+        # SHUFFLE_HASH on either side forbade that conversion and
+        # re-shuffled 6+ GB of candidate rows (the docs-build variant),
+        # or built ~200 MB hash maps per task from the candidate side
+        # (the cand-build variant, 2.6x slower verify). At true scale
+        # docs outgrows the threshold and AQE degrades to a shuffled
+        # join on its own — the right plan at every tier without a
+        # static guess.
         d1 = docs.select(F.col(id_col).alias("id_1"), F.col("__set").alias("__s1"))
         d2 = docs.select(F.col(id_col).alias("id_2"), F.col("__set").alias("__s2"))
         n_inter = F.size(F.array_intersect("__s1", "__s2"))
         return (
-            cand.hint("shuffle_hash")
-            .join(d1, "id_1")
-            # re-hint the joined left side so the SECOND join also
-            # builds on the candidate-scale frame and streams the
-            # corpus-scale docs arrays (the first hint binds to the
-            # first join's subtree only)
-            .hint("shuffle_hash")
+            cand.join(d1, "id_1")
             .join(d2, "id_2")
             .withColumn(
                 "jaccard",

@@ -59,6 +59,11 @@ PROBES = [
     "dedup_span_bloom",
     "perplexity_buckets",
     "boilerplate_filter",
+    # round-10 additions — the two queries whose plans were rebuilt that
+    # round (prefix-filtered AllPairs ngram; dsir window/stream-agg
+    # rework): the probe is the artifact that proves the rework scales
+    "dedup_ngram_capped",
+    "dsir_select",
 ]
 
 
