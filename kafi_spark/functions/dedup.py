@@ -286,7 +286,7 @@ def ngram_jaccard_pairs(
         # rarest-first minimizes candidates). The join keys both sides
         # by __fp; occurrence rows are (id, 16B) — linear shuffle.
         docs = (
-            occ.join(dfreq.hint("shuffle_hash"), "__fp")
+            occ.join(dfreq, "__fp")
             .groupBy(id_col)
             .agg(
                 F.transform(
@@ -412,17 +412,20 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
     nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
-    # SHUFFLE_HASH hints, found by the sf1 scale probe: the static
-    # planner can't see through the shingle explode, estimates the
-    # pair-counts aggregate as tiny, and BROADCASTS it — 2.2 GB at a
-    # mere 10x bench scale (candidate pairs grow with the corpus' dup
-    # mass, never index-small). Hinting the per-doc size frames forces
-    # a shuffled join with the SMALL side (|docs| rows of two longs) as
-    # the build side — both sides partition by id, nothing corpus-scale
-    # ever crosses to the driver.
+    # NO join hints (r10, probe-measured): every input here is an
+    # aggregate over a shuffle, so AQE re-plans the joins from REAL
+    # stage sizes — it broadcasts the per-doc size frames (|docs| rows
+    # of two longs) while they fit the threshold (pipeline_curate sf1:
+    # 22.4 s / 1.42 GB shuffle with forced SHUFFLE_HASH hints → 17.4 s /
+    # 445 MB without) and degrades to a shuffled join on its own once
+    # docs outgrows it. The r7-era hints guarded against the STATIC
+    # planner broadcasting the pair-counts aggregate (2.2 GB at 10x —
+    # its estimate can't see through the shingle explode), but that
+    # mistake can't survive AQE's runtime re-plan: inter's true size is
+    # known from its shuffle stage before the join strategy is chosen.
     return (
-        inter.join(na.hint("shuffle_hash"), "id_1")
-        .join(nb.hint("shuffle_hash"), "id_2")
+        inter.join(na, "id_1")
+        .join(nb, "id_2")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
