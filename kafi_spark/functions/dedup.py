@@ -274,6 +274,19 @@ def ngram_jaccard_pairs(
     Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard ≥ threshold.
     """
     sh = shingles(df, text_col, id_col, k)
+    # the hint-free join plans below are probe-measured WINS only
+    # because AQE re-plans every join from real stage sizes (all join
+    # inputs here are aggregates over shuffles); on an AQE-OFF session
+    # the static planner re-acquires the r7 catastrophe — it estimates
+    # the pair-counts aggregate as tiny (it cannot see through the
+    # shingle explode) and BROADCASTS it, 2.2 GB at a mere 10x bench
+    # scale. kafi_spark sessions always enable AQE, but this is a
+    # public library function: re-apply the protective SHUFFLE_HASH
+    # hints when the caller's session has adaptive planning disabled.
+    aqe_on = str(
+        df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+    ).lower() == "true"
+    guard = (lambda f: f) if aqe_on else (lambda f: f.hint("shuffle_hash"))
     if max_df is not None:
         occ = sh.select(id_col, F.xxhash64("shingle").alias("__fp"))
         dfreq = (
@@ -286,7 +299,7 @@ def ngram_jaccard_pairs(
         # rarest-first minimizes candidates). The join keys both sides
         # by __fp; occurrence rows are (id, 16B) — linear shuffle.
         docs = (
-            occ.join(dfreq, "__fp")
+            occ.join(guard(dfreq), "__fp")
             .groupBy(id_col)
             .agg(
                 F.transform(
@@ -391,8 +404,8 @@ def ngram_jaccard_pairs(
         d2 = docs.select(F.col(id_col).alias("id_2"), F.col("__set").alias("__s2"))
         n_inter = F.size(F.array_intersect("__s1", "__s2"))
         return (
-            cand.join(d1, "id_1")
-            .join(d2, "id_2")
+            cand.join(guard(d1), "id_1")
+            .join(guard(d2), "id_2")
             .withColumn(
                 "jaccard",
                 n_inter.cast("double")
@@ -424,8 +437,8 @@ def ngram_jaccard_pairs(
     # mistake can't survive AQE's runtime re-plan: inter's true size is
     # known from its shuffle stage before the join strategy is chosen.
     return (
-        inter.join(na, "id_1")
-        .join(nb, "id_2")
+        inter.join(guard(na), "id_1")
+        .join(guard(nb), "id_2")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

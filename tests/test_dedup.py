@@ -619,7 +619,7 @@ def test_ngram_capped_threshold_above_one_is_empty(spark):
         df, "text", "doc_id", threshold=1.5, max_df=100).count() == 0
 
 
-def test_ngram_capped_equals_exact_on_real_corpus(spark):
+def test_ngram_capped_equals_exact_on_real_corpus(spark, sf_dir):
     """Prefix-filtered capped path vs classic exact self-join on the
     REAL documents corpus (planted near-duplicates, realistic text
     shapes) — the synthetic-corpus equivalence tests can't cover its
@@ -627,7 +627,7 @@ def test_ngram_capped_equals_exact_on_real_corpus(spark):
     the two modes must agree exactly."""
     from kafi_spark.session import read_table
 
-    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = read_table(spark, sf_dir, "documents")
     capped = {(r.id_1, r.id_2, round(r.jaccard, 9))
               for r in dedup.ngram_jaccard_pairs(
                   docs, "text", "doc_id", k=3, threshold=0.7,
@@ -638,3 +638,35 @@ def test_ngram_capped_equals_exact_on_real_corpus(spark):
                  max_df=None).collect()}
     assert capped == exact
     assert capped, "corpus should contain planted near-duplicates"
+
+
+def test_ngram_aqe_off_reapplies_protective_hints(spark):
+    """Review r10: the hint-free join plans rely on AQE re-planning from
+    runtime stage sizes; a caller session with adaptive planning OFF
+    must get the protective SHUFFLE_HASH plan back (the static planner
+    would otherwise broadcast the corpus-scale pair-counts aggregate it
+    mis-estimates as tiny). Results must be identical either way."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        "doc_id long, text string")
+
+    def plan_of(frame):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain("formatted")
+        return buf.getvalue()
+
+    on = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5,
+                                   max_df=None)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        off = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5,
+                                        max_df=None)
+        assert "ShuffledHashJoin" in plan_of(off)
+        got_off = {(r.id_1, r.id_2) for r in off.collect()}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got_off == {(r.id_1, r.id_2) for r in on.collect()} == {(1, 2)}
