@@ -204,6 +204,39 @@ def _read_steal_jiffies() -> int | None:
         return None
 
 
+def _host_fingerprint() -> str:
+    """Stable per-box id carried in the artifact so CPU comparisons only
+    trust priors measured on the SAME machine. The committed r10 artifact
+    flagged 7 queries as cpu_regressed whose walls all IMPROVED on
+    byte-identical plans — the prior was measured on a box whose cores
+    report task-CPU with different SMT inflation, and the artifact had no
+    way to say so (r10 verdict item #2). machine-id is the per-install
+    anchor; the cpuinfo model + core count catch a container image moved
+    between hosts without a machine-id."""
+    import hashlib
+
+    parts = []
+    for p in ("/etc/machine-id", "/var/lib/dbus/machine-id"):
+        try:
+            with open(p) as fh:
+                parts.append(fh.read().strip())
+            break
+        except OSError:
+            continue
+    try:
+        with open("/proc/cpuinfo") as fh:
+            models = sorted({
+                ln.split(":", 1)[1].strip()
+                for ln in fh
+                if ln.startswith("model name")
+            })
+        parts.extend(models)
+    except OSError:
+        pass
+    parts.append(str(os.cpu_count()))
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _load_prior_bench(path: str, sf_val) -> dict:
     """Previous round's committed BENCH.json (same scale factor only —
     cross-sf times are not comparable). Returns {} when absent/foreign."""
@@ -270,11 +303,14 @@ def bench_queries(entry_mod) -> dict:
     qs["dedup_minhash_lsh"] = entry_mod.q_dedup_minhash_lsh
     qs["dedup_simhash"] = entry_mod.q_dedup_simhash
     qs["dedup_semantic"] = entry_mod.q_dedup_semantic
-    # round-9 contract tag-merges (window_keyed, ann exact+lsh union):
-    # bench keeps timing the INDIVIDUAL plans so round-over-round totals
-    # stay comparable; the merged unions stay in qs for plan_audit
+    # round-9/r11 contract tag-merges (window_keyed -> window_ops, ann
+    # exact+lsh union): bench keeps timing the INDIVIDUAL plans so
+    # round-over-round totals stay comparable; the merged unions stay in
+    # qs for plan_audit
     qs["window_sliding"] = entry_mod.q_window_sliding
     qs["window_session"] = entry_mod.q_window_session
+    qs["window_aligned"] = entry_mod.q_window_aligned  # folded into the
+    # contract's window_ops in r11; still the benched aligned-window plan
     qs["ann_cosine_topk"] = entry_mod.q_ann_cosine_topk_exact
     qs["ann_cosine_topk_lsh"] = entry_mod.q_ann_cosine_topk_lsh
     qs["ann_topk_union"] = entry_mod.q_ann_cosine_topk  # window_keyed is
@@ -289,6 +325,12 @@ def bench_queries(entry_mod) -> dict:
         return ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.7,
                                    max_df=1000)
 
+    # deliberately OVERWRITES the r11 contract entry of the same name:
+    # the driver oracle checks a tight-cap config (max_df=3, t=0.6 —
+    # the cap must bite at sf0.01 where max shingle df is 7); bench and
+    # the sf-tier probes keep timing the SCALE config (max_df=1000,
+    # t=0.7) so round-over-round numbers stay comparable. Same code
+    # path and plan shape either way, only the literals differ.
     qs["dedup_ngram_capped"] = q_dedup_ngram_capped
 
     def q_ann_quantized(spark, sf_dir):
@@ -622,6 +664,13 @@ def main() -> None:
     sf_path = os.path.join(repo_dir, f"BENCH_sf{sf}.json")
     prior = _load_prior_bench(sf_path, sf_val) or _load_prior_bench(
         out_path, sf_val)
+    host_fp = _host_fingerprint()
+    prior_host = prior.get("host")
+    # None = prior predates host fingerprints (pre-r11) — CPU comparison
+    # falls back to requiring the wall to agree; False = prior measured
+    # on another box — cross-box task-CPU is not comparable (SMT
+    # inflation, r10 verdict item #2), so cpu_regressed never fires
+    same_host = (prior_host == host_fp) if prior_host else None
 
     def timed_run(fn):
         """One timed execution with its /proc/stat steal delta — THE
@@ -769,12 +818,28 @@ def main() -> None:
         # regression like an extra regex scan per document can never
         # again be signed off as host residue.
         prev_cpu = (prev_plan or {}).get("cpu_sec")
+        # Trust ladder for the prior's CPU numbers (r10 verdict item #2 —
+        # the committed artifact flagged 7 "regressions" whose walls all
+        # improved on byte-identical plans, pure cross-box SMT inflation):
+        #   same_host True  — prior measured on THIS box: CPU is the
+        #                     authoritative signal, flag on CPU alone
+        #                     (a real expression regression can hide
+        #                     behind an idler box's faster wall);
+        #   same_host None  — pre-r11 prior without a fingerprint: only
+        #                     flag when the wall ALSO failed to improve
+        #                     (a human reading wall+CPU together would
+        #                     flag exactly these);
+        #   same_host False — foreign box: never flag, and say so once
+        #                     at the top level (cpu_prior_cross_box).
+        wall_improved = bool(prev_t) and best <= prev_t
+        cpu_prior_usable = same_host or (same_host is None and not wall_improved)
         if (
             prev_cpu
             and best_cpu is not None
             and best_cpu > 1.2 * prev_cpu
             and best_cpu - prev_cpu > 0.25
             and _plan_unchanged(prev_plan, exchanges, sbytes)
+            and cpu_prior_usable
         ):
             plans[name]["cpu_regressed"] = True
             plans[name]["prior_cpu_sec"] = prev_cpu
@@ -805,7 +870,15 @@ def main() -> None:
             n for n, p in plans.items() if p.get("cpu_regressed")],
         "contended": [
             n for n, p in plans.items() if p.get("contended")],
+        # box identity of THIS run — future runs compare CPU only
+        # against a same-host prior (see the trust ladder above)
+        "host": host_fp,
     }
+    if same_host is False:
+        # the prior's CPU column was measured on another box and was
+        # therefore ignored for cpu_regressed — recorded so a reader of
+        # the artifact alone knows the adjudication basis
+        result["cpu_prior_cross_box"] = True
     if missing:
         result["missing"] = missing
     if errored:
@@ -814,6 +887,29 @@ def main() -> None:
     # it never depends on how much stdout the caller captures.
     for p in (out_path, sf_path):
         with open(p, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    # Per-round COMMITTED plan/CPU snapshot (r10 verdict item #3): the
+    # printed contract line's degradation ladder keeps it under 1900
+    # chars, so the per-query `plans` detail (exchanges, shuffle_bytes,
+    # cpu_sec, steal) never reaches the committed BENCH_r{N}.json — and
+    # BENCH.json is a MUTABLE working file every local run overwrites.
+    # Writing BENCH_PLANS_r{next}.json here means the driver's round-end
+    # bench run leaves the snapshot in the tree, and the round-end commit
+    # (which sweeps changed artifacts) pins it — cross-round CPU
+    # adjudication then works from committed files alone. Only the
+    # driver's sf (0.1) writes it; local iteration runs at other tiers
+    # must not clobber the round snapshot.
+    if sf == "0.1":
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo_dir)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        next_round = (max(rounds) + 1) if rounds else 1
+        plans_path = os.path.join(
+            repo_dir, f"BENCH_PLANS_r{next_round:02d}.json")
+        with open(plans_path, "w") as fh:
             json.dump(result, fh, indent=1)
             fh.write("\n")
     # The printed contract line stays ONE compact JSON object, small
@@ -826,7 +922,9 @@ def main() -> None:
     shed_order = (
         ("contended",), ("cpu",), ("cpu_regressed",), ("queries",))
     keys = ["metric", "value", "unit", "queries", "sf",
-            "cpu", "cpu_total_sec", "cpu_regressed", "contended"]
+            "cpu", "cpu_total_sec", "cpu_regressed", "contended", "host"]
+    if "cpu_prior_cross_box" in result:
+        keys.append("cpu_prior_cross_box")
     line = json.dumps(
         {k: result[k] for k in keys}, separators=(",", ":"))
     for drop in shed_order:

@@ -219,6 +219,17 @@ def _minhash_long(df: DataFrame, text_col: str, id_col: str, k: int,
     return pairs.groupBy(id_col, "i").agg(F.min("hv").alias("mh"))
 
 
+#: Probe hook (tools/scale_probe.py): when set to a dict,
+#: ngram_jaccard_pairs deposits its intermediate frames here —
+#: 'capped_candidates' (the post-length-filter candidate pairs of the
+#: prefix-filter path) and 'exact_pair_agg' (the exact path's
+#: shared-shingle pair aggregate). The frames are lazy; the probe
+#: decides whether to pay the count action. Never set in production
+#: paths; a plain module attribute so the hook costs one `is not None`
+#: check per call.
+DIAG: dict | None = None
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -270,6 +281,17 @@ def ngram_jaccard_pairs(
     runs instead: no frequency cap means a hot shingle's posting list
     is unbounded, where the join streams its pairs as spillable rows —
     quadratic in that shingle's frequency, but safe at any skew.
+
+    Side effect (``max_df`` set only): merely BUILDING the returned
+    frame runs a multi-stage Spark job — the per-document fingerprint
+    sets are materialized through an eager ``localCheckpoint`` (three
+    consumers over a scan+explode+join+agg subtree; the barrier
+    executes it once instead of three times) and the blocks stay
+    pinned on executors until the frame is garbage-collected. Callers
+    composing plans lazily (or in plan-only/explain contexts) should
+    expect that execution at construction time; ``max_df=None`` stays
+    a purely lazy plan. The minhash path's candidate set documents the
+    same pattern.
 
     Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard ≥ threshold.
     """
@@ -386,6 +408,8 @@ def ngram_jaccard_pairs(
             .select("p.id_1", "p.id_2")
             .distinct()
         )
+        if DIAG is not None:
+            DIAG["capped_candidates"] = cand
         # exact verification: one in-row set intersection per candidate.
         # NO join hints here, deliberately (r10 probe-measured): the
         # docs side is a CHECKPOINTED frame whose runtime size AQE can
@@ -423,6 +447,8 @@ def ngram_jaccard_pairs(
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    if DIAG is not None:
+        DIAG["exact_pair_agg"] = inter
     na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
     nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
     # NO join hints (r10, probe-measured): every input here is an
@@ -1054,9 +1080,27 @@ def dedup_against(
     """Rows of ``df`` that do NOT near-match any ``reference`` document
     — the incremental-ingest gate ("drop today's near-dups of the
     existing corpus" — within-batch dedup is :func:`minhash_lsh_pairs`'
-    job, run separately). One LSH join + one anti-join."""
+    job, run separately). One LSH join + one anti-join.
+
+    Note: building the returned frame EXECUTES the LSH join eagerly
+    (two ``localCheckpoint`` barriers — the candidate set inside
+    :func:`minhash_lsh_join` and the matched-id set here), so this is
+    not a purely lazy plan constructor. The matched-id barrier is
+    load-bearing: Catalyst pushes a left-anti join below a Union on
+    its left side (``PushdownLeftSemiOrAntiJoin``), so a union-shaped
+    ``df`` — e.g. yesterday's corpus plus a leak feed — re-embeds the
+    whole verification subtree once PER BRANCH and executes it that
+    many times (the r10 plan audit read the verify plan twice: 20
+    exchanges / 32 scans for a 2-branch batch). Checkpointing the
+    matched ids (bounded by the batch's match count — far below
+    corpus scale) makes the duplicated right side a leaf, so the
+    verify work runs exactly once at any branch count.
+    """
     hits = minhash_lsh_join(
         df, reference, text_col=text_col, id_col=id_col, **lsh_kwargs)
-    return df.join(
-        hits.select(F.col("left_id").alias(id_col)).distinct(),
-        id_col, "left_anti")
+    matched = (
+        hits.select(F.col("left_id").alias(id_col))
+        .distinct()
+        .localCheckpoint()
+    )
+    return df.join(matched, id_col, "left_anti")

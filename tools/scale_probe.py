@@ -66,6 +66,20 @@ PROBES = [
     "dsir_select",
 ]
 
+# Candidate-efficiency counters (r10 verdict items #1/#5): per tier,
+# count the intermediate frame dedup.DIAG exposes and (for the capped
+# path) the true output pairs. The ratio decides the x50 sf1 shuffle
+# adjudication — if candidates_emitted/true_pairs stays flat across
+# tiers the shuffle growth is output-bound (intrinsic to the corpus's
+# duplicate mass); if it grows with sf the prefix filter is leaking and
+# needs the PPJoin+ positional/suffix filter. pipeline_curate records
+# its exact-config pair-aggregate row count for the same reason (the
+# oracle-only max_df=None configuration's shuffle is this aggregate).
+COUNTERS = {
+    "dedup_ngram_capped": ("capped_candidates", "candidates_emitted", True),
+    "pipeline_curate": ("exact_pair_agg", "pair_agg_rows", False),
+}
+
 
 def _plan_counts(df) -> dict:
     buf = io.StringIO()
@@ -164,7 +178,18 @@ def main() -> None:
             # jobs — quality_fit's L-BFGS, connected-components rounds,
             # localCheckpoints — had those shuffles counted inside the
             # pre/post delta, inflating shuffle_bytes and growth)
-            probe_df = qs[name](spark, sf_dir)
+            counter = COUNTERS.get(name)
+            if counter:
+                from kafi_spark.functions import dedup as _dedup
+
+                _dedup.DIAG = diag = {}
+                try:
+                    probe_df = qs[name](spark, sf_dir)
+                finally:
+                    _dedup.DIAG = None
+            else:
+                diag = {}
+                probe_df = qs[name](spark, sf_dir)
             plan = _plan_counts(probe_df)
             rec[tier] = {
                 "sec": round(best, 3),
@@ -185,6 +210,15 @@ def main() -> None:
             if (pre is not None and post is not None
                     and bench._REST_OK["ok"] == rest0 and post >= pre):
                 rec[tier]["shuffle_bytes"] = post - pre
+            if counter and counter[0] in diag:
+                hook, field, want_pairs = counter
+                rec[tier][field] = diag[hook].count()
+                if want_pairs:
+                    rec[tier]["true_pairs"] = probe_df.count()
+                    if rec[tier]["true_pairs"]:
+                        rec[tier]["cand_per_pair"] = round(
+                            rec[tier][field] / rec[tier]["true_pairs"], 2)
+                spark.catalog.clearCache()
         per_row_01 = rec["sf01"]["sec"] / ROWS["sf01"]
         per_row_1 = rec["sf1"]["sec"] / ROWS["sf1"]
         rec["per_row_ratio"] = round(per_row_1 / per_row_01, 3)
