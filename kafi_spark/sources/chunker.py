@@ -102,6 +102,8 @@ def dechunk(df: DataFrame, value_col: str = "value") -> DataFrame:
         .agg(
             F.max("number_of_chunks").alias("__expect"),
             F.count_distinct("chunk_number").alias("__got"),
+            F.min("chunk_number").alias("__lo"),
+            F.max("chunk_number").alias("__hi"),
             F.array_sort(F.array_distinct(
                 F.collect_list(F.struct("chunk_number", F.col(value_col).alias("v")))
             )).alias("__parts"),
@@ -110,6 +112,13 @@ def dechunk(df: DataFrame, value_col: str = "value") -> DataFrame:
         .filter(
             (F.col("__got") == F.col("__expect"))
             & (F.size("__parts") == F.col("__expect"))
+            # distinct-COUNT alone accepts any n distinct numbers —
+            # corrupt/forged numbering ({0,2} with nof=2) must drop as
+            # incomplete, not reassemble a wrong payload: require the
+            # exact 0..n-1 span (r10 ADVICE; numbering is 0-based by
+            # chunk()'s sequence(0, n-1))
+            & (F.col("__lo") == 0)
+            & (F.col("__hi") == F.col("__expect") - 1)
         )
         .select(
             "chunked_message_id",

@@ -682,6 +682,8 @@ class FSTopicStorage:
             .agg(
                 F.max("__nof").alias("__expect"),
                 F.count_distinct("__cno").alias("__got"),
+                F.min("__cno").alias("__lo"),
+                F.max("__cno").alias("__hi"),
                 F.array_sort(F.array_distinct(F.collect_list(
                     F.struct(F.col("__cno"), F.col("value").alias("v"))
                 ))).alias("__parts"),
@@ -690,6 +692,13 @@ class FSTopicStorage:
             .filter(
                 (F.col("__got") == F.col("__expect"))
                 & (F.size("__parts") == F.col("__expect"))
+                # the COUNT checks above accept any n distinct chunk
+                # numbers; corrupt/forged numbering (chunks {0,2} with
+                # nof=2) must drop as incomplete, not reassemble a wrong
+                # payload — only the exact 0..n-1 span passes (r10
+                # ADVICE)
+                & (F.col("__lo") == 0)
+                & (F.col("__hi") == F.col("__expect") - 1)
             )
             .select(
                 # strip the 7-byte "_NNNNNN" suffix; null keys stayed null

@@ -321,6 +321,111 @@ def read_restproxy(spark, url: str, topic: str, group: str = "kafi_spark",
     return spark.createDataFrame(rows, MESSAGE_SCHEMA)
 
 
+def read_restproxy_parallel(spark, url: str, topic: str,
+                            group: str = "kafi_spark",
+                            auth: tuple[str, str] | None = None,
+                            timeout_ms: int = 1000,
+                            max_bytes: int = 67108864,
+                            instance_config: dict | None = None,
+                            use_base_uri: bool = True,
+                            max_empty_polls: int = 5):
+    """EXECUTOR-PARALLEL consumer scan: one proxy consumer instance per
+    topic partition inside ``mapInPandas``, so ingress throughput scales
+    with partitions instead of one driver socket.
+
+    The reference's proxy consumer is a single sticky instance
+    (kafi/kafka/restproxy/restproxy_consumer.py:104) — the v2 protocol
+    binds each instance to one HTTP session, which forces the
+    single-consumer shape on anything that shares one connection. This
+    path sidesteps the constraint by giving EVERY partition its own
+    instance in its own group (``{group}-p{N}``): per-partition
+    ASSIGNMENT instead of subscription, so no rebalance coordination
+    exists to serialize on, and base-URI stickiness is honored per
+    instance.
+
+    Bounded-scan semantics match :func:`read_restproxy`: the end
+    watermarks are read ONCE, driver-side, before the scan; each task
+    seeks its partition to the beginning and polls until its end
+    watermark (records at/after it are dropped), giving a deterministic
+    snapshot even while producers keep writing. ``max_empty_polls``
+    bounds a partition whose proxy keeps long-polling empty (proxy
+    restarted mid-scan, retention truncated below the watermark) so a
+    task can never spin forever.
+
+    Each task creates and deletes its own instance — a failed task's
+    replay re-creates a fresh instance and re-reads the same bounded
+    range (idempotent: assignment + seek, no committed offsets)."""
+    import pandas as pd
+
+    from kafi_spark.sources.schema import MESSAGE_SCHEMA
+
+    client = RestProxyClient(
+        url, auth, timeout=max(10.0, timeout_ms / 1000.0 + 5.0))
+    wm = client.watermarks(topic)
+    tasks = [(p, lo, hi) for p, (lo, hi) in sorted(wm.items()) if hi > lo]
+    if not tasks:
+        return spark.createDataFrame([], MESSAGE_SCHEMA)
+    cfg = dict(instance_config or {})
+    timeout_s = max(10.0, timeout_ms / 1000.0 + 5.0)
+
+    def fetch(batches):
+        for pdf in batches:
+            for prt, lo, hi in pdf.itertuples(index=False):
+                prt, lo, hi = int(prt), int(lo), int(hi)
+                g = f"{group}-p{prt}"
+                inst = _http(
+                    "POST", f"{url.rstrip('/')}/consumers/{_q(g)}",
+                    {"format": "binary", **cfg},
+                    {"Content-Type": "application/vnd.kafka.v2+json"},
+                    auth, timeout_s)
+                iid = inst["instance_id"]
+                base = (inst.get("base_uri") if use_base_uri else None) or (
+                    f"{url.rstrip('/')}/consumers/{_q(g)}/instances/{_q(iid)}")
+                if "://" not in base:
+                    base = f"{url.rstrip('/')}/{base.lstrip('/')}"
+                try:
+                    _http("POST", f"{base}/assignments",
+                          {"partitions": [{"topic": topic, "partition": prt}]},
+                          {"Content-Type": "application/vnd.kafka.v2+json"},
+                          auth, timeout_s)
+                    _http("POST", f"{base}/positions/beginning",
+                          {"partitions": [{"topic": topic, "partition": prt}]},
+                          {"Content-Type": "application/vnd.kafka.v2+json"},
+                          auth, timeout_s)
+                    rows, empty, top = [], 0, lo - 1
+                    while top < hi - 1 and empty < max_empty_polls:
+                        recs = _http(
+                            "GET",
+                            f"{base}/records?timeout={timeout_ms}"
+                            f"&max_bytes={max_bytes}",
+                            None, {"Accept": _BINARY_V2}, auth, timeout_s,
+                        ) or []
+                        got = False
+                        for m in recs:
+                            if m["offset"] >= hi:
+                                continue  # written after the snapshot
+                            got = True
+                            top = max(top, m["offset"])
+                            rows.append((
+                                None if m["key"] is None
+                                else base64.b64decode(m["key"]),
+                                None if m["value"] is None
+                                else base64.b64decode(m["value"]),
+                                m["topic"], m["partition"], m["offset"],
+                                None, 0, None,
+                            ))
+                        empty = 0 if got else empty + 1
+                finally:
+                    _http("DELETE", base, None, None, auth, timeout_s)
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=[f.name for f in MESSAGE_SCHEMA.fields])
+
+    seed = spark.createDataFrame(
+        tasks, "partition int, lo long, hi long").repartition(len(tasks))
+    return seed.mapInPandas(fetch, MESSAGE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Producer sink (v3 records endpoint, restproxy_producer.py:31-125)
 # ---------------------------------------------------------------------------

@@ -38,6 +38,12 @@ class _FakeProxy:
         ]
         self.committed: list[dict] = []
         self.deleted_instances: list[str] = []
+        # per-partition record stores + instance assignments for the
+        # executor-parallel scan (assignment-mode consumers); the legacy
+        # subscription consumer keeps draining the global `records`
+        self.part_records: dict[int, list[dict]] = {}
+        self.assignments: dict[str, list[int]] = {}
+        self.lock = threading.Lock()
 
 
 def _make_server(state: _FakeProxy):
@@ -85,7 +91,14 @@ def _make_server(state: _FakeProxy):
             if len(p) == 5 and p[0] == "topics" and p[4] == "offsets":
                 return self._send({"beginning_offset": 0, "end_offset": 3})
             if len(p) == 5 and p[0] == "consumers" and p[4] == "records":
-                recs, state.records = state.records, []
+                iid = p[3]
+                with state.lock:
+                    if iid in state.assignments:
+                        recs = []
+                        for prt in state.assignments[iid]:
+                            recs.extend(state.part_records.pop(prt, []))
+                    else:
+                        recs, state.records = state.records, []
                 return self._send(recs)
             return self._send({"message": "nope"}, 404)
 
@@ -111,11 +124,20 @@ def _make_server(state: _FakeProxy):
                     state.produced.append({"topic": rest[1], **self._body()})
                     return self._send({"error_code": 200})
             if len(p) == 2 and p[0] == "consumers":
-                state.instances += 1
-                iid = f"inst-{state.instances}"
+                with state.lock:
+                    state.instances += 1
+                    iid = f"inst-{state.instances}"
                 return self._send({"instance_id": iid,
                                    "base_uri": f"/consumers/{p[1]}/instances/{iid}"})
             if len(p) == 5 and p[0] == "consumers" and p[4] == "subscription":
+                return self._send(None, 204)
+            if len(p) == 5 and p[0] == "consumers" and p[4] == "assignments":
+                with state.lock:
+                    state.assignments[p[3]] = [
+                        a["partition"] for a in self._body()["partitions"]]
+                return self._send(None, 204)
+            if (len(p) == 6 and p[0] == "consumers" and p[4] == "positions"
+                    and p[5] == "beginning"):
                 return self._send(None, 204)
             if len(p) == 5 and p[0] == "consumers" and p[4] == "offsets":
                 state.committed.append(self._body())
@@ -230,6 +252,54 @@ def test_producer_sink_posts_from_executors(proxy, spark):
     keyed = [p for p in state.produced if "key" in p]
     assert len(keyed) == 1 and base64.b64decode(keyed[0]["key"]["data"]) == b"k1"
     assert all(p["topic"] == "snacks" for p in state.produced)
+
+
+def test_consumer_scan_parallel_per_partition(proxy, spark):
+    """Executor-parallel scan (beyond-reference: the reference's proxy
+    consumer is a single sticky instance, restproxy_consumer.py:104):
+    one assignment-mode instance PER PARTITION inside mapInPandas. The
+    stub's watermarks are (0, 3) per partition, so each task must drain
+    its own partition's offsets 0..2 and drop the planted offset-3
+    record (written "after" the snapshot watermark)."""
+    from kafi_spark.sources.restproxy import read_restproxy_parallel
+
+    url, state = proxy
+
+    def rec(p, o, v):
+        return {"topic": "snacks", "partition": p, "offset": o,
+                "key": None, "value": base64.b64encode(v).decode()}
+
+    state.part_records = {
+        0: [rec(0, 0, b"a0"), rec(0, 1, b"a1"), rec(0, 2, b"a2"),
+            rec(0, 3, b"late")],  # >= end watermark: must be dropped
+        1: [rec(1, 0, b"b0"), rec(1, 1, b"b1"), rec(1, 2, b"b2")],
+    }
+    df = read_restproxy_parallel(spark, url, "snacks", group="gp")
+    rows = sorted((r.partition, r.offset, bytes(r.value).decode())
+                  for r in df.collect())
+    assert rows == [(0, 0, "a0"), (0, 1, "a1"), (0, 2, "a2"),
+                    (1, 0, "b0"), (1, 1, "b1"), (1, 2, "b2")]
+    # one instance per partition, each assigned exactly its partition,
+    # each torn down
+    assert sorted(len(v) == 1 for v in state.assignments.values()) == [True, True]
+    assert {v[0] for v in state.assignments.values()} == {0, 1}
+    assert len(state.deleted_instances) == 2
+    # no committed offsets: assignment+seek is idempotent by design
+    assert state.committed == []
+
+
+def test_consumer_scan_parallel_empty_topic(proxy, spark):
+    from kafi_spark.sources.restproxy import read_restproxy_parallel
+
+    url, state = proxy
+    state.topics["void"] = 2
+    # watermarks stub returns (0, 3) for every topic; point the scan at
+    # partitions with no records — the empty-poll bound must end each
+    # task instead of spinning forever, yielding an empty frame
+    state.part_records = {}
+    df = read_restproxy_parallel(spark, url, "snacks", group="gv",
+                                 max_empty_polls=2)
+    assert df.count() == 0
 
 
 def test_http_error_surfaces(proxy):

@@ -246,6 +246,28 @@ def test_dechunk_drops_incomplete(spark):
     assert dechunk(df).count() == 0
 
 
+def test_dechunk_drops_forged_numbering(spark):
+    """r10 ADVICE: the completeness check counted DISTINCT chunk numbers
+    but never checked they span 0..n-1 — chunks {0, 2} with nof=2 passed
+    the count and reassembled a WRONG payload. Only the exact 0..n-1 set
+    may reassemble; anything else drops as incomplete."""
+    schema = ("chunked_message_id string, chunk_number int, "
+              "number_of_chunks int, value binary")
+    # {0,2} with nof=2: count matches, span doesn't
+    forged = spark.createDataFrame(
+        [("m1", 0, 2, b"aa"), ("m1", 2, 2, b"bb")], schema)
+    assert dechunk(forged).count() == 0
+    # {1,2} with nof=2: count matches, zero missing
+    shifted = spark.createDataFrame(
+        [("m2", 1, 2, b"aa"), ("m2", 2, 2, b"bb")], schema)
+    assert dechunk(shifted).count() == 0
+    # control: the exact 0..1 span still reassembles in order
+    good = spark.createDataFrame(
+        [("m3", 1, 2, b"bb"), ("m3", 0, 2, b"aa")], schema)
+    rows = dechunk(good).collect()
+    assert len(rows) == 1 and rows[0]["value"] == b"aabb"
+
+
 def test_offsets_for_times(storage, spark):
     import datetime
 
@@ -684,6 +706,50 @@ def test_consume_dechunk_drops_incomplete_groups(storage, spark):
     assert partial.count() == 0
     full = storage.consume("cut", dechunk=True)
     assert [bytes(r.value) for r in full.collect()] == [b"a" * 2500]
+
+
+def test_consume_dechunk_drops_forged_numbering(storage, spark):
+    """r10 ADVICE twin of test_dechunk_drops_forged_numbering for the
+    storage path: chunk headers claiming numbers {0, 2} with
+    number_of_chunks=2 pass a pure distinct-COUNT completeness check and
+    reassemble a wrong payload — _dechunk_frame must require the exact
+    0..n-1 span and drop the group as incomplete."""
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, StringType, StructField, StructType)
+
+    hdrs_t = ArrayType(StructType([
+        StructField("key", StringType()), StructField("value", BinaryType())]))
+    schema = StructType([
+        StructField("key", BinaryType()), StructField("value", BinaryType()),
+        StructField("headers", hdrs_t)])
+
+    def hdrs(cno: int, nof: int = 2, mid: bytes = b"forged-mid"):
+        be = lambda n: n.to_bytes(32, "big")  # noqa: E731
+        return [("kafi_chunked_message_id", mid),
+                ("kafi_number_of_chunks", be(nof)),
+                ("kafi_chunk_number", be(cno))]
+
+    storage.create("forged", partitions=1)
+    storage.produce(
+        "forged",
+        spark.createDataFrame(
+            [(b"k_000000", b"aa", hdrs(0)), (b"k_000002", b"bb", hdrs(2))],
+            schema))
+    # raw rows are there; the forged {0,2}/nof=2 group must NOT reassemble
+    assert storage.consume("forged").count() == 2
+    assert storage.consume("forged", dechunk=True).count() == 0
+
+    # control: the exact {0,1}/nof=2 span reassembles in order
+    storage.create("spanok", partitions=1)
+    storage.produce(
+        "spanok",
+        spark.createDataFrame(
+            [(b"k_000000", b"aa", hdrs(0, mid=b"ok-mid")),
+             (b"k_000001", b"bb", hdrs(1, mid=b"ok-mid"))],
+            schema))
+    rows = storage.consume("spanok", dechunk=True).collect()
+    assert len(rows) == 1 and bytes(rows[0].value) == b"aabb"
+    assert bytes(rows[0].key) == b"k"
 
 
 def test_chunking_preserves_null_key_headers_and_guards_suffix_capacity(

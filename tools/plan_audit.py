@@ -107,6 +107,12 @@ def main() -> int:
         # end) — that is how a hot query silently loses codegen
         if c["wsc"] == 0 and (c["exch"] or c["smj"] or c["bhj"]):
             flags.append("NO_CODEGEN")
+        # wsc == -1 means the query COMPILED but failed during the
+        # foreach execution — without this flag the audit exited 0 and
+        # silently passed a runtime-broken query (r10 ADVICE: the -1 was
+        # only visible in the printed table, never in the exit code)
+        if c["wsc"] == -1:
+            flags.append("RUNTIME_FAIL")
         line = (f"{name:28s} {c['exch']:>4} {c['gen']:>4} {c['scan']:>4} "
                 f"{c['wsc']:>4} {c['smj']:>4} {c['bhj']:>4} {c['bnlj']:>4} "
                 f"{c['cart']:>4} {c['pyUDF']:>5} {c['reuse']:>5} {c['inmem']:>5}")
