@@ -392,7 +392,8 @@ def read_restproxy_parallel(spark, url: str, topic: str,
                           {"partitions": [{"topic": topic, "partition": prt}]},
                           {"Content-Type": "application/vnd.kafka.v2+json"},
                           auth, timeout_s)
-                    rows, empty, top = [], 0, lo - 1
+                    empty, top = 0, lo - 1
+                    cols = [f.name for f in MESSAGE_SCHEMA.fields]
                     while top < hi - 1 and empty < max_empty_polls:
                         recs = _http(
                             "GET",
@@ -400,11 +401,10 @@ def read_restproxy_parallel(spark, url: str, topic: str,
                             f"&max_bytes={max_bytes}",
                             None, {"Accept": _BINARY_V2}, auth, timeout_s,
                         ) or []
-                        got = False
+                        rows = []
                         for m in recs:
                             if m["offset"] >= hi:
                                 continue  # written after the snapshot
-                            got = True
                             top = max(top, m["offset"])
                             rows.append((
                                 None if m["key"] is None
@@ -414,12 +414,16 @@ def read_restproxy_parallel(spark, url: str, topic: str,
                                 m["topic"], m["partition"], m["offset"],
                                 None, 0, None,
                             ))
-                        empty = 0 if got else empty + 1
+                        if rows:
+                            empty = 0
+                            # one Arrow batch per poll — a partition's
+                            # whole history never accumulates in task
+                            # memory (each poll is max_bytes-bounded)
+                            yield pd.DataFrame(rows, columns=cols)
+                        else:
+                            empty += 1
                 finally:
                     _http("DELETE", base, None, None, auth, timeout_s)
-                if rows:
-                    yield pd.DataFrame(
-                        rows, columns=[f.name for f in MESSAGE_SCHEMA.fields])
 
     seed = spark.createDataFrame(
         tasks, "partition int, lo long, hi long").repartition(len(tasks))
