@@ -64,6 +64,19 @@ PROBES = [
     # rework): the probe is the artifact that proves the rework scales
     "dedup_ngram_capped",
     "dsir_select",
+    # round-11 breadth: the linear-path families the probe never
+    # covered — decontamination (broadcast gram set), repetition
+    # metrics (pure column chains), the dataset-card aggregate, and
+    # the two events-driven sketch builds. emb_neardup is deliberately
+    # NOT probed: exact blocked all-pairs is O(N²·d) FLOPs by
+    # definition (×10 rows → ×100 work → per-row ~×10), and its scale
+    # path is the SemDeDup cell plan (PLANS.md round-3 addendum) — a
+    # super-linear probe row would only restate the definition.
+    "decontaminate",
+    "text_repetition",
+    "corpus_report",
+    "sketch_daily_distinct",
+    "cms_heavy_hitters",
 ]
 
 # Candidate-efficiency counters (r10 verdict items #1/#5): per tier,
