@@ -670,3 +670,75 @@ def test_ngram_aqe_off_reapplies_protective_hints(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert got_off == {(r.id_1, r.id_2) for r in on.collect()} == {(1, 2)}
+
+
+def test_dedup_against_union_batch_plans_verify_once(spark):
+    """r11 plan diet: Catalyst pushes the final left-anti join below a
+    UNION-shaped batch (PushdownLeftSemiOrAntiJoin) and re-embeds the
+    whole right side per branch — before the matched-id barrier, the
+    LSH verify subtree executed once per union branch (plan audit read
+    20 exchanges / 32 scans for an 8/8 query). The barrier makes the
+    duplicated right side a checkpoint leaf; pin the final plan's
+    operator counts so a refactor can't silently reintroduce the
+    re-execution."""
+    import contextlib
+    import io
+    import re
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon w{i}") for i in range(8)],
+        "doc_id long, text string")
+    reference = base.filter("doc_id >= 4")
+    # union-shaped batch: the exact trigger for the pushdown duplication
+    batch = base.filter("doc_id < 4").unionByName(
+        reference.filter("doc_id = 4").select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text"))
+    out = dedup.dedup_against(batch, reference, threshold=0.9)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    scans = len(re.findall(r"Scan parquet|Scan ExistingRDD", plan))
+    exchanges = len(re.findall(r"\bExchange\b", plan))
+    # pre-barrier the same query planned 4x these numbers; the verify
+    # subtree must be absent (it ran once, eagerly, at construction)
+    assert scans <= 10, plan
+    assert exchanges <= 12, plan
+    # and the result is still the gate's semantics: the verbatim leak
+    # (doc 104 == doc 4's text) drops, the fresh docs survive
+    kept = {r.doc_id for r in out.collect()}
+    assert 104 not in kept and kept == {0, 1, 2, 3}
+
+
+def test_ngram_tight_prefix_bound_prunes_candidates(spark):
+    """The r11 tight two-sided prefix bound must prune single-shared-
+    shingle candidates BEFORE verification (not merely let the exact
+    verify reject them): docs sharing exactly one mid-rank shingle at a
+    high threshold are provably non-pairs by the rank bound, so the
+    candidate frame itself must be empty. Near-identical docs must
+    still emit their candidate. Counted through the dedup.DIAG hook —
+    the same counter tools/scale_probe.py commits per tier."""
+    rows = []
+    # 6 docs sharing ONE common shingle ("q q q"), otherwise disjoint:
+    # every pair shares exactly that shingle; at t=0.9 the rank bound
+    # alpha ~ 0.9/1.9 * (n1+n2) makes them impossible
+    for i in range(6):
+        uniq = " ".join(f"u{i}_{j}" for j in range(12))
+        rows.append((i, f"{uniq} q q q"))
+    # plus one true near-dup pair
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dedup.DIAG = diag = {}
+    try:
+        out = dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", k=3, threshold=0.9, max_df=1000)
+        pairs = {(r.id_1, r.id_2) for r in out.collect()}
+        n_cand = diag["capped_candidates"].count()
+    finally:
+        dedup.DIAG = None
+    assert pairs == {(100, 101)}
+    # the only candidate surviving the emission filters is the true pair
+    assert n_cand == 1, n_cand
