@@ -31,6 +31,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+#: Probe hook (tools/scale_probe.py, same pattern as dedup.DIAG): when
+#: set to a dict, bm25_topk deposits its matched-postings frame here
+#: ('bm25_matched' — the (query, doc, term) rows entering the score
+#: aggregate). Lazy; the probe decides whether to pay the count.
+DIAG: dict | None = None
+
 
 def _terms(text_col, lowercase: bool = True):
     # the ONE tokenizer definition (text.words_of) so BM25 terms can
@@ -159,6 +165,8 @@ def bm25_topk(
             ).alias("__s"),
         )
     )
+    if DIAG is not None:
+        DIAG["bm25_matched"] = scored
     per_doc = scored.groupBy(query_id_col, id_col).agg(
         F.sum("__s").alias("score")
     )

@@ -89,9 +89,21 @@ PROBES = [
 # its exact-config pair-aggregate row count for the same reason (the
 # oracle-only max_df=None configuration's shuffle is this aggregate).
 COUNTERS = {
-    "dedup_ngram_capped": ("capped_candidates", "candidates_emitted", True),
-    "pipeline_curate": ("exact_pair_agg", "pair_agg_rows", False),
+    "dedup_ngram_capped": (
+        "dedup", "capped_candidates", "candidates_emitted", True),
+    "pipeline_curate": ("dedup", "exact_pair_agg", "pair_agg_rows", False),
+    # r11 watch item: bm25's sf1 shuffle grows ×25 for ×10 rows at a
+    # fixed 10-query set — count the matched (query, doc, term) rows
+    # entering the score aggregate to separate row growth (the
+    # fixed-vocab df inflation) from shuffle-encoding effects
+    "bm25_topk": ("search", "bm25_matched", "matched_rows", False),
 }
+
+
+def _diag_module(name: str):
+    import importlib
+
+    return importlib.import_module(f"kafi_spark.functions.{name}")
 
 
 def _plan_counts(df) -> dict:
@@ -193,13 +205,12 @@ def main() -> None:
             # pre/post delta, inflating shuffle_bytes and growth)
             counter = COUNTERS.get(name)
             if counter:
-                from kafi_spark.functions import dedup as _dedup
-
-                _dedup.DIAG = diag = {}
+                mod = _diag_module(counter[0])
+                mod.DIAG = diag = {}
                 try:
                     probe_df = qs[name](spark, sf_dir)
                 finally:
-                    _dedup.DIAG = None
+                    mod.DIAG = None
             else:
                 diag = {}
                 probe_df = qs[name](spark, sf_dir)
@@ -223,8 +234,8 @@ def main() -> None:
             if (pre is not None and post is not None
                     and bench._REST_OK["ok"] == rest0 and post >= pre):
                 rec[tier]["shuffle_bytes"] = post - pre
-            if counter and counter[0] in diag:
-                hook, field, want_pairs = counter
+            if counter and counter[1] in diag:
+                _, hook, field, want_pairs = counter
                 rec[tier][field] = diag[hook].count()
                 if want_pairs:
                     rec[tier]["true_pairs"] = probe_df.count()
