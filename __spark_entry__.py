@@ -865,7 +865,8 @@ def q_window_ops(spark, sf_dir):
         _lnull.alias("k4"), F.col("n").cast("long").alias("n"),
         _dnull.alias("total"))
     se = q_window_session(spark, sf_dir).select(
-        F.lit("session").alias("mech"), F.col("user_id").alias("k1"),
+        F.lit("session").alias("mech"),
+        F.col("user_id").cast("string").alias("k1"),
         F.col("session_id").cast("long").alias("k2"),
         F.col("s_start").cast("long").alias("k3"),
         F.col("s_end").cast("long").alias("k4"),

@@ -2,9 +2,14 @@
 
 Runs every ``__spark_entry__.queries()`` entry at a given sf dir, runs the
 matching ``oracle_sql()`` in DuckDB over the same parquet tables, and compares
-row count + column names + order-insensitive values. Stricter than the driver
-in one way: values are compared exactly (stringified), so any hash the driver
-uses will also match.
+row count + column names + column type families + order-insensitive TYPED
+values. The driver's hash is type-aware: in r11 it failed ``window_ops``
+because a tagged-union key resolved to BIGINT in Spark but VARCHAR in the
+DuckDB oracle while every stringified VALUE matched — a class this gate was
+blind to when it stringified cells with ``str(v)``. Cells now carry a
+Python-type tag (``int:0`` vs ``str:0`` differ) and each query additionally
+compares Spark ``df.dtypes`` against DuckDB result types at type-family
+granularity (int/float/decimal/str/bool/bytes/date/timestamp/list/struct).
 
 Usage:  python tools/check.py [sf_dir] [query_name ...]
 """
@@ -23,24 +28,82 @@ TABLES = [
 
 
 def normalize_cell(v):
+    """Render a cell as ``<python-type-tag>:<canonical-string>``.
+
+    The tag is what makes the gate type-aware: ``int:0`` and ``str:0``
+    canonicalize differently, so an engine-vs-oracle column-type coercion
+    divergence (the r11 window_ops failure class) fails locally even when
+    every stringified value matches. NULLs are typeless per-cell — the
+    column-level dtype comparison in main() covers all-null columns.
+    """
     import datetime
+    import decimal
 
     if v is None:
         return "NULL"
+    # bool before int: isinstance(True, int) is True
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "float:NaN"
         # repr round-trips doubles exactly; both engines return Python floats
-        return repr(v)
+        return f"float:{repr(v)}"
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return f"timestamp:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"date:{v.isoformat()}"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
+        return "list:[" + ",".join(normalize_cell(x) for x in v) + "]"
     if isinstance(v, bytes):
-        return v.hex()
+        return f"bytes:{v.hex()}"
     if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{normalize_cell(x)}" for k, x in sorted(v.items())) + "}"
-    return str(v)
+        return "struct:{" + ",".join(f"{k}:{normalize_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, str):
+        return f"str:{v}"
+    return f"{type(v).__name__}:{v}"
+
+
+# canonical type families: any Spark dtype string or DuckDB type string maps
+# into one of these; a cross-family mismatch on the same column is exactly
+# the coercion-divergence class the driver's type-aware hash catches
+_INT_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "hugeint",
+              "utinyint", "usmallint", "uinteger", "ubigint", "long", "short",
+              "byte"}
+_FLOAT_TYPES = {"float", "double", "real"}
+_STR_TYPES = {"string", "varchar", "text", "char", "bpchar"}
+_BYTES_TYPES = {"binary", "blob", "varbinary", "bytea"}
+_BOOL_TYPES = {"boolean", "bool"}
+
+
+def type_family(type_str):
+    """Map a Spark dtype string or DuckDB type string to a canonical family."""
+    s = str(type_str).strip().lower()
+    if s.endswith("[]") or s.startswith(("array<", "list(")):
+        return "list"
+    if s.startswith(("struct", "row(", "map")):
+        return "struct"
+    if s.startswith(("decimal", "numeric")):
+        return "decimal"
+    if s in _INT_TYPES:
+        return "int"
+    if s in _FLOAT_TYPES:
+        return "float"
+    if s in _STR_TYPES:
+        return "str"
+    if s in _BYTES_TYPES:
+        return "bytes"
+    if s in _BOOL_TYPES:
+        return "bool"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "date":
+        return "date"
+    return s  # unknown types compare verbatim — mismatches fail loudly
 
 
 def canon(rows, cols):
@@ -96,6 +159,7 @@ def main():
         try:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
+            spark_types = dict(df.dtypes)
             spark_rows = [tuple(r) for r in df.collect()]
             # drop caches a query pinned (see bench.py): keeps queries
             # independent and avoids storage-memory buildup over the run
@@ -112,6 +176,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             duck_cols = list(rel.columns)
+            duck_types = dict(zip(duck_cols, [str(t) for t in rel.types]))
             duck_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             n_fail += 1
@@ -123,6 +188,17 @@ def main():
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            continue
+        type_diverged = [
+            (c, spark_types[c], duck_types[c])
+            for c in spark_cols
+            if type_family(spark_types[c]) != type_family(duck_types[c])
+        ]
+        if type_diverged:
+            n_fail += 1
+            failures.append(name)
+            detail = ", ".join(f"{c}: spark={s} duck={d}" for c, s, d in type_diverged)
+            print(f"FAIL  {name}: column type divergence — {detail}")
             continue
         if len(spark_rows) != len(duck_rows):
             n_fail += 1
