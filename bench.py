@@ -907,6 +907,31 @@ def main() -> None:
             if (m := re.match(r"BENCH_r(\d+)\.json$", f))
         ]
         next_round = (max(rounds) + 1) if rounds else 1
+        # max+1 is only right while the CURRENT round's BENCH_r{N} does
+        # not exist yet (the driver runs bench first, records BENCH_r{N}
+        # after). A re-run at sf0.1 after the driver wrote BENCH_r{N}
+        # would label round-N measurements r{N+1}; detect that case —
+        # the newest round record is uncommitted, or HEAD is the very
+        # commit that swept it (no work committed since) — and relabel
+        # to the current round instead (advisor item, r11).
+        if rounds:
+            cur = max(rounds)
+            try:
+                import subprocess
+
+                def _git(*args):
+                    return subprocess.run(
+                        ["git", "-C", repo_dir, *args],
+                        capture_output=True, text=True, timeout=10,
+                    ).stdout.strip()
+
+                swept = _git("log", "-n1", "--format=%H", "--",
+                             f"BENCH_r{cur:02d}.json")
+                if not swept or _git(
+                        "rev-list", "--count", f"{swept}..HEAD") == "0":
+                    next_round = cur
+            except Exception:  # noqa: BLE001 — no git: keep max+1
+                pass
         plans_path = os.path.join(
             repo_dir, f"BENCH_PLANS_r{next_round:02d}.json")
         with open(plans_path, "w") as fh:

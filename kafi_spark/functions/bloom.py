@@ -110,26 +110,43 @@ def bloom_contains(
     num_hashes: int,
     seed: int = 0,
     out_col: str = "probably_seen",
+    compact_max_words: int = 65536,
 ) -> DataFrame:
     """Probe each row's k positions against Bloom state; append a
     boolean ``out_col`` (true ⇔ ALL k bits set ⇔ probably seen;
     false ⇔ definitely new).
 
-    Plan: attach a surrogate row id (``monotonically_increasing_id``
-    in ONE linear plan — the explode fans out the already-computed id,
-    so there is no dual-branch id-reassignment hazard), posexplode the
-    k probes, LEFT join the state on the word index (the state frame's
-    columns are renamed first, so input columns named ``word_idx`` /
-    ``bits`` cannot corrupt the probe join; no broadcast hint — AQE
-    broadcasts automatically while the filter fits an executor and
-    degrades to a partitioned join with fan-out exactly k beyond that;
-    a forced hint would OOM on a huge filter instead of degrading),
-    then ``min(bit set)`` per row id. Duplicate input rows each keep
-    their own verdict row; the probe fan-out is a fixed k×, never
-    corpus².
+    Two plans, picked by filter size (``compact_max_words``, default
+    64 Ki words = filters ≤ 4 Mbit / 512 KB):
+
+    * COMPACT (small filter, batch inputs): materialize the bit array
+      as a dense ``array<long>`` literal (one bounded collect — at most
+      ``num_bits/64`` rows, the same bounded-metadata class as the
+      repo's vocab/centroid collects) and test each row's k probe
+      positions with ``forall`` + ``bit_get`` over the literal —
+      fully narrow, ZERO exchanges, no surrogate ids. This is what any
+      engine should do with an 8 KB filter: ship it in the plan, not
+      through a shuffle (r12 diet: the generic path's per-row-id
+      re-aggregation was a corpus-sized shuffle for a 1024-word
+      filter).
+    * GENERIC (large filter, or streaming input): attach a surrogate
+      row id (``monotonically_increasing_id`` in ONE linear plan — the
+      explode fans out the already-computed id, so there is no
+      dual-branch id-reassignment hazard), posexplode the k probes,
+      LEFT join the state on the word index (the state frame's columns
+      are renamed first, so input columns named ``word_idx`` /
+      ``bits`` cannot corrupt the probe join; no broadcast hint — AQE
+      broadcasts automatically while the filter fits an executor and
+      degrades to a partitioned join with fan-out exactly k beyond
+      that; a forced hint would OOM on a huge filter instead of
+      degrading), then ``min(bit set)`` per row id. Duplicate input
+      rows each keep their own verdict row; the probe fan-out is a
+      fixed k×, never corpus². Pass ``compact_max_words=0`` to force
+      this path.
     """
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    n_words = (num_bits + 63) // 64
     for reserved in ("__row_id", "__i", "__pos", "__word_idx", "__bit",
                      "__hit", out_col):
         if reserved in df.columns:
@@ -137,6 +154,32 @@ def bloom_contains(
                 f"input column {reserved!r} collides with bloom_contains "
                 f"internals — rename it (or pass a different out_col)"
             )
+    if (
+        compact_max_words
+        and n_words <= compact_max_words
+        and not df.isStreaming
+        and not bloom.isStreaming
+    ):
+        words = [0] * n_words
+        # bounded collect: the state frame holds only non-zero words,
+        # capped at n_words <= compact_max_words rows
+        for r in bloom.select("word_idx", "bits").collect():
+            words[r["word_idx"]] = r["bits"]
+        # explicit array<bigint>: a small-valued word list would infer
+        # array<int>, and bit_get's position bound follows the ELEMENT
+        # type (pos < 32 for int) — probes 32..63 then throw
+        arr = F.lit(words).cast("array<bigint>")
+        pos = _positions(F.col(col), num_bits, num_hashes, seed)
+        hit_all = F.forall(
+            pos,
+            # dense literal -> element_at index is always in range (the
+            # probe is < num_bits by construction), so no ANSI hazard
+            lambda p: F.bit_get(
+                F.element_at(arr, F.floor(p / 64).cast("int") + 1), p % 64
+            )
+            == 1,
+        )
+        return df.select(*df.columns, hit_all.alias(out_col))
     state = bloom.select(
         F.col("word_idx").alias("__bloom_word_idx"),
         F.col("bits").alias("__bloom_bits"),

@@ -226,7 +226,12 @@ def _minhash_long(df: DataFrame, text_col: str, id_col: str, k: int,
 #: shared-shingle pair aggregate). The frames are lazy; the probe
 #: decides whether to pay the count action. Never set in production
 #: paths; a plain module attribute so the hook costs one `is not None`
-#: check per call.
+#: check per call. SINGLE-THREAD assumption (advisor, r11): this is a
+#: process-wide mutable global — while a probe/test has it set, any
+#: concurrent ngram_jaccard_pairs/bm25_topk call from another thread
+#: would deposit (and retain) its frames in the probe's dict. The only
+#: setters are the single-threaded probe/pytest drivers; switch to a
+#: contextvar before ever sharing a session across threads.
 DIAG: dict | None = None
 
 

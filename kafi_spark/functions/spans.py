@@ -367,16 +367,24 @@ def boilerplate_filter(
 
     Plan: the boilerplate fingerprint set (aggregated exactly as in
     :func:`boilerplate_lines`, then projected to ``__fp`` only) is
-    LEFT ANTI-joined against the exploded lines. The boilerplate side is
-    tiny by construction — it is the set of lines crossing the
-    frequency threshold, not the corpus — so AQE's runtime size check
-    converts the join to broadcast and the corpus-side lines never
-    shuffle for it (deliberately NOT a compile-time ``F.broadcast``
-    hint: a pathological threshold on a duplicate-saturated corpus can
-    make the set large, and the hint would force it onto the driver
-    anyway; AQE degrades to shuffle join instead). The only
-    unconditionally corpus-sized shuffle is the final per-document
-    reassembly groupBy.
+    materialized through an eager ``localCheckpoint`` barrier — it is
+    tiny by construction (the set of lines crossing the frequency
+    threshold, not the corpus), the same post-aggregation-small-frame
+    barrier class as :func:`dedup.lsh_dedup_ingest`'s matched-id set —
+    then LEFT OUTER-joined (AQE broadcasts a checkpointed leaf it can
+    size; deliberately NOT a compile-time ``F.broadcast`` hint: a
+    pathological threshold on a duplicate-saturated corpus can make
+    the set large, and the hint would force it onto the driver anyway;
+    AQE degrades to shuffle join instead) against ONE pass over the
+    exploded lines, with the keep verdict (not boilerplate, OR
+    trivial) as a filter. r12 diet — this used to be an anti-join over
+    a ``removable`` slice unioned with a separately re-planned
+    ``trivial`` slice, so the scan→split→explode subtree planned
+    three times (stats + removable + trivial) and the stats
+    aggregation re-planned per consumer; the barrier makes the
+    frequency side a leaf and the verdict-as-filter needs the probe
+    subtree once. The only unconditionally corpus-sized shuffle is
+    the final per-document reassembly groupBy.
 
     Null texts come back unchanged as ``(id, null, 0)`` — the family
     contract (round-8 session review; they also contribute nothing to
@@ -407,11 +415,15 @@ def boilerplate_filter(
         .groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= min_doc_frequency)
-        .select("__fp")
+        .select("__fp", F.lit(True).alias("__boiler"))
+        .localCheckpoint()
     )
-    removable = keyed.filter(F.length("span") >= min_line_chars)
-    trivial = keyed.filter(F.length("span") < min_line_chars)
-    kept = removable.join(boiler, "__fp", "left_anti").unionByName(trivial)
+    kept = (
+        keyed.join(boiler, "__fp", "left")
+        .filter(F.col("__boiler").isNull()
+                | (F.length("span") < min_line_chars))
+        .select(id_col, "span_id", "span")
+    )
     out = _reassemble(kept, id_col, sep, "n_lines_kept")
     return out.unionByName(_null_doc_leg(df, text_col, id_col,
                                          "n_lines_kept"))

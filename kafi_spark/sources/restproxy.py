@@ -425,8 +425,14 @@ def read_restproxy_parallel(spark, url: str, topic: str,
                 finally:
                     _http("DELETE", base, None, None, auth, timeout_s)
 
+    # range-partition on the topic-partition id: plain repartition(n) is
+    # round-robin from a random start offset, so two topic partitions
+    # could land in one Spark partition and scan serially, silently
+    # halving the promised per-partition parallelism; ranging on the
+    # 0..n-1 ids gives exactly one topic partition per Spark partition
     seed = spark.createDataFrame(
-        tasks, "partition int, lo long, hi long").repartition(len(tasks))
+        tasks, "partition int, lo long, hi long"
+    ).repartitionByRange(len(tasks), "partition")
     return seed.mapInPandas(fetch, MESSAGE_SCHEMA)
 
 
