@@ -296,3 +296,34 @@ def test_bloom_contains_with_map_column(spark):
     got = {r["k"]: r["probably_seen"]
            for r in bloom_contains(df, filt, "k", 1 << 12, 5).collect()}
     assert got == {"a": True, "z": False}
+
+
+def test_compact_and_generic_paths_agree(spark):
+    """The r12 compact probe (dense array<bigint> literal + forall/
+    bit_get, zero exchanges) must return bit-identical verdicts to the
+    generic explode+join+re-aggregate path (compact_max_words=0 forces
+    it) — same rows, same probably_seen, including null values and
+    duplicate rows. Also pins the array<bigint> cast: an inferred
+    array<int> literal makes bit_get's position bound 32 and probes
+    32..63 throw."""
+    m, k = 4096, 5
+    hist = spark.range(300).select(F.concat(F.lit("h"), "id").alias("text"))
+    batch = spark.range(600).select(
+        (F.col("id") % 400).alias("doc_id"),  # duplicates by design
+        F.when(F.col("id") % 97 == 0, None)  # null texts ride along
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 450).cast("string")))
+        .alias("text"),
+    )
+    filt = bl.bloom_build(hist, "text", m, k)
+    compact = bl.bloom_contains(batch, filt, "text", m, k)
+    generic = bl.bloom_contains(batch, filt, "text", m, k,
+                                compact_max_words=0)
+    # the compact plan is narrow: no exchange anywhere
+    import re
+
+    assert not re.search(r"\bExchange\b",
+                         compact._jdf.queryExecution().executedPlan().toString())
+    key = lambda r: (r["doc_id"], r["text"] is None,  # noqa: E731
+                     r["text"] or "", r["probably_seen"])
+    assert sorted(map(key, compact.collect())) == sorted(
+        map(key, generic.collect()))
