@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import ws_tokens
+from .text import gram_concat, ws_tokens
 
 # a large 61-bit Mersenne prime: (a*h + b) mod P stays in int64*-safe range
 # when computed in decimal; we use Spark's 64-bit xxhash64 then mix.
@@ -156,7 +156,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
     )
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("__words") - k, F.lit(0))),
-        lambda i: F.array_join(F.slice("__words", i + 1, k), " "),
+        lambda i: gram_concat("__words", i, k),
     )
     # documents shorter than k words produce their full text as one
     # shingle — but ZERO-token (null/empty/whitespace-only) documents
@@ -564,7 +564,7 @@ def _shingle_set_col(k: int) -> Column:
     same k-gram definition as :func:`shingles`, as one in-row array."""
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("__words") - k, F.lit(0))),
-        lambda i: F.array_join(F.slice("__words", i + 1, k), " "),
+        lambda i: gram_concat("__words", i, k),
     )
     return F.array_distinct(grams)
 

@@ -67,7 +67,7 @@ def _hashed_gram_stream(
     # typically newline-terminated — the md5('') bucket accumulated
     # mass in p_ref and two docs differing only by a trailing newline
     # earned different DSIR weights / lm scores)
-    from .text import ws_tokens
+    from .text import gram_concat, ws_tokens
 
     bound = _parallelize(df).select(
         F.col(id_col), ws_tokens(text_col).alias("__words")
@@ -91,11 +91,24 @@ def _hashed_gram_stream(
         # from pairing, but a feature distribution must not fabricate
         # mass. The when() guard keeps the sequence() bounds legal
         # under ANSI mode (sequence(0, negative) throws).
+        #
+        # n == 1 short-circuits to the words array itself: the r12
+        # transform(sequence, join(slice)) form rebuilt every token
+        # string through an interpreted per-element lambda — measured
+        # 2× the expression CPU of reading the array that already holds
+        # exactly those strings. Values identical (the when() guard is
+        # kept so null text still yields [] at this expression, as
+        # before). n >= 2 goes through gram_concat (get+concat_ws —
+        # value-identical, ~40% cheaper than join(slice); text.py).
+        if n == 1:
+            return F.when(
+                F.size("__words") >= 1, F.col("__words")
+            ).otherwise(F.array().cast("array<string>"))
         return F.when(
             F.size("__words") >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size("__words") - n),
-                lambda i: F.array_join(F.slice("__words", i + 1, n), " "),
+                lambda i: gram_concat("__words", i, n),
             ),
         ).otherwise(F.array().cast("array<string>"))
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .text import ws_tokens  # canonical dedup-family token framing
+from .text import gram_concat, ws_tokens  # canonical dedup-family token framing
 
 
 def text_spans(
@@ -73,9 +73,7 @@ def text_spans(
     n_spans = F.ceil(F.size("__words") / F.lit(span_tokens)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
-        lambda i: F.array_join(
-            F.slice("__words", i * span_tokens + 1, span_tokens), " "
-        ),
+        lambda i: gram_concat("__words", i * span_tokens, span_tokens),
     )
     return bound.filter(F.size("__words") > 0).select(
         F.col(id_col), F.posexplode(chunks).alias("span_id", "span")
@@ -558,7 +556,7 @@ def _sliding_grams(bound: DataFrame, id_col: str, k: int) -> DataFrame:
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("__words") - k),
-                lambda i: F.md5(F.array_join(F.slice("__words", i + 1, k), " ")),
+                lambda i: F.md5(gram_concat("__words", i, k)),
             )
         ).alias("start", "__fp"),
     )

@@ -426,3 +426,68 @@ def test_text_stats_n_tokens_matches_token_count_on_edge_whitespace(spark):
     for doc_id, (nt, tc) in out.items():
         expect = len(data[doc_id].split()) if data[doc_id] else 0
         assert nt == tc == expect, (doc_id, nt, tc, expect)
+
+
+def test_gram_concat_equals_join_slice_all_widths(spark):
+    """r12 expression diet: the whole gram/shingle family moved from
+    ``array_join(slice(words, i+1, k), " ")`` to
+    ``gram_concat(words, i, k)`` (k 0-based ``get`` loads + one
+    ``concat_ws``). Pin bit-equality of the two forms over every k the
+    engine uses (1..8) on adversarial token shapes: doc shorter than k,
+    doc length == k, multi-whitespace edges, unicode, single token,
+    empty and null text. A divergence here would silently shift every
+    dedup/DSIR/span fingerprint."""
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "a"),
+        (3, "a b"),
+        (4, "  padded   with\tmixed\n whitespace  "),
+        (5, "uni код 中文 mixé tokens"),
+        (6, ""),
+        (8, "x " * 50),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # null text excluded here: over a NULL words array the two forms
+    # deliberately diverge (slice→null gram, concat_ws→''), and every
+    # caller filters null/zero-token docs before gram construction —
+    # pinned separately below
+    bound = df.select(
+        "doc_id", text.ws_tokens(F.col("text")).alias("__words"))
+    # factory keeps each transform lambda UNARY — a `lambda i, k=k:`
+    # default raises transform's arity to 2 and the element INDEX is
+    # passed as k (the exact trap importance.gram_expr documents)
+    def forms(k):
+        seq = F.sequence(
+            F.lit(0), F.greatest(F.size("__words") - k, F.lit(0)))
+        old = F.transform(
+            seq, lambda i: F.array_join(F.slice("__words", i + 1, k), " "))
+        new = F.transform(seq, lambda i: text.gram_concat("__words", i, k))
+        return old, new
+
+    for k in range(1, 9):
+        old, new = forms(k)
+        rows = bound.select("doc_id", old.alias("o"), new.alias("n")).collect()
+        for r in rows:
+            assert r.o == r.n, (k, r.doc_id, r.o, r.n)
+
+
+def test_gram_concat_null_array_divergence_is_guarded(spark):
+    """The one shape where gram_concat diverges from join(slice) — a
+    NULL token array — must yield '' (concat_ws semantics), and the
+    gram-family entry points must keep filtering null-text docs out
+    BEFORE gram construction so the divergence never reaches data."""
+    from kafi_spark.functions.dedup import shingles
+    from kafi_spark.functions.spans import text_spans
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string")
+    row = df.select(
+        text.gram_concat(text.ws_tokens(F.col("text")), F.lit(0), 3)
+        .alias("g")).filter(F.col("doc_id").isNull() if False else
+                            F.col("text").isNull()).collect()
+    assert [r.g for r in row] == [""]
+    # null docs emit NO grams from the guarded entry points
+    assert shingles(df, "text", "doc_id", k=3).filter(
+        F.col("doc_id") == 1).count() == 0
+    assert text_spans(df, "text", "doc_id").filter(
+        F.col("doc_id") == 1).count() == 0
