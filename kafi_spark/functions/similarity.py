@@ -479,14 +479,30 @@ def _kmeans_np(
             centers.append(X[rng.choice(n, p=p)])
             d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
         C = np.vstack(centers)
+        d = X.shape[1]
+        cols = np.arange(d)
         for _ in range(n_iter):
             # assignment via (x-c)² = |x|² - 2x·c + |c|²; |x|² constant/row
             dist = -2 * X @ C.T + (C**2).sum(axis=1)
             assign = dist.argmin(axis=1)
-            for j in range(k):
-                mask = assign == j
-                if mask.any():
-                    C[j] = X[mask].mean(axis=0)
+            # centroid update via d weighted bincounts — one O(n·d)
+            # pass, replacing the r12 k-iteration Python mask loop
+            # (k=256 per Lloyd step made the PQ codebook fit
+            # driver-latency-bound: 2560 tiny masked means per
+            # subspace). Same mean, accumulated in row order instead
+            # of numpy's pairwise reduce — FP-level center drift only,
+            # and every ORACLE-checked consumer is center-independent
+            # by construction (full-probe IVF, n_clusters=1 semantic);
+            # the probe/cell twins are recall-gated, not hash-gated.
+            # Empty clusters keep their previous center (unchanged
+            # policy). Deterministic for fixed (X, n_codes, seed).
+            cnt = np.bincount(assign, minlength=k).astype(np.float64)
+            sums = np.empty((k, d))
+            for j in cols:
+                sums[:, j] = np.bincount(
+                    assign, weights=X[:, j], minlength=k)
+            nz = cnt > 0
+            C[nz] = sums[nz] / cnt[nz, None]
         final = -2 * X @ C.T + (C**2).sum(axis=1)
         inertia = float(final.min(axis=1).sum())  # + Σ|x|², constant
         return C, inertia
