@@ -111,12 +111,33 @@ def quality_fit(
     feats = labeled
     for st in feat_stages:
         feats = st.transform(feats)
-    # coalesce(8): each L-BFGS iteration is a treeAggregate whose wall
-    # time on a SAMPLE-sized frame is scheduler rounds x task count, not
-    # compute — fewer, fuller partitions cut per-iteration latency and
-    # its host-load variance. 8 keeps gradient reduction parallel for
-    # samples that do carry real weight.
-    train = feats.select("__features", "__label").coalesce(8).persist(
+    # Scale-adaptive train partitioning (r12; was a fixed coalesce(8)):
+    # each L-BFGS iteration is a treeAggregate whose wall time on a
+    # SAMPLE-sized frame is scheduler rounds x stage count, not compute
+    # — and with aggregationDepth's floor of 2, every loss evaluation
+    # over >2 partitions pays an EXTRA tree-reduce stage. A sample that
+    # fits one partition makes each of the ~2/iteration loss jobs a
+    # single 1-task stage (measured: the fixed 8 became 3 partitions at
+    # sf0.1 and each eval ran 2 stages of ~0.3 s on a 4k-doc sample).
+    # The partition count derives from Catalyst's sizeInBytes over the
+    # TEXT column (free, no job — the _estimate_rows discipline):
+    # ~64 MB of raw text per partition keeps per-task gradient work in
+    # the tens-of-ms range at any sample size, capped at the cluster's
+    # parallelism so a genuinely large sample still reduces in
+    # parallel. Unknown stats fall back to the old 8.
+    sc = positive.sparkSession.sparkContext
+    try:
+        est_bytes = int(
+            labeled.select(text_col)._jdf.queryExecution()
+            .optimizedPlan().stats().sizeInBytes())
+        if est_bytes <= 0 or est_bytes >= (1 << 62):
+            n_parts = 8
+        else:
+            n_parts = max(1, min(sc.defaultParallelism,
+                                 est_bytes // (64 << 20)))
+    except Exception:  # noqa: BLE001 — stats probe is an optimization only
+        n_parts = 8
+    train = feats.select("__features", "__label").coalesce(n_parts).persist(
         StorageLevel.MEMORY_AND_DISK)
     try:
         lr_model = lr.fit(train)
