@@ -2391,16 +2391,32 @@ def q_window_aligned(spark, sf_dir):
 
 def q_zset_ops(spark, sf_dir):
     """union / intersect / minus / distinct over the same Z-sets,
-    tag-unioned (all project a single nationkey column)."""
-    parts = [
-        ("union", q_zset_union(spark, sf_dir)),
-        ("intersect", q_zset_intersect(spark, sf_dir)),
-        ("minus", q_zset_minus(spark, sf_dir)),
-        ("distinct", q_zset_distinct(spark, sf_dir)),
+    tag-unioned (all project a single nationkey column).
+
+    r12 shared plan: the four legs are filters over ONE per-side
+    weight aggregation (zset.zset_side_weights) — union ⇔ wa+wb>0,
+    intersect ⇔ wa>0∧wb>0, minus ⇔ wa−wb>0, and the distinct leg is
+    definitionally zset_distinct(c ∪ neg(s)) = the minus leg. Values
+    identical to running the four operators separately (each is
+    algebraically that filter — proven by the unchanged DuckDB oracle,
+    which still evaluates the four ops independently); the plan drops
+    from 6 exchanges + a join to 1 exchange reused by every leg. The
+    standalone operators keep their own (tested) implementations."""
+    from kafi_spark.streams.zset import zset_side_weights
+
+    c, s = _nk_sets(spark, sf_dir)
+    w = zset_side_weights(c, s)
+    wa, wb = F.col("__wa"), F.col("__wb")
+    legs = [
+        ("union", wa + wb > 0),
+        ("intersect", (wa > 0) & (wb > 0)),
+        ("minus", wa - wb > 0),
+        ("distinct", wa - wb > 0),
     ]
     out = None
-    for tag, df in parts:
-        tagged = df.select(F.lit(tag).alias("op"), "nationkey")
+    for tag, cond in legs:
+        tagged = w.filter(cond).select(
+            F.lit(tag).alias("op"), "nationkey")
         out = tagged if out is None else out.unionByName(tagged)
     return out
 

@@ -129,6 +129,37 @@ def zset_minus(a: DataFrame, b: DataFrame) -> DataFrame:
     return zset_distinct(a.unionByName(neg(b)))
 
 
+def zset_side_weights(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-record net weights of BOTH sides from ONE aggregation:
+    ``(record_cols..., __wa, __wb)`` where ``__wa``/``__wb`` are the
+    summed weights of ``a``/``b`` (0 where a side lacks the record).
+
+    The r12 shared-plan base for running several set ops over the same
+    pair: every binary op below is a filter over these two sums —
+    union ⇔ ``__wa + __wb > 0``, minus (bag arithmetic)
+    ⇔ ``__wa - __wb > 0``, intersect ⇔ ``__wa > 0 AND __wb > 0``,
+    except ⇔ ``__wa > 0 AND __wb <= 0`` — so a tag-union of N ops costs
+    ONE shuffle (this aggregation, reused by every leg) instead of one
+    or two per op. Implemented as a side-tagged union aggregated once
+    (no join, hence no null-matching caveat: groupBy already treats
+    NULL fields as one record, exactly the Z-set identity
+    :func:`_null_safe_on` documents)."""
+    cols = _record_cols(a)
+    if not cols:
+        raise ValueError(
+            "zset has no record columns (weight-only frame) — "
+            "set ops are undefined without a record identity")
+    zero = F.lit(0).cast("long")
+    ta = a.select(
+        *cols, F.col(WEIGHT).alias("__wa"), zero.alias("__wb"))
+    tb = b.select(*cols, zero.alias("__wa"), F.col(WEIGHT).alias("__wb"))
+    return (
+        ta.unionByName(tb)
+        .groupBy(*cols)
+        .agg(F.sum("__wa").alias("__wa"), F.sum("__wb").alias("__wb"))
+    )
+
+
 def zset_except(a: DataFrame, b: DataFrame) -> DataFrame:
     """SQL ``EXCEPT`` semantics: records net-present in ``a`` and not
     net-present in ``b`` — a record 2x in ``a`` and 1x in ``b`` does NOT

@@ -96,3 +96,30 @@ def test_weight_only_zset_intersect_raises(spark):
         z.zset_intersect(df, df)
     with _pytest.raises(ValueError, match="record columns"):
         z.zset_except(df, df)
+
+
+def test_side_weights_agree_with_standalone_ops(spark):
+    """r12 shared-plan base: every binary set op must equal a filter
+    over zset_side_weights' two per-record sums — the algebra q_zset_ops
+    relies on to replace 6 exchanges with 1."""
+    from pyspark.sql import functions as F
+
+    a = zs(spark, ("a", 2), ("b", 1), ("c", 1), ("d", 1), (None, 1))
+    b = zs(spark, ("a", 1), ("c", -1), ("d", 1), ("e", 3), (None, 1))
+    w = zset.zset_side_weights(a, b)
+    wa, wb = F.col("__wa"), F.col("__wb")
+    bag = lambda df: {tuple(r) for r in df.select("v").collect()}  # noqa: E731
+
+    assert bag(w.filter(wa + wb > 0)) == bag(zset.zset_union(a, b))
+    assert bag(w.filter((wa > 0) & (wb > 0))) == bag(zset.zset_intersect(a, b))
+    assert bag(w.filter(wa - wb > 0)) == bag(zset.zset_minus(a, b))
+    assert bag(w.filter((wa > 0) & (wb <= 0))) == bag(zset.zset_except(a, b))
+    # sides that lack a record contribute weight 0, not NULL
+    e = w.filter(F.col("v") == "e").collect()
+    assert [(r["__wa"], r["__wb"]) for r in e] == [(0, 3)]
+
+
+def test_side_weights_weight_only_raises(spark):
+    df = spark.createDataFrame([(1,)], f"{zset.WEIGHT} long")
+    with pytest.raises(ValueError, match="record columns"):
+        zset.zset_side_weights(df, df)
