@@ -372,6 +372,15 @@ def bench_queries(entry_mod) -> dict:
         from kafi_spark.session import read_table
 
         d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # r12: spread the base rows BEFORE the x100 explode. The explode
+        # and its concat used to run inside the 2-task parquet scan
+        # stage (~5 s task CPU serialized on 2 cores at sf0.1); one
+        # round-robin of the 1x rows parallelizes the explode AND every
+        # downstream per-row stage, and curate's _parallelize sees the
+        # shuffle and adds nothing — so the pipeline shuffles the 1x
+        # text bytes once instead of the post-explode union. Same rows,
+        # same curation output (exact dedup orders by id, not position).
+        d = d.repartition(spark.sparkContext.defaultParallelism)
         per = (
             d.filter(F.col("doc_id") % 100 == 0)
             .select(
