@@ -475,6 +475,17 @@ def ngram_jaccard_pairs(
             .select("p.id_1", "p.id_2")
             .distinct()
         )
+        # spread the verification (r12, same move as _jaccard_verify):
+        # candidate rows are 16 bytes but cost two ~doc-length array
+        # intersects each, so AQE's size-based coalescing will pack the
+        # whole verify stage into a handful of tasks at ANY corpus size
+        # (~64 MB advisory ≈ millions of pairs ≈ tens of CPU-seconds
+        # per task, serialized). One round-robin of the (id, id) pairs
+        # is linear in candidate bytes — trivia next to the per-pair
+        # set work it parallelizes — and defaultParallelism scales with
+        # the cluster.
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism)
         if DIAG is not None:
             DIAG["capped_candidates"] = cand
         # exact verification: one in-row set intersection per candidate.
@@ -599,6 +610,21 @@ def _jaccard_verify(
     against ``df``, the right against ``df2`` (defaults to ``df`` — the
     self-join case). Output: (``id1``, ``id2``, jaccard) with
     jaccard >= threshold.
+
+    The sets travel as xxhash64 LONG fingerprints, not shingle strings
+    (r12): the per-pair ``array_intersect`` lands in the verify join's
+    CONDITION, where a StringType intersect runs ``nullSafeEval`` —
+    interpreted, one fresh hash set per evaluation, every element's
+    UTF8 bytes re-hashed per pair (thread dumps showed the verify task
+    pinned in ``ArrayIntersect.nullSafeEval``; whether the JIT rescued
+    it was run-to-run luck — the same dupheavy verify stage measured
+    anywhere from 1.5 s to 330 s task CPU on identical plans). LongType
+    arrays take the primitive fast path, and the fingerprints are
+    hashed ONCE per document on the build side, not once per pair.
+    Same 2⁻⁶⁴-collision argument as ngram_jaccard_pairs' fingerprint
+    sets (a collision perturbs one pair's intersection by ±1 with
+    probability ~D²/2⁶⁵); the driver's oracle gate re-verifies the
+    minhash leg bit-exact against DuckDB's string-equality jaccard.
     """
     # bind the split ONCE as its own projected column: a raw split(text)
     # referenced inside the transform lambda is re-evaluated per output
@@ -607,8 +633,25 @@ def _jaccard_verify(
         return frame.select(
             F.col(id_col).alias(out_id),
             ws_tokens(text_col).alias("__words"),
-        ).select(out_id, _shingle_set_col(k).alias(sh))
+        ).select(
+            out_id,
+            # set semantics already fixed by array_distinct over the
+            # STRINGS; the fingerprint map keeps sizes and intersection
+            # counts identical (modulo the documented 2⁻⁶⁴ collisions)
+            F.transform(
+                _shingle_set_col(k), lambda g: F.xxhash64(g)
+            ).alias(sh),
+        )
 
+    # spread the per-pair verification: candidate rows are a few bytes
+    # each, so AQE's size-based coalescing packs the whole CPU-heavy
+    # intersect stage into one task (observed: 100% of the dupheavy
+    # verify serialized on 1 of 32 cores). Round-robin to the cluster
+    # width — the shuffled rows are (id, id) pairs, trivially cheap
+    # next to the per-pair set work they unlock. defaultParallelism
+    # scales with the cluster; no local constant baked in.
+    candidates = candidates.repartition(
+        candidates.sparkSession.sparkContext.defaultParallelism)
     t1 = bound(df, id1, "sh_1")
     t2 = bound(df2 if df2 is not None else df, id2, "sh_2")
     n_inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))

@@ -142,6 +142,33 @@ def test_keep_representatives(docs, spark):
     assert rows(kept) == [(1,), (4,), (5,)]
 
 
+def test_jaccard_verify_fingerprints_match_string_sets(spark, sf_dir):
+    """r12: _jaccard_verify intersects xxhash64 LONG fingerprints instead
+    of shingle strings (the string intersect ran interpreted inside the
+    verify join's condition). The jaccard VALUES must stay bit-identical
+    to string-set jaccard — set sizes and intersection counts are
+    preserved exactly unless xxhash64 collides inside a document's
+    shingle set, which this corpus must not exhibit."""
+    from kafi_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7)
+    got = {(r.id_1, r.id_2): r.jaccard for r in pairs.collect()}
+    assert got, "corpus should contain planted near-duplicates"
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def sset(t):
+        w = [x for x in t.split() if x]
+        if len(w) <= 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    for (a, b), j in got.items():
+        sa, sb = sset(texts[a]), sset(texts[b])
+        inter = len(sa & sb)
+        assert j == inter / (len(sa) + len(sb) - inter), (a, b)
+
+
 def test_lsh_precision_and_recall_vs_exact(spark, sf_dir):
     """LSH outputs verify candidates with exact Jaccard, so precision is 1
     by construction (subset of the exact pairs); recall on the real
