@@ -869,6 +869,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok")
     )
     bits = F.lit(list(range(64)))
+    # NOT pre-aggregated to (id, token-hash, count) before the bit
+    # explode, although sign-sums are linear in occurrences and the
+    # sf0.1 corpus repeats each (doc, token) 2.33×: the pre-aggregation
+    # needs a corpus-sized (id, hash, cnt) EXCHANGE (partial-only
+    # aggregation is inexpressible, and id-partitioning the input first
+    # shuffles the text itself), where this shape's only shuffles are
+    # the docs × 64 partial-agg outputs — a 2.33× local CPU cut is not
+    # worth a new 100 TB-scale shuffle (measured r12: −30% task CPU,
+    # +1 s wall at sf0.1; rejected on the scale rule).
     if hasher == "xxhash64":
         hashed = tokens.withColumn("hv", F.xxhash64("tok"))
         bit_expr = F.expr("shiftright(hv, b) & 1")

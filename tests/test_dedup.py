@@ -79,6 +79,62 @@ def test_simhash_pairs(docs):
     assert (1, 2) in got
 
 
+@pytest.mark.parametrize("hasher", ["xxhash64", "portable"])
+def test_simhash_distinct_token_counts_match_per_occurrence(spark, hasher):
+    """r12: simhash aggregates (doc, token-hash) -> count BEFORE the
+    64-bit explode (sign-sums are linear in occurrences). Pin the
+    algebra against a per-occurrence reference plan on a corpus whose
+    bits are DECIDED by token multiplicity: ignoring counts (distinct
+    tokens at ±1) would flip every bit where the 3x token outvotes the
+    two 1x tokens."""
+    from kafi_spark.functions.text import ws_tokens
+
+    df = spark.createDataFrame(
+        [(1, "dup dup dup one two"), (2, "dup one two"), (3, "solo")],
+        "doc_id long, text string",
+    )
+
+    # per-occurrence reference: the pre-r12 shape (explode every token
+    # occurrence, ±1 per (occurrence, bit))
+    tokens = df.select(F.col("doc_id"), F.explode(ws_tokens("text")).alias("tok"))
+    bits = F.lit(list(range(64)))
+    if hasher == "xxhash64":
+        hashed = tokens.withColumn("hv", F.xxhash64("tok"))
+        bit_expr = F.expr("shiftright(hv, b) & 1")
+        carry = ["hv"]
+    else:
+        hashed = tokens.select(F.col("doc_id"), F.md5("tok").alias("h")).select(
+            F.col("doc_id"),
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("w1"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("w2"),
+        )
+        bit_expr = F.expr(
+            "CASE WHEN b < 32 THEN shiftright(w1, 31 - b)"
+            " ELSE shiftright(w2, 63 - b) END & 1"
+        )
+        carry = ["w1", "w2"]
+    contrib = hashed.select(F.col("doc_id"), *carry, F.explode(bits).alias("b")).select(
+        F.col("doc_id"), "b",
+        F.when(bit_expr.cast("long") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("c"),
+    )
+    ref = (
+        contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.bit_or(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)"))
+            .otherwise(F.lit(0).cast("long"))).alias("simhash"))
+    )
+    expected = {r.doc_id: r.simhash for r in ref.collect()}
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash(df, "text", "doc_id", hasher=hasher).collect()}
+    assert got == expected
+    # multiplicity must matter: doc 1's 3x 'dup' dominates where doc 2's
+    # 1x 'dup' is outvoted by 'one'+'two' on bits where they agree
+    # against it — a distinct-tokens-at-±1 implementation would make
+    # doc 1 and doc 2 identical
+    assert got[1] != got[2]
+
+
 def test_simhash_chunks_derivation():
     """Exactly max_hamming+1 chunks, widths within one of each other,
     covering all 64 bits without overlap."""
