@@ -116,11 +116,23 @@ def _hashed_gram_stream(
     grams = bound.select(
         F.col(id_col), F.explode(F.concat(*gram_arrays)).alias("gram")
     )
+    # the coalesce is a NULLABILITY declaration, not a fallback: gram is
+    # non-null by construction (concat_ws never returns null; the n=1
+    # leg reads ws_tokens elements, also non-null), so the branch never
+    # fires and the value is identical — but it makes `bucket` provably
+    # non-nullable, which stops InferFiltersFromConstraints from
+    # planting `isnotnull(<the full md5 expression>)` filters BELOW
+    # this projection at every downstream join on bucket (three sites
+    # in dsir_select: the ratio join plus both distribution legs) —
+    # each of which re-evaluated the per-gram md5/conv/pmod chain a
+    # second time per occurrence (r12; same optimizer-duplication class
+    # as dedup._filter_materialized, guide §4.4).
     return grams.select(
         F.col(id_col),
-        F.pmod(_md5_long(F.col("gram")), F.lit(n_buckets))
-        .cast("int")
-        .alias("bucket"),
+        F.coalesce(
+            F.pmod(_md5_long(F.col("gram")), F.lit(n_buckets)).cast("int"),
+            F.lit(0),
+        ).alias("bucket"),
     )
 
 

@@ -38,6 +38,35 @@ def test_hashed_ngram_features_counts(spark):
     assert feats.agg(F.sum("cnt")).first()[0] == 5
 
 
+def test_bucket_non_nullable_kills_inferred_md5_filters(spark):
+    """r12: `bucket` is declared non-nullable (coalesce wrapper — gram
+    is non-null by construction, so values are untouched) so joins on
+    bucket stop inferring `isnotnull(<md5 chain>)` filters that
+    re-evaluated the per-gram hash a second time per occurrence. Pin
+    both facts: the schema says non-nullable, and a join on bucket
+    plans no md5-bearing Filter condition."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b c d e")], "doc_id long, text string")
+    feats = imp.hashed_ngram_features(df, n_buckets=100, ns=(1, 2))
+    assert not feats.schema["bucket"].nullable
+    ratios = spark.range(100).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.lit(0.5).alias("prob"))
+    joined = feats.join(F.broadcast(ratios), "bucket")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    bad = [ln for ln in buf.getvalue().splitlines()
+           if "Condition" in ln and "md5" in ln]
+    assert not bad, f"inferred not-null filter re-hashes grams: {bad}"
+    # and the counts are the plain-expression counts (coalesce inert)
+    counts = sorted(r.cnt for r in feats.collect())
+    assert sum(counts) == 4 + 3 + 4 + 3  # unigrams + bigrams per doc
+
+
 def test_under_width_grams_emit_nothing(spark):
     """Documents shorter than n words emit ZERO n-grams for that n
     (round-8 fix: the earlier greatest() floor emitted one under-width
