@@ -200,10 +200,26 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
     # signature, colliding in the same bucket of EVERY band — the
     # degenerate mass-bucket max_bucket guards against — and "verified"
     # at jaccard 1.0 for raw texts that differ; simhash already drops
-    # zero-token docs, so the family is now consistent)
-    return bound.filter(F.size("__words") > 0).select(
+    # zero-token docs, so the family is now consistent).
+    #
+    # The zero-token guard filters the EXPLODED shingles, not the doc
+    # rows (r12): a `size(__words) > 0` doc filter gets pushed BELOW
+    # the projection that binds __words, substituting the full
+    # ws_tokens(text) expression — so every document paid the regex
+    # split TWICE (once in the pushed filter, once in the projection),
+    # re-acquiring across the whole shingle family exactly the
+    # two-scan-per-document regression the round-8 ws_tokens rework
+    # removed (guide §4.4 optimizer-duplication class; audited in every
+    # benched plan as `Condition : size(filter(split(text...))) > 0`).
+    # Equivalence: a null/zero-token doc's gram array is null/[''] —
+    # explode emits nothing/one '' — while a doc with ≥1 token only
+    # builds concat_ws grams over non-empty ws_tokens elements, which
+    # are never '' — so dropping '' shingles after the explode keeps
+    # exactly the old output. The filter tests a GENERATED attribute,
+    # which nothing can push below or substitute.
+    return bound.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
-    )
+    ).filter(F.col("shingle") != "")
 
 
 def _minhash_long(df: DataFrame, text_col: str, id_col: str, k: int,

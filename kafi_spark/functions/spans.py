@@ -75,9 +75,19 @@ def text_spans(
         F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
         lambda i: gram_concat("__words", i * span_tokens, span_tokens),
     )
-    return bound.filter(F.size("__words") > 0).select(
+    # zero-token guard on the EXPLODED spans, not the doc rows (r12,
+    # same move as dedup.shingles): a `size(__words) > 0` doc filter is
+    # pushed below the projection binding __words, substituting the
+    # full ws_tokens(text) expression — every document paid the regex
+    # split twice. A null/zero-token doc's chunk array collapses to one
+    # '' span (gram_concat over a null/empty array), while any doc with
+    # ≥1 token only builds concat_ws spans over non-empty tokens (never
+    # ''), so dropping '' spans post-explode keeps exactly the old
+    # output; the filter tests a generated attribute, which nothing can
+    # push below or substitute.
+    return bound.select(
         F.col(id_col), F.posexplode(chunks).alias("span_id", "span")
-    )
+    ).filter(F.col("span") != "")
 
 
 def text_lines(
@@ -92,11 +102,18 @@ def text_lines(
 
     from .dedup import _parallelize
 
-    bound = _parallelize(df).select(
-        F.col(id_col), F.split(F.col(text_col), _re.escape(sep)).alias("__lines")
-    )
-    return bound.select(
-        F.col(id_col), F.posexplode("__lines").alias("span_id", "span")
+    # the split stays INLINE in the generator (r12): bound to a column,
+    # InferFiltersFromGenerate plants `size(__lines) > 0 AND
+    # isnotnull(__lines)` below the binding projection, substituting
+    # the split — every document paid the separator scan twice (the
+    # rule skips complex generator children, verified on Spark 4.1).
+    # No HOF references the array, so inlining has no re-evaluation
+    # hazard (the shingles()-binding rule is about transform lambdas).
+    return _parallelize(df).select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("span_id", "span"),
     )
 
 
@@ -228,8 +245,14 @@ def span_dedup(
     # texts pass through unchanged too (round-9 review — they have no
     # spans to dedup, and text_spans now emits no rows for them)
     nulls = _null_doc_leg(df, text_col, id_col, "n_spans_kept")
+    # zero tokens ⇔ no \S character anywhere — the rlike find-first
+    # test is value-identical to size(ws_tokens(text)) == 0 (ws_tokens
+    # keeps exactly the \S+ runs) and replaces this leg's full
+    # split+filter+size pass with an early-exit regex probe per doc
+    # (r12; F.trim-based emptiness is NOT equivalent — ASCII spaces
+    # only, the r7 lesson)
     empties = df.filter(
-        F.col(text_col).isNotNull() & (F.size(ws_tokens(text_col)) == 0)
+        F.col(text_col).isNotNull() & ~F.col(text_col).rlike(r"\S")
     ).select(
         F.col(id_col), F.col(text_col).alias("text"),
         F.lit(0).cast("long").alias("n_spans_kept"))
@@ -547,18 +570,25 @@ def _sliding_grams(bound: DataFrame, id_col: str, k: int) -> DataFrame:
     """Sliding k-gram md5 fingerprints with start positions from a
     (id, __words) frame: ``(id, start, __fp)``.
 
-    Docs shorter than k tokens produce no grams. The >= k filter also
-    guards F.sequence(0, n_grams - 1): Spark's sequence DESCENDS when
-    start > stop, so an unguarded empty doc would emit [0, -1]."""
-    eligible = bound.filter(F.size("__words") >= k)
-    return eligible.select(
+    Docs shorter than k tokens produce no grams. The >= k guard also
+    protects F.sequence(0, n_grams - 1): Spark's sequence DESCENDS when
+    start > stop, so an unguarded empty doc would emit [0, -1]. The
+    guard is an in-projection when() (the importance.gram_expr shape),
+    NOT a doc filter (r12): a `size(__words) >= k` filter gets pushed
+    below the projection binding __words, substituting the full
+    ws_tokens(text) expression — every document paid the regex split
+    twice. posexplode of the when()'s empty-array branch emits nothing,
+    which drops short docs identically."""
+    guarded = F.when(
+        F.size("__words") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__words") - k),
+            lambda i: F.md5(gram_concat("__words", i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return bound.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__words") - k),
-                lambda i: F.md5(gram_concat("__words", i, k)),
-            )
-        ).alias("start", "__fp"),
+        F.posexplode(guarded).alias("start", "__fp"),
     )
 
 

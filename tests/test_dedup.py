@@ -79,6 +79,49 @@ def test_simhash_pairs(docs):
     assert (1, 2) in got
 
 
+def test_tokenize_runs_once_no_split_in_filter_conditions(docs):
+    """r12: the zero-token guards of the gram/span family must not plan
+    as doc filters over the bound words array — Catalyst pushes those
+    below the binding projection, substituting the full ws_tokens
+    split, so every document pays the regex tokenize TWICE (the same
+    two-scan class the round-8 ws_tokens rework removed). Pin: no
+    Filter condition in these plans contains a split(). Covers the
+    shingles post-explode guard, _sliding_grams' when() guard, and
+    text_lines' inline-generator shape (a bound generator attribute
+    gets an inferred size>0 filter; a complex child does not)."""
+    import contextlib
+    import io
+
+    from kafi_spark.functions.spans import (
+        boilerplate_filter, span_dedup, substring_dedup)
+
+    frames = {
+        "shingles": dedup.shingles(docs, "text", "doc_id", 3),
+        "substring": substring_dedup(docs, "text", "doc_id", min_tokens=2),
+        "span_dedup": span_dedup(docs, "text", "doc_id", span_tokens=2),
+        "boiler": boilerplate_filter(docs, "text", "doc_id", sep=" "),
+    }
+    for name, frame in frames.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain("formatted")
+        bad = [ln.strip()[:120] for ln in buf.getvalue().splitlines()
+               if ln.strip().startswith("Condition") and "split(" in ln]
+        assert not bad, f"{name} re-tokenizes in a filter: {bad}"
+
+
+def test_shingles_zero_token_guard_equivalence(spark):
+    """The post-explode '' guard drops exactly what the old doc-level
+    size(__words) > 0 filter dropped: null/empty/whitespace-only docs
+    emit nothing; 1-token docs still emit their full text."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, " \n\t "), (4, "one"), (5, "a b c d")],
+        "doc_id long, text string")
+    got = sorted((r.doc_id, r.shingle)
+                 for r in dedup.shingles(df, "text", "doc_id", 3).collect())
+    assert got == [(4, "one"), (5, "a b c"), (5, "b c d")]
+
+
 def test_verify_jaccard_stays_out_of_join_condition(docs):
     """r12 (guide §4.4 analog): the jaccard threshold must be a Filter
     over the MATERIALIZED jaccard column, not a join-condition residual
