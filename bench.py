@@ -367,36 +367,16 @@ def bench_queries(entry_mod) -> dict:
     # length-proportional, signatures are a fixed 64 longs/doc).
     # See PLANS.md "Pipeline twins — round-4 re-adjudication".
     def _dupheavy_corpus(spark, sf_dir):
-        from pyspark.sql import functions as F
-
+        # corpus construction is ENGINE code (pipeline.dupheavy_corpus)
+        # so the harness stays measurement-only (r12 verdict item #3);
+        # the read stays here because choosing the input is the bench's
+        # job, building the workload is the package's.
+        from kafi_spark.functions.pipeline import dupheavy_corpus
         from kafi_spark.session import read_table
 
-        d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-        # r12: spread the base rows BEFORE the x100 explode. The explode
-        # and its concat used to run inside the 2-task parquet scan
-        # stage (~5 s task CPU serialized on 2 cores at sf0.1); one
-        # round-robin of the 1x rows parallelizes the explode AND every
-        # downstream per-row stage, and curate's _parallelize sees the
-        # shuffle and adds nothing — so the pipeline shuffles the 1x
-        # text bytes once instead of the post-explode union. Same rows,
-        # same curation output (exact dedup orders by id, not position).
-        d = d.repartition(spark.sparkContext.defaultParallelism)
-        per = (
-            d.filter(F.col("doc_id") % 100 == 0)
-            .select(
-                "doc_id", "text",
-                F.explode(F.sequence(F.lit(1), F.lit(100))).alias("__j"),
-            )
-            .select(
-                (F.col("doc_id") + F.col("__j") * F.lit(1_000_000))
-                .alias("doc_id"),
-                F.concat(
-                    "text", F.lit(" zq"),
-                    (F.col("doc_id") + F.col("__j")).cast("string"),
-                ).alias("text"),
-            )
+        return dupheavy_corpus(
+            read_table(spark, sf_dir, "documents").select("doc_id", "text")
         )
-        return d.unionByName(per)
 
     def q_pipeline_dupheavy_exact(spark, sf_dir):
         from kafi_spark.functions.pipeline import curate_documents

@@ -49,3 +49,33 @@ def test_readme_pipeline_composition(spark, sf_dir):
         splits["train"], seed=0).select("doc_id").collect()]
     assert order1 == order2 and len(order1) == n["train"]
     assert sorted(order1) != order1               # actually shuffled
+
+
+def test_dupheavy_corpus_builder(spark, sf_dir):
+    """dupheavy_corpus (moved from bench.py in r13 so the harness stays
+    measurement-only) plants `copies` suffix-perturbed near-copies of
+    every `every`-th doc: exact row arithmetic, clone-id scheme, and the
+    near-dup-not-exact-dup property the stress benches rely on."""
+    from kafi_spark.functions.pipeline import dupheavy_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    n = docs.count()
+    n_seed = docs.filter(F.col("doc_id") % 100 == 0).count()
+    out = dupheavy_corpus(docs)
+    assert out.count() == n + n_seed * 100
+    # clone ids never collide with real ids and decode back to the seed
+    clones = out.filter(F.col("doc_id") >= 1_000_000)
+    assert clones.count() == n_seed * 100
+    joined = clones.select(
+        (F.col("doc_id") % 1_000_000).alias("seed_id"), "text")
+    base = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("seed_id"), F.col("text").alias("base"))
+    j = joined.join(base, "seed_id")
+    assert j.count() == n_seed * 100
+    # every clone is its seed text plus a UNIQUE " zq<n>" suffix: passes
+    # exact dedup, caught by near-dup
+    bad = j.filter(~F.col("text").startswith(F.col("base"))).count()
+    assert bad == 0
+    assert out.select("text").distinct().count() == out.count() - (
+        docs.count() - docs.select("text").distinct().count())
