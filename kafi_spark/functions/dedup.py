@@ -140,6 +140,39 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return df
 
 
+def _verify_spread(candidates: DataFrame) -> DataFrame:
+    """Round-robin the candidate pairs ahead of per-pair verification.
+
+    Candidate rows are ~16 bytes but each costs two ~doc-length set
+    intersects, so AQE's SIZE-based coalescing packs the whole
+    CPU-heavy verify stage into one task at any scale (~64 MB advisory
+    ≈ millions of pairs ≈ tens of CPU-seconds serialized). One
+    round-robin of the (id, id) pairs is linear in candidate bytes and
+    scales with the cluster.
+
+    Width is conf-overridable (``spark.kafi.dedup.verifySpread``; int,
+    0 disables, default = defaultParallelism) because the spread is a
+    measured latency/CPU trade at SMALL candidate counts (r13
+    adjudication, PLANS.md): splitting ~250k pairs 32 ways left every
+    task under the JIT's compile threshold in fresh-session runs —
+    wall improved while total task CPU rose up to +30%. At production
+    candidate volumes each task holds millions of pairs, the generated
+    loop compiles everywhere, and the spread is pure win; the default
+    therefore stays cluster-width.
+    """
+    spark = candidates.sparkSession
+    raw = spark.conf.get(
+        "spark.kafi.dedup.verifySpread",
+        str(spark.sparkContext.defaultParallelism))
+    try:
+        width = int(raw)
+    except ValueError:
+        width = spark.sparkContext.defaultParallelism
+    if width <= 0:
+        return candidates
+    return candidates.repartition(width)
+
+
 def _filter_materialized(scored: DataFrame, pred: Column,
                          keep: list[str]) -> DataFrame:
     """``scored.filter(pred).select(*keep)``, with the guarantee that
@@ -239,6 +272,21 @@ def _minhash_long(df: DataFrame, text_col: str, id_col: str, k: int,
     So: explode a constant seed array (foldable, re-eval is free), then
     hash once per (shingle, seed) row. One explode, one hash per output
     row, one map-side-partial groupBy whose shuffle carries ≤ docs×H rows.
+
+    Hash-family substitution — h_i = xxhash64(s, xxhash64(shingle)), the
+    string hashed ONCE per (doc, shingle) and the H family members over
+    a fixed 16 bytes — was measured in r13 (verdict #5 follow-up):
+    every benched consumer's OUTPUT is bit-identical at sf0.001/0.01/0.1
+    (the sf0.1 raw candidate set differs by one pair, rejected by
+    verification), but the signature stage's task CPU is at PARITY
+    (interleaved same-session best-of-4 at sf0.1: 4.4–5.7 s old vs
+    4.4–6.6 s new) — the cost is the H× row volume through the
+    Generate + partial-min aggregate, not the string re-hash, so the
+    substitution buys nothing at any scale and the r12 family is kept.
+    The remaining signature cost is algorithm-inherent row volume:
+    every cheaper shape (in-row H-array: 25–400× worse via Catalyst
+    re-evaluation; H separate min aggregates: JIT method-limit cliff)
+    is documented above and in OPTIMIZATION_r12/r13.md.
 
     ``hasher``: ``"xxhash64"`` (fast, engine-internal) or ``"portable"``
     — h_i(x) = the first 15 hex chars of md5(i || ':' || x). Fixed-width
@@ -527,17 +575,9 @@ def ngram_jaccard_pairs(
             .select("p.id_1", "p.id_2")
             .distinct()
         )
-        # spread the verification (r12, same move as _jaccard_verify):
-        # candidate rows are 16 bytes but cost two ~doc-length array
-        # intersects each, so AQE's size-based coalescing will pack the
-        # whole verify stage into a handful of tasks at ANY corpus size
-        # (~64 MB advisory ≈ millions of pairs ≈ tens of CPU-seconds
-        # per task, serialized). One round-robin of the (id, id) pairs
-        # is linear in candidate bytes — trivia next to the per-pair
-        # set work it parallelizes — and defaultParallelism scales with
-        # the cluster.
-        cand = cand.repartition(
-            cand.sparkSession.sparkContext.defaultParallelism)
+        # spread the verification (r12; conf-gated r13 — see
+        # _verify_spread for the JIT-threshold CPU trade this makes)
+        cand = _verify_spread(cand)
         if DIAG is not None:
             DIAG["capped_candidates"] = cand
         # exact verification: one in-row set intersection per candidate.
@@ -732,15 +772,10 @@ def _jaccard_verify(
             ).alias(sh),
         )
 
-    # spread the per-pair verification: candidate rows are a few bytes
-    # each, so AQE's size-based coalescing packs the whole CPU-heavy
-    # intersect stage into one task (observed: 100% of the dupheavy
-    # verify serialized on 1 of 32 cores). Round-robin to the cluster
-    # width — the shuffled rows are (id, id) pairs, trivially cheap
-    # next to the per-pair set work they unlock. defaultParallelism
-    # scales with the cluster; no local constant baked in.
-    candidates = candidates.repartition(
-        candidates.sparkSession.sparkContext.defaultParallelism)
+    # spread the per-pair verification (r12: AQE's size-based coalescing
+    # serialized 100% of the dupheavy verify onto 1 of 32 cores;
+    # conf-gated r13 — see _verify_spread for the JIT-threshold trade)
+    candidates = _verify_spread(candidates)
     t1 = bound(df, id1, "sh_1")
     t2 = bound(df2 if df2 is not None else df, id2, "sh_2")
     n_inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2")))

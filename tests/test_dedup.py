@@ -908,3 +908,44 @@ def test_ngram_tight_prefix_bound_prunes_candidates(spark):
     assert pairs == {(100, 101)}
     # the only candidate surviving the emission filters is the true pair
     assert n_cand == 1, n_cand
+
+
+def test_verify_spread_conf_gate(spark):
+    """spark.kafi.dedup.verifySpread widens the candidate verify stage
+    (default: cluster width, the 100 TB-correct setting) and 0 removes
+    the round-robin exchange entirely — the r13 escape hatch for the
+    measured small-candidate-volume JIT-warmup CPU trade (PLANS.md r13
+    dupheavy_exact adjudication). Values must be identical either way."""
+    from kafi_spark.functions.dedup import _verify_spread, minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 7}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_1 long, id_2 long")
+
+    def rr_count(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "RoundRobinPartitioning")
+
+    base = rr_count(cand)
+    assert rr_count(_verify_spread(cand)) == base + 1
+    old = spark.conf.get("spark.kafi.dedup.verifySpread", None)
+    try:
+        spark.conf.set("spark.kafi.dedup.verifySpread", "0")
+        assert rr_count(_verify_spread(cand)) == base
+        spark.conf.set("spark.kafi.dedup.verifySpread", "7")
+        spread = _verify_spread(cand)
+        assert rr_count(spread) == base + 1
+        off = sorted(map(tuple, minhash_lsh_pairs(
+            docs, "text", "doc_id", k=2, threshold=0.5).collect()))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.kafi.dedup.verifySpread")
+        else:
+            spark.conf.set("spark.kafi.dedup.verifySpread", old)
+    on = sorted(map(tuple, minhash_lsh_pairs(
+        docs, "text", "doc_id", k=2, threshold=0.5).collect()))
+    assert off == on and len(on) > 0
