@@ -14,7 +14,7 @@ Plan shape (2 shuffles, no joins, no subtree re-execution):
 
 1. scan → split → non-overlapping span chunks via ``posexplode``
    (narrow; same bound-array trick as :func:`dedup.shingles`)
-2. ONE window shuffle partitioned by the span's md5 fingerprint:
+2. ONE window shuffle partitioned by the span's xxhash64 fingerprint:
    ``count(*)`` + ``row_number`` over (doc, position) decide, per
    occurrence, "is this span globally over-represented, and am I its
    first occurrence" — no self-join, so the tokenize subtree is planned
@@ -162,10 +162,17 @@ def _dedup_spans(
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     if max_occurrences < 1:
         raise ValueError(f"max_occurrences must be >= 1, got {max_occurrences}")
-    # md5 partition key: a 32-char constant-width sort/shuffle key
+    # xxhash64 partition key: an 8-byte constant-width sort/shuffle key
     # regardless of span width (the span itself rides along only as a
-    # carried column, never as a comparison key)
-    fp = spans.withColumn("__fp", F.md5("span"))
+    # carried column, never as a comparison key). md5 until r13 — the
+    # hash is an equality proxy for the span text (the DuckDB oracle
+    # groups by the text itself), so the switch trades the 128-bit
+    # margin for one cheap codegen'd hash and a quarter of the key
+    # bytes; a 2⁻⁶⁴ collision falsely merges two distinct spans'
+    # occurrence counts (≈n²/2⁶⁵ expected events — ~27k wrongly-cut
+    # spans per 10¹² at 100 TB, a 3e-8 corruption rate), the same
+    # accepted class as dedup.py's r9 shingle fingerprints.
+    fp = spans.withColumn("__fp", F.xxhash64("span"))
     if skew_safe:
         # aggregate-then-join instead of a window: the per-fingerprint
         # count and the keeper (min occurrence) come from map-side
@@ -301,7 +308,8 @@ def line_dedup(
 def _boilerplate_keys(
     lines: DataFrame, id_col: str, normalize: bool
 ) -> DataFrame:
-    """(id, span_id, span, __fp) with the md5 doc-frequency key applied."""
+    """(id, span_id, span, __fp) with the doc-frequency hash key applied
+    (xxhash64 since r13 — equality proxy only, see _dedup_spans)."""
     # strip EVERY whitespace class (review r7: F.trim left \r/\t in
     # place, splitting a CRLF corpus's chrome line across '\r'-suffixed
     # fingerprint variants); oracle mirrors the regexp form
@@ -310,7 +318,7 @@ def _boilerplate_keys(
         if normalize else F.col("span")
     )
     return lines.select(
-        F.col(id_col), "span_id", "span", F.md5(norm).alias("__fp")
+        F.col(id_col), "span_id", "span", F.xxhash64(norm).alias("__fp")
     )
 
 
@@ -499,9 +507,9 @@ def substring_dedup(
     whitespace survives iff the first/last token does.
 
     Plan (3 shuffles, all on constant-width keys): narrow bound-split →
-    sliding-gram explode (md5 fingerprints only — the gram text never
-    shuffles; 128-bit so collisions stay improbable at trillions of
-    grams, unlike xxhash64); ONE window on fingerprint (count +
+    sliding-gram explode (xxhash64 fingerprints only — the gram text
+    never shuffles; 64-bit since r13, collision math at
+    :func:`_dedup_spans`); ONE window on fingerprint (count +
     row_number share a single Window operator, same spec trick as
     :func:`_dedup_spans`, or the aggregate+join plan under
     ``skew_safe=True`` — a boilerplate gram duplicated millions of
@@ -567,8 +575,11 @@ def substring_dedup(
 
 
 def _sliding_grams(bound: DataFrame, id_col: str, k: int) -> DataFrame:
-    """Sliding k-gram md5 fingerprints with start positions from a
-    (id, __words) frame: ``(id, start, __fp)``.
+    """Sliding k-gram xxhash64 fingerprints with start positions from a
+    (id, __words) frame: ``(id, start, __fp)``. md5 until r13 — see
+    :func:`_dedup_spans` for the collision-rate trade; one codegen'd
+    long hash per gram replaces a MessageDigest + 32-char hex encode,
+    and the window shuffle key drops 32+ bytes → 8.
 
     Docs shorter than k tokens produce no grams. The >= k guard also
     protects F.sequence(0, n_grams - 1): Spark's sequence DESCENDS when
@@ -583,9 +594,9 @@ def _sliding_grams(bound: DataFrame, id_col: str, k: int) -> DataFrame:
         F.size("__words") >= k,
         F.transform(
             F.sequence(F.lit(0), F.size("__words") - k),
-            lambda i: F.md5(gram_concat("__words", i, k)),
+            lambda i: F.xxhash64(gram_concat("__words", i, k)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     return bound.select(
         F.col(id_col),
         F.posexplode(guarded).alias("start", "__fp"),

@@ -286,16 +286,24 @@ def bloom_dedup_stream(
     return process
 
 
-def _load_fp_state(spark, state_dir: str, exclude_version: str) -> DataFrame:
-    """Merged fingerprint-set state for the span/substring dedup
+def _load_fp_state(spark, state_dir: str, exclude_version: str,
+                   fp_type: str = "bigint") -> DataFrame:
+    """Merged fingerprint-set state for the span/substring/exact dedup
     streams: distinct ``__fp`` over every persisted delta EXCEPT the
     current epoch's own (``v=<exclude_version>``) — so a replayed epoch
     sees exactly the pre-epoch state and re-emits the same output as
-    its first attempt (crash between delta write and sink commit)."""
+    its first attempt (crash between delta write and sink commit).
+
+    ``fp_type``: the span/gram fingerprints are xxhash64 longs since
+    r13 (spans.py:_dedup_spans collision note) — state dirs written by
+    pre-r13 engines (string md5 fps) are not readable by this version;
+    the exact-dedup stream's TEXT fingerprints stay md5 strings (they
+    twin the batch ``text_stats`` fingerprint column, which the oracle
+    replays) and pass ``fp_type="string"``."""
     from kafi_spark.functions.state import load_deltas
 
     df = load_deltas(spark, state_dir, exclude_version,
-                     empty_schema="__fp string")
+                     empty_schema=f"__fp {fp_type}")
     return df.select("__fp").distinct()
 
 
@@ -321,7 +329,7 @@ def span_dedup_stream(
     matters, and the load EXCLUDES the current epoch's own delta so a
     replayed epoch re-emits byte-identically). Per micro-batch:
 
-    1. explode documents into spans, fingerprint each (md5 — the batch
+    1. explode documents into spans, fingerprint each (xxhash64 — the batch
        operator's key, spans.py:107);
     2. drop spans whose fingerprint is in state (historical duplicate)
        or that repeat earlier in THIS batch (first occurrence by
@@ -380,7 +388,7 @@ def span_dedup_stream(
         spans = text_spans(
             batch_df.filter(F.col(text_col).isNotNull()),
             text_col, id_col, span_tokens
-        ).withColumn("__fp", F.md5("span"))
+        ).withColumn("__fp", F.xxhash64("span"))
         # two consumers (survivor computation + delta write): anchor once
         spans = spans.localCheckpoint()
         wo = W.partitionBy("__fp").orderBy(F.col(id_col), F.col("span_id"))
@@ -596,9 +604,9 @@ def curate_documents_stream(
         # set, and (via join) the near-dup stage (sanctioned barrier,
         # same as the batch pipeline's survivor checkpoint).
         kept = kept.localCheckpoint()
-        seen_fp = _load_fp_state(spark, exact_dir, ver).withColumnRenamed(
-            "__fp", "fingerprint"
-        )
+        seen_fp = _load_fp_state(
+            spark, exact_dir, ver, fp_type="string"
+        ).withColumnRenamed("__fp", "fingerprint")
         exact_new = (
             kept.join(seen_fp, "fingerprint", "left_anti")
             .withColumn(

@@ -472,9 +472,11 @@ def test_span_dedup_stream_zero_token_docs_match_batch(spark, tmp_path):
             (r.doc_id, r.text, r.n_spans_kept) for r in out.collect()))
     proc(df, 0)
     assert sorted(got, key=str) == want
-    # no phantom '' fingerprint may salt the state
-    import hashlib
+    # no phantom '' fingerprint may salt the state (fp is the engine's
+    # xxhash64 long since r13 — derive the sentinel from the engine)
+    from pyspark.sql import functions as F
 
     state = spark.read.parquet(str(tmp_path / "state"))
-    empty_fp = hashlib.md5(b"").hexdigest()
+    empty_fp = spark.range(1).select(
+        F.xxhash64(F.lit("")).alias("h")).first()["h"]
     assert state.filter(state["__fp"] == empty_fp).count() == 0
