@@ -77,6 +77,25 @@ PROBES = [
     "corpus_report",
     "sketch_daily_distinct",
     "cms_heavy_hitters",
+    # round-13 (r12 verdict #4): the dedup family end-to-end — the
+    # remaining members the probe never covered. dedup_ngram_jaccard is
+    # the exact max_df=None inverted-index path standalone (its pipeline
+    # embedding is probed as pipeline_curate); dedup_minhash_lsh the
+    # standalone LSH+verify path; dedup_exact the fingerprint window;
+    # dedup_semantic the kmeans-cell SemDeDup plan (centroid fit is
+    # sample-capped, so the probe prices the cell pair stage).
+    # ADJUDICATED (r13): dedup_ngram_jaccard reads per_row_ratio ~1.42
+    # with ~x69 shuffle growth — the DECLARED quadratic of uncapped
+    # posting lists (a df-f shingle emits C(f,2) pair rows and
+    # mid-frequency f grows with corpus size). That is the oracle-exact
+    # configuration's semantics, kept self-join-shaped deliberately
+    # (spillable rows, safe at any skew — the prefix-filter path's
+    # in-row posting arrays are unbounded without a df cap); the scale
+    # paths are dedup_ngram_capped (0.47) and minhash (0.75/0.27).
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_semantic",
 ]
 
 # Candidate-efficiency counters (r10 verdict items #1/#5): per tier,
